@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registers the driver-generated parquet testdata (TESTDATA.md) as temp
+  * views so queries can be expressed in the Hive-ish SQL dialect Spark SQL
+  * natively accepts (SURVEY.md §2.3 — no custom parser).
+  *
+  * Views are cheap catalog entries over parquet scans: Catalyst still gets
+  * full predicate pushdown / column pruning / partition pruning through
+  * them, so at 100 TB the scan only reads what each query touches.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def register(spark: SparkSession, sfDir: String): Unit = {
+    // events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects by
+    // default; read it as a nanos long and floor-divide to µs (integer
+    // div — double division would lose precision above 2^53), matching
+    // DuckDB's ns→µs truncation on the same file (FIXTURES.md §2).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    names.foreach { t =>
+      val raw = spark.read.parquet(s"$sfDir/$t.parquet")
+      val df =
+        if (t == "events")
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("CAST(ts DIV 1000L AS LONG)")))
+        else raw
+      df.createOrReplaceTempView(t)
+    }
+  }
+
+  /** Standard shape of a harness query: register views, run SQL. */
+  def sql(q: String): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => { register(spark, sfDir); spark.sql(q) }
+}

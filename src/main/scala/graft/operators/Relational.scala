@@ -1,0 +1,403 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational surface: scan/filter/project, every join type, union,
+  * sort/distribute/cluster, limit/top-k, subquery predicates.
+  *
+  * Mirrors the reference operator inventory (SURVEY.md §2.1 rows 1-11 —
+  * Hive `TableScanOperator`/`FilterOperator`/`SelectOperator`/
+  * `JoinOperator`/`MapJoinOperator`/`LimitOperator`/`UnionOperator`,
+  * `ql/src/java/org/apache/hadoop/hive/ql/exec/`), re-expressed as
+  * declarative Spark SQL / DataFrame plans so Catalyst handles pushdown,
+  * join strategy (broadcast vs SMJ), and AQE skew/coalesce at scale.
+  *
+  * Determinism conventions (FIXTURES.md §3): every query ends in a total
+  * ORDER BY; money aggregates go through DECIMAL so sums are exact and
+  * order-independent (double sums are not associative — at 100 TB the
+  * reduction tree shape is nondeterministic).
+  */
+object Relational {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape — the flagship end-to-end slice (scan → filter →
+    // partial/final hash agg → sort). Hive: GroupByOperator modes
+    // HASH→MERGEPARTIAL (QL/exec/GroupByOperator.java:733).
+    "q1_pricing_summary" -> Tables.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+
+    // Filter + projection pushed into the parquet scan (PushedFilters /
+    // ReadSchema in .explain). Hive: FilterOperator + SelectOperator.
+    "scan_filter_project" -> Tables.sql("""
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             l_extendedprice * (1 - l_discount) AS net_price
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1996-03-31 00:00:00'
+        AND l_quantity < 5
+      ORDER BY l_orderkey, l_linenumber"""),
+
+    // Shuffle equi-join (SortMergeJoinExec at scale; Hive reduce-side
+    // JoinOperator, QL/exec/JoinOperator.java).
+    "join_inner" -> Tables.sql("""
+      SELECT o_orderkey, o_totalprice, c_name
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > 490000
+      ORDER BY o_orderkey"""),
+
+    "join_left_outer" -> Tables.sql("""
+      SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus = 'F'
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey"""),
+
+    "join_right_outer" -> Tables.sql("""
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey"""),
+
+    // FULL OUTER over two pre-aggregated sides — exercises null-producing
+    // both-side join. COALESCE gives a non-null sort key.
+    "join_full_outer" -> Tables.sql("""
+      SELECT COALESCE(c.nk, s.nk) AS nationkey,
+             COALESCE(c.n_cust, 0) AS n_cust,
+             COALESCE(s.n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+      FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+        ON c.nk = s.nk
+      ORDER BY nationkey"""),
+
+    // Hive LEFT SEMI JOIN (JoinDesc.LEFT_SEMI_JOIN) — Spark left_semi.
+    "join_left_semi" -> Tables.sql("""
+      SELECT c_custkey, c_name
+      FROM customer LEFT SEMI JOIN orders
+        ON c_custkey = o_custkey AND o_totalprice > 400000
+      ORDER BY c_custkey"""),
+
+    // NOT EXISTS — Spark left_anti.
+    "join_left_anti" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val cust = spark.table("customer")
+      val ords = spark.table("orders").where(col("o_totalprice") > 495000)
+      cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "join_cross" -> Tables.sql("""
+      SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
+      FROM region r1 CROSS JOIN region r2
+      ORDER BY r1_name, r2_name"""),
+
+    // Star join: fact × 3 small dims. DataFrame API with explicit
+    // broadcast() hints — at 100 TB the dims stay broadcast
+    // (BroadcastHashJoinExec), the fact table never shuffles for the
+    // join, and only the final 1-row-per-nation agg exchanges.
+    // Hive: MapJoinOperator (QL/exec/MapJoinOperator.java:368).
+    "join_broadcast_star" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val li = spark.table("lineitem")
+      val sup = spark.table("supplier")
+      val nat = spark.table("nation")
+      val reg = spark.table("region").where(col("r_name") === "ASIA")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // TPC-H Q3 shape: 3-way join + agg + top-k.
+    "join_multiway_topk" -> Tables.sql("""
+      SELECT o_orderkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             CAST(o_orderdate AS DATE) AS odate
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10"""),
+
+    "union_all" -> Tables.sql("""
+      SELECT pri, COUNT(*) AS cnt FROM (
+        SELECT o_orderpriority AS pri FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderpriority AS pri FROM orders WHERE o_totalprice > 300000
+      ) u GROUP BY pri ORDER BY pri"""),
+
+    "union_distinct" -> Tables.sql("""
+      SELECT nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        UNION
+        SELECT s_nationkey AS nk FROM supplier
+      ) u ORDER BY nk"""),
+
+    // Uncorrelated IN subquery (Hive TOK_SUBQUERY_EXPR → semi-join
+    // rewrite, SemanticAnalyzer.genPlanForSubQueryPredicate).
+    "subquery_in" -> Tables.sql("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        AND o_totalprice > 450000
+      ORDER BY o_orderkey"""),
+
+    // NOT IN with a null in the subquery: three-valued logic → empty
+    // result. Both engines must agree (SURVEY.md §7.3 trap #1).
+    "subquery_not_in_null" -> Tables.sql("""
+      SELECT p_partkey FROM part
+      WHERE p_partkey NOT IN (SELECT NULLIF(l_partkey, 1) FROM lineitem)
+      ORDER BY p_partkey"""),
+
+    "subquery_not_in" -> Tables.sql("""
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_orderkey < 50)
+      ORDER BY s_suppkey"""),
+
+    // Correlated EXISTS.
+    "subquery_exists" -> Tables.sql("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 480000)
+      ORDER BY c_custkey"""),
+
+    // Scalar subquery (exact: MAX — no float-accumulation drift).
+    "subquery_scalar" -> Tables.sql("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.97
+      ORDER BY o_orderkey"""),
+
+    "distinct_project" -> Tables.sql("""
+      SELECT DISTINCT c_mktsegment, c_nationkey
+      FROM customer
+      ORDER BY c_mktsegment, c_nationkey"""),
+
+    // ORDER BY ... LIMIT → TakeOrderedAndProjectExec (Hive: TopN hash in
+    // ReduceSinkOperator via LimitPushdownOptimizer).
+    "topk" -> Tables.sql("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10"""),
+
+    "limit_offset" -> Tables.sql("""
+      SELECT o_orderkey, o_custkey
+      FROM orders
+      ORDER BY o_orderkey
+      LIMIT 20 OFFSET 10"""),
+
+    // DISTRIBUTE BY + SORT BY (Hive ReduceSinkOperator partition/order
+    // keys) = repartition + sortWithinPartitions. Final global orderBy
+    // makes the result comparable; the exchange still exercises the
+    // cluster-by path.
+    "sort_cluster_by" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      spark.table("lineitem")
+        .where(col("l_quantity") >= 49)
+        .repartition(col("l_suppkey"))
+        .sortWithinPartitions(col("l_suppkey"), col("l_orderkey"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Multi-column global sort with explicit null placement (Spark's
+    // default NULLS FIRST on ASC differs from DuckDB's NULLS LAST —
+    // always explicit; SURVEY.md §7.3).
+    "sort_order_by_nulls" -> Tables.sql("""
+      SELECT s_suppkey, NULLIF(s_acctbal, 0) AS bal
+      FROM supplier
+      ORDER BY bal DESC NULLS LAST, s_suppkey""")
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "scan_filter_project" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             l_extendedprice * (1 - l_discount) AS net_price
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1996-03-31 00:00:00'
+        AND l_quantity < 5
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "join_inner" -> """
+      SELECT o_orderkey, o_totalprice, c_name
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > 490000
+      ORDER BY o_orderkey""",
+
+    "join_left_outer" -> """
+      SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus = 'F'
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey""",
+
+    "join_right_outer" -> """
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey""",
+
+    "join_full_outer" -> """
+      SELECT COALESCE(c.nk, s.nk) AS nationkey,
+             COALESCE(c.n_cust, 0) AS n_cust,
+             COALESCE(s.n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+      FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+        ON c.nk = s.nk
+      ORDER BY nationkey""",
+
+    "join_left_semi" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      ORDER BY c_custkey""",
+
+    "join_left_anti" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 495000)
+      ORDER BY c_custkey""",
+
+    "join_cross" -> """
+      SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
+      FROM region r1 CROSS JOIN region r2
+      ORDER BY r1_name, r2_name""",
+
+    "join_broadcast_star" -> """
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "join_multiway_topk" -> """
+      SELECT o_orderkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             CAST(o_orderdate AS DATE) AS odate
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10""",
+
+    "union_all" -> """
+      SELECT pri, COUNT(*) AS cnt FROM (
+        SELECT o_orderpriority AS pri FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderpriority AS pri FROM orders WHERE o_totalprice > 300000
+      ) u GROUP BY pri ORDER BY pri""",
+
+    "union_distinct" -> """
+      SELECT nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        UNION
+        SELECT s_nationkey AS nk FROM supplier
+      ) u ORDER BY nk""",
+
+    "subquery_in" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        AND o_totalprice > 450000
+      ORDER BY o_orderkey""",
+
+    "subquery_not_in_null" -> """
+      SELECT p_partkey FROM part
+      WHERE p_partkey NOT IN (SELECT NULLIF(l_partkey, 1) FROM lineitem)
+      ORDER BY p_partkey""",
+
+    "subquery_not_in" -> """
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_orderkey < 50)
+      ORDER BY s_suppkey""",
+
+    "subquery_exists" -> """
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 480000)
+      ORDER BY c_custkey""",
+
+    "subquery_scalar" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.97
+      ORDER BY o_orderkey""",
+
+    "distinct_project" -> """
+      SELECT DISTINCT c_mktsegment, c_nationkey
+      FROM customer
+      ORDER BY c_mktsegment, c_nationkey""",
+
+    "topk" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10""",
+
+    "limit_offset" -> """
+      SELECT o_orderkey, o_custkey
+      FROM orders
+      ORDER BY o_orderkey
+      LIMIT 20 OFFSET 10""",
+
+    "sort_cluster_by" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber
+      FROM lineitem
+      WHERE l_quantity >= 49
+      ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+
+    "sort_order_by_nulls" -> """
+      SELECT s_suppkey, NULLIF(s_acctbal, 0) AS bal
+      FROM supplier
+      ORDER BY bal DESC NULLS LAST, s_suppkey"""
+  )
+}
