@@ -12,7 +12,9 @@ import graft.operators._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    QueryModule(Relational.queries, Relational.oracle)
+    QueryModule(Relational.queries, Relational.oracle),
+    QueryModule(Aggregates.queries, Aggregates.oracle),
+    QueryModule(Windows.queries, Windows.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

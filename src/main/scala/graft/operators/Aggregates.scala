@@ -1,0 +1,270 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Aggregation surface (SURVEY.md §2.5) — Hive `GroupByOperator`
+  * (QL/exec/GroupByOperator.java, partial/final modes in
+  * plan/GroupByDesc$Mode) and the UDAF registry in
+  * QL/exec/FunctionRegistry.java: count/sum/avg/min/max, variance family,
+  * corr/covar, collect_set/collect_list, percentile, grouping sets /
+  * cube / rollup (GroupByDesc.listGroupingSets).
+  *
+  * Catalyst plans the partial/final split itself (HashAggregateExec with
+  * map-side combine), so every grouped agg here shuffles only
+  * pre-aggregated partial buffers — the property that makes these run at
+  * 100 TB. The one Hive trick worth keeping explicitly is the skew-salt
+  * two-stage aggregate (hive.groupby.skewindata,
+  * SemanticAnalyzer.genGroupByPlanMapAggr2MR) — see agg_skew_salted.
+  */
+object Aggregates {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "agg_basic" -> Tables.sql("""
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+
+    // Multi-distinct + plain agg in one GROUP BY (Hive compiler rewrite;
+    // Catalyst RewriteDistinctAggregates).
+    "agg_distinct_multi" -> Tables.sql("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT l_partkey) AS n_part,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+
+    // GROUPING SETS + grouping() marker (Hive GROUPING__ID is
+    // bit-reversed vs Spark — compare per-column grouping() instead,
+    // SURVEY.md §7.3 trap #1).
+    "agg_grouping_sets" -> Tables.sql("""
+      SELECT COALESCE(l_returnflag, '<all>') AS rflag,
+             COALESCE(l_linestatus, '<all>') AS lstatus,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_rflag,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_lstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY rflag, lstatus"""),
+
+    "agg_rollup" -> Tables.sql("""
+      SELECT COALESCE(o_orderstatus, '<all>') AS status,
+             COALESCE(o_orderpriority, '<all>') AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""),
+
+    "agg_cube" -> Tables.sql("""
+      SELECT COALESCE(o_orderstatus, '<all>') AS status,
+             COALESCE(o_orderpriority, '<all>') AS priority,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""),
+
+    // Variance family + correlation (GenericUDAFVariance/Std/Corr/Covar).
+    // Values are O(1)-O(100) so round(6) is safely inside double
+    // precision; both engines use numerically-stable merge formulas.
+    "agg_stats" -> Tables.sql("""
+      SELECT l_returnflag,
+             ROUND(VAR_POP(l_quantity), 6)    AS vpop_qty,
+             ROUND(VAR_SAMP(l_quantity), 6)   AS vsamp_qty,
+             ROUND(STDDEV_POP(l_quantity), 6) AS sdpop_qty,
+             ROUND(STDDEV_SAMP(l_discount), 6) AS sdsamp_disc,
+             ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             ROUND(COVAR_POP(l_quantity, l_discount), 6) AS covp_qty_disc,
+             ROUND(COVAR_SAMP(l_quantity, l_tax), 6) AS covs_qty_tax
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+
+    // Exact percentile (Hive UDAFPercentile / GenericUDAFPercentileApprox
+    // cousin) — linear interpolation in both engines.
+    "agg_percentile" -> Tables.sql("""
+      SELECT l_returnflag,
+             ROUND(PERCENTILE(l_quantity, 0.25), 6) AS p25,
+             ROUND(PERCENTILE(l_quantity, 0.5), 6)  AS p50,
+             ROUND(PERCENTILE(l_quantity, 0.75), 6) AS p75,
+             ROUND(MEDIAN(l_quantity), 6) AS med
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+
+    // percentile_approx: sketch-based, engine-specific numerics — no
+    // value oracle; driver records rows>0 and ScalaTest bounds-checks it.
+    "agg_percentile_approx" -> Tables.sql("""
+      SELECT l_returnflag,
+             PERCENTILE_APPROX(l_extendedprice, 0.5, 1000) AS p50_approx,
+             APPROX_COUNT_DISTINCT(l_partkey) AS nd_part_approx
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+
+    // collect_set/collect_list (GenericUDAFMkCollectionEvaluator) —
+    // compared as a sorted joined string (set semantics, stable text).
+    "agg_collect" -> Tables.sql("""
+      SELECT c_nationkey,
+             ARRAY_JOIN(SORT_ARRAY(COLLECT_SET(c_mktsegment)), ',') AS segments,
+             SIZE(COLLECT_LIST(c_custkey)) AS n_cust
+      FROM customer
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""),
+
+    // FILTER-clause / conditional aggregation.
+    "agg_filtered" -> Tables.sql("""
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_totalprice > 250000) AS DOUBLE) AS sum_big
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+
+    "agg_having" -> Tables.sql("""
+      SELECT l_suppkey, COUNT(*) AS n_items
+      FROM lineitem
+      GROUP BY l_suppkey
+      HAVING COUNT(*) > 620
+      ORDER BY l_suppkey"""),
+
+    // Two-stage salted aggregate — the 100 TB skew pattern (Hive
+    // hive.groupby.skewindata, genGroupByPlanMapAggr2MR:6446): stage 1
+    // aggregates (key, salt) so one hot key spreads over 16 reducers;
+    // stage 2 merges the 16 partials. Oracle = the plain GROUP BY.
+    "agg_skew_salted" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      spark.table("lineitem")
+        .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).as("part_qty"),
+          count(lit(1)).as("part_cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("part_qty")).cast("double").as("sum_qty"),
+          sum(col("part_cnt")).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_basic" -> """
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "agg_distinct_multi" -> """
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT l_partkey) AS n_part,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "agg_grouping_sets" -> """
+      SELECT COALESCE(l_returnflag, '<all>') AS rflag,
+             COALESCE(l_linestatus, '<all>') AS lstatus,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_rflag,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_lstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY rflag, lstatus""",
+
+    "agg_rollup" -> """
+      SELECT COALESCE(o_orderstatus, '<all>') AS status,
+             COALESCE(o_orderpriority, '<all>') AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+
+    "agg_cube" -> """
+      SELECT COALESCE(o_orderstatus, '<all>') AS status,
+             COALESCE(o_orderpriority, '<all>') AS priority,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+
+    "agg_stats" -> """
+      SELECT l_returnflag,
+             ROUND(VAR_POP(l_quantity), 6)    AS vpop_qty,
+             ROUND(VAR_SAMP(l_quantity), 6)   AS vsamp_qty,
+             ROUND(STDDEV_POP(l_quantity), 6) AS sdpop_qty,
+             ROUND(STDDEV_SAMP(l_discount), 6) AS sdsamp_disc,
+             ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             ROUND(COVAR_POP(l_quantity, l_discount), 6) AS covp_qty_disc,
+             ROUND(COVAR_SAMP(l_quantity, l_tax), 6) AS covs_qty_tax
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "agg_percentile" -> """
+      SELECT l_returnflag,
+             ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS p25,
+             ROUND(QUANTILE_CONT(l_quantity, 0.5), 6)  AS p50,
+             ROUND(QUANTILE_CONT(l_quantity, 0.75), 6) AS p75,
+             ROUND(MEDIAN(l_quantity), 6) AS med
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "agg_collect" -> """
+      SELECT c_nationkey,
+             ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(c_mktsegment))), ',') AS segments,
+             LEN(LIST(c_custkey)) AS n_cust
+      FROM customer
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""",
+
+    "agg_filtered" -> """
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_totalprice > 250000) AS DOUBLE) AS sum_big
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "agg_having" -> """
+      SELECT l_suppkey, COUNT(*) AS n_items
+      FROM lineitem
+      GROUP BY l_suppkey
+      HAVING COUNT(*) > 620
+      ORDER BY l_suppkey""",
+
+    "agg_skew_salted" -> """
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""
+  )
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Window / analytic functions (SURVEY.md §2.6) — Hive's PTF engine
+  * (QL/exec/PTFOperator.java + QL/udf/ptf/WindowingTableFunction.java):
+  * row_number/rank/dense_rank/percent_rank/cume_dist/ntile/first_value/
+  * last_value/lead/lag, ROWS and RANGE frames
+  * (parse/WindowingSpec$BoundarySpec).
+  *
+  * All are Spark built-ins over `Window.partitionBy().orderBy()`. Window
+  * order is always made total (unique tiebreak column) so frames — and
+  * therefore running sums — are deterministic; running money sums go
+  * through DECIMAL like grouped aggregates (order-independence at scale).
+  * Hive's streaming bounded-frame evaluators
+  * (GenericUDAFStreamingEvaluator) correspond to Spark's incremental
+  * WindowExec frame processors — nothing to build.
+  */
+object Windows {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Ranking family + running sum over ROWS frame.
+    "window_rank_rows_frame" -> Tables.sql("""
+      SELECT c_custkey, c_nationkey,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal
+      FROM customer
+      ORDER BY c_nationkey, rn"""),
+
+    // RANGE frame with a numeric offset (Hive ValueBoundaryScanner).
+    "window_range_frame" -> Tables.sql("""
+      SELECT o_orderkey, o_totalprice,
+             COUNT(*) OVER (ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS DOUBLE) AS sum_within_10k
+      FROM orders
+      WHERE o_orderkey <= 1000
+      ORDER BY o_totalprice, o_orderkey"""),
+
+    "window_lead_lag" -> Tables.sql("""
+      SELECT event_id, user_id, event_type,
+             LAG(event_type, 1, '<start>') OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             LEAD(event_type, 1, '<end>') OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+             LAG(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_2_back
+      FROM events
+      WHERE user_id <= 20
+      ORDER BY user_id, event_id"""),
+
+    // ntile / percent_rank / cume_dist — exact rational values, identical
+    // doubles in both engines.
+    "window_ntile_cume" -> Tables.sql("""
+      SELECT s_suppkey,
+             NTILE(4) OVER (ORDER BY s_acctbal, s_suppkey) AS quartile,
+             CAST(PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey) AS DOUBLE) AS pct_rnk,
+             CAST(CUME_DIST() OVER (ORDER BY s_acctbal, s_suppkey) AS DOUBLE) AS cume
+      FROM supplier
+      ORDER BY s_suppkey"""),
+
+    "window_first_last" -> Tables.sql("""
+      SELECT c_custkey, c_nationkey,
+             FIRST_VALUE(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest,
+             LAST_VALUE(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+      FROM customer
+      WHERE c_custkey <= 300
+      ORDER BY c_custkey"""),
+
+    // Sliding ROWS frame; avg expressed as exact SUM(decimal)/COUNT so
+    // both engines' sliding-window accumulation strategies can't drift.
+    "window_sliding_avg" -> Tables.sql("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w3 AS DOUBLE)
+                  / COUNT(*) OVER w3 AS DOUBLE) AS avg3_qty
+      FROM lineitem
+      WHERE l_orderkey <= 400
+      WINDOW w3 AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY l_orderkey, l_linenumber""")
+  )
+
+  val oracle: Map[String, String] = Map(
+    "window_rank_rows_frame" -> """
+      SELECT c_custkey, c_nationkey,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal
+      FROM customer
+      ORDER BY c_nationkey, rn""",
+
+    "window_range_frame" -> """
+      SELECT o_orderkey, o_totalprice,
+             COUNT(*) OVER (ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS DOUBLE) AS sum_within_10k
+      FROM orders
+      WHERE o_orderkey <= 1000
+      ORDER BY o_totalprice, o_orderkey""",
+
+    "window_lead_lag" -> """
+      SELECT event_id, user_id, event_type,
+             LAG(event_type, 1, '<start>') OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             LEAD(event_type, 1, '<end>') OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+             LAG(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_2_back
+      FROM events
+      WHERE user_id <= 20
+      ORDER BY user_id, event_id""",
+
+    "window_ntile_cume" -> """
+      SELECT s_suppkey,
+             NTILE(4) OVER (ORDER BY s_acctbal, s_suppkey) AS quartile,
+             CAST(PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey) AS DOUBLE) AS pct_rnk,
+             CAST(CUME_DIST() OVER (ORDER BY s_acctbal, s_suppkey) AS DOUBLE) AS cume
+      FROM supplier
+      ORDER BY s_suppkey""",
+
+    "window_first_last" -> """
+      SELECT c_custkey, c_nationkey,
+             FIRST_VALUE(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest,
+             LAST_VALUE(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+      FROM customer
+      WHERE c_custkey <= 300
+      ORDER BY c_custkey""",
+
+    "window_sliding_avg" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w3 AS DOUBLE)
+                  / COUNT(*) OVER w3 AS DOUBLE) AS avg3_qty
+      FROM lineitem
+      WHERE l_orderkey <= 400
+      WINDOW w3 AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY l_orderkey, l_linenumber"""
+  )
+}
