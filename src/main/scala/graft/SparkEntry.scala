@@ -14,7 +14,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     QueryModule(Relational.queries, Relational.oracle),
     QueryModule(Aggregates.queries, Aggregates.oracle),
-    QueryModule(Windows.queries, Windows.oracle)
+    QueryModule(Windows.queries, Windows.oracle),
+    QueryModule(Functions.queries, Functions.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,326 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Scalar function surface + table-generating functions (SURVEY.md §2.7,
+  * §2.1 #14-15) — the ~230-name Hive FunctionRegistry
+  * (QL/exec/FunctionRegistry.java) and the UDTF/LATERAL VIEW machinery
+  * (QL/exec/UDTFOperator.java, LateralViewJoinOperator.java).
+  *
+  * Nearly all are same-name Spark built-ins evaluated inside whole-stage
+  * codegen; the oracle side sometimes needs a different DuckDB spelling
+  * (dialects may differ — only the values must match). Functions Spark
+  * genuinely lacks (`field`, `parse_url_tuple`, `ngrams`) live in
+  * graft.functions as custom expressions/aggregators.
+  */
+object Functions {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "string_fns" -> Tables.sql("""
+      SELECT c_custkey,
+             CONCAT_WS('|', c_name, c_mktsegment) AS joined,
+             UPPER(c_name) AS up,
+             LOWER(c_mktsegment) AS lo,
+             SUBSTR(c_name, 10, 5) AS sub,
+             LENGTH(c_name) AS len,
+             LPAD(CAST(c_custkey AS STRING), 8, '0') AS padded,
+             RPAD(c_mktsegment, 12, '.') AS rpadded,
+             REVERSE(c_name) AS rev,
+             REPLACE(c_name, 'Customer#', 'C-') AS repl,
+             TRIM(LPAD(c_mktsegment, 20, ' ')) AS trimmed,
+             INSTR(c_name, '#') AS hashpos,
+             REPEAT('ab', 3) AS rep,
+             ASCII(c_mktsegment) AS first_ascii,
+             TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+             REGEXP_REPLACE(c_name, '[0-9]+', 'N') AS renum,
+             REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
+             CAST(c_name RLIKE 'Customer#0+1.*' AS INT) AS rl
+      FROM customer
+      WHERE c_custkey < 200
+      ORDER BY c_custkey"""),
+
+    "date_fns" -> Tables.sql("""
+      SELECT o_orderkey,
+             YEAR(o_orderdate) AS y,
+             MONTH(o_orderdate) AS m,
+             DAY(o_orderdate) AS d,
+             QUARTER(o_orderdate) AS q,
+             WEEKOFYEAR(o_orderdate) AS wk,
+             DATE_ADD(CAST(o_orderdate AS DATE), 30) AS plus30,
+             ADD_MONTHS(CAST(o_orderdate AS DATE), 2) AS plus2m,
+             LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+             DATE_TRUNC('month', o_orderdate) AS month_start,
+             DATEDIFF(DATE'2000-01-01', CAST(o_orderdate AS DATE)) AS days_to_2000,
+             UNIX_TIMESTAMP(o_orderdate) AS epoch_s,
+             DATE_FORMAT(o_orderdate, 'yyyy-MM-dd') AS fmt
+      FROM orders
+      WHERE o_orderkey < 300
+      ORDER BY o_orderkey"""),
+
+    "math_fns" -> Tables.sql("""
+      SELECT p_partkey,
+             ROUND(p_retailprice, 1) AS r1,
+             FLOOR(p_retailprice) AS fl,
+             CEIL(p_retailprice) AS ce,
+             ABS(-p_size) AS ab,
+             ROUND(SQRT(p_size), 9) AS sq,
+             ROUND(CBRT(p_size), 9) AS cb,
+             ROUND(EXP(p_size / 100.0), 9) AS ex,
+             ROUND(LN(p_size + 1), 9) AS lg,
+             ROUND(LOG10(p_size + 1), 9) AS l10,
+             POWER(p_size, 2) AS p2,
+             PMOD(-p_size, 7) AS pm,
+             SIGN(p_size - 25) AS sg,
+             HEX(p_size) AS hx,
+             SHIFTLEFT(p_size, 2) AS shl,
+             FACTORIAL(p_size % 10) AS fact
+      FROM part
+      WHERE p_partkey < 300
+      ORDER BY p_partkey"""),
+
+    "conditional_fns" -> Tables.sql("""
+      SELECT s_suppkey,
+             CASE WHEN s_acctbal < 0 THEN 'neg'
+                  WHEN s_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS bucket,
+             IF(s_acctbal > 0, 1, 0) AS pos_flag,
+             NVL(NULLIF(s_name, 'Supplier#000000000'), '<zero>') AS nm,
+             COALESCE(NULLIF(s_nationkey, 0), -1) AS nk,
+             GREATEST(s_acctbal, 0.0) AS bal_floor,
+             LEAST(s_acctbal, 1000.0) AS bal_cap,
+             CAST(ISNULL(NULLIF(s_nationkey, 3)) AS INT) AS is_n3,
+             CASE s_nationkey WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'other' END AS nk_name
+      FROM supplier
+      ORDER BY s_suppkey"""),
+
+    "complex_type_fns" -> Tables.sql("""
+      SELECT doc_id,
+             SIZE(SPLIT(text, ' ')) AS n_toks,
+             SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS n_uniq,
+             CAST(ARRAY_CONTAINS(SPLIT(text, ' '), 'data') AS INT) AS has_data,
+             SORT_ARRAY(SLICE(SPLIT(text, ' '), 1, 3)) [0] AS first3_min,
+             ARRAY_JOIN(SLICE(SPLIT(text, ' '), 1, 4), '_') AS first4,
+             ELEMENT_AT(SPLIT(text, ' '), 2) AS tok2,
+             NAMED_STRUCT('id', doc_id, 'n', n_chars).n AS meta_n,
+             ARRAY_MAX(TRANSFORM(SPLIT(text, ' '), w -> LENGTH(w))) AS max_tok_len
+      FROM documents
+      WHERE doc_id < 100
+      ORDER BY doc_id"""),
+
+    "json_fns" -> Tables.sql("""
+      SELECT event_id,
+             CAST(GET_JSON_OBJECT(props, '$.k') AS INT) AS k
+      FROM events
+      WHERE user_id <= 10
+      ORDER BY event_id"""),
+
+    // LATERAL VIEW explode — Hive's signature generator syntax, parsed
+    // natively by Spark SQL (Generate node).
+    "lateral_view_explode" -> Tables.sql("""
+      SELECT word, COUNT(*) AS cnt
+      FROM documents
+      LATERAL VIEW EXPLODE(SPLIT(text, ' ')) t AS word
+      WHERE word <> ''
+      GROUP BY word
+      ORDER BY cnt DESC, word
+      LIMIT 30"""),
+
+    "lateral_view_posexplode" -> Tables.sql("""
+      SELECT doc_id, pos, word
+      FROM documents
+      LATERAL VIEW POSEXPLODE(SPLIT(text, ' ')) t AS pos, word
+      WHERE pos < 3 AND doc_id < 50
+      ORDER BY doc_id, pos"""),
+
+    // LATERAL VIEW OUTER: empty generator output still emits the row
+    // (with NULL) — LateralViewJoinOperator outer semantics.
+    "lateral_view_outer" -> Tables.sql("""
+      SELECT doc_id, rare_word
+      FROM documents
+      LATERAL VIEW OUTER EXPLODE(FILTER(SPLIT(text, ' '), w -> w = 'zzz')) t AS rare_word
+      WHERE doc_id < 100
+      ORDER BY doc_id"""),
+
+    // stack() constant UDTF (GenericUDTFStack).
+    "udtf_stack" -> Tables.sql("""
+      SELECT k, v FROM (SELECT STACK(3, 'a', 1, 'b', 2, 'c', 3) AS (k, v))
+      ORDER BY k"""),
+
+    // inline() over an array of structs (GenericUDTFInline).
+    "udtf_inline" -> Tables.sql("""
+      SELECT id, name
+      FROM (SELECT INLINE(ARRAY(STRUCT(1, 'x'), STRUCT(2, 'y'))) AS (id, name))
+      ORDER BY id"""),
+
+    // json_tuple multi-field extraction (GenericUDTFJSONTuple).
+    "udtf_json_tuple" -> Tables.sql("""
+      SELECT event_id, CAST(jt.k AS INT) AS k
+      FROM events
+      LATERAL VIEW JSON_TUPLE(props, 'k') jt AS k
+      WHERE user_id <= 5
+      ORDER BY event_id"""),
+
+    // TRANSFORM ... USING — Hive ScriptOperator (QL/exec/
+    // ScriptOperator.java:323); Spark's no-serde ScriptTransformation.
+    "transform_script" -> Tables.sql("""
+      SELECT key, val FROM (
+        SELECT TRANSFORM(l_orderkey, l_linenumber)
+               USING 'cat' AS (key STRING, val STRING)
+        FROM lineitem
+        WHERE l_orderkey <= 40
+      ) t
+      ORDER BY CAST(key AS BIGINT), CAST(val AS BIGINT)"""),
+
+    // TABLESAMPLE with seed: deterministic within Spark, but sampling
+    // algorithms differ across engines — rows-only check + ScalaTest.
+    "sample_bernoulli" -> Tables.sql("""
+      SELECT o_orderkey FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+      ORDER BY o_orderkey""")
+  )
+
+  val oracle: Map[String, String] = Map(
+    "string_fns" -> """
+      SELECT c_custkey,
+             CONCAT_WS('|', c_name, c_mktsegment) AS joined,
+             UPPER(c_name) AS up,
+             LOWER(c_mktsegment) AS lo,
+             SUBSTR(c_name, 10, 5) AS sub,
+             LENGTH(c_name) AS len,
+             LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+             RPAD(c_mktsegment, 12, '.') AS rpadded,
+             REVERSE(c_name) AS rev,
+             REPLACE(c_name, 'Customer#', 'C-') AS repl,
+             TRIM(LPAD(c_mktsegment, 20, ' ')) AS trimmed,
+             INSTR(c_name, '#') AS hashpos,
+             REPEAT('ab', 3) AS rep,
+             ASCII(c_mktsegment) AS first_ascii,
+             TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+             REGEXP_REPLACE(c_name, '[0-9]+', 'N', 'g') AS renum,
+             REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
+             CAST(REGEXP_MATCHES(c_name, 'Customer#0+1.*') AS INT) AS rl
+      FROM customer
+      WHERE c_custkey < 200
+      ORDER BY c_custkey""",
+
+    "date_fns" -> """
+      SELECT o_orderkey,
+             YEAR(o_orderdate) AS y,
+             MONTH(o_orderdate) AS m,
+             DAY(o_orderdate) AS d,
+             QUARTER(o_orderdate) AS q,
+             WEEKOFYEAR(o_orderdate) AS wk,
+             CAST(o_orderdate AS DATE) + 30 AS plus30,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+             LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+             DATE_TRUNC('month', o_orderdate) AS month_start,
+             DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_2000,
+             CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s,
+             STRFTIME(o_orderdate, '%Y-%m-%d') AS fmt
+      FROM orders
+      WHERE o_orderkey < 300
+      ORDER BY o_orderkey""",
+
+    "math_fns" -> """
+      SELECT p_partkey,
+             ROUND(p_retailprice, 1) AS r1,
+             FLOOR(p_retailprice) AS fl,
+             CEIL(p_retailprice) AS ce,
+             ABS(-p_size) AS ab,
+             ROUND(SQRT(p_size), 9) AS sq,
+             ROUND(CBRT(p_size), 9) AS cb,
+             ROUND(EXP(p_size / 100.0), 9) AS ex,
+             ROUND(LN(p_size + 1), 9) AS lg,
+             ROUND(LOG10(p_size + 1), 9) AS l10,
+             POWER(p_size, 2) AS p2,
+             ((-p_size % 7) + 7) % 7 AS pm,
+             SIGN(p_size - 25) AS sg,
+             UPPER(TO_HEX(p_size)) AS hx,
+             p_size << 2 AS shl,
+             FACTORIAL(p_size % 10) AS fact
+      FROM part
+      WHERE p_partkey < 300
+      ORDER BY p_partkey""",
+
+    "conditional_fns" -> """
+      SELECT s_suppkey,
+             CASE WHEN s_acctbal < 0 THEN 'neg'
+                  WHEN s_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS bucket,
+             CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END AS pos_flag,
+             COALESCE(NULLIF(s_name, 'Supplier#000000000'), '<zero>') AS nm,
+             COALESCE(NULLIF(s_nationkey, 0), -1) AS nk,
+             GREATEST(s_acctbal, 0.0) AS bal_floor,
+             LEAST(s_acctbal, 1000.0) AS bal_cap,
+             CAST(NULLIF(s_nationkey, 3) IS NULL AS INT) AS is_n3,
+             CASE s_nationkey WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'other' END AS nk_name
+      FROM supplier
+      ORDER BY s_suppkey""",
+
+    "complex_type_fns" -> """
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_toks,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_uniq,
+             CAST(LIST_CONTAINS(STRING_SPLIT(text, ' '), 'data') AS INT) AS has_data,
+             LIST_SORT(STRING_SPLIT(text, ' ')[1:3])[1] AS first3_min,
+             ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:4], '_') AS first4,
+             STRING_SPLIT(text, ' ')[2] AS tok2,
+             n_chars AS meta_n,
+             LIST_MAX(LIST_TRANSFORM(STRING_SPLIT(text, ' '), w -> LENGTH(w))) AS max_tok_len
+      FROM documents
+      WHERE doc_id < 100
+      ORDER BY doc_id""",
+
+    "json_fns" -> """
+      SELECT event_id,
+             CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k
+      FROM events
+      WHERE user_id <= 10
+      ORDER BY event_id""",
+
+    "lateral_view_explode" -> """
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents) u
+      WHERE word <> ''
+      GROUP BY word
+      ORDER BY cnt DESC, word
+      LIMIT 30""",
+
+    "lateral_view_posexplode" -> """
+      SELECT doc_id, pos, toks[pos + 1] AS word
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents WHERE doc_id < 50),
+           (SELECT UNNEST([0, 1, 2]) AS pos)
+      WHERE pos < LEN(toks)
+      ORDER BY doc_id, pos""",
+
+    "lateral_view_outer" -> """
+      SELECT doc_id,
+             UNNEST(CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w = 'zzz')) = 0
+                         THEN [NULL]
+                         ELSE LIST_FILTER(STRING_SPLIT(text, ' '), w -> w = 'zzz') END) AS rare_word
+      FROM documents
+      WHERE doc_id < 100
+      ORDER BY doc_id""",
+
+    "udtf_stack" -> """
+      SELECT k, v FROM (VALUES ('a', 1), ('b', 2), ('c', 3)) t(k, v) ORDER BY k""",
+
+    "udtf_inline" -> """
+      SELECT id, name FROM (VALUES (1, 'x'), (2, 'y')) t(id, name) ORDER BY id""",
+
+    "udtf_json_tuple" -> """
+      SELECT event_id, CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k
+      FROM events
+      WHERE user_id <= 5
+      ORDER BY event_id""",
+
+    "transform_script" -> """
+      SELECT CAST(l_orderkey AS VARCHAR) AS key,
+             CAST(l_linenumber AS VARCHAR) AS val
+      FROM lineitem
+      WHERE l_orderkey <= 40
+      ORDER BY l_orderkey, l_linenumber"""
+  )
+}
