@@ -15,7 +15,12 @@ object SparkEntry {
     QueryModule(Relational.queries, Relational.oracle),
     QueryModule(Aggregates.queries, Aggregates.oracle),
     QueryModule(Windows.queries, Windows.oracle),
-    QueryModule(Functions.queries, Functions.oracle)
+    QueryModule(Functions.queries, Functions.oracle),
+    QueryModule(Dedup.queries, Dedup.oracle),
+    QueryModule(Similarity.queries, Similarity.oracle),
+    QueryModule(TextAnalysis.queries, TextAnalysis.oracle),
+    QueryModule(Events.queries, Events.oracle),
+    QueryModule(Multimodal.queries, Multimodal.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,274 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for capabilities Spark lacks as built-ins
+  * (SURVEY.md §7.2 decision table) plus the similarity/fingerprint
+  * primitives of the training-data pipeline operators.
+  *
+  * All are deterministic, null-safe scalar expressions evaluated per-row
+  * inside the JVM (CodegenFallback — one virtual call per row; the inner
+  * loops are tight primitive loops, which is what matters at 100 TB).
+  * Hashing is FNV-1a 64 with a murmur-style finalizer — stable across
+  * JVMs/partitions, so signatures computed on different executors agree.
+  */
+object Hashing {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** murmur3 fmix64 finalizer — public-domain avalanche mix. */
+  @inline def fmix64(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33; h
+  }
+
+  /** Seeded 64-bit hash of raw bytes (FNV-1a core + fmix64). */
+  def hash64(bytes: Array[Byte], offset: Int, len: Int, seed: Long): Long = {
+    var h = FnvOffset ^ fmix64(seed * 0x9e3779b97f4a7c15L)
+    var i = offset
+    val end = offset + len
+    while (i < end) { h = (h ^ (bytes(i) & 0xffL)) * FnvPrime; i += 1 }
+    fmix64(h)
+  }
+
+  def hash64(s: UTF8String, seed: Long): Long = {
+    val b = s.getBytes
+    hash64(b, 0, b.length, seed)
+  }
+}
+
+/** cosine_sim(Array[Float], Array[Float]) → Double. Null on length
+  * mismatch. Sequential double accumulation (index order) so the value
+  * is reproducible regardless of partitioning. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** simhash64(Array[String]) → Long: 64-bit bitwise-majority fingerprint
+  * of the token multiset (Charikar's simhash; near-identical token sets
+  * differ in few bits → hamming-distance dedup). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Hashing.hash64(arr.getUTF8String(i), 0L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** minhash_sig(Array[String], numHashes) → Array[Long]: one min-hash per
+  * seeded permutation. Buffer is fixed-size (numHashes longs) — bounded
+  * and mergeable per SURVEY.md §7.3 rule 6. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0 && numHashes <= 1024)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    // hash each element once per seed; bytes fetched once per element
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        var s = 0
+        while (s < numHashes) {
+          val h = Hashing.hash64(bytes, 0, bytes.length, s.toLong)
+          if (h < sig(s)) sig(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** winnow_fingerprint(String, k, w) → Array[Long]: winnowing document
+  * fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling hash over
+  * char k-grams, keep the rightmost minimum of each w-window, dedupe
+  * consecutive picks. Output size is ~2/(w+1) of |text| — bounded. */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val grams = new Array[Long](n)
+    var i = 0
+    while (i < n) { grams(i) = Hashing.hash64(bytes, i, k, 0L); i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lastPick = -1
+    var start = 0
+    val lastWindow = math.max(0, n - w)
+    while (start <= lastWindow) {
+      // rightmost minimum in [start, start+w)
+      var minIdx = start
+      var j = start + 1
+      val end = math.min(start + w, n)
+      while (j < end) { if (grams(j) <= grams(minIdx)) minIdx = j; j += 1 }
+      if (minIdx != lastPick) { out += grams(minIdx); lastPick = minIdx }
+      start += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
+    copy(child = c)
+}
+
+/** lsh_buckets(Array[Float], numTables, numPlanes) → Array[Int]: one
+  * random-hyperplane LSH bucket id per table (sign bits of dot products
+  * with ±1 pseudo-random planes derived from seeded hashes — no stored
+  * plane matrix, so executors need no broadcast state). Vectors with
+  * high cosine similarity land in the same bucket with prob
+  * (1 - θ/π)^numPlanes per table; multiple tables recover recall.
+  * This is the 100 TB ANN path: candidates come from an equi-join on
+  * (table, bucket) instead of an O(n²) cross join. */
+case class LshBuckets(child: Expression, numTables: Int, numPlanes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numTables >= 1 && numTables <= 64 && numPlanes >= 1 && numPlanes <= 30)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val out = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var p = 0
+      while (p < numPlanes) {
+        var dot = 0.0
+        val planeSeed = (t.toLong << 32) | (p.toLong << 8)
+        var d = 0
+        while (d < dim) {
+          // ±1 plane component from bit 0 of a seeded hash of d
+          val sign = if ((Hashing.fmix64(planeSeed ^ (d * 0x9e3779b97f4a7c15L)) & 1L) == 1L) 1.0 else -1.0
+          dot += sign * v.getFloat(d)
+          d += 1
+        }
+        if (dot > 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): LshBuckets =
+    copy(child = c)
+}
+
+/** field(needle, s1, s2, ...) → 1-based index of needle among the
+  * following args, 0 if absent or needle null — Hive's UDFField
+  * (one of the few registry names with no Spark builtin). */
+case class FieldFn(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val needle = children.head.eval(input)
+    if (needle == null) return 0
+    var i = 1
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v != null && v == needle) return i
+      i += 1
+    }
+    0
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FieldFn = copy(children = newChildren)
+}
+
+/** Column-side API + SQL registration for the custom expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.SparkSession
+
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  def simhash64(c: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(c)))
+  def minhash_sig(c: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(c), numHashes))
+  def winnow_fingerprint(c: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprint(Bridge.expression(c), k, w))
+  def lsh_buckets(c: Column, numTables: Int, numPlanes: Int): Column =
+    Bridge.column(LshBuckets(Bridge.expression(c), numTables, numPlanes))
+  def field(cols: Column*): Column =
+    Bridge.column(FieldFn(cols.map(Bridge.expression)))
+
+  /** Make the functions usable from spark.sql text too. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSig(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprint",
+      es => WinnowFingerprint(es(0),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("lsh_buckets",
+      es => LshBuckets(es(0),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("field", es => FieldFn(es), "built-in")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Similarity search over the embedding column (Array[Float], dim 64).
+  *
+  * Two paths, mirroring how an ANN system is actually deployed:
+  *  - `ann_cosine_topk`: brute-force exact top-k — the baseline and the
+  *    per-bucket kernel. O(|Q|·n); fine when |Q| is small or as the
+  *    refine step.
+  *  - `ann_lsh_bucketed`: random-hyperplane LSH (4 tables × 10-bit
+  *    buckets) — candidates come from an equi-join on (table, bucket),
+  *    so at 100 TB the plan is shuffle-on-bucket + per-bucket top-k,
+  *    never a cross join. Probabilistic recall (AnnSpec measures it
+  *    against the brute-force truth) but fully deterministic output.
+  */
+object Similarity {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def gsql(q: String): Q = (spark, sfDir) => {
+    Tables.register(spark, sfDir)
+    GraftFunctions.register(spark)
+    spark.sql(q)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact cosine top-3 for 5 query vectors against the whole corpus.
+    "ann_cosine_topk" -> gsql("""
+      WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nid,
+               ROUND(COSINE_SIM(q.embedding, e.embedding), 6) AS cos
+        FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+      ), ranked AS (
+        SELECT qid, nid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        FROM scored
+      )
+      SELECT qid, nid, cos, rn FROM ranked
+      WHERE rn <= 3
+      ORDER BY qid, rn"""),
+
+    // LSH-bucketed ANN: 50 query vectors, candidates from 4 hash tables
+    // of 10-plane buckets, exact cosine re-rank within candidates.
+    "ann_lsh_bucketed" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val emb = spark.table("embeddings")
+      val bucketed = emb
+        .withColumn("bs", GraftFunctions.lsh_buckets(col("embedding"), 4, 10))
+        .select(col("vec_id"), col("embedding"),
+          posexplode(col("bs")).as(Seq("tbl", "bucket")))
+      val queries = bucketed.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+          col("tbl"), col("bucket"))
+      val cand = queries
+        .join(bucketed.withColumnRenamed("vec_id", "nid"), Seq("tbl", "bucket"))
+        .where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), col("qemb"), col("embedding"))
+        .distinct()
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      cand
+        .withColumn("cos", round(GraftFunctions.cosine_sim(col("qemb"), col("embedding")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("qid"), col("nid"), col("cos"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ann_cosine_topk" -> """
+      WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nid,
+               ROUND(LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+      ), ranked AS (
+        SELECT qid, nid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        FROM scored
+      )
+      SELECT qid, nid, cos, rn FROM ranked
+      WHERE rn <= 3
+      ORDER BY qid, rn"""
+  )
+}

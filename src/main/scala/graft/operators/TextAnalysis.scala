@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.functions.{GraftFunctions, NGramsTopK}
+
+/** Text-analysis operators for the training-data pipeline: language ID
+  * (stopword-ratio heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), n-gram frequency (Hive `ngrams` UDAF
+  * re-expressed as a bounded-buffer Aggregator), and winnowing document
+  * fingerprints.
+  *
+  * Everything is per-row scalar work inside whole-stage codegen except
+  * ngrams_topk (a mergeable partial aggregate) — all embarrassingly
+  * parallel at 100 TB, no shuffle except the final top-k merge.
+  */
+object TextAnalysis {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def gsql(q: String): Q = (spark, sfDir) => {
+    Tables.register(spark, sfDir)
+    GraftFunctions.register(spark)
+    NGramsTopK.register(spark, "ngrams_top20_2", n = 2, k = 20, maxBuf = 500000)
+    spark.sql(q)
+  }
+
+  private val TokCte = """
+    WITH t AS (
+      SELECT doc_id, text, lang, n_chars,
+             FILTER(SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+      FROM documents
+    )"""
+
+  val queries: Map[String, Q] = Map(
+    // Stopword-ratio language scorer (n-gram-free heuristic; the test
+    // corpus is synthetic word-soup so scores, not accuracy, are the
+    // contract — lang column is an independent label).
+    "text_langid" -> Tables.sql(TokCte + """
+      SELECT doc_id, s_en, s_de, s_fr,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM (
+        SELECT doc_id,
+          ROUND(SIZE(FILTER(toks, w -> ARRAY_CONTAINS(ARRAY('the','a','of','and','to','in','is','that','it','for'), w))) / SIZE(toks), 6) AS s_en,
+          ROUND(SIZE(FILTER(toks, w -> ARRAY_CONTAINS(ARRAY('der','die','das','und','ist','ein','zu','den','mit','von'), w))) / SIZE(toks), 6) AS s_de,
+          ROUND(SIZE(FILTER(toks, w -> ARRAY_CONTAINS(ARRAY('le','la','les','et','est','un','une','de','du','que'), w))) / SIZE(toks), 6) AS s_fr
+        FROM t WHERE SIZE(toks) > 0
+      ) s
+      ORDER BY doc_id"""),
+
+    // Quality metrics: length, token stats, type-token ratio, stopword
+    // ratio, alphanumeric ratio, and a composite keep/drop flag.
+    "text_quality" -> Tables.sql(TokCte + """
+      SELECT doc_id,
+             LENGTH(text) AS n_char,
+             SIZE(toks) AS n_tok,
+             ROUND(LENGTH(text) / SIZE(toks), 6) AS chars_per_tok,
+             SIZE(ARRAY_DISTINCT(toks)) AS n_uniq,
+             ROUND(SIZE(ARRAY_DISTINCT(toks)) / SIZE(toks), 6) AS ttr,
+             ROUND(SIZE(FILTER(toks, w -> ARRAY_CONTAINS(ARRAY('the','a','of','and','to','in','is'), w))) / SIZE(toks), 6) AS stop_ratio,
+             ROUND(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '')) / LENGTH(text), 6) AS alnum_ratio,
+             CASE WHEN SIZE(toks) >= 10
+                   AND SIZE(ARRAY_DISTINCT(toks)) / SIZE(toks) >= 0.2
+                  THEN 1 ELSE 0 END AS keep_flag
+      FROM t WHERE SIZE(toks) > 0
+      ORDER BY doc_id"""),
+
+    // Token counting three ways: whitespace, BPE-ish regex pieces,
+    // chars/4 approximation.
+    "text_tokens" -> Tables.sql("""
+      SELECT doc_id,
+             SIZE(FILTER(SPLIT(text, ' '), w -> w <> '')) AS ws_tokens,
+             SIZE(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS re_tokens,
+             CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS approx_bpe
+      FROM documents
+      ORDER BY doc_id"""),
+
+    // Corpus-level top-20 bigrams via the bounded-buffer ngrams
+    // aggregator (Hive GenericUDAFnGrams shape); oracle recomputes the
+    // exact counts relationally.
+    "text_ngrams_topk" -> gsql(TokCte + """
+      SELECT g._1 AS ngram, g._2 AS freq
+      FROM (
+        SELECT EXPLODE(ngrams_top20_2(toks)) AS g
+        FROM t WHERE SIZE(toks) >= 2
+      )
+      ORDER BY freq DESC, ngram"""),
+
+    // Winnowing fingerprints (k=8 chars, window=4): per-doc fingerprint
+    // set size + stable sample values. Custom hashing → ScalaTest golden
+    // values instead of a SQL oracle.
+    "text_fingerprint" -> gsql("""
+      SELECT doc_id,
+             SIZE(fp) AS n_fp,
+             fp[0] AS first_fp,
+             ARRAY_MIN(fp) AS min_fp
+      FROM (SELECT doc_id, WINNOW_FINGERPRINT(text, 8, 4) AS fp FROM documents)
+      ORDER BY doc_id""")
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" -> """
+      WITH t AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      )
+      SELECT doc_id, s_en, s_de, s_fr,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM (
+        SELECT doc_id,
+          ROUND(LEN(LIST_FILTER(toks, w -> LIST_CONTAINS(['the','a','of','and','to','in','is','that','it','for'], w))) / LEN(toks), 6) AS s_en,
+          ROUND(LEN(LIST_FILTER(toks, w -> LIST_CONTAINS(['der','die','das','und','ist','ein','zu','den','mit','von'], w))) / LEN(toks), 6) AS s_de,
+          ROUND(LEN(LIST_FILTER(toks, w -> LIST_CONTAINS(['le','la','les','et','est','un','une','de','du','que'], w))) / LEN(toks), 6) AS s_fr
+        FROM t WHERE LEN(toks) > 0
+      ) s
+      ORDER BY doc_id""",
+
+    "text_quality" -> """
+      WITH t AS (
+        SELECT doc_id, text, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      )
+      SELECT doc_id,
+             LENGTH(text) AS n_char,
+             LEN(toks) AS n_tok,
+             ROUND(LENGTH(text) / LEN(toks), 6) AS chars_per_tok,
+             LEN(LIST_DISTINCT(toks)) AS n_uniq,
+             ROUND(LEN(LIST_DISTINCT(toks)) / LEN(toks), 6) AS ttr,
+             ROUND(LEN(LIST_FILTER(toks, w -> LIST_CONTAINS(['the','a','of','and','to','in','is'], w))) / LEN(toks), 6) AS stop_ratio,
+             ROUND(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')) / LENGTH(text), 6) AS alnum_ratio,
+             CASE WHEN LEN(toks) >= 10
+                   AND LEN(LIST_DISTINCT(toks)) / LEN(toks) >= 0.2
+                  THEN 1 ELSE 0 END AS keep_flag
+      FROM t WHERE LEN(toks) > 0
+      ORDER BY doc_id""",
+
+    "text_tokens" -> """
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '')) AS ws_tokens,
+             LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens,
+             CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS approx_bpe
+      FROM documents
+      ORDER BY doc_id""",
+
+    "text_ngrams_topk" -> """
+      WITH t AS (
+        SELECT LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), grams AS (
+        SELECT UNNEST(LIST_TRANSFORM(RANGE(0, LEN(toks) - 1),
+                 i -> toks[i + 1] || ' ' || toks[i + 2])) AS ngram
+        FROM t WHERE LEN(toks) >= 2
+      )
+      SELECT ngram, COUNT(*) AS freq
+      FROM grams
+      GROUP BY ngram
+      ORDER BY freq DESC, ngram
+      LIMIT 20"""
+  )
+}

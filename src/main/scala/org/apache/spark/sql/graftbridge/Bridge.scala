@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ catalyst Expression bridge. Spark 4 made these converters
+  * `private[sql]` (org.apache.spark.sql.classic.ExpressionUtils), so this
+  * one-file shim lives inside the sql package namespace to re-export them
+  * for graft's custom expressions. No Spark internals are modified. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
