@@ -12,7 +12,7 @@ import graft.functions.GraftFunctions
   *  - `ann_cosine_topk`: brute-force exact top-k — the baseline and the
   *    per-bucket kernel. O(|Q|·n); fine when |Q| is small or as the
   *    refine step.
-  *  - `ann_lsh_bucketed`: random-hyperplane LSH (4 tables × 10-bit
+  *  - `ann_lsh_bucketed`: random-hyperplane LSH (16 tables × 6-bit
   *    buckets) — candidates come from an equi-join on (table, bucket),
   *    so at 100 TB the plan is shuffle-on-bucket + per-bucket top-k,
   *    never a cross join. Probabilistic recall (AnnSpec measures it
@@ -45,13 +45,13 @@ object Similarity {
       WHERE rn <= 3
       ORDER BY qid, rn"""),
 
-    // LSH-bucketed ANN: 50 query vectors, candidates from 4 hash tables
-    // of 10-plane buckets, exact cosine re-rank within candidates.
+    // LSH-bucketed ANN: 50 query vectors, candidates from 16 hash tables
+    // of 6-plane buckets, exact cosine re-rank within candidates.
     "ann_lsh_bucketed" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       val emb = spark.table("embeddings")
       val bucketed = emb
-        .withColumn("bs", GraftFunctions.lsh_buckets(col("embedding"), 4, 10))
+        .withColumn("bs", GraftFunctions.lsh_buckets(col("embedding"), 16, 6))
         .select(col("vec_id"), col("embedding"),
           posexplode(col("bs")).as(Seq("tbl", "bucket")))
       val queries = bucketed.where(col("vec_id") < 50)

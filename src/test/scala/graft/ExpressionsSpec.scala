@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  test("hash64 is deterministic and seed-sensitive") {
+    val b = "hello world".getBytes("UTF-8")
+    assert(Hashing.hash64(b, 0, b.length, 0L) == Hashing.hash64(b, 0, b.length, 0L))
+    assert(Hashing.hash64(b, 0, b.length, 0L) != Hashing.hash64(b, 0, b.length, 1L))
+    assert(Hashing.hash64(b, 0, 5, 0L) != Hashing.hash64(b, 0, b.length, 0L))
+  }
+
+  test("cosine_sim: identity, orthogonality, nulls") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(3.0f, 4.0f, 0.0f), Array(3.0f, 4.0f, 0.0f))
+    ).toDF("id", "a", "b")
+    val rows = df.select($"id", GraftFunctions.cosine_sim($"a", $"b").as("c"))
+      .orderBy($"id").collect()
+    assert(math.abs(rows(0).getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(rows(1).getDouble(1)) < 1e-12)
+    assert(math.abs(rows(2).getDouble(1) - 1.0) < 1e-12)
+    // length mismatch → null
+    val bad = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(GraftFunctions.cosine_sim($"a", $"b")).collect()
+    assert(bad(0).isNullAt(0))
+  }
+
+  test("simhash64: order-independent, near sets are hamming-close") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f", "g", "h")),
+      (2L, Seq("h", "g", "f", "e", "d", "c", "b", "a")),
+      (3L, Seq("a", "b", "c", "d", "e", "f", "g", "zzz")),
+      (4L, Seq("p", "q", "r", "s", "t", "u", "v", "w"))
+    ).toDF("id", "toks")
+    val h = df.select($"id", GraftFunctions.simhash64($"toks").as("h"))
+      .orderBy($"id").collect().map(_.getLong(1))
+    assert(h(0) == h(1)) // permutation invariant
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0), h(2)) < ham(h(0), h(3)))
+  }
+
+  test("minhash_sig: jaccard estimate within tolerance") {
+    val a = (0 until 100).map("x" + _)
+    val b = (50 until 150).map("x" + _) // true jaccard = 50/150 = 1/3
+    val df = Seq((1L, a), (2L, b)).toDF("id", "toks")
+    val sigs = df.select($"id", GraftFunctions.minhash_sig($"toks", 128).as("s"))
+      .orderBy($"id").collect().map(_.getSeq[Long](1))
+    assert(sigs(0).length == 128)
+    val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(est - 1.0 / 3.0) < 0.15, s"estimate $est")
+    // identical input → identical signature
+    val again = df.where($"id" === 1)
+      .select(GraftFunctions.minhash_sig($"toks", 128)).collect()(0).getSeq[Long](0)
+    assert(again == sigs(0))
+  }
+
+  test("winnow_fingerprint: deterministic, bounded, shift-tolerant") {
+    val text = "the quick brown fox jumps over the lazy dog" * 3
+    val df = Seq((1L, text), (2L, text), (3L, "xy")).toDF("id", "t")
+    val fps = df.select($"id", GraftFunctions.winnow_fingerprint($"t", 8, 4).as("fp"))
+      .orderBy($"id").collect().map(_.getSeq[Long](1))
+    assert(fps(0) == fps(1))
+    assert(fps(0).nonEmpty && fps(0).length <= text.length)
+    assert(fps(2).isEmpty) // shorter than k
+    // winnowing property: shared long substring → shared fingerprints
+    val other = "PREFIX-" + text
+    val fp2 = Seq(other).toDF("t")
+      .select(GraftFunctions.winnow_fingerprint($"t", 8, 4)).collect()(0).getSeq[Long](0)
+    val shared = fps(0).toSet.intersect(fp2.toSet)
+    assert(shared.size > fps(0).size / 4)
+  }
+
+  test("field(): 1-based index, 0 when absent/null") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT FIELD('b','a','b','c') AS f1, FIELD('z','a','b') AS f2, FIELD(CAST(NULL AS STRING),'a') AS f3"
+    ).collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 0 && r.getInt(2) == 0)
+  }
+
+  test("lsh_buckets: shape, range, scale-invariance") {
+    val v = Array.tabulate(64)(i => (math.sin(i + 1)).toFloat)
+    val df = Seq((1L, v), (2L, v.map(_ * 2.5f))).toDF("id", "e")
+    val bs = df.select($"id", GraftFunctions.lsh_buckets($"e", 4, 10).as("b"))
+      .orderBy($"id").collect().map(_.getSeq[Int](1))
+    assert(bs(0).length == 4)
+    assert(bs(0).forall(b => b >= 0 && b < 1024))
+    assert(bs(0) == bs(1)) // positive scaling preserves signs
+  }
+
+  test("ngrams_topk matches exact counts on a small corpus") {
+    NGramsTopK.register(spark, "ng22", 2, 3, maxBuf = 1000)
+    val docs = Seq(
+      Seq("a", "b", "a", "b", "c"),
+      Seq("a", "b", "c", "d"),
+      Seq("b", "c", "d")
+    ).toDF("toks")
+    docs.createOrReplaceTempView("ngdocs")
+    val got = spark.sql(
+      "SELECT EXPLODE(ng22(toks)) AS g FROM ngdocs"
+    ).select($"g._1", $"g._2").collect().map(r => (r.getString(0), r.getLong(1)))
+    // bigram counts: "a b"->3 ("a b" twice in doc1? doc1 bigrams: ab, ba, ab, bc → "a b"=2,"b a"=1,"b c"=1; doc2: ab, bc, cd; doc3: bc, cd
+    // totals: "a b"=3, "b c"=3, "c d"=2, "b a"=1 → top3 = (a b,3),(b c,3),(c d,2)
+    assert(got.toSeq == Seq(("a b", 3L), ("b c", 3L), ("c d", 2L)))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Recall/precision checks for the probabilistic pipeline operators
+  * (the ones with no SQL oracle) against brute-force ground truth at
+  * sf0.001, plus determinism of the multimodal stub pipeline. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  test("dedup_minhash_lsh finds the planted near-duplicates (recall vs exact jaccard)") {
+    Tables.register(spark, LocalSpark.sf)
+    // ground truth: all-pairs 3-shingle jaccard >= 0.8 (brute force is
+    // fine at 500 docs)
+    val truth = spark.sql("""
+      WITH t AS (SELECT doc_id, FILTER(SPLIT(LOWER(text),' '), w -> w <> '') toks FROM documents),
+      sh AS (SELECT doc_id, ARRAY_DISTINCT(TRANSFORM(SEQUENCE(0, SIZE(toks)-3),
+               i -> CONCAT_WS(' ', SLICE(toks, i+1, 3)))) grams FROM t WHERE SIZE(toks) >= 3)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE SIZE(ARRAY_INTERSECT(a.grams, b.grams)) / SIZE(ARRAY_UNION(a.grams, b.grams)) >= 0.8
+    """).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val found = Dedup.queries("dedup_minhash_lsh")(spark, LocalSpark.sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(truth.nonEmpty, "test corpus should contain planted near-duplicates")
+    // precision is exact by construction (final filter is exact jaccard)
+    assert(found.subsetOf(truth), s"false positives: ${found.diff(truth)}")
+    // 16 bands x 4 rows at j>=0.8: candidate prob >= 1-(1-0.8^4)^16 = 0.9996
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("dedup_simhash pairs are hamming-verified and include exact duplicates") {
+    val df = Dedup.queries("dedup_simhash")(spark, LocalSpark.sf).collect()
+    assert(df.nonEmpty)
+    assert(df.forall(_.getInt(2) <= 6))
+  }
+
+  test("ann_lsh_bucketed: exact precision within candidates, measurable recall vs brute force") {
+    Tables.register(spark, LocalSpark.sf)
+    val truth = Similarity.queries("ann_cosine_topk")(spark, LocalSpark.sf)
+      .where($"qid" < 5).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.queries("ann_lsh_bucketed")(spark, LocalSpark.sf)
+      .where($"qid" < 5).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(truth).size.toDouble / truth.size
+    // random-hyperplane LSH on weakly-clustered synthetic vectors: just
+    // assert it beats random chance materially and is deterministic
+    assert(recall >= 0.2, s"recall@3 $recall")
+    val again = Similarity.queries("ann_lsh_bucketed")(spark, LocalSpark.sf)
+      .where($"qid" < 5).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == lsh, "LSH output must be deterministic")
+  }
+
+  test("multimodal decode pipeline: schema, determinism, distributed map") {
+    val out = Multimodal.decodePipeline(spark, LocalSpark.sf)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "fmt", "width", "height", "mean_byte", "feat"))
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getInt(2) >= 16 && r.getInt(2) < 80))
+    assert(rows.forall(_.getSeq[Float](5).length == 8))
+    val again = Multimodal.decodePipeline(spark, LocalSpark.sf).orderBy("doc_id").collect()
+    assert(rows.map(_.getDouble(4)).toSeq == again.map(_.getDouble(4)).toSeq)
+  }
+
+  test("percentile_approx stays within group min/max") {
+    Tables.register(spark, LocalSpark.sf)
+    val rows = Aggregates.queries("agg_percentile_approx")(spark, LocalSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val bounds = spark.sql(
+      "SELECT l_returnflag, MIN(l_extendedprice), MAX(l_extendedprice) FROM lineitem GROUP BY 1"
+    ).collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      val p = r.getDouble(1)
+      assert(p >= lo && p <= hi)
+    }
+  }
+
+  test("sample_bernoulli is seeded-deterministic and roughly 10%") {
+    val n1 = Functions.queries("sample_bernoulli")(spark, LocalSpark.sf).count()
+    val n2 = Functions.queries("sample_bernoulli")(spark, LocalSpark.sf).count()
+    assert(n1 == n2)
+    assert(n1 > 50 && n1 < 350, s"got $n1 of 1500")
+  }
+}
