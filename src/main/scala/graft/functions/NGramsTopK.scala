@@ -1,65 +1,138 @@
 package graft.functions
 
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.{Encoder, Encoders}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Hive's `ngrams(array<string>, n, k [, pf])` estimator
-  * (QL/udf/generic/GenericUDAFnGrams.java) as a typed Spark Aggregator:
-  * top-k most frequent n-grams of a token stream.
+  * (QL/udf/generic/GenericUDAFnGrams.java) as a TypedImperativeAggregate:
+  * top-k most frequent n-grams of a token column.
   *
-  * The buffer is a bounded frequency map: when it grows past
-  * `maxBuf` (≈ k·pf, Hive's "precision factor"), it is pruned back to the
-  * top maxBuf entries — bounded memory per partial regardless of input
-  * size, and partials merge associatively (SURVEY.md §7.3 rule 6: every
-  * custom aggregate must have a bounded, mergeable buffer at 100 TB).
-  * Like Hive's, the result is exact when distinct n-grams ≤ maxBuf and an
-  * approximation beyond that.
+  * The buffer is an in-JVM mutable hash map, serialized ONLY at shuffle /
+  * spill boundaries (TypedImperativeAggregate contract) — not
+  * encoder-roundtripped per row like an `Aggregator` with a Map buffer
+  * would be (that cost 10× at sf0.1). Bounded: when the map exceeds
+  * 2·maxBuf entries it is pruned to the top maxBuf (Hive's precision
+  * factor), so partials stay bounded and mergeable at 100 TB. Exact when
+  * distinct n-grams ≤ maxBuf, an estimate beyond.
   */
-class NGramsTopK(n: Int, k: Int, maxBuf: Int = 20000)
-    extends Aggregator[Seq[String], Map[String, Long], Seq[(String, Long)]] {
+case class NGramsTopKAgg(
+    child: Expression, n: Int, k: Int, maxBuf: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
   require(n >= 1 && k >= 1 && maxBuf >= k)
 
-  override def zero: Map[String, Long] = Map.empty
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ngram", StringType, nullable = false),
+    StructField("freq", LongType, nullable = false))), containsNull = false)
 
-  private def prune(m: Map[String, Long]): Map[String, Long] =
-    if (m.size <= 2 * maxBuf) m
-    else m.toSeq.sortBy { case (g, c) => (-c, g) }.take(maxBuf).toMap
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
 
-  override def reduce(buf: Map[String, Long], toks: Seq[String]): Map[String, Long] = {
-    if (toks == null || toks.length < n) return buf
-    var m = buf
+  private def prune(m: mutable.HashMap[String, Long]): Unit =
+    if (m.size > 2 * maxBuf) {
+      val keep = m.toSeq.sortBy { case (g, c) => (-c, g) }.take(maxBuf)
+      m.clear()
+      m ++= keep
+    }
+
+  override def update(buf: mutable.HashMap[String, Long],
+                      input: InternalRow): mutable.HashMap[String, Long] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr != null && arr.numElements() >= n) {
+      val toks = new Array[String](arr.numElements())
+      var i = 0
+      while (i < toks.length) {
+        toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder
+      i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val gram = sb.toString
+        buf.update(gram, buf.getOrElse(gram, 0L) + 1L)
+        i += 1
+      }
+      prune(buf)
+    }
+    buf
+  }
+
+  override def merge(a: mutable.HashMap[String, Long],
+                     b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (g, c) => a.update(g, a.getOrElse(g, 0L) + c) }
+    prune(a)
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val top = buf.toSeq.sortBy { case (g, c) => (-c, g) }.take(k)
+    new GenericArrayData(top.map { case (g, c) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(g), c))
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (g, c) =>
+      val b = g.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val size = in.readInt()
+    val m = new mutable.HashMap[String, Long]()
     var i = 0
-    val last = toks.length - n
-    while (i <= last) {
-      val gram = toks.slice(i, i + n).mkString(" ")
-      m = m.updated(gram, m.getOrElse(gram, 0L) + 1L)
+    while (i < size) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      m.update(new String(b, "UTF-8"), in.readLong())
       i += 1
     }
-    prune(m)
+    m
   }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val (small, big) = if (a.size < b.size) (a, b) else (b, a)
-    prune(small.foldLeft(big) { case (m, (g, c)) =>
-      m.updated(g, m.getOrElse(g, 0L) + c)
-    })
-  }
-
-  override def finish(buf: Map[String, Long]): Seq[(String, Long)] =
-    buf.toSeq.sortBy { case (g, c) => (-c, g) }.take(k)
-
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    ExpressionEncoder[Map[String, Long]]()
-  override def outputEncoder: Encoder[Seq[(String, Long)]] =
-    ExpressionEncoder[Seq[(String, Long)]]()
+  override def withNewMutableAggBufferOffset(newOffset: Int): NGramsTopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): NGramsTopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NGramsTopKAgg =
+    copy(child = newChildren.head)
 }
 
-object NGramsTopK {
-  /** Register as SQL UDAF `ngrams_topk_<n>_<k>` style isn't needed —
-    * one canonical registration with fixed (n,k) per use-site: */
-  def register(spark: org.apache.spark.sql.SparkSession, name: String,
-               n: Int, k: Int, maxBuf: Int = 20000): Unit =
-    spark.udf.register(name,
-      org.apache.spark.sql.functions.udaf(new NGramsTopK(n, k, maxBuf), ExpressionEncoder[Seq[String]]()))
+object NGramsTopKAgg {
+  /** SQL registration with the Hive-style signature
+    * `ngrams_topk(tokens, n, k [, maxBuf])`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("ngrams_topk",
+      es => {
+        def lit(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+        val maxBuf = if (es.length >= 4) lit(es(3)) else 20000
+        NGramsTopKAgg(es.head, lit(es(1)), lit(es(2)), maxBuf)
+      }, "built-in")
 }

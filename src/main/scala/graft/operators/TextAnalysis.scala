@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
-import graft.functions.{GraftFunctions, NGramsTopK}
+import graft.functions.{GraftFunctions, NGramsTopKAgg}
 
 /** Text-analysis operators for the training-data pipeline: language ID
   * (stopword-ratio heuristic), quality scoring, token counting
@@ -21,7 +21,7 @@ object TextAnalysis {
   private def gsql(q: String): Q = (spark, sfDir) => {
     Tables.register(spark, sfDir)
     GraftFunctions.register(spark)
-    NGramsTopK.register(spark, "ngrams_top20_2", n = 2, k = 20, maxBuf = 500000)
+    NGramsTopKAgg.register(spark)
     spark.sql(q)
   }
 
@@ -81,9 +81,9 @@ object TextAnalysis {
     // aggregator (Hive GenericUDAFnGrams shape); oracle recomputes the
     // exact counts relationally.
     "text_ngrams_topk" -> gsql(TokCte + """
-      SELECT g._1 AS ngram, g._2 AS freq
+      SELECT g.ngram AS ngram, g.freq AS freq
       FROM (
-        SELECT EXPLODE(ngrams_top20_2(toks)) AS g
+        SELECT EXPLODE(NGRAMS_TOPK(toks, 2, 20, 500000)) AS g
         FROM t WHERE SIZE(toks) >= 2
       )
       ORDER BY freq DESC, ngram"""),

@@ -96,7 +96,7 @@ class ExpressionsSpec extends AnyFunSuite {
   }
 
   test("ngrams_topk matches exact counts on a small corpus") {
-    NGramsTopK.register(spark, "ng22", 2, 3, maxBuf = 1000)
+    NGramsTopKAgg.register(spark)
     val docs = Seq(
       Seq("a", "b", "a", "b", "c"),
       Seq("a", "b", "c", "d"),
@@ -104,8 +104,8 @@ class ExpressionsSpec extends AnyFunSuite {
     ).toDF("toks")
     docs.createOrReplaceTempView("ngdocs")
     val got = spark.sql(
-      "SELECT EXPLODE(ng22(toks)) AS g FROM ngdocs"
-    ).select($"g._1", $"g._2").collect().map(r => (r.getString(0), r.getLong(1)))
+      "SELECT EXPLODE(ngrams_topk(toks, 2, 3, 1000)) AS g FROM ngdocs"
+    ).select($"g.ngram", $"g.freq").collect().map(r => (r.getString(0), r.getLong(1)))
     // bigram counts: "a b"->3 ("a b" twice in doc1? doc1 bigrams: ab, ba, ab, bc → "a b"=2,"b a"=1,"b c"=1; doc2: ab, bc, cd; doc3: bc, cd
     // totals: "a b"=3, "b c"=3, "c d"=2, "b a"=1 → top3 = (a b,3),(b c,3),(c d,2)
     assert(got.toSeq == Seq(("a b", 3L), ("b c", 3L), ("c d", 2L)))
