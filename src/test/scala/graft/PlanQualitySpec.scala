@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Plan-quality gates — the 100 TB design assertions (build brief:
+  * ".explain the plan and iterate until it's the plan you'd want").
+  * These pin the physical-plan properties that make the queries scale;
+  * a regression that reintroduces a full scan, a lost broadcast, or a
+  * global-sort-for-topk fails the build, not just slows it. */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = LocalSpark.spark
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, LocalSpark.sf)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("scan_filter_project pushes filters and prunes columns at the parquet scan") {
+    val p = plan("scan_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate") && p.contains("l_quantity"), p)
+    // pruned read schema: only the 6 needed columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), s"column not pruned: $readSchema")
+  }
+
+  test("join_broadcast_star broadcasts all three dimension tables") {
+    val p = plan("join_broadcast_star")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts == 3, s"expected 3 broadcast joins, got $broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), "fact table must not shuffle for dim joins")
+  }
+
+  test("topk plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1 aggregates partially before the exchange (map-side combine)") {
+    val p = plan("q1_pricing_summary")
+    val aggIdx = p.indexOf("HashAggregate")
+    val exIdx = p.indexOf("Exchange")
+    assert(aggIdx >= 0 && exIdx >= 0)
+    // plan prints top-down: final agg, exchange, partial agg, scan —
+    // a partial HashAggregate must appear BELOW the exchange too
+    assert(p.indexOf("HashAggregate", exIdx) > exIdx,
+      s"no partial aggregate under the exchange:\n$p")
+  }
+
+  test("whole-stage codegen covers the q1 pipeline") {
+    // AQE only materializes codegen stages in the FINAL plan — execute
+    // first, then inspect
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, LocalSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // codegen stages print as "*(n) Operator" in the final adaptive plan
+    assert(p.contains("*(1)"), p)
+    // scan → filter → project → partial agg all in one codegen stage
+    assert(p.linesIterator.count(_.contains("*(1)")) >= 3, p)
+  }
+
+  test("dedup_ngram_jaccard is an equi-join on gram, not a nested-loop") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"jaccard must stay an equi-join:\n$p")
+  }
+
+  test("ann_lsh_bucketed joins on (table,bucket) — no cartesian fallback") {
+    val p = plan("ann_lsh_bucketed")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("subquery_in plans as a semi join, not an aggregate+filter") {
+    val p = plan("subquery_in")
+    assert(p.contains("SemiJoin") || p.contains("LeftSemi"), p)
+  }
+}
