@@ -174,6 +174,25 @@ object Functions {
       ) t
       ORDER BY CAST(key AS BIGINT), CAST(val AS BIGINT)"""),
 
+    // parse_url family (Hive GenericUDFParseUrl / parse_url_tuple — the
+    // tuple form is parse_url × n selected as columns).
+    "url_fns" -> Tables.sql("""
+      SELECT p_partkey,
+             PARSE_URL(url, 'HOST') AS host,
+             PARSE_URL(url, 'PATH') AS path,
+             PARSE_URL(url, 'QUERY') AS query,
+             PARSE_URL(url, 'QUERY', 'brand') AS brand,
+             PARSE_URL(url, 'PROTOCOL') AS protocol
+      FROM (
+        SELECT p_partkey,
+               CONCAT('https://parts.example.com/catalog/',
+                      REPLACE(LOWER(p_type), ' ', '-'),
+                      '?brand=', REPLACE(p_brand, '#', ''),
+                      '&size=', CAST(p_size AS STRING)) AS url
+        FROM part WHERE p_partkey < 200
+      )
+      ORDER BY p_partkey"""),
+
     // TABLESAMPLE with seed: deterministic within Spark, but sampling
     // algorithms differ across engines — rows-only check + ScalaTest.
     "sample_bernoulli" -> Tables.sql("""
@@ -315,6 +334,16 @@ object Functions {
       FROM events
       WHERE user_id <= 5
       ORDER BY event_id""",
+
+    "url_fns" -> """
+      SELECT p_partkey,
+             'parts.example.com' AS host,
+             '/catalog/' || REPLACE(LOWER(p_type), ' ', '-') AS path,
+             'brand=' || REPLACE(p_brand, '#', '') || '&size=' || CAST(p_size AS VARCHAR) AS query,
+             REPLACE(p_brand, '#', '') AS brand,
+             'https' AS protocol
+      FROM part WHERE p_partkey < 200
+      ORDER BY p_partkey""",
 
     "transform_script" -> """
       SELECT CAST(l_orderkey AS VARCHAR) AS key,

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming plumbing (build brief; the Hive reference has no
+  * stream engine — SURVEY.md §2.9). Demonstrates that the same
+  * event-table expressions used in graft.operators.Events run as
+  * streaming plans: watermarked tumbling-window aggregation and custom
+  * per-key session state via flatMapGroupsWithState. */
+case class Ev(ts: Timestamp, user_id: Long, value: Double)
+case class Sess(user_id: Long, n: Long)
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(
+    java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(minute * 60L).toEpochMilli)
+
+  test("watermarked tumbling window aggregation over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_v"))
+      .select($"window.start".as("w_start"), $"user_id", $"n", $"sum_v")
+    val q = agg.writeStream.format("memory").queryName("ev_agg")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Ev(ts(5), 1, 1.0), Ev(ts(20), 1, 2.0), Ev(ts(65), 2, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("ev_agg").collect()
+      assert(rows.nonEmpty)
+      val u1 = rows.filter(r => r.getLong(1) == 1L && r.getTimestamp(0) == ts(0))
+      assert(u1.exists(_.getLong(2) == 2L), rows.mkString("\n"))
+    } finally q.stop()
+  }
+
+  test("custom sessionization with flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = input.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Sess](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val total = prev + evs.size
+          state.update(total)
+          Iterator(Sess(uid, total))
+      }
+    val q = sessions.writeStream.format("memory").queryName("ev_sess")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Ev(ts(1), 7, 1.0), Ev(ts(2), 7, 1.0), Ev(ts(3), 8, 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(ts(4), 7, 1.0))
+      q.processAllAvailable()
+      val byUser = spark.table("ev_sess").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).max).toMap
+      assert(byUser(7L) == 3L, byUser.toString)
+      assert(byUser(8L) == 1L)
+    } finally q.stop()
+  }
+}
