@@ -115,6 +115,14 @@ object Aggregates {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
 
+    // histogram_numeric sketch (GenericUDAFHistogramNumeric): bin
+    // centroids are engine-specific numerics — rows-only + ScalaTest.
+    "agg_histogram_numeric" -> Tables.sql("""
+      SELECT l_returnflag, HISTOGRAM_NUMERIC(l_quantity, 5) AS hist
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+
     // collect_set/collect_list (GenericUDAFMkCollectionEvaluator) —
     // compared as a sorted joined string (set semantics, stable text).
     "agg_collect" -> Tables.sql("""

@@ -224,6 +224,18 @@ object Relational {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // The Hive SQL-dialect forms — DISTRIBUTE BY + SORT BY parsed
+    // natively by Spark SQL (Hive ReduceSinkOperator partition/order
+    // split). Wrapped in a final ORDER BY for comparability.
+    "sort_distribute_sql" -> Tables.sql("""
+      SELECT l_suppkey, l_orderkey, l_quantity FROM (
+        SELECT l_suppkey, l_orderkey, l_quantity
+        FROM lineitem
+        WHERE l_quantity >= 48
+        DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_orderkey
+      ) t
+      ORDER BY l_suppkey, l_orderkey, l_quantity"""),
+
     // Multi-column global sort with explicit null placement (Spark's
     // default NULLS FIRST on ASC differs from DuckDB's NULLS LAST —
     // always explicit; SURVEY.md §7.3).
@@ -398,6 +410,12 @@ object Relational {
     "sort_order_by_nulls" -> """
       SELECT s_suppkey, NULLIF(s_acctbal, 0) AS bal
       FROM supplier
-      ORDER BY bal DESC NULLS LAST, s_suppkey"""
+      ORDER BY bal DESC NULLS LAST, s_suppkey""",
+
+    "sort_distribute_sql" -> """
+      SELECT l_suppkey, l_orderkey, l_quantity
+      FROM lineitem
+      WHERE l_quantity >= 48
+      ORDER BY l_suppkey, l_orderkey, l_quantity"""
   )
 }

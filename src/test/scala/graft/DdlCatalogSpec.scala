@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** DDL / catalog statement surface (SURVEY.md §2.3: TOK_CREATETABLE/
+  * VIEW/DATABASE, SHOW/DESCRIBE, TOK_ANALYZE, INSERT INTO/OVERWRITE) —
+  * Hive DDLSemanticAnalyzer territory, all native Spark SQL here. */
+class DdlCatalogSpec extends AnyFunSuite {
+  lazy val spark = LocalSpark.spark
+
+  test("database + managed table lifecycle with INSERT INTO/OVERWRITE") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.t1")
+    spark.sql("""CREATE TABLE graft_db.t1 (k INT, v STRING)
+                 USING parquet PARTITIONED BY (ds STRING)""")
+    spark.sql("INSERT INTO graft_db.t1 PARTITION (ds='2024-01-01') VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT INTO graft_db.t1 PARTITION (ds='2024-01-02') VALUES (3,'c')")
+    assert(spark.table("graft_db.t1").count() == 3)
+    // dynamic-partition overwrite of one partition only
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.sql("INSERT OVERWRITE TABLE graft_db.t1 PARTITION (ds='2024-01-01') VALUES (9,'z')")
+    val left = spark.table("graft_db.t1").orderBy("k").collect().map(_.getInt(0)).toSeq
+    assert(left == Seq(3, 9), left.toString)
+    // partition pruning against the catalog table
+    val pruned = spark.table("graft_db.t1").where(col("ds") === "2024-01-02")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(pruned.count() == 1)
+  }
+
+  test("SHOW / DESCRIBE surface") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    assert(spark.sql("SHOW DATABASES").collect().map(_.getString(0)).contains("graft_db"))
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_db.t2 (x INT) USING parquet")
+    assert(spark.sql("SHOW TABLES IN graft_db").collect().nonEmpty)
+    val cols = spark.sql("DESCRIBE graft_db.t2").collect().map(_.getString(0))
+    assert(cols.contains("x"))
+    assert(spark.sql("SHOW FUNCTIONS LIKE 'sum'").collect().nonEmpty)
+  }
+
+  test("views: logical, expanded at plan time (Hive TOK_CREATEVIEW)") {
+    Tables.register(spark, LocalSpark.sf)
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW big_orders AS
+                 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                 WHERE o_totalprice > 400000""")
+    val n = spark.sql("SELECT COUNT(*) FROM big_orders").collect()(0).getLong(0)
+    assert(n > 0)
+    // the view expands: filter reaches the parquet scan
+    val p = spark.sql("SELECT o_orderkey FROM big_orders").queryExecution
+      .executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("o_totalprice"), p)
+  }
+
+  test("ANALYZE TABLE + CBO statistics") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.li_stats")
+    Tables.register(spark, LocalSpark.sf)
+    spark.table("lineitem").limit(1000).write.saveAsTable("graft_db.li_stats")
+    spark.sql("ANALYZE TABLE graft_db.li_stats COMPUTE STATISTICS FOR COLUMNS l_orderkey, l_quantity")
+    val desc = spark.sql("DESCRIBE EXTENDED graft_db.li_stats l_quantity")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("distinct_count").exists(_ != "NULL"), desc.toString)
+    // stats feed the optimizer when CBO is on
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    val stats = spark.table("graft_db.li_stats").queryExecution
+      .optimizedPlan.stats
+    assert(stats.rowCount.exists(_.toLong == 1000L), stats.toString)
+  }
+}
