@@ -20,7 +20,8 @@ object SparkEntry {
     QueryModule(Similarity.queries, Similarity.oracle),
     QueryModule(TextAnalysis.queries, TextAnalysis.oracle),
     QueryModule(Events.queries, Events.oracle),
-    QueryModule(Multimodal.queries, Multimodal.oracle)
+    QueryModule(Multimodal.queries, Multimodal.oracle),
+    QueryModule(MatchPath.queries, MatchPath.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Hive's `matchpath()` PTF (QL/udf/ptf/MatchPath.java — regex-like
+  * row-sequence matching over an ordered partition; SURVEY.md §2.1 #13)
+  * re-expressed two ways:
+  *
+  *  1. `MatchPath.matches` — a typed `flatMapGroups` operator: per key,
+  *     order the rows, translate each to a symbol, run a compiled
+  *     java.util.regex over the symbol string, emit one row per match
+  *     with its start position and length. This is the general PTF shape
+  *     (table-in/table-out over ordered partitions); state per group is
+  *     one event list — bounded by the per-user session size, and groups
+  *     are distributed by key, so it scales like any groupBy.
+  *
+  *  2. `events_seq_match` — the SQL-expressible projection of the same
+  *     idea (symbol-string aggregation + regexp), which a DuckDB oracle
+  *     can replicate exactly.
+  */
+object MatchPath {
+
+  case class PathMatch(user_id: Long, start_event_id: Long, match_len: Int)
+
+  /** Symbols: one char per event_type (v=view, c=click, p=purchase,
+    * s=signup, e=error). */
+  val symbolOf: Map[String, String] = Map(
+    "view" -> "v", "click" -> "c", "purchase" -> "p",
+    "signup" -> "s", "error" -> "e")
+
+  /** All non-overlapping matches of `pattern` (over the symbol alphabet)
+    * in each user's time-ordered event sequence. */
+  def matches(spark: SparkSession, sfDir: String, pattern: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    import spark.implicits._
+    val events = spark.table("events")
+      .selectExpr("user_id", "event_id", "event_type", "ts")
+      .as[(Long, Long, String, java.sql.Timestamp)]
+    val bSym = symbolOf // serialized into the closure
+    events.groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e._4.getTime, e._2))
+        val syms = new StringBuilder
+        evs.foreach(e => syms.append(bSym.getOrElse(e._3, "?")))
+        val m = java.util.regex.Pattern.compile(pattern).matcher(syms)
+        val out = scala.collection.mutable.ArrayBuffer.empty[PathMatch]
+        while (m.find()) {
+          out += PathMatch(uid, evs(m.start())._2, m.end() - m.start())
+        }
+        out.iterator
+      }
+      .toDF()
+      .orderBy("user_id", "start_event_id")
+  }
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // flatMapGroups PTF: "one or more views then a purchase".
+    "matchpath_view_purchase" -> ((spark, sfDir) =>
+      matches(spark, sfDir, "v+p")),
+
+    // SQL projection with exact DuckDB oracle: per-user symbol string +
+    // match count of the same pattern.
+    "events_seq_match" -> Tables.sql("""
+      WITH seq AS (
+        SELECT user_id,
+               ARRAY_JOIN(TRANSFORM(
+                 ARRAY_SORT(COLLECT_LIST(STRUCT(ts, event_id, event_type))),
+                 e -> CASE e.event_type
+                        WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        ELSE 'e' END), '') AS syms
+        FROM events
+        GROUP BY user_id
+      )
+      SELECT user_id,
+             LENGTH(syms) AS n_events,
+             LENGTH(REGEXP_REPLACE(syms, 'v+p', '|'))
+               - LENGTH(REGEXP_REPLACE(syms, 'v+p', '')) AS n_matches
+      FROM seq
+      ORDER BY user_id""")
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_seq_match" -> """
+      WITH seq AS (
+        SELECT user_id,
+               STRING_AGG(CASE event_type
+                            WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                            WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                            ELSE 'e' END, '' ORDER BY ts, event_id) AS syms
+        FROM events
+        GROUP BY user_id
+      )
+      SELECT user_id,
+             LENGTH(syms) AS n_events,
+             LENGTH(REGEXP_REPLACE(syms, 'v+p', '|', 'g'))
+               - LENGTH(REGEXP_REPLACE(syms, 'v+p', '', 'g')) AS n_matches
+      FROM seq
+      ORDER BY user_id"""
+  )
+}

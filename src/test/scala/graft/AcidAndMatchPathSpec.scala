@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Acid, MatchPath}
+
+class AcidAndMatchPathSpec extends AnyFunSuite {
+  lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  test("UPDATE via read-rewrite-overwrite") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.acid_t")
+    Tables.register(spark, LocalSpark.sf)
+    spark.table("supplier").write.saveAsTable("graft_db.acid_t")
+    val total = spark.table("graft_db.acid_t").count()
+    val before = spark.table("graft_db.acid_t").where($"s_suppkey" < 5).count()
+    assert(before > 0)
+    Acid.updateTable(spark, "graft_db.acid_t",
+      col("s_suppkey") < 5,
+      Map("s_acctbal" -> lit(0.0), "s_name" -> concat(col("s_name"), lit("_U"))))
+    val t = spark.table("graft_db.acid_t")
+    assert(t.count() == total) // row count unchanged
+    val updated = t.where($"s_name".endsWith("_U"))
+    assert(updated.count() == before)
+    assert(updated.agg(sum($"s_acctbal")).collect()(0).getDouble(0) == 0.0)
+    // untouched rows keep their names
+    assert(t.where($"s_suppkey" >= 5 && $"s_name".endsWith("_U")).count() == 0)
+  }
+
+  test("DELETE via read-rewrite-overwrite, null-safe predicate") {
+    spark.sql("DROP TABLE IF EXISTS graft_db.acid_d")
+    Tables.register(spark, LocalSpark.sf)
+    spark.table("orders").write.saveAsTable("graft_db.acid_d")
+    val total = spark.table("graft_db.acid_d").count()
+    val hits = spark.table("graft_db.acid_d").where($"o_totalprice" > 400000).count()
+    Acid.deleteFrom(spark, "graft_db.acid_d", col("o_totalprice") > 400000)
+    assert(spark.table("graft_db.acid_d").count() == total - hits)
+    assert(spark.table("graft_db.acid_d").where($"o_totalprice" > 400000).count() == 0)
+  }
+
+  test("matchpath PTF agrees with a local reference implementation") {
+    Tables.register(spark, LocalSpark.sf)
+    val got = MatchPath.matches(spark, LocalSpark.sf, "v+p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    // reference: same regex over locally-sorted per-user sequences
+    val evs = spark.table("events")
+      .select($"user_id", $"event_id", $"event_type", $"ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(e => (e._4.getTime, e._2))
+      val syms = sorted.map(e => MatchPath.symbolOf.getOrElse(e._3, "?")).mkString
+      val m = java.util.regex.Pattern.compile("v+p").matcher(syms)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      while (m.find()) out += ((uid, sorted(m.start())._2, m.end() - m.start()))
+      out
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expect)
+    assert(got.nonEmpty, "corpus should contain view+ purchase sequences")
+  }
+}

@@ -79,6 +79,28 @@ class WritePathsSpec extends AnyFunSuite {
       df.collect().map(_.getString(1)).toSeq)
   }
 
+  test("SMB join: two co-bucketed co-sorted tables join without exchanges") {
+    Tables.register(spark, LocalSpark.sf)
+    spark.sql("DROP TABLE IF EXISTS smb_orders")
+    spark.sql("DROP TABLE IF EXISTS smb_lineitem")
+    spark.table("orders")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("smb_orders")
+    spark.table("lineitem")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("smb_lineitem")
+    // force SMJ (not broadcast) to show the bucket-aligned merge join
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("smb_lineitem").join(spark.table("smb_orders"),
+        $"l_orderkey" === $"o_orderkey")
+      val p = j.queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle either side:\n$p")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("ORC predicate pushdown survives the round-trip") {
     Tables.register(spark, LocalSpark.sf)
     val base = tmp("orcpd")
