@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
-import graft.functions.{GraftFunctions, NGramsTopKAgg}
+import graft.functions.{ContextNGramsAgg, GraftFunctions, NGramsTopKAgg}
 
 /** Text-analysis operators for the training-data pipeline: language ID
   * (stopword-ratio heuristic), quality scoring, token counting
@@ -22,6 +22,7 @@ object TextAnalysis {
     Tables.register(spark, sfDir)
     GraftFunctions.register(spark)
     NGramsTopKAgg.register(spark)
+    ContextNGramsAgg.register(spark)
     spark.sql(q)
   }
 
@@ -88,6 +89,17 @@ object TextAnalysis {
       )
       ORDER BY freq DESC, ngram"""),
 
+    // context_ngrams (GenericUDAFContextNGrams): top fillers of the
+    // wildcard slots of a fixed word context — here, the 10 words most
+    // often following 'data'.
+    "text_context_ngrams" -> gsql(TokCte + """
+      SELECT g.ngram AS follower, g.freq AS freq
+      FROM (
+        SELECT EXPLODE(CONTEXT_NGRAMS(toks, ARRAY('data', CAST(NULL AS STRING)), 10, 100000)) AS g
+        FROM t WHERE SIZE(toks) >= 2
+      )
+      ORDER BY freq DESC, follower"""),
+
     // Winnowing fingerprints (k=8 chars, window=4): per-doc fingerprint
     // set size + stable sample values. Custom hashing → ScalaTest golden
     // values instead of a SQL oracle.
@@ -145,6 +157,21 @@ object TextAnalysis {
              CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS approx_bpe
       FROM documents
       ORDER BY doc_id""",
+
+    "text_context_ngrams" -> """
+      WITH t AS (
+        SELECT LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), bigr AS (
+        SELECT UNNEST(LIST_TRANSFORM(RANGE(0, LEN(toks) - 1),
+                 i -> [toks[i + 1], toks[i + 2]])) AS bg
+        FROM t WHERE LEN(toks) >= 2
+      )
+      SELECT bg[2] AS follower, COUNT(*) AS freq
+      FROM bigr WHERE bg[1] = 'data'
+      GROUP BY 1
+      ORDER BY freq DESC, follower
+      LIMIT 10""",
 
     "text_ngrams_topk" -> """
       WITH t AS (

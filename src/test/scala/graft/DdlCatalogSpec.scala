@@ -51,6 +51,28 @@ class DdlCatalogSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("o_totalprice"), p)
   }
 
+  test("Hive multi-insert statement: FROM src INSERT ... INSERT ...") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.mi_a")
+    spark.sql("DROP TABLE IF EXISTS graft_db.mi_b")
+    spark.sql("CREATE TABLE graft_db.mi_a (k BIGINT, p DOUBLE) USING parquet")
+    spark.sql("CREATE TABLE graft_db.mi_b (k BIGINT, c BIGINT) USING parquet")
+    Tables.register(spark, LocalSpark.sf)
+    // Hive's signature one-scan-many-sinks statement, parsed natively
+    spark.sql("""
+      FROM orders
+      INSERT OVERWRITE TABLE graft_db.mi_a
+        SELECT o_orderkey, o_totalprice WHERE o_orderstatus = 'F'
+      INSERT OVERWRITE TABLE graft_db.mi_b
+        SELECT o_custkey, COUNT(*) GROUP BY o_custkey
+    """)
+    val na = spark.table("graft_db.mi_a").count()
+    val nb = spark.table("graft_db.mi_b").count()
+    assert(na > 0 && nb > 0)
+    val expectA = spark.table("orders").where(col("o_orderstatus") === "F").count()
+    assert(na == expectA)
+  }
+
   test("ANALYZE TABLE + CBO statistics") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
     spark.sql("DROP TABLE IF EXISTS graft_db.li_stats")

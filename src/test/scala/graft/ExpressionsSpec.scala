@@ -110,4 +110,19 @@ class ExpressionsSpec extends AnyFunSuite {
     // totals: "a b"=3, "b c"=3, "c d"=2, "b a"=1 → top3 = (a b,3),(b c,3),(c d,2)
     assert(got.toSeq == Seq(("a b", 3L), ("b c", 3L), ("c d", 2L)))
   }
+
+  test("context_ngrams: top fillers for a wildcard slot") {
+    ContextNGramsAgg.register(spark)
+    Seq(
+      Seq("big", "data", "rocks"),
+      Seq("my", "data", "rocks"),
+      Seq("data", "flows", "here"),
+      Seq("no", "match", "here")
+    ).toDF("toks").createOrReplaceTempView("ctxdocs")
+    val got = spark.sql(
+      "SELECT EXPLODE(context_ngrams(toks, ARRAY('data', CAST(NULL AS STRING)), 2)) AS g FROM ctxdocs"
+    ).select($"g.ngram", $"g.freq").collect().map(r => (r.getString(0), r.getLong(1)))
+    // words following 'data': rocks×2, flows×1 → top2
+    assert(got.toSeq == Seq(("rocks", 2L), ("flows", 1L)))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{GraftFunctions, NGramsTopKAgg}
+import graft.functions.{ContextNGramsAgg, GraftFunctions, NGramsTopKAgg}
 
 /** Function-parity audit (SURVEY.md §7.1 step 4): walk the Hive 1.2
   * FunctionRegistry surface (names extracted from
@@ -80,7 +80,7 @@ class FunctionParitySpec extends AnyFunSuite {
   )
 
   /** graft custom functions (registered by GraftFunctions/NGramsTopKAgg). */
-  private val custom = Set("field", "ngrams", "context_ngrams")
+  private val custom = Set("field", "ngrams", "ngrams_topk", "context_ngrams")
 
   /** Deliberately out of scope, with the reason pinned here
     * (SURVEY.md §7.2 decision table). */
@@ -105,10 +105,10 @@ class FunctionParitySpec extends AnyFunSuite {
   test("every Hive registry name resolves, is renamed, is custom, or is pinned-skipped") {
     GraftFunctions.register(spark)
     NGramsTopKAgg.register(spark)
+    ContextNGramsAgg.register(spark)
+    // Hive spells it `ngrams`; graft's canonical name is ngrams_topk
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngrams", es => graft.functions.NGramsTopKAgg(es.head, 2, 20, 20000), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "context_ngrams", es => graft.functions.NGramsTopKAgg(es.head, 2, 20, 20000), "built-in")
 
     def resolvable(name: String): Boolean =
       spark.sessionState.functionRegistry.functionExists(
