@@ -47,11 +47,45 @@ object Hashing {
 
 /** cosine_sim(Array[Float], Array[Float]) → Double. Null on length
   * mismatch. Sequential double accumulation (index order) so the value
-  * is reproducible regardless of partitioning. */
+  * is reproducible regardless of partitioning. Implements doGenCode —
+  * the hot loop of the ANN/dedup joins stays inside whole-stage codegen
+  * instead of falling back to per-row interpreted eval. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+      int $n = $a.numElements();
+      if ($n != $b.numElements() || $n == 0) {
+        ${ev.isNull} = true;
+      } else {
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = (double) $a.getFloat($i);
+          double $y = (double) $b.getFloat($i);
+          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        }
+        if ($na == 0.0 || $nb == 0.0) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        }
+      }"""
+    })
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
