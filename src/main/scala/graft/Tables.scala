@@ -15,7 +15,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // skip re-registration while the session's views already point at this
+  // sfDir: re-reading 10 parquet footers per query is pure overhead.
+  // Keyed by LAST dir per session (not a set) because the views are
+  // session-global — switching sfDir must re-register.
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def register(spark: SparkSession, sfDir: String): Unit = {
+    if (registered.put(spark.sparkContext.applicationId, sfDir) == sfDir) return
     // events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects by
     // default; read it as a nanos long and floor-divide to µs (integer
     // div — double division would lose precision above 2^53), matching

@@ -42,6 +42,42 @@ object Functions {
       WHERE c_custkey < 200
       ORDER BY c_custkey"""),
 
+    // Second string batch: set/indexing/encoding helpers.
+    "string_fns2" -> Tables.sql("""
+      SELECT c_custkey,
+             FIND_IN_SET(c_mktsegment, 'BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE') AS seg_idx,
+             SUBSTRING_INDEX(c_name, '#', 1) AS name_prefix,
+             SUBSTRING_INDEX(c_name, '#', -1) AS name_suffix,
+             LOCATE('0', c_name) AS zero_pos,
+             ELT(1 + CAST(c_custkey % 3 AS INT), 'alpha', 'beta', 'gamma') AS bucket3,
+             SPACE(3) || c_mktsegment AS padded,
+             BASE64(CAST(c_mktsegment AS BINARY)) AS b64,
+             CAST(UNBASE64(BASE64(CAST(c_name AS BINARY))) AS STRING) AS roundtrip,
+             SPLIT_PART(c_name, '#', 2) AS after_hash,
+             LEFT(c_name, 8) AS l8,
+             RIGHT(c_name, 4) AS r4,
+             CHAR_LENGTH(c_name) AS clen
+      FROM customer
+      WHERE c_custkey < 150
+      ORDER BY c_custkey"""),
+
+    // to_json/from_json round-trip + nested extraction: values compared
+    // via extraction (whitespace conventions differ across engines).
+    "json_roundtrip" -> Tables.sql("""
+      SELECT o_orderkey,
+             CAST(GET_JSON_OBJECT(j, '$.k') AS BIGINT) AS k_back,
+             GET_JSON_OBJECT(j, '$.s') AS s_back,
+             CAST(GET_JSON_OBJECT(j, '$.nested.price') AS DOUBLE) AS price_back
+      FROM (
+        SELECT o_orderkey,
+               TO_JSON(NAMED_STRUCT(
+                 'k', o_orderkey,
+                 's', o_orderstatus,
+                 'nested', NAMED_STRUCT('price', o_totalprice))) AS j
+        FROM orders WHERE o_orderkey < 200
+      )
+      ORDER BY o_orderkey"""),
+
     "date_fns" -> Tables.sql("""
       SELECT o_orderkey,
              YEAR(o_orderdate) AS y,
@@ -223,6 +259,34 @@ object Functions {
       FROM customer
       WHERE c_custkey < 200
       ORDER BY c_custkey""",
+
+    "string_fns2" -> """
+      SELECT c_custkey,
+             CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
+                               WHEN 'MACHINERY' THEN 3 WHEN 'HOUSEHOLD' THEN 4
+                               WHEN 'FURNITURE' THEN 5 ELSE 0 END AS seg_idx,
+             SPLIT_PART(c_name, '#', 1) AS name_prefix,
+             SPLIT_PART(c_name, '#', 2) AS name_suffix,
+             STRPOS(c_name, '0') AS zero_pos,
+             ['alpha','beta','gamma'][1 + CAST(c_custkey % 3 AS INT)] AS bucket3,
+             '   ' || c_mktsegment AS padded,
+             TO_BASE64(ENCODE(c_mktsegment)) AS b64,
+             c_name AS roundtrip,
+             SPLIT_PART(c_name, '#', 2) AS after_hash,
+             LEFT(c_name, 8) AS l8,
+             RIGHT(c_name, 4) AS r4,
+             LENGTH(c_name) AS clen
+      FROM customer
+      WHERE c_custkey < 150
+      ORDER BY c_custkey""",
+
+    "json_roundtrip" -> """
+      SELECT o_orderkey,
+             o_orderkey AS k_back,
+             o_orderstatus AS s_back,
+             o_totalprice AS price_back
+      FROM orders WHERE o_orderkey < 200
+      ORDER BY o_orderkey""",
 
     "date_fns" -> """
       SELECT o_orderkey,
