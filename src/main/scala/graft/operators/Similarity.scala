@@ -45,6 +45,49 @@ object Similarity {
       WHERE rn <= 3
       ORDER BY qid, rn"""),
 
+    // IVF-style ANN: a deterministic coarse quantizer (the 32
+    // lowest-vec_id vectors as pivots, broadcast), every vector assigned
+    // to its nearest pivot cell, queries probe their nprobe=4 nearest
+    // cells and exact-rerank within them. At 100 TB the assignment is a
+    // broadcast-join map stage and the search shuffles only (cell, vec)
+    // — the inverted-file structure, relationally.
+    "ann_ivf_probe" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val emb = spark.table("embeddings")
+      val pivots = emb.where(col("vec_id") < 32)
+        .select(col("vec_id").as("pid"), col("embedding").as("pemb"))
+      // nearest pivot per vector = IVF cell
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("pcos").desc, col("pid"))
+      val cells = emb.join(broadcast(pivots))
+        .withColumn("pcos", GraftFunctions.cosine_sim(col("embedding"), col("pemb")))
+        .withColumn("rn", row_number().over(wCell))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("pid").as("cell"))
+      // queries probe their 4 nearest cells
+      val wProbe = Window.partitionBy(col("qid"))
+        .orderBy(col("pcos").desc, col("pid"))
+      val probes = emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        .join(broadcast(pivots))
+        .withColumn("pcos", GraftFunctions.cosine_sim(col("qemb"), col("pemb")))
+        .withColumn("rn", row_number().over(wProbe))
+        .where(col("rn") <= 4)
+        .select(col("qid"), col("qemb"), col("pid").as("cell"))
+      // search within probed cells, exact rerank
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      probes.join(cells, "cell")
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(GraftFunctions.cosine_sim(col("qemb"), col("embedding")), 6).as("cos"))
+        .distinct()
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= 3)
+        .select(col("qid"), col("nid"), col("cos"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // LSH-bucketed ANN: 50 query vectors, candidates from 16 hash tables
     // of 6-plane buckets, exact cosine re-rank within candidates.
     "ann_lsh_bucketed" -> ((spark, sfDir) => {

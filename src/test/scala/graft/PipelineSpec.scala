@@ -59,6 +59,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == lsh, "LSH output must be deterministic")
   }
 
+  test("ann_ivf_probe: deterministic, and recall beats single-table LSH chance") {
+    Tables.register(spark, LocalSpark.sf)
+    val truth = Similarity.queries("ann_cosine_topk")(spark, LocalSpark.sf)
+      .where($"qid" < 5).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.queries("ann_ivf_probe")(spark, LocalSpark.sf)
+      .where($"qid" < 5).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.2, s"IVF recall@3 $recall")
+    val again = Similarity.queries("ann_ivf_probe")(spark, LocalSpark.sf)
+      .where($"qid" < 5).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf)
+  }
+
   test("multimodal decode pipeline: schema, determinism, distributed map") {
     val out = Multimodal.decodePipeline(spark, LocalSpark.sf)
     assert(out.columns.toSeq ==
