@@ -38,6 +38,33 @@ class DdlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW FUNCTIONS LIKE 'sum'").collect().nonEmpty)
   }
 
+  test("SHOW PARTITIONS + MSCK REPAIR for externally-added partitions") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.ext_p")
+    val dir = java.nio.file.Files.createTempDirectory("extp").toString
+    spark.sql(s"""CREATE TABLE graft_db.ext_p (k INT) USING parquet
+                  PARTITIONED BY (ds STRING) LOCATION '$dir'""")
+    spark.sql("INSERT INTO graft_db.ext_p PARTITION (ds='a') VALUES (1)")
+    // drop a partition directory in behind the catalog's back
+    spark.range(5).selectExpr("CAST(id AS INT) AS k")
+      .write.parquet(s"$dir/ds=b")
+    spark.sql("MSCK REPAIR TABLE graft_db.ext_p")
+    val parts = spark.sql("SHOW PARTITIONS graft_db.ext_p")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("ds=a", "ds=b"), parts.toString)
+    assert(spark.table("graft_db.ext_p").count() == 6)
+  }
+
+  test("EXPLAIN statement and DESCRIBE FUNCTION") {
+    Tables.register(spark, LocalSpark.sf)
+    val ex = spark.sql("EXPLAIN EXTENDED SELECT COUNT(*) FROM orders WHERE o_orderkey < 10")
+      .collect()(0).getString(0)
+    assert(ex.contains("Physical Plan") && ex.contains("PushedFilters"), ex)
+    val df = spark.sql("DESCRIBE FUNCTION EXTENDED percentile_approx")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(df.contains("percentile_approx"), df)
+  }
+
   test("views: logical, expanded at plan time (Hive TOK_CREATEVIEW)") {
     Tables.register(spark, LocalSpark.sf)
     spark.sql("""CREATE OR REPLACE TEMPORARY VIEW big_orders AS
