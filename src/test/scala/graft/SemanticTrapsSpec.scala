@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §7.3 semantic traps, pinned as goldens so a Hive-1.2 user
+  * switching to this engine knows exactly where behavior differs and
+  * where it matches. */
+class SemanticTrapsSpec extends AnyFunSuite {
+  lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  private def one(sql: String) = spark.sql(s"SELECT $sql").collect()(0)
+
+  test("division: / is double, DIV is integer (same as Hive)") {
+    assert(one("7 / 2").getDouble(0) == 3.5)
+    assert(one("7 DIV 2").getLong(0) == 3L)
+    assert(one("-7 DIV 2").getLong(0) == -3L) // truncation toward zero
+    assert(one("PMOD(-7, 3)").getInt(0) == 2) // pmod is non-negative
+    assert(one("-7 % 3").getInt(0) == -1)     // % keeps dividend sign
+  }
+
+  test("null ordering defaults: ASC→NULLS FIRST, DESC→NULLS LAST (same as Hive)") {
+    val asc = Seq(Some(2), None, Some(1)).toDF("x").orderBy($"x".asc)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(asc.toSeq == Seq(None, Some(1), Some(2)))
+    val desc = Seq(Some(2), None, Some(1)).toDF("x").orderBy($"x".desc)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(desc.toSeq == Seq(Some(2), Some(1), None))
+  }
+
+  test("string↔numeric implicit casts in arithmetic and comparison") {
+    // DIFFERENCE from Hive 1.2: Hive widens string+int to DOUBLE (15.0);
+    // Spark 4 ANSI coerces the string to the numeric side → BIGINT 15.
+    assert(one("'10' + 5").getLong(0) == 15L)
+    assert(one("'10' + 5.5").getDouble(0) == 15.5)
+    assert(one("'10' = 10").getBoolean(0))
+    assert(one("CONCAT('v', 1)").getString(0) == "v1")
+  }
+
+  test("timestamps: µs precision survives the events ns→µs conversion") {
+    Tables.register(spark, LocalSpark.sf)
+    val withMicros = spark.table("events")
+      .where(expr("UNIX_MICROS(ts) % 1000 <> 0")).count()
+    // ns source has sub-millisecond parts; conversion must keep them
+    assert(withMicros > 0)
+    val schema = spark.table("events").schema("ts").dataType.typeName
+    assert(schema == "timestamp")
+  }
+
+  test("histogram_numeric: bins bounded by data range, weights sum to count") {
+    Tables.register(spark, LocalSpark.sf)
+    val rows = spark.sql("""
+      SELECT HISTOGRAM_NUMERIC(l_quantity, 5) AS h,
+             COUNT(*) AS n, MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
+      FROM lineitem""").collect()(0)
+    val bins = rows.getSeq[org.apache.spark.sql.Row](0)
+    assert(bins.length == 5)
+    val (n, lo, hi) = (rows.getLong(1), rows.getDouble(2), rows.getDouble(3))
+    assert(bins.forall { b => val x = b.getDouble(0); x >= lo && x <= hi })
+    val wsum = bins.map(_.getDouble(1)).sum
+    assert(math.abs(wsum - n) < 1e-6, s"weights $wsum vs count $n")
+  }
+
+  test("decimal sum determinism: the money-aggregation convention is exact") {
+    Tables.register(spark, LocalSpark.sf)
+    // same aggregate under different partitionings must be bit-identical
+    val a = spark.table("lineitem")
+      .agg(sum($"l_extendedprice".cast("decimal(18,4)"))).collect()(0).getDecimal(0)
+    val b = spark.table("lineitem").repartition(17, $"l_suppkey")
+      .agg(sum($"l_extendedprice".cast("decimal(18,4)"))).collect()(0).getDecimal(0)
+    assert(a == b)
+  }
+}
