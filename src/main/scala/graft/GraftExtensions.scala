@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("winnow_fingerprint", "winnow_fingerprint(text, k, w) - winnowing fingerprint"),
       (es: Seq[Expression]) => WinnowFingerprint(es(0),
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("tokenize"),
+      info("tokenize", "tokenize(text) - lowercase whitespace tokens"),
+      (es: Seq[Expression]) => Tokenize(es.head)))
+    e.injectFunction((FunctionIdentifier("shingle_set"),
+      info("shingle_set", "shingle_set(text, n) - distinct n-token shingles"),
+      (es: Seq[Expression]) => ShingleSet(es(0), es(1).eval().asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("lsh_buckets"),
       info("lsh_buckets", "lsh_buckets(vec, tables, planes) - LSH bucket per table"),
       (es: Seq[Expression]) => LshBuckets(es(0),

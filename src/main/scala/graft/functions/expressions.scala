@@ -205,6 +205,70 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** tokenize(text) → Array[String]: lowercase, split on spaces, drop
+  * empties — one pass, one output array. Equivalent to
+  * FILTER(SPLIT(LOWER(text),' '), w -> w <> '') but ~10× cheaper: the
+  * composed built-ins materialize three intermediate arrays per row. */
+case class Tokenize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) out += UTF8String.fromString(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Tokenize = copy(c)
+}
+
+/** shingle_set(text, n) → Array[String]: distinct n-token shingles of
+  * tokenize(text), first-occurrence order. Single pass; used by the
+  * jaccard/minhash dedup operators where the composed
+  * ARRAY_DISTINCT(TRANSFORM(SEQUENCE...SLICE...CONCAT_WS)) pipeline was
+  * the dominant query cost. */
+case class ShingleSet(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && n <= 16)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = Tokenize(child).nullSafeEval(input).asInstanceOf[GenericArrayData]
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((m - n + 1) * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= m - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j, StringType).toString)
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleSet =
+    copy(child = c)
+}
+
 /** lsh_buckets(Array[Float], numTables, numPlanes) → Array[Int]: one
   * random-hyperplane LSH bucket id per table (sign bits of dot products
   * with ±1 pseudo-random planes derived from seeded hashes — no stored
@@ -283,6 +347,10 @@ object GraftFunctions {
     Bridge.column(MinHashSig(Bridge.expression(c), numHashes))
   def winnow_fingerprint(c: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFingerprint(Bridge.expression(c), k, w))
+  def tokenize(c: Column): Column =
+    Bridge.column(Tokenize(Bridge.expression(c)))
+  def shingle_set(c: Column, n: Int): Column =
+    Bridge.column(ShingleSet(Bridge.expression(c), n))
   def lsh_buckets(c: Column, numTables: Int, numPlanes: Int): Column =
     Bridge.column(LshBuckets(Bridge.expression(c), numTables, numPlanes))
   def field(cols: Column*): Column =
@@ -300,6 +368,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       es => WinnowFingerprint(es(0),
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("tokenize",
+      es => Tokenize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("shingle_set",
+      es => ShingleSet(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("lsh_buckets",
       es => LshBuckets(es(0),
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "built-in")

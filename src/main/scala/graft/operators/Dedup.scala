@@ -27,14 +27,6 @@ object Dedup {
     spark.sql(q)
   }
 
-  /** Non-empty lowercase tokens + distinct token set, shared prep. */
-  private val TokCte = """
-    WITH t AS (
-      SELECT doc_id, source,
-             FILTER(SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
-      FROM documents
-    )"""
-
   val queries: Map[String, Q] = Map(
     // Exact dedup: content digest → keep lowest doc_id per digest.
     "dedup_exact" -> Tables.sql("""
@@ -50,12 +42,10 @@ object Dedup {
     // filters false positives. Deterministic (seeded FNV hashing) but
     // probabilistic recall → no SQL oracle; DedupSpec asserts recall
     // against planted near-duplicates.
-    "dedup_minhash_lsh" -> gsql(TokCte + """
-      , sh AS (
-        SELECT doc_id,
-               ARRAY_DISTINCT(TRANSFORM(SEQUENCE(0, SIZE(toks) - 3),
-                 i -> CONCAT_WS(' ', SLICE(toks, i + 1, 3)))) AS grams
-        FROM t WHERE SIZE(toks) >= 3
+    "dedup_minhash_lsh" -> gsql("""
+      WITH sh AS (
+        SELECT doc_id, SHINGLE_SET(text, 3) AS grams
+        FROM documents WHERE SIZE(SHINGLE_SET(text, 3)) > 0
       ), sigs AS (
         SELECT doc_id, MINHASH_SIG(grams, 64) AS sig FROM sh
       ), bands AS (
@@ -83,9 +73,11 @@ object Dedup {
     // bands (any pair with hamming ≤ 3 must agree on ≥1 band by
     // pigeonhole... with 4 bands, hamming ≤ 3 guarantees a shared band);
     // exact hamming ≤ 6 on candidates via bit_count(xor).
-    "dedup_simhash" -> gsql(TokCte + """
-      , sh AS (
-        SELECT doc_id, SIMHASH64(toks) AS sim FROM t WHERE SIZE(toks) > 0
+    "dedup_simhash" -> gsql("""
+      WITH sh AS (
+        SELECT doc_id, SIMHASH64(toks) AS sim
+        FROM (SELECT doc_id, TOKENIZE(text) AS toks FROM documents)
+        WHERE SIZE(toks) > 0
       ), bands AS (
         SELECT doc_id, sim, band,
                (sim >> (band * 16)) & 65535 AS bandkey
@@ -106,12 +98,10 @@ object Dedup {
     // that survives 100 TB (and 4× faster already at sf0.1). At scale
     // the blocking key would be an LSH bucket; `source` stands in as the
     // deterministic blocking attribute so the oracle can reproduce it.
-    "dedup_ngram_jaccard" -> Tables.sql(TokCte + """
-      , sh AS (
-        SELECT doc_id, source,
-               ARRAY_DISTINCT(TRANSFORM(SEQUENCE(0, SIZE(toks) - 3),
-                 i -> CONCAT_WS(' ', SLICE(toks, i + 1, 3)))) AS grams
-        FROM t WHERE SIZE(toks) >= 3
+    "dedup_ngram_jaccard" -> gsql("""
+      WITH sh AS (
+        SELECT doc_id, source, SHINGLE_SET(text, 3) AS grams
+        FROM documents WHERE SIZE(SHINGLE_SET(text, 3)) > 0
       ), sizes AS (
         SELECT doc_id, SIZE(grams) AS n FROM sh
       ), inv AS (

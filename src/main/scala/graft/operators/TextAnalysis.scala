@@ -26,10 +26,12 @@ object TextAnalysis {
     spark.sql(q)
   }
 
+  // TOKENIZE is the one-pass custom expression — equivalent to
+  // FILTER(SPLIT(LOWER(text),' '), w -> w <> '') which costs ~10× more
+  // (three intermediate arrays per row)
   private val TokCte = """
     WITH t AS (
-      SELECT doc_id, text, lang, n_chars,
-             FILTER(SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+      SELECT doc_id, text, lang, n_chars, TOKENIZE(text) AS toks
       FROM documents
     )"""
 
@@ -37,7 +39,7 @@ object TextAnalysis {
     // Stopword-ratio language scorer (n-gram-free heuristic; the test
     // corpus is synthetic word-soup so scores, not accuracy, are the
     // contract — lang column is an independent label).
-    "text_langid" -> Tables.sql(TokCte + """
+    "text_langid" -> gsql(TokCte + """
       SELECT doc_id, s_en, s_de, s_fr,
              CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
                   WHEN s_de >= s_fr THEN 'de'
@@ -53,7 +55,7 @@ object TextAnalysis {
 
     // Quality metrics: length, token stats, type-token ratio, stopword
     // ratio, alphanumeric ratio, and a composite keep/drop flag.
-    "text_quality" -> Tables.sql(TokCte + """
+    "text_quality" -> gsql(TokCte + """
       SELECT doc_id,
              LENGTH(text) AS n_char,
              SIZE(toks) AS n_tok,
@@ -70,7 +72,7 @@ object TextAnalysis {
 
     // Token counting three ways: whitespace, BPE-ish regex pieces,
     // chars/4 approximation.
-    "text_tokens" -> Tables.sql("""
+    "text_tokens" -> gsql("""
       SELECT doc_id,
              SIZE(FILTER(SPLIT(text, ' '), w -> w <> '')) AS ws_tokens,
              SIZE(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS re_tokens,
