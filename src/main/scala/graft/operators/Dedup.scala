@@ -44,8 +44,12 @@ object Dedup {
     // against planted near-duplicates.
     "dedup_minhash_lsh" -> gsql("""
       WITH sh AS (
+        -- repartition BEFORE the heavy shingle/minhash projection: the
+        -- documents file scans as one partition at test scale, which
+        -- would serialize the per-row work
         SELECT doc_id, SHINGLE_SET(text, 3) AS grams
-        FROM documents WHERE SIZE(SHINGLE_SET(text, 3)) > 0
+        FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents)
+        WHERE SIZE(SHINGLE_SET(text, 3)) > 0
       ), sigs AS (
         SELECT doc_id, MINHASH_SIG(grams, 64) AS sig FROM sh
       ), bands AS (
@@ -76,7 +80,8 @@ object Dedup {
     "dedup_simhash" -> gsql("""
       WITH sh AS (
         SELECT doc_id, SIMHASH64(toks) AS sim
-        FROM (SELECT doc_id, TOKENIZE(text) AS toks FROM documents)
+        FROM (SELECT doc_id, TOKENIZE(text) AS toks
+              FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents))
         WHERE SIZE(toks) > 0
       ), bands AS (
         SELECT doc_id, sim, band,
@@ -101,7 +106,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> gsql("""
       WITH sh AS (
         SELECT doc_id, source, SHINGLE_SET(text, 3) AS grams
-        FROM documents WHERE SIZE(SHINGLE_SET(text, 3)) > 0
+        FROM (SELECT /*+ REPARTITION(32) */ doc_id, source, text FROM documents)
+        WHERE SIZE(SHINGLE_SET(text, 3)) > 0
       ), sizes AS (
         SELECT doc_id, SIZE(grams) AS n FROM sh
       ), inv AS (

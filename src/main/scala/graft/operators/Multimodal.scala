@@ -58,6 +58,7 @@ object Multimodal {
     val media = spark.table("documents")
       .select(col("doc_id"), col("lang").as("fmt"),
         col("text").cast("binary").as("payload"))
+      .repartition(32) // small file scans as 1 partition; decode is per-row CPU
       .as[MediaRow]
     media.mapPartitions { rows =>
       // per-partition codec init would go here

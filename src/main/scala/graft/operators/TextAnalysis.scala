@@ -87,7 +87,9 @@ object TextAnalysis {
       SELECT g.ngram AS ngram, g.freq AS freq
       FROM (
         SELECT EXPLODE(NGRAMS_TOPK(toks, 2, 20, 500000)) AS g
-        FROM t WHERE SIZE(toks) >= 2
+        FROM (SELECT TOKENIZE(text) AS toks
+              FROM (SELECT /*+ REPARTITION(32) */ text FROM documents))
+        WHERE SIZE(toks) >= 2
       )
       ORDER BY freq DESC, ngram"""),
 
@@ -98,7 +100,9 @@ object TextAnalysis {
       SELECT g.ngram AS follower, g.freq AS freq
       FROM (
         SELECT EXPLODE(CONTEXT_NGRAMS(toks, ARRAY('data', CAST(NULL AS STRING)), 10, 100000)) AS g
-        FROM t WHERE SIZE(toks) >= 2
+        FROM (SELECT TOKENIZE(text) AS toks
+              FROM (SELECT /*+ REPARTITION(32) */ text FROM documents))
+        WHERE SIZE(toks) >= 2
       )
       ORDER BY freq DESC, follower"""),
 
@@ -110,7 +114,8 @@ object TextAnalysis {
              SIZE(fp) AS n_fp,
              fp[0] AS first_fp,
              ARRAY_MIN(fp) AS min_fp
-      FROM (SELECT doc_id, WINNOW_FINGERPRINT(text, 8, 4) AS fp FROM documents)
+      FROM (SELECT doc_id, WINNOW_FINGERPRINT(text, 8, 4) AS fp
+            FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents))
       ORDER BY doc_id""")
   )
 
