@@ -224,6 +224,23 @@ object Relational {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Custom physical operator (graft.plans.TopKPerKey): first-3 rows
+    // per supplier by price — partial per-partition heaps cut the
+    // shuffle to ≤3 rows per (partition, key); the window-function
+    // formulation is the oracle.
+    "topk_per_key" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val li = spark.table("lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+      graft.plans.GraftOps.topKPerKey(li,
+          Seq("l_suppkey"),
+          Seq(("l_extendedprice", true), ("l_orderkey", false),
+            ("l_linenumber", false)), 3)
+        .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // The Hive SQL-dialect forms — DISTRIBUTE BY + SORT BY parsed
     // natively by Spark SQL (Hive ReduceSinkOperator partition/order
     // split). Wrapped in a final ORDER BY for comparability.
@@ -416,6 +433,15 @@ object Relational {
       SELECT l_suppkey, l_orderkey, l_quantity
       FROM lineitem
       WHERE l_quantity >= 48
-      ORDER BY l_suppkey, l_orderkey, l_quantity"""
+      ORDER BY l_suppkey, l_orderkey, l_quantity""",
+
+    "topk_per_key" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem) t
+      WHERE rn <= 3
+      ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber"""
   )
 }

@@ -10,6 +10,7 @@ import graft.operators._
   * global-sort-for-topk fails the build, not just slows it. */
 class PlanQualitySpec extends AnyFunSuite {
   lazy val spark = LocalSpark.spark
+  import spark.implicits._
 
   private def plan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, LocalSpark.sf)
@@ -69,6 +70,31 @@ class PlanQualitySpec extends AnyFunSuite {
   test("ann_lsh_bucketed joins on (table,bucket) — no cartesian fallback") {
     val p = plan("ann_lsh_bucketed")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("topk_per_key: custom exec with partial phase below the exchange, no WindowExec") {
+    val df = SparkEntry.queries("topk_per_key")(spark, LocalSpark.sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert("TopKPerKey".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("Window"), s"must not fall back to a window sort:\n$p")
+    // partial (below exchange) then final (above): plan prints top-down
+    val finalIdx = p.indexOf("TopKPerKey")
+    val exIdx = p.indexOf("Exchange", finalIdx)
+    val partialIdx = p.indexOf("TopKPerKey", exIdx)
+    assert(finalIdx >= 0 && exIdx > finalIdx && partialIdx > exIdx,
+      s"expected final/exchange/partial ordering:\n$p")
+    // correctness vs the built-in window formulation
+    import org.apache.spark.sql.expressions.Window
+    Tables.register(spark, LocalSpark.sf)
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    val expect = spark.table("lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where($"rn" <= 3).drop("rn")
+      .orderBy($"l_suppkey", $"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      .collect().toSeq
+    assert(df.collect().toSeq == expect)
   }
 
   test("subquery_in plans as a semi join, not an aggregate+filter") {
