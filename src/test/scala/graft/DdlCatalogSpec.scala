@@ -65,6 +65,24 @@ class DdlCatalogSpec extends AnyFunSuite {
     assert(df.contains("percentile_approx"), df)
   }
 
+  test("SHOW CREATE TABLE and EXPORT/IMPORT-style relocation") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.exp_src")
+    spark.sql("DROP TABLE IF EXISTS graft_db.exp_dst")
+    Tables.register(spark, LocalSpark.sf)
+    spark.table("nation").write.saveAsTable("graft_db.exp_src")
+    val ddl = spark.sql("SHOW CREATE TABLE graft_db.exp_src")
+      .collect()(0).getString(0)
+    assert(ddl.contains("CREATE TABLE") && ddl.contains("n_name"), ddl)
+    // Hive EXPORT TABLE ... TO / IMPORT: data+schema relocation — the
+    // Spark equivalent is a self-describing parquet copy
+    val dir = java.nio.file.Files.createTempDirectory("export").toString
+    spark.table("graft_db.exp_src").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).write.saveAsTable("graft_db.exp_dst")
+    assert(spark.table("graft_db.exp_dst").count() ==
+      spark.table("graft_db.exp_src").count())
+  }
+
   test("views: logical, expanded at plan time (Hive TOK_CREATEVIEW)") {
     Tables.register(spark, LocalSpark.sf)
     spark.sql("""CREATE OR REPLACE TEMPORARY VIEW big_orders AS

@@ -111,6 +111,31 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a b", 3L), ("b c", 3L), ("c d", 2L)))
   }
 
+  test("tokenize/shingle_set match the composed built-in pipelines exactly") {
+    Tables.register(spark, LocalSpark.sf)
+    GraftFunctions.register(spark)
+    // equivalence on the real corpus, not samples — any drift breaks
+    // oracle parity for every dedup/text query
+    val diff = spark.sql("""
+      SELECT COUNT(*) AS bad FROM (
+        SELECT TOKENIZE(text) AS fast,
+               FILTER(SPLIT(LOWER(text), ' '), w -> w <> '') AS slow,
+               SHINGLE_SET(text, 3) AS fastsh,
+               ARRAY_SORT(ARRAY_DISTINCT(TRANSFORM(
+                 SEQUENCE(0, GREATEST(SIZE(FILTER(SPLIT(LOWER(text),' '), w -> w <> '')) - 3, -1)),
+                 i -> CONCAT_WS(' ', SLICE(FILTER(SPLIT(LOWER(text),' '), w -> w <> ''), i + 1, 3))))) AS slowsh
+        FROM documents)
+      WHERE fast <> slow OR ARRAY_SORT(fastsh) <> slowsh
+    """).collect()(0).getLong(0)
+    assert(diff == 0)
+    // edge cases
+    val edge = spark.sql(
+      "SELECT TOKENIZE('  A  b   '), SHINGLE_SET('a b', 3), SHINGLE_SET('', 3)").collect()(0)
+    assert(edge.getSeq[String](0) == Seq("a", "b"))
+    assert(edge.getSeq[String](1).isEmpty)
+    assert(edge.getSeq[String](2).isEmpty)
+  }
+
   test("context_ngrams: top fillers for a wildcard slot") {
     ContextNGramsAgg.register(spark)
     Seq(
