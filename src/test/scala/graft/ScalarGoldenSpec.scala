@@ -44,6 +44,17 @@ class ScalarGoldenSpec extends AnyFunSuite {
       .getSeq[Seq[String]](0).length == 2)
   }
 
+  test("hash/digest family: crc32, sha1, sha2, md5 known vectors") {
+    assert(one("CRC32(CAST('abc' AS BINARY))").getLong(0) == 891568578L)
+    assert(one("SHA1(CAST('abc' AS BINARY))").getString(0) ==
+      "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(one("SHA2(CAST('abc' AS BINARY), 256)").getString(0) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(one("MD5(CAST('abc' AS BINARY))").getString(0) ==
+      "900150983cd24fb0d6963f7d28e17f72")
+    assert(one("BASE64(CAST('abc' AS BINARY))").getString(0) == "YWJj")
+  }
+
   test("misc parity corners: soundex, levenshtein, initcap, hash stability") {
     assert(one("SOUNDEX('Robert')").getString(0) == "R163")
     assert(one("LEVENSHTEIN('kitten','sitting')").getInt(0) == 3)
