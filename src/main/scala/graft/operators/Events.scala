@@ -60,6 +60,19 @@ object Events {
       GROUP BY user_id, sess_id
       ORDER BY user_id, sess_id"""),
 
+    // As-of lookup: for every event, the most recent PRIOR 'view' event
+    // by the same user — LAST_VALUE ... IGNORE NULLS over a trailing
+    // frame (Hive's last_value(col, true); an as-of join expressed as a
+    // window, so it shuffles once on user_id instead of range-joining).
+    "events_asof_prior_view" -> Tables.sql("""
+      SELECT event_id, user_id, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END) IGNORE NULLS
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_id
+      FROM events
+      WHERE user_id <= 30
+      ORDER BY user_id, event_id"""),
+
     // Native session_window() operator — must agree with the lag/cumsum
     // oracle on session boundaries.
     "events_session_window" -> Tables.sql("""
@@ -112,6 +125,15 @@ object Events {
       FROM numbered
       GROUP BY user_id, sess_id
       ORDER BY user_id, sess_id""",
+
+    "events_asof_prior_view" -> """
+      SELECT event_id, user_id, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_id
+      FROM events
+      WHERE user_id <= 30
+      ORDER BY user_id, event_id""",
 
     "events_session_window" -> """
       WITH flagged AS (

@@ -39,6 +39,30 @@ class AcidAndMatchPathSpec extends AnyFunSuite {
     assert(spark.table("graft_db.acid_d").where($"o_totalprice" > 400000).count() == 0)
   }
 
+  test("partition-scoped UPDATE rewrites only the targeted partitions") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.acid_p")
+    Tables.register(spark, LocalSpark.sf)
+    spark.table("documents")
+      .select($"doc_id", $"text", $"lang")
+      .write.partitionBy("lang").saveAsTable("graft_db.acid_p")
+    val warehouse = spark.sql("DESCRIBE EXTENDED graft_db.acid_p").collect()
+      .find(_.getString(0) == "Location").get.getString(1).stripPrefix("file:")
+    // record the 'de' partition's files before a scoped update of 'en'
+    def deFiles() = new java.io.File(s"$warehouse/lang=de").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val before = deFiles()
+    Acid.updateTable(spark, "graft_db.acid_p",
+      col("doc_id") < 100, Map("text" -> lit("[REDACTED]")),
+      partitionScope = Some(col("lang") === "en"))
+    // untouched partition: identical files on disk
+    assert(deFiles() == before, "lang=de partition must not be rewritten")
+    val t = spark.table("graft_db.acid_p")
+    assert(t.where($"lang" === "en" && $"doc_id" < 100 && $"text" =!= "[REDACTED]").count() == 0)
+    assert(t.where($"lang" === "de" && $"text" === "[REDACTED]").count() == 0)
+    assert(t.count() == 500)
+  }
+
   test("matchpath PTF agrees with a local reference implementation") {
     Tables.register(spark, LocalSpark.sf)
     val got = MatchPath.matches(spark, LocalSpark.sf, "v+p")

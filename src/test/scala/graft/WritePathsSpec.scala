@@ -101,6 +101,28 @@ class WritePathsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("SequenceFile round-trip via the Hadoop RDD path (legacy format)") {
+    // Hive's SequenceFile storage (QL/io/HiveSequenceFileOutputFormat)
+    // has no DataFrame source; the supported Spark path is the Hadoop
+    // RDD API with a text codec at the edge
+    Tables.register(spark, LocalSpark.sf)
+    val dir = tmp("seqf") + "/data"
+    val rows = spark.table("nation")
+      .selectExpr("n_nationkey", "concat_ws('|', n_name, CAST(n_regionkey AS STRING))")
+      .collect().map(r => (r.getInt(0).toLong, r.getString(1)))
+    spark.sparkContext.parallelize(rows.toSeq, 2).saveAsSequenceFile(dir)
+    val back = spark.sparkContext.sequenceFile[Long, String](dir)
+      .map { case (k, v) =>
+        val parts = v.split('|'); (k, parts(0), parts(1).toInt)
+      }
+    import spark.implicits._
+    val df = back.toDF("n_nationkey", "n_name", "n_regionkey")
+    assert(df.count() == 25)
+    val expect = spark.table("nation").orderBy("n_nationkey")
+      .collect().map(_.getString(1)).toSeq
+    assert(df.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq == expect)
+  }
+
   test("ORC predicate pushdown survives the round-trip") {
     Tables.register(spark, LocalSpark.sf)
     val base = tmp("orcpd")
