@@ -253,6 +253,21 @@ object Relational {
       ) t
       ORDER BY l_suppkey, l_orderkey, l_quantity"""),
 
+    // CLUSTER BY = DISTRIBUTE BY + SORT BY on the same columns (Hive
+    // shorthand, parsed natively).
+    "sort_cluster_by_sql" -> Tables.sql("""
+      SELECT s_nationkey, s_suppkey FROM (
+        SELECT s_nationkey, s_suppkey FROM supplier CLUSTER BY s_nationkey
+      ) t
+      ORDER BY s_nationkey, s_suppkey"""),
+
+    // Hive's MAPJOIN hint spelling — Spark honors it as a broadcast hint.
+    "join_mapjoin_hint" -> Tables.sql("""
+      SELECT /*+ MAPJOIN(n) */ n_name, COUNT(*) AS n_supp
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""),
+
     // Multi-column global sort with explicit null placement (Spark's
     // default NULLS FIRST on ASC differs from DuckDB's NULLS LAST —
     // always explicit; SURVEY.md §7.3).
@@ -434,6 +449,16 @@ object Relational {
       FROM lineitem
       WHERE l_quantity >= 48
       ORDER BY l_suppkey, l_orderkey, l_quantity""",
+
+    "sort_cluster_by_sql" -> """
+      SELECT s_nationkey, s_suppkey FROM supplier
+      ORDER BY s_nationkey, s_suppkey""",
+
+    "join_mapjoin_hint" -> """
+      SELECT n_name, COUNT(*) AS n_supp
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name""",
 
     "topk_per_key" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (

@@ -97,6 +97,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.collect().toSeq == expect)
   }
 
+  test("Hive MAPJOIN hint produces a broadcast join") {
+    val p = plan("join_mapjoin_hint")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("TABLESAMPLE bucket sampling parses and bounds the sample") {
+    Tables.register(spark, LocalSpark.sf)
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM orders TABLESAMPLE (BUCKET 1 OUT OF 10)"
+    ).collect()(0).getLong(0)
+    assert(n > 0 && n < 1500, s"bucket sample returned $n of 1500")
+  }
+
   test("subquery_in plans as a semi join, not an aggregate+filter") {
     val p = plan("subquery_in")
     assert(p.contains("SemiJoin") || p.contains("LeftSemi"), p)
