@@ -41,6 +41,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream: events parquet dir as a micro-batch stream") {
+    // the same batch expressions run over readStream; Trigger.AvailableNow
+    // drains the existing files then stops — no always-on query in tests
+    LocalSpark.spark // init
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    Tables.register(spark, LocalSpark.sf)
+    spark.table("events").limit(600).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val counts = spark.readStream.schema(schema).parquet(dir)
+      .groupBy($"event_type").count()
+    val q = counts.writeStream.format("memory").queryName("ev_file_agg")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val got = spark.table("ev_file_agg").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = spark.read.parquet(dir).groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("custom sessionization with flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
