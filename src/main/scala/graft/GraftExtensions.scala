@@ -15,6 +15,9 @@ import graft.functions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
@@ -27,21 +30,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => SimHash64(es.head)))
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(tokens, n) - n seeded min-hashes"),
-      (es: Seq[Expression]) => MinHashSig(es(0), es(1).eval().asInstanceOf[Int])))
+      (es: Seq[Expression]) => MinHashSig(es(0), intArg(es(1)))))
     e.injectFunction((FunctionIdentifier("winnow_fingerprint"),
       info("winnow_fingerprint", "winnow_fingerprint(text, k, w) - winnowing fingerprint"),
       (es: Seq[Expression]) => WinnowFingerprint(es(0),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+        intArg(es(1)), intArg(es(2)))))
     e.injectFunction((FunctionIdentifier("tokenize"),
       info("tokenize", "tokenize(text) - lowercase whitespace tokens"),
       (es: Seq[Expression]) => Tokenize(es.head)))
     e.injectFunction((FunctionIdentifier("shingle_set"),
       info("shingle_set", "shingle_set(text, n) - distinct n-token shingles"),
-      (es: Seq[Expression]) => ShingleSet(es(0), es(1).eval().asInstanceOf[Int])))
+      (es: Seq[Expression]) => ShingleSet(es(0), intArg(es(1)))))
     e.injectFunction((FunctionIdentifier("lsh_buckets"),
       info("lsh_buckets", "lsh_buckets(vec, tables, planes) - LSH bucket per table"),
       (es: Seq[Expression]) => LshBuckets(es(0),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+        intArg(es(1)), intArg(es(2)))))
     e.injectFunction((FunctionIdentifier("field"),
       info("field", "field(needle, s1, s2, ...) - 1-based index of needle"),
       (es: Seq[Expression]) => FieldFn(es)))

@@ -17,13 +17,15 @@ object Tables {
 
   // skip re-registration while the session's views already point at this
   // sfDir: re-reading 10 parquet footers per query is pure overhead.
-  // Keyed by LAST dir per session (not a set) because the views are
-  // session-global — switching sfDir must re-register.
+  // Temp views are PER SparkSession, so key by the session itself
+  // (weakly — sessions must stay collectable), remembering only the
+  // LAST dir: switching sfDir must re-register.
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   def register(spark: SparkSession, sfDir: String): Unit = {
-    if (registered.put(spark.sparkContext.applicationId, sfDir) == sfDir) return
+    if (registered.put(spark, sfDir) == sfDir) return
     // events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects by
     // default; read it as a nanos long and floor-divide to µs (integer
     // div — double division would lose precision above 2^53), matching

@@ -359,22 +359,23 @@ object GraftFunctions {
   /** Make the functions usable from spark.sql text too. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
-      es => MinHashSig(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
+      es => MinHashSig(es(0), intArg(es(1))), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       es => WinnowFingerprint(es(0),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "built-in")
+        intArg(es(1)), intArg(es(2))), "built-in")
     reg.createOrReplaceTempFunction("tokenize",
       es => Tokenize(es.head), "built-in")
     reg.createOrReplaceTempFunction("shingle_set",
-      es => ShingleSet(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
+      es => ShingleSet(es(0), intArg(es(1))), "built-in")
     reg.createOrReplaceTempFunction("lsh_buckets",
       es => LshBuckets(es(0),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "built-in")
+        intArg(es(1)), intArg(es(2))), "built-in")
     reg.createOrReplaceTempFunction("field", es => FieldFn(es), "built-in")
   }
 }

@@ -30,7 +30,9 @@ object Multimodal {
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int, Double) = {
       val w = 16 + (math.abs(payload.length * 31) % 64)
-      val h = 16 + (math.abs(Hashing.hash64(payload, 0, payload.length, 7L)).toInt % 64)
+      // floorMod keeps the Long in [0,64) BEFORE the Int narrowing —
+      // abs(hash).toInt is negative whenever bit 31 is set
+      val h = 16 + java.lang.Math.floorMod(Hashing.hash64(payload, 0, payload.length, 7L), 64L).toInt
       var sum = 0L
       var i = 0
       while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }

@@ -63,8 +63,15 @@ case class TopKPerKeyExec(
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       iter.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[UnsafeRow](cmp.asInstanceOf[Ordering[UnsafeRow]]))
+        // probe with the reused projection row; copy the key only when
+        // it is first inserted (getOrElseUpdate would copy every row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[UnsafeRow](cmp.asInstanceOf[Ordering[UnsafeRow]])
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < limit) {
           heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
         } else if (cmp.compare(row, heap.head) < 0) {

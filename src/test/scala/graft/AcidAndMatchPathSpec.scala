@@ -63,6 +63,24 @@ class AcidAndMatchPathSpec extends AnyFunSuite {
     assert(t.count() == 500)
   }
 
+  test("scoped DELETE that empties a partition actually removes it") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.acid_pd")
+    Tables.register(spark, LocalSpark.sf)
+    spark.table("documents").select($"doc_id", $"text", $"lang")
+      .write.partitionBy("lang").saveAsTable("graft_db.acid_pd")
+    val enRows = spark.table("graft_db.acid_pd").where($"lang" === "en").count()
+    assert(enRows > 0)
+    val total = spark.table("graft_db.acid_pd").count()
+    // delete EVERY row of the scoped partition — dynamic overwrite alone
+    // would silently keep them (no data written for the partition)
+    Acid.deleteFrom(spark, "graft_db.acid_pd", lit(true),
+      partitionScope = Some($"lang" === "en"))
+    val t = spark.table("graft_db.acid_pd")
+    assert(t.where($"lang" === "en").count() == 0, "emptied partition must be dropped")
+    assert(t.count() == total - enRows, "other partitions untouched")
+  }
+
   test("matchpath PTF agrees with a local reference implementation") {
     Tables.register(spark, LocalSpark.sf)
     val got = MatchPath.matches(spark, LocalSpark.sf, "v+p")

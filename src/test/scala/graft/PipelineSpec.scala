@@ -82,6 +82,8 @@ class PipelineSpec extends AnyFunSuite {
     val rows = out.orderBy("doc_id").collect()
     assert(rows.length == 500)
     assert(rows.forall(r => r.getInt(2) >= 16 && r.getInt(2) < 80))
+    assert(rows.forall(r => r.getInt(3) >= 16 && r.getInt(3) < 80),
+      "heights must stay in [16,80) — negative-modulo regression guard")
     assert(rows.forall(_.getSeq[Float](5).length == 8))
     val again = Multimodal.decodePipeline(spark, LocalSpark.sf).orderBy("doc_id").collect()
     assert(rows.map(_.getDouble(4)).toSeq == again.map(_.getDouble(4)).toSeq)
