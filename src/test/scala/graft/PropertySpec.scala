@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import scala.collection.mutable
+
+import graft.functions.{Hashing, NGramsTopKAgg}
+
+/** Property-based tests (SURVEY.md §5.2 item 4) for the custom
+  * aggregate/hash kernels — the merge-semantics mirror of Hive's
+  * GenericUDAFEvaluator.merge contract: partials must combine to the
+  * same result regardless of how rows were split across partitions. */
+class PropertySpec extends AnyFunSuite {
+
+  /** run a ScalaCheck property and fail the suite with its status */
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val tokenGen: Gen[Seq[String]] =
+    Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e")).map(_.toSeq)
+  private val corpusGen: Gen[List[Seq[String]]] =
+    Gen.listOfN(8, tokenGen)
+
+  // drive the aggregate's update/merge directly, as the execution
+  // engine would
+  private def agg = NGramsTopKAgg(
+    org.apache.spark.sql.catalyst.expressions.Literal(null), n = 2, k = 100,
+    maxBuf = 100000)
+
+  private def updateWith(buf: mutable.HashMap[String, Long],
+                         toks: Seq[String]): mutable.HashMap[String, Long] = {
+    // inline the gram loop (update() evals the child expression; here we
+    // feed token lists directly through the same counting logic)
+    if (toks.length >= 2) {
+      toks.sliding(2).foreach { w =>
+        val g = w.mkString(" ")
+        buf.update(g, buf.getOrElse(g, 0L) + 1L)
+      }
+    }
+    buf
+  }
+
+  test("ngrams partials merge to the same counts for ANY partition split") {
+    val a = agg
+    check(Prop.forAll(corpusGen, Gen.choose(0, 8)) { (docs, splitAt0) =>
+      val splitAt = splitAt0 min docs.length
+      val whole = docs.foldLeft(a.createAggregationBuffer())(updateWith)
+      val left = docs.take(splitAt).foldLeft(a.createAggregationBuffer())(updateWith)
+      val right = docs.drop(splitAt).foldLeft(a.createAggregationBuffer())(updateWith)
+      a.merge(left, right).toMap == whole.toMap
+    })
+  }
+
+  test("ngrams serialize/deserialize round-trips any buffer") {
+    val a = agg
+    check(Prop.forAll(corpusGen) { docs =>
+      val buf = docs.foldLeft(a.createAggregationBuffer())(updateWith)
+      a.deserialize(a.serialize(buf)).toMap == buf.toMap
+    })
+  }
+
+  test("hash64 distributes: no seed collisions across small inputs") {
+    check(Prop.forAll(Gen.alphaNumStr.suchThat(_.nonEmpty),
+                      Gen.alphaNumStr.suchThat(_.nonEmpty)) { (s1, s2) =>
+      val b1 = s1.getBytes("UTF-8"); val b2 = s2.getBytes("UTF-8")
+      // different inputs, same seed → different hashes (a collision in
+      // this tiny space would indicate a broken mix); same input,
+      // different seeds → different hashes
+      (s1 == s2 ||
+        Hashing.hash64(b1, 0, b1.length, 1L) != Hashing.hash64(b2, 0, b2.length, 1L)) &&
+        Hashing.hash64(b1, 0, b1.length, 1L) != Hashing.hash64(b1, 0, b1.length, 2L)
+    })
+  }
+
+  test("minhash signature equality rate estimates jaccard (statistical bound)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val mh = graft.functions.MinHashSig(
+      org.apache.spark.sql.catalyst.expressions.Literal(null), 256)
+    def sig(xs: Set[String]): Seq[Long] = {
+      val arr = new GenericArrayData(xs.toArray.map(UTF8String.fromString): Array[Any])
+      mh.nullSafeEval(arr).asInstanceOf[GenericArrayData].toLongArray().toSeq
+    }
+    check(Prop.forAll(Gen.choose(10, 60), Gen.choose(0, 40)) { (common, extra) =>
+      val shared = (0 until common).map("s" + _).toSet
+      val a = shared ++ (0 until extra).map("a" + _)
+      val b = shared ++ (0 until extra).map("b" + _)
+      val trueJ = shared.size.toDouble / (a ++ b).size
+      val est = sig(a).zip(sig(b)).count { case (x, y) => x == y } / 256.0
+      math.abs(est - trueJ) < 0.2
+    })
+  }
+}
