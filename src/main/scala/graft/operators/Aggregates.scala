@@ -117,11 +117,20 @@ object Aggregates {
 
     // histogram_numeric sketch (GenericUDAFHistogramNumeric): bin
     // centroids are engine-specific numerics — rows-only + ScalaTest.
+    // Bins are posexploded to scalar (bin, bin_x, bin_y) columns: the
+    // driver's pandas compare cannot hash an array<struct> column
+    // (round-1 `err`), and scalars also make the row count meaningful.
     "agg_histogram_numeric" -> Tables.sql("""
-      SELECT l_returnflag, HISTOGRAM_NUMERIC(l_quantity, 5) AS hist
-      FROM lineitem
-      GROUP BY l_returnflag
-      ORDER BY l_returnflag"""),
+      SELECT l_returnflag, pos AS bin,
+             ROUND(b.x, 6) AS bin_x,
+             CAST(b.y AS DOUBLE) AS bin_y
+      FROM (
+        SELECT l_returnflag, HISTOGRAM_NUMERIC(l_quantity, 5) AS hist
+        FROM lineitem
+        GROUP BY l_returnflag
+      ) h
+      LATERAL VIEW POSEXPLODE(hist) t AS pos, b
+      ORDER BY l_returnflag, bin"""),
 
     // collect_set/collect_list (GenericUDAFMkCollectionEvaluator) —
     // compared as a sorted joined string (set semantics, stable text).

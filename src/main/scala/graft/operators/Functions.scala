@@ -96,11 +96,14 @@ object Functions {
       WHERE o_orderkey < 300
       ORDER BY o_orderkey"""),
 
+    // dtype discipline (round-1 driver lesson): the driver's hash compare is
+    // dtype-strict, and FLOOR/CEIL/SIGN/FACTORIAL return different types in
+    // Spark vs DuckDB — CAST to one agreed type on BOTH sides.
     "math_fns" -> Tables.sql("""
       SELECT p_partkey,
              ROUND(p_retailprice, 1) AS r1,
-             FLOOR(p_retailprice) AS fl,
-             CEIL(p_retailprice) AS ce,
+             CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
+             CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
              ABS(-p_size) AS ab,
              ROUND(SQRT(p_size), 9) AS sq,
              ROUND(CBRT(p_size), 9) AS cb,
@@ -109,10 +112,10 @@ object Functions {
              ROUND(LOG10(p_size + 1), 9) AS l10,
              POWER(p_size, 2) AS p2,
              PMOD(-p_size, 7) AS pm,
-             SIGN(p_size - 25) AS sg,
+             CAST(SIGN(p_size - 25) AS DOUBLE) AS sg,
              HEX(p_size) AS hx,
              SHIFTLEFT(p_size, 2) AS shl,
-             FACTORIAL(p_size % 10) AS fact
+             CAST(FACTORIAL(p_size % 10) AS BIGINT) AS fact
       FROM part
       WHERE p_partkey < 300
       ORDER BY p_partkey"""),
@@ -309,8 +312,8 @@ object Functions {
     "math_fns" -> """
       SELECT p_partkey,
              ROUND(p_retailprice, 1) AS r1,
-             FLOOR(p_retailprice) AS fl,
-             CEIL(p_retailprice) AS ce,
+             CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
+             CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
              ABS(-p_size) AS ab,
              ROUND(SQRT(p_size), 9) AS sq,
              ROUND(CBRT(p_size), 9) AS cb,
@@ -319,10 +322,10 @@ object Functions {
              ROUND(LOG10(p_size + 1), 9) AS l10,
              POWER(p_size, 2) AS p2,
              ((-p_size % 7) + 7) % 7 AS pm,
-             SIGN(p_size - 25) AS sg,
+             CAST(SIGN(p_size - 25) AS DOUBLE) AS sg,
              UPPER(TO_HEX(p_size)) AS hx,
              p_size << 2 AS shl,
-             FACTORIAL(p_size % 10) AS fact
+             CAST(FACTORIAL(p_size % 10) AS BIGINT) AS fact
       FROM part
       WHERE p_partkey < 300
       ORDER BY p_partkey""",

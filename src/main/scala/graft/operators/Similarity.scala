@@ -90,24 +90,30 @@ object Similarity {
 
     // LSH-bucketed ANN: 50 query vectors, candidates from 16 hash tables
     // of 6-plane buckets, exact cosine re-rank within candidates.
+    // 100 TB discipline: candidate generation (bucket equi-join +
+    // DISTINCT) shuffles ONLY (tbl, bucket, qid, nid) ints — the wide
+    // 64-float embeddings re-join AFTER the pair set is deduped, query
+    // side broadcast. (Round-1 carried both vectors through the DISTINCT
+    // shuffle — the per-round plan audit flagged it as a scale-killer.)
     "ann_lsh_bucketed" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       val emb = spark.table("embeddings")
       val bucketed = emb
         .withColumn("bs", GraftFunctions.lsh_buckets(col("embedding"), 16, 6))
-        .select(col("vec_id"), col("embedding"),
-          posexplode(col("bs")).as(Seq("tbl", "bucket")))
-      val queries = bucketed.where(col("vec_id") < 50)
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-          col("tbl"), col("bucket"))
-      val cand = queries
+        .select(col("vec_id"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
+      val candIds = bucketed.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
         .join(bucketed.withColumnRenamed("vec_id", "nid"), Seq("tbl", "bucket"))
         .where(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"), col("qemb"), col("embedding"))
+        .select(col("qid"), col("nid"))
         .distinct()
+      val qemb = emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("nid"))
-      cand
+      candIds
+        .join(emb.select(col("vec_id").as("nid"), col("embedding")), "nid")
+        .join(broadcast(qemb), "qid")
         .withColumn("cos", round(GraftFunctions.cosine_sim(col("qemb"), col("embedding")), 6))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)

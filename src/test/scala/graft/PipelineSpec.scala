@@ -35,6 +35,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("dedup_ngram_jaccard prefix filter is exact: equals brute-force block pairs") {
+    Tables.register(spark, LocalSpark.sf)
+    graft.functions.GraftFunctions.register(spark)
+    // brute force within source blocks (fine at 500 docs)
+    val truth = spark.sql("""
+      WITH sh AS (SELECT doc_id, source, SHINGLE_SET(text, 3) grams FROM documents
+                  WHERE SIZE(SHINGLE_SET(text, 3)) > 0)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(SIZE(ARRAY_INTERSECT(a.grams, b.grams)) / SIZE(ARRAY_UNION(a.grams, b.grams)), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE SIZE(ARRAY_INTERSECT(a.grams, b.grams)) / SIZE(ARRAY_UNION(a.grams, b.grams)) >= 0.5
+    """).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.queries("dedup_ngram_jaccard")(spark, LocalSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == truth, s"prefix filter must lose nothing: missing=${truth.diff(got)} extra=${got.diff(truth)}")
+  }
+
+  test("dedup_ngram_jaccard prefix index shrinks hot postings (scale bound)") {
+    Tables.register(spark, LocalSpark.sf)
+    graft.functions.GraftFunctions.register(spark)
+    val stats = spark.sql("""
+      WITH sh AS (SELECT doc_id, source, SHINGLE_SET(text, 3) grams FROM documents
+                  WHERE SIZE(SHINGLE_SET(text, 3)) > 0),
+      inv AS (SELECT doc_id, source, SIZE(grams) n, gram
+              FROM sh LATERAL VIEW EXPLODE(grams) g AS gram),
+      df AS (SELECT source, gram, COUNT(*) df FROM inv GROUP BY source, gram),
+      prefix AS (
+        SELECT doc_id, source, gram FROM (
+          SELECT i.doc_id, i.source, i.gram, i.n,
+                 ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.gram) rk
+          FROM inv i JOIN df d ON i.gram = d.gram AND i.source = d.source
+        ) WHERE rk <= n - CEIL(0.5 * n) + 1
+      )
+      SELECT (SELECT MAX(df) FROM df) AS full_max,
+             (SELECT MAX(cnt) FROM (SELECT COUNT(*) cnt FROM prefix GROUP BY source, gram)) AS prefix_max,
+             (SELECT COUNT(*) FROM inv) AS full_n,
+             (SELECT COUNT(*) FROM prefix) AS prefix_n
+    """).collect()(0)
+    val (fullMax, prefixMax) = (stats.getLong(0), stats.getLong(1))
+    val (fullN, prefixN) = (stats.getLong(2), stats.getLong(3))
+    // the index must shrink materially, and the hottest posting must not
+    // survive intact — this is the 100 TB pair-blowup guard
+    assert(prefixN < fullN * 0.7, s"prefix index $prefixN vs full $fullN")
+    assert(prefixMax < fullMax, s"hottest posting not reduced: $prefixMax vs $fullMax")
+  }
+
   test("dedup_simhash pairs are hamming-verified and include exact duplicates") {
     val df = Dedup.queries("dedup_simhash")(spark, LocalSpark.sf).collect()
     assert(df.nonEmpty)

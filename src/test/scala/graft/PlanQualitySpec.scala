@@ -72,6 +72,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ann_lsh_bucketed candidate exchanges carry only ids, not embeddings") {
+    // the scale contract: the (tbl,bucket) equi-join + pair DISTINCT move
+    // ints only; the 64-float vectors re-join after dedup. AQE is turned
+    // off for the inspection so Exchanges aren't hidden inside leaf
+    // QueryStageExec wrappers.
+    import org.apache.spark.sql.execution.exchange.Exchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val root =
+      try SparkEntry.queries("ann_lsh_bucketed")(spark, LocalSpark.sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val exchanges = root.collect { case e: Exchange => e }
+    val bucketCarrying = exchanges.filter(_.output.exists(_.name == "bucket"))
+    assert(bucketCarrying.nonEmpty, "expected a candidate exchange keyed by bucket")
+    bucketCarrying.foreach { e =>
+      val wide = e.output.filter(_.name.toLowerCase.contains("emb"))
+      assert(wide.isEmpty,
+        s"wide vector columns ${wide.map(_.name)} inside the candidate exchange:\n$e")
+    }
+  }
+
   test("topk_per_key: custom exec with partial phase below the exchange, no WindowExec") {
     val df = SparkEntry.queries("topk_per_key")(spark, LocalSpark.sf)
     val p = df.queryExecution.executedPlan.toString()
