@@ -1,5 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Perf harness the round driver runs at sf0.1 (`BENCH_r{N}.json`).
+  *
+  * Measurement validity (round-1 lessons):
+  *  - every query materializes through the `noop` sink, not `.count()` —
+  *    count let Catalyst prune projection expressions and drop final
+  *    sorts, flattering exactly the function-heavy queries;
+  *  - the warmup block compiles a representative mix of plan shapes
+  *    (scan/agg/join/window/sort + custom expressions) so shared JVM/JIT
+  *    cost is not charged to whichever query happens to run first — each
+  *    query still pays its own planning + whole-stage-codegen compile;
+  *  - output: one full per-query JSON line first, then a COMPACT summary
+  *    line. The driver keeps only a ~2 KB stdout tail, which truncated
+  *    the front of round 1's single long line ("parsed": null) — the
+  *    compact line is short enough to always survive the tail window.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,22 +23,46 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up session/JIT/parquet reader so the first timed query isn't
-    // charged startup cost
-    spark.range(100000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // Warm shared machinery: parquet reader + view registration, the
+    // Janino/codegen compiler, broadcast + shuffle join paths, window
+    // exec, and the custom expression kernels.
+    Tables.register(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
+    materialize(spark.sql("""
+      SELECT o.o_orderstatus, COUNT(*) n,
+             SUM(l.l_quantity) sq,
+             ROW_NUMBER() OVER (PARTITION BY o.o_orderstatus ORDER BY o.o_orderkey) rn
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_orderkey < 500
+      GROUP BY o.o_orderstatus, o.o_orderkey
+      ORDER BY n DESC LIMIT 10"""))
+    materialize(spark.sql(
+      "SELECT SIZE(SHINGLE_SET(text, 3)) s, SIZE(TOKENIZE(text)) t FROM documents LIMIT 50"))
+
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir))
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) => s"\"$k\":${r3(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // full detail first (may fall outside the driver's tail window)…
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // …then the compact line the tail always captures: total + slowest 6
+    val slow = results.sortBy(-_._2).take(6)
+      .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
