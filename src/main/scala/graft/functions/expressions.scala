@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -12,9 +12,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * (SURVEY.md §7.2 decision table) plus the similarity/fingerprint
   * primitives of the training-data pipeline operators.
   *
-  * All are deterministic, null-safe scalar expressions evaluated per-row
-  * inside the JVM (CodegenFallback — one virtual call per row; the inner
-  * loops are tight primitive loops, which is what matters at 100 TB).
+  * All are deterministic, null-safe scalar expressions. Each implements
+  * `doGenCode` by invoking its compiled kernel through a codegen
+  * reference — the kernel itself is one JVM call per row (the inner
+  * loops are tight primitive loops), and, unlike CodegenFallback, the
+  * SURROUNDING operators keep whole-stage codegen: a single fallback
+  * expression in a projection used to knock the entire stage out of
+  * codegen. Input types are declared via Bridge.GraftExpectsInputTypes
+  * so e.g. an array<double> literal fed to a float-vector kernel fails
+  * analysis instead of silently misreading bytes.
+  *
   * Hashing is FNV-1a 64 with a murmur-style finalizer — stable across
   * JVMs/partitions, so signatures computed on different executors agree.
   */
@@ -45,20 +52,38 @@ object Hashing {
   }
 }
 
+/** Shared text kernel: lowercase + space-split + drop empties, one pass. */
+object TextKernels {
+  def tokens(input: UTF8String): Array[String] = {
+    val s = input.toLowerCase.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) out += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+}
+
 /** cosine_sim(Array[Float], Array[Float]) → Double. Null on length
   * mismatch. Sequential double accumulation (index order) so the value
-  * is reproducible regardless of partitioning. Implements doGenCode —
-  * the hot loop of the ANN/dedup joins stays inside whole-stage codegen
-  * instead of falling back to per-row interpreted eval. */
+  * is reproducible regardless of partitioning. Implements doGenCode
+  * inline — the hot loop of the ANN/dedup joins stays inside whole-stage
+  * codegen instead of falling back to per-row interpreted eval. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with Bridge.GraftExpectsInputTypes {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -112,11 +137,11 @@ case class CosineSim(left: Expression, right: Expression)
   * of the token multiset (Charikar's simhash; near-identical token sets
   * differ in few bits → hamming-distance dedup). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with Bridge.GraftExpectsInputTypes {
   override def dataType: DataType = LongType
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def kernel(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
@@ -136,6 +161,12 @@ case class SimHash64(child: Expression)
     while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
     out
   }
+
+  override def nullSafeEval(input: Any): Any = kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
@@ -143,12 +174,12 @@ case class SimHash64(child: Expression)
   * seeded permutation. Buffer is fixed-size (numHashes longs) — bounded
   * and mergeable per SURVEY.md §7.3 rule 6. */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with Bridge.GraftExpectsInputTypes {
   require(numHashes > 0 && numHashes <= 1024)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def kernel(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
     // hash each element once per seed; bytes fetched once per element
@@ -167,6 +198,12 @@ case class MinHashSig(child: Expression, numHashes: Int)
     }
     new GenericArrayData(sig)
   }
+
+  override def nullSafeEval(input: Any): Any = kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
@@ -175,12 +212,13 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * char k-grams, keep the rightmost minimum of each w-window, dedupe
   * consecutive picks. Output size is ~2/(w+1) of |text| — bounded. */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with Bridge.GraftExpectsInputTypes {
   require(k > 0 && w > 0)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  def kernel(input: UTF8String): ArrayData = {
+    val bytes = input.getBytes
     val n = bytes.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
     val grams = new Array[Long](n)
@@ -201,6 +239,12 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     }
     new GenericArrayData(out.toArray)
   }
+
+  override def nullSafeEval(input: Any): Any = kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
   override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
     copy(child = c)
 }
@@ -210,23 +254,22 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   * FILTER(SPLIT(LOWER(text),' '), w -> w <> '') but ~10× cheaper: the
   * composed built-ins materialize three intermediate arrays per row. */
 case class Tokenize(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with Bridge.GraftExpectsInputTypes {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    var start = 0
-    val len = s.length
+  def kernel(input: UTF8String): ArrayData = {
+    val toks = TextKernels.tokens(input)
+    val out = new Array[Any](toks.length)
     var i = 0
-    while (i <= len) {
-      if (i == len || s.charAt(i) == ' ') {
-        if (i > start) out += UTF8String.fromString(s.substring(start, i))
-        start = i + 1
-      }
-      i += 1
-    }
-    new GenericArrayData(out.toArray)
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenize", this, classOf[Tokenize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
   override protected def withNewChildInternal(c: Expression): Tokenize = copy(c)
 }
@@ -237,13 +280,14 @@ case class Tokenize(child: Expression)
   * ARRAY_DISTINCT(TRANSFORM(SEQUENCE...SLICE...CONCAT_WS)) pipeline was
   * the dominant query cost. */
 case class ShingleSet(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with Bridge.GraftExpectsInputTypes {
   require(n >= 1 && n <= 16)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = Tokenize(child).nullSafeEval(input).asInstanceOf[GenericArrayData]
-    val m = toks.numElements()
+  def kernel(input: UTF8String): ArrayData = {
+    val toks = TextKernels.tokens(input)
+    val m = toks.length
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]((m - n + 1) * 2)
     val sb = new java.lang.StringBuilder
@@ -253,7 +297,7 @@ case class ShingleSet(child: Expression, n: Int)
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        sb.append(toks.get(i + j, StringType).toString)
+        sb.append(toks(i + j))
         j += 1
       }
       seen.add(sb.toString)
@@ -265,8 +309,65 @@ case class ShingleSet(child: Expression, n: Int)
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)
   }
+
+  override def nullSafeEval(input: Any): Any = kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[ShingleSet].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
   override protected def withNewChildInternal(c: Expression): ShingleSet =
     copy(child = c)
+}
+
+/** stopword_ratio(Array[String], Array[String] literal) → Double: the
+  * fraction of tokens found in the (foldable) stopword list; null for an
+  * empty token array. One hashed-set pass — replaces the
+  * SIZE(FILTER(toks, w -> ARRAY_CONTAINS(list, w)))/SIZE(toks) idiom,
+  * which interprets a lambda + linear list scan per token (the round-1
+  * bench flagged text_langid, which evaluates three of those per row). */
+case class StopwordRatio(left: Expression, right: Expression)
+    extends BinaryExpression with Bridge.GraftExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    require(right.foldable, "stopword_ratio: the stopword list must be a literal")
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[UTF8String](arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i))
+      i += 1
+    }
+    s
+  }
+
+  def kernel(toks: ArrayData): Double = {
+    val n = toks.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i) && stopSet.contains(toks.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c.toDouble / n
+  }
+
+  override def nullSafeEval(t: Any, unused: Any): Any = {
+    val toks = t.asInstanceOf[ArrayData]
+    if (toks.numElements() == 0) null else kernel(toks)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopratio", this, classOf[StopwordRatio].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"""
+      if ($t.numElements() == 0) { ${ev.isNull} = true; }
+      else { ${ev.value} = $ref.kernel($t); }""")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StopwordRatio =
+    copy(left = newLeft, right = newRight)
 }
 
 /** lsh_buckets(Array[Float], numTables, numPlanes) → Array[Int]: one
@@ -278,12 +379,12 @@ case class ShingleSet(child: Expression, n: Int)
   * This is the 100 TB ANN path: candidates come from an equi-join on
   * (table, bucket) instead of an O(n²) cross join. */
 case class LshBuckets(child: Expression, numTables: Int, numPlanes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with Bridge.GraftExpectsInputTypes {
   require(numTables >= 1 && numTables <= 64 && numPlanes >= 1 && numPlanes <= 30)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def kernel(v: ArrayData): ArrayData = {
     val dim = v.numElements()
     val out = new Array[Int](numTables)
     var t = 0
@@ -307,6 +408,12 @@ case class LshBuckets(child: Expression, numTables: Int, numPlanes: Int)
       t += 1
     }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lsh", this, classOf[LshBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
   override protected def withNewChildInternal(c: Expression): LshBuckets =
     copy(child = c)
@@ -351,6 +458,8 @@ object GraftFunctions {
     Bridge.column(Tokenize(Bridge.expression(c)))
   def shingle_set(c: Column, n: Int): Column =
     Bridge.column(ShingleSet(Bridge.expression(c), n))
+  def stopword_ratio(toks: Column, stopwords: Column): Column =
+    Bridge.column(StopwordRatio(Bridge.expression(toks), Bridge.expression(stopwords)))
   def lsh_buckets(c: Column, numTables: Int, numPlanes: Int): Column =
     Bridge.column(LshBuckets(Bridge.expression(c), numTables, numPlanes))
   def field(cols: Column*): Column =
@@ -373,6 +482,8 @@ object GraftFunctions {
       es => Tokenize(es.head), "built-in")
     reg.createOrReplaceTempFunction("shingle_set",
       es => ShingleSet(es(0), intArg(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("stopword_ratio",
+      es => StopwordRatio(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("lsh_buckets",
       es => LshBuckets(es(0),
         intArg(es(1)), intArg(es(2))), "built-in")

@@ -1,12 +1,13 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hive ACID UPDATE/DELETE (QL/parse/UpdateDeleteSemanticAnalyzer.java,
   * base+delta files — SURVEY.md §1.1) mapped to the vanilla-Spark
-  * equivalent: read → rewrite → atomic overwrite. No delta files or
-  * compactor are needed because the rewrite IS the compaction.
+  * equivalent: read → rewrite → overwrite. No delta files or compactor
+  * are needed because the rewrite IS the compaction.
   *
   * Scale behavior: an unscoped UPDATE/DELETE rewrites the whole table —
   * unavoidable without a delta format. Passing `partitionScope` (a
@@ -14,7 +15,21 @@ import org.apache.spark.sql.functions._
   * and the rewrite to matching partitions under dynamic partition
   * overwrite, so at 100 TB the cost is proportional to touched
   * partitions, not table size. Rows outside the scope are untouched on
-  * disk, not rewritten.
+  * disk, not rewritten. Exception: an UPDATE whose assignment targets a
+  * partition column can MOVE rows into partitions outside the scope —
+  * dynamic overwrite would then replace those target partitions with
+  * only the moved rows. That case falls back to a full static rewrite
+  * (correct for any movement pattern; costs a table scan, like Hive's
+  * own rewrite of a bucketed/partitioned update).
+  *
+  * Durability: the staged copy lives on the TABLE's own filesystem (a
+  * `_graft_staging_*` sibling of the table directory), so on a real
+  * cluster every executor writes to the shared FS — never to
+  * driver-local temp (round-1 flaw). The final overwrite inherits
+  * Spark's INSERT OVERWRITE commit protocol (job-commit rename); the
+  * staged copy is kept until that commit returns, so a crash
+  * mid-overwrite still leaves a complete staged copy on the table FS
+  * for manual recovery.
   */
 object Acid {
 
@@ -26,16 +41,24 @@ object Acid {
   def updateTable(spark: SparkSession, table: String,
                   cond: Column, assignments: Map[String, Column],
                   partitionScope: Option[Column] = None): Unit = {
-    val base = scoped(spark, table, partitionScope)
-    val updated = base.select(base.columns.map { c =>
-      assignments.get(c) match {
-        case Some(v) => when(cond, v).otherwise(base(c)).as(c)
-        case None => base(c)
-      }
-    }.toIndexedSeq: _*)
-    // UPDATE preserves row counts, so every scoped partition reappears
-    // in the staged output and dynamic overwrite covers all of them
-    overwrite(spark, table, updated, partitionScope.isDefined)
+    val movesAcrossPartitions =
+      partitionColumns(spark, table).exists(assignments.contains)
+    (partitionScope, movesAcrossPartitions) match {
+      case (Some(scope), true) =>
+        // rows may leave the scoped partitions: rewrite the whole table
+        // statically (see header) with the scope folded into the
+        // update condition so out-of-scope rows pass through unchanged
+        val base = spark.table(table)
+        overwrite(spark, table,
+          project(base, cond && scope, assignments), dynamicPartitions = false)
+      case _ =>
+        val base = scoped(spark, table, partitionScope)
+        // UPDATE preserves per-partition row counts here (no partition
+        // column changes), so every scoped partition reappears in the
+        // staged output and dynamic overwrite covers all of them
+        overwrite(spark, table,
+          project(base, cond, assignments), partitionScope.isDefined)
+    }
   }
 
   /** DELETE FROM table WHERE cond [scoped to partitions]. */
@@ -51,8 +74,7 @@ object Acid {
         // staged data — a scoped partition whose every row is deleted
         // would silently survive. Record the scoped partitions first and
         // drop the ones the rewrite emptied.
-        val partCols = spark.catalog.listColumns(table)
-          .collect().filter(_.isPartition).map(_.name).toSeq
+        val partCols = partitionColumns(spark, table)
         require(partCols.nonEmpty, "partitionScope given but table is unpartitioned")
         val scopedParts = spark.table(table).where(scope)
           .select(partCols.map(col).toIndexedSeq: _*).distinct().collect()
@@ -72,36 +94,59 @@ object Acid {
     }
   }
 
+  private def project(base: DataFrame, cond: Column,
+                      assignments: Map[String, Column]): DataFrame =
+    base.select(base.columns.map { c =>
+      assignments.get(c) match {
+        case Some(v) => when(cond, v).otherwise(base(c)).as(c)
+        case None => base(c)
+      }
+    }.toIndexedSeq: _*)
+
+  private def partitionColumns(spark: SparkSession, table: String): Seq[String] =
+    spark.catalog.listColumns(table)
+      .collect().filter(_.isPartition).map(_.name).toSeq
+
   private def scoped(spark: SparkSession, table: String,
                      partitionScope: Option[Column]): DataFrame = {
     val df = spark.table(table)
     partitionScope.fold(df)(df.where) // partition predicate → pruned scan
   }
 
+  /** The table's storage location (works for managed and external
+    * datasource tables; DESCRIBE FORMATTED is the public API for it). */
+  private[operators] def tableLocation(spark: SparkSession, table: String): Path =
+    new Path(
+      spark.sql(s"DESCRIBE FORMATTED $table").collect()
+        .find(_.getString(0).trim == "Location")
+        .map(_.getString(1).trim)
+        .getOrElse(throw new IllegalStateException(s"no Location for $table")))
+
   private def overwrite(spark: SparkSession, table: String, data: DataFrame,
                         dynamicPartitions: Boolean): Unit = {
-    // stage to a scratch location first (a distributed write — never a
-    // driver-side collect), because overwriting a table from a plan that
-    // reads the same table would truncate the source mid-read
-    val tmp = java.nio.file.Files.createTempDirectory("graft-acid-stage")
+    // stage to a scratch directory ON THE TABLE'S FILESYSTEM (a
+    // distributed write — never a driver-side collect or driver-local
+    // temp dir), because overwriting a table from a plan that reads the
+    // same table would truncate the source mid-read
+    val tableDir = tableLocation(spark, table)
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(tableDir.getParent,
+      s"_graft_staging_${tableDir.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
     val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
-      data.write.mode("overwrite").parquet(tmp.toString)
+      data.write.mode("overwrite").parquet(staging.toString)
       if (dynamicPartitions) {
         // rewrite ONLY the partitions present in the staged data
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       }
-      spark.read.parquet(tmp.toString).write.mode("overwrite").insertInto(table)
+      spark.read.parquet(staging.toString).write.mode("overwrite").insertInto(table)
     } finally {
       saved match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
       // the staged copy is table-sized — never leak it
-      import java.nio.file.{Files, Path}
-      import scala.jdk.CollectionConverters._
-      Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach((p: Path) => Files.deleteIfExists(p))
+      fs.delete(staging, true)
     }
   }
 }

@@ -38,7 +38,11 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     // Stopword-ratio language scorer (n-gram-free heuristic; the test
     // corpus is synthetic word-soup so scores, not accuracy, are the
-    // contract — lang column is an independent label).
+    // contract — lang column is an independent label). STOPWORD_RATIO is
+    // the one-pass hashed-set kernel: the FILTER(toks, w ->
+    // ARRAY_CONTAINS(...)) spelling interprets a lambda + linear list
+    // scan per token, ×3 lists per row (round-1 bench: slowest scalar
+    // query at ~4.3 s cold; value-identical to the oracle's formulation).
     "text_langid" -> gsql(TokCte + """
       SELECT doc_id, s_en, s_de, s_fr,
              CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
@@ -46,9 +50,9 @@ object TextAnalysis {
                   ELSE 'fr' END AS lang_pred
       FROM (
         SELECT doc_id,
-          ROUND(SIZE(FILTER(toks, w -> ARRAY_CONTAINS(ARRAY('the','a','of','and','to','in','is','that','it','for'), w))) / SIZE(toks), 6) AS s_en,
-          ROUND(SIZE(FILTER(toks, w -> ARRAY_CONTAINS(ARRAY('der','die','das','und','ist','ein','zu','den','mit','von'), w))) / SIZE(toks), 6) AS s_de,
-          ROUND(SIZE(FILTER(toks, w -> ARRAY_CONTAINS(ARRAY('le','la','les','et','est','un','une','de','du','que'), w))) / SIZE(toks), 6) AS s_fr
+          ROUND(STOPWORD_RATIO(toks, ARRAY('the','a','of','and','to','in','is','that','it','for')), 6) AS s_en,
+          ROUND(STOPWORD_RATIO(toks, ARRAY('der','die','das','und','ist','ein','zu','den','mit','von')), 6) AS s_de,
+          ROUND(STOPWORD_RATIO(toks, ARRAY('le','la','les','et','est','un','une','de','du','que')), 6) AS s_fr
         FROM t WHERE SIZE(toks) > 0
       ) s
       ORDER BY doc_id"""),
@@ -62,7 +66,7 @@ object TextAnalysis {
              ROUND(LENGTH(text) / SIZE(toks), 6) AS chars_per_tok,
              SIZE(ARRAY_DISTINCT(toks)) AS n_uniq,
              ROUND(SIZE(ARRAY_DISTINCT(toks)) / SIZE(toks), 6) AS ttr,
-             ROUND(SIZE(FILTER(toks, w -> ARRAY_CONTAINS(ARRAY('the','a','of','and','to','in','is'), w))) / SIZE(toks), 6) AS stop_ratio,
+             ROUND(STOPWORD_RATIO(toks, ARRAY('the','a','of','and','to','in','is')), 6) AS stop_ratio,
              ROUND(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '')) / LENGTH(text), 6) AS alnum_ratio,
              CASE WHEN SIZE(toks) >= 10
                    AND SIZE(ARRAY_DISTINCT(toks)) / SIZE(toks) >= 0.2

@@ -57,6 +57,10 @@ case class TopKPerKeyExec(
     val limit = k
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // identity projection to UnsafeRow: a child emitting
+      // GenericInternalRow (e.g. an RDD scan) would otherwise CCE on the
+      // heap insert; for UnsafeRow input this is a plain buffer write
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val cmp = RowOrdering.create(sortOrder, childOutput)
       // max-heap under cmp: the WORST kept row sits on top and is
       // evicted when a better row arrives
@@ -73,10 +77,10 @@ case class TopKPerKeyExec(
             h
         }
         if (heap.size < limit) {
-          heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
+          heap.enqueue(toUnsafe(row).copy())
         } else if (cmp.compare(row, heap.head) < 0) {
           heap.dequeue()
-          heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
+          heap.enqueue(toUnsafe(row).copy())
         }
       }
       // emit each key's survivors in sort order (dequeueAll yields

@@ -63,6 +63,37 @@ class AcidAndMatchPathSpec extends AnyFunSuite {
     assert(t.count() == 500)
   }
 
+  test("scoped UPDATE that moves rows across partitions preserves target partitions") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.acid_mv")
+    Tables.register(spark, LocalSpark.sf)
+    spark.table("documents").select($"doc_id", $"text", $"lang")
+      .write.partitionBy("lang").saveAsTable("graft_db.acid_mv")
+    val t0 = spark.table("graft_db.acid_mv")
+    val deBefore = t0.where($"lang" === "de").count()
+    val enMoved = t0.where($"lang" === "en" && $"doc_id" < 50).count()
+    val total = t0.count()
+    assert(enMoved > 0 && deBefore > 0)
+    // an assignment to the PARTITION column, scoped to lang=en: the moved
+    // rows land in lang=de, which dynamic overwrite would clobber — the
+    // fallback full rewrite must keep de's pre-existing rows
+    Acid.updateTable(spark, "graft_db.acid_mv",
+      col("doc_id") < 50, Map("lang" -> lit("de")),
+      partitionScope = Some($"lang" === "en"))
+    val t = spark.table("graft_db.acid_mv")
+    assert(t.count() == total, "row count preserved")
+    assert(t.where($"lang" === "de").count() == deBefore + enMoved,
+      "target partition keeps its own rows AND gains the moved ones")
+    assert(t.where($"lang" === "en" && $"doc_id" < 50).count() == 0, "rows moved out")
+    // staging is a sibling of the table dir on the table's FS — and must
+    // never leak after the rewrite
+    val warehouse = spark.sql("DESCRIBE EXTENDED graft_db.acid_mv").collect()
+      .find(_.getString(0) == "Location").get.getString(1).stripPrefix("file:")
+    val parent = new java.io.File(warehouse).getParentFile
+    val leaked = parent.listFiles().filter(_.getName.startsWith("_graft_staging_"))
+    assert(leaked.isEmpty, s"staging leak: ${leaked.map(_.getName).toSeq}")
+  }
+
   test("scoped DELETE that empties a partition actually removes it") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
     spark.sql("DROP TABLE IF EXISTS graft_db.acid_pd")

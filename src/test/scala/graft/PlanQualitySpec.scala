@@ -93,6 +93,22 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("custom text expressions stay inside whole-stage codegen") {
+    // TOKENIZE/STOPWORD_RATIO/SHINGLE_SET implement doGenCode — a
+    // CodegenFallback expression anywhere in a projection knocks the
+    // WHOLE stage out of codegen (round-1 state for every kernel except
+    // CosineSim), so the scan→project pipeline of the text queries must
+    // show a codegen span around its Project
+    for (q <- Seq("text_quality", "text_fingerprint")) {
+      val df = SparkEntry.queries(q)(spark, LocalSpark.sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString()
+      val projectInCodegen = p.linesIterator.exists(l =>
+        l.contains("*(") && l.contains("Project"))
+      assert(projectInCodegen, s"$q: no codegen span around Project:\n$p")
+    }
+  }
+
   test("topk_per_key: custom exec with partial phase below the exchange, no WindowExec") {
     val df = SparkEntry.queries("topk_per_key")(spark, LocalSpark.sf)
     val p = df.queryExecution.executedPlan.toString()
