@@ -48,10 +48,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("field"),
       info("field", "field(needle, s1, s2, ...) - 1-based index of needle"),
       (es: Seq[Expression]) => FieldFn(es)))
-    // No custom optimizer rules are injected: every rewrite the Hive
-    // optimizer performs is already a Catalyst built-in (SURVEY.md §4),
-    // and a cosine_sim(x,x)→1.0 fold was rejected because zero-norm/NaN
+    e.injectFunction((FunctionIdentifier("stopword_ratio"),
+      info("stopword_ratio", "stopword_ratio(tokens, list) - fraction of tokens in list"),
+      (es: Seq[Expression]) => StopwordRatio(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("parse_url_tuple"),
+      info("parse_url_tuple", "parse_url_tuple(url, part, ...) - UDTF extracting url parts"),
+      (es: Seq[Expression]) => ParseUrlTuple(es)))
+    // Optimizer rule: Hive StatsOptimizer analog — COUNT/MIN/MAX over an
+    // ANALYZEd catalog table answered from stats, no scan (SURVEY.md
+    // §4.1). Other Hive rewrites are Catalyst built-ins (SURVEY.md §4);
+    // a cosine_sim(x,x)→1.0 fold was rejected because zero-norm/NaN
     // vectors evaluate to null/NaN, not 1.0 — a rule must preserve
     // semantics exactly or not exist.
+    e.injectOptimizerRule(_ => graft.plans.AnswerFromStats)
   }
 }

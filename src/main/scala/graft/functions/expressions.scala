@@ -488,5 +488,7 @@ object GraftFunctions {
       es => LshBuckets(es(0),
         intArg(es(1)), intArg(es(2))), "built-in")
     reg.createOrReplaceTempFunction("field", es => FieldFn(es), "built-in")
+    reg.createOrReplaceTempFunction("parse_url_tuple",
+      es => ParseUrlTuple(es), "built-in")
   }
 }

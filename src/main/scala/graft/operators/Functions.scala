@@ -232,6 +232,25 @@ object Functions {
       )
       ORDER BY p_partkey"""),
 
+    // parse_url_tuple as a true one-row UDTF (GenericUDTFParseUrlTuple):
+    // one URL parse serving all requested parts, vs parse_url × n above.
+    "url_tuple" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      graft.functions.GraftFunctions.register(spark)
+      spark.sql("""
+        SELECT p_partkey, t.host AS host, t.path AS path, t.brand AS brand
+        FROM (
+          SELECT p_partkey,
+                 CONCAT('https://parts.example.com/catalog/',
+                        REPLACE(LOWER(p_type), ' ', '-'),
+                        '?brand=', REPLACE(p_brand, '#', ''),
+                        '&size=', CAST(p_size AS STRING)) AS url
+          FROM part WHERE p_partkey < 200
+        )
+        LATERAL VIEW PARSE_URL_TUPLE(url, 'HOST', 'PATH', 'QUERY:brand') t AS host, path, brand
+        ORDER BY p_partkey""")
+    }),
+
     // TABLESAMPLE with seed: deterministic within Spark, but sampling
     // algorithms differ across engines — rows-only check + ScalaTest.
     "sample_bernoulli" -> Tables.sql("""
@@ -417,6 +436,14 @@ object Functions {
              CAST(l_linenumber AS VARCHAR) AS val
       FROM lineitem
       WHERE l_orderkey <= 40
-      ORDER BY l_orderkey, l_linenumber"""
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "url_tuple" -> """
+      SELECT p_partkey,
+             'parts.example.com' AS host,
+             '/catalog/' || REPLACE(LOWER(p_type), ' ', '-') AS path,
+             REPLACE(p_brand, '#', '') AS brand
+      FROM part WHERE p_partkey < 200
+      ORDER BY p_partkey"""
   )
 }

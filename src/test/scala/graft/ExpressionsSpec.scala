@@ -136,6 +136,42 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(edge.getSeq[String](2).isEmpty)
   }
 
+  test("parse_url_tuple generator agrees with parse_url per part") {
+    GraftFunctions.register(spark)
+    Seq(
+      "https://user@host.example.com:8080/a/b.html?x=1&y=2#frag",
+      "http://plain.org/path",
+      "ftp://files.net/dir/f.txt?x=only"
+    ).toDF("url").createOrReplaceTempView("urls")
+    val got = spark.sql("""
+      SELECT t.h, t.p, t.q, t.x, t.r
+      FROM urls
+      LATERAL VIEW PARSE_URL_TUPLE(url, 'HOST', 'PATH', 'QUERY', 'QUERY:x', 'REF') t AS h, p, q, x, r
+      ORDER BY t.h""").collect()
+    val expect = spark.sql("""
+      SELECT PARSE_URL(url, 'HOST') h, PARSE_URL(url, 'PATH') p,
+             PARSE_URL(url, 'QUERY') q, PARSE_URL(url, 'QUERY', 'x') x,
+             PARSE_URL(url, 'REF') r
+      FROM urls ORDER BY h""").collect()
+    assert(got.toSeq == expect.toSeq)
+    assert(got.length == 3)
+  }
+
+  test("stopword_ratio equals the FILTER/ARRAY_CONTAINS spelling") {
+    GraftFunctions.register(spark)
+    Seq("the cat sat on the mat", "der hund", "", "xyz").toDF("text")
+      .createOrReplaceTempView("swdocs")
+    val rows = spark.sql("""
+      SELECT STOPWORD_RATIO(TOKENIZE(text), ARRAY('the','on','der')) AS a,
+             CASE WHEN SIZE(TOKENIZE(text)) = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE SIZE(FILTER(TOKENIZE(text), w -> ARRAY_CONTAINS(ARRAY('the','on','der'), w))) / SIZE(TOKENIZE(text)) END AS b
+      FROM swdocs""").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+  }
+
   test("context_ngrams: top fillers for a wildcard slot") {
     ContextNGramsAgg.register(spark)
     Seq(

@@ -37,4 +37,58 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("AnswerFromStats: COUNT/MIN/MAX over an ANALYZEd table do a metadata-only scan") {
+    val base = LocalSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+      s.sql("DROP TABLE IF EXISTS graft_db.stats_t")
+      Tables.register(s, LocalSpark.sf)
+      s.table("supplier").write.saveAsTable("graft_db.stats_t")
+      val expectN = s.table("graft_db.stats_t").count()
+
+      // without stats the rule must NOT fire
+      val cold = s.sql("SELECT COUNT(*) AS n FROM graft_db.stats_t")
+      assert(!cold.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+        "rule fired without ANALYZE stats")
+
+      s.sql("ANALYZE TABLE graft_db.stats_t COMPUTE STATISTICS")
+      s.sql("ANALYZE TABLE graft_db.stats_t COMPUTE STATISTICS FOR COLUMNS s_suppkey, s_acctbal")
+      val df = s.sql(
+        "SELECT COUNT(*) AS n, COUNT(s_suppkey) AS ns, MIN(s_suppkey) AS mn, MAX(s_acctbal) AS mx FROM graft_db.stats_t")
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LocalRelation"), s"expected stats-only answer:\n$plan")
+      assert(!plan.contains("Relation") || !plan.contains("parquet"),
+        s"table scan survived:\n$plan")
+      val r = df.collect()(0)
+      assert(r.getLong(0) == expectN && r.getLong(1) == expectN)
+      val truth = s.table("graft_db.stats_t")
+        .selectExpr("MIN(s_suppkey)", "MAX(s_acctbal)").collect()(0)
+      assert(r.getLong(2) == truth.getLong(0))
+      assert(r.getDouble(3) == truth.getDouble(1))
+
+      // a WHERE clause must disable the rewrite
+      val filtered = s.sql("SELECT COUNT(*) AS n FROM graft_db.stats_t WHERE s_suppkey > 10")
+      assert(!filtered.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+        "rule must not fire under a filter")
+
+      // writing through the catalog clears stats -> rule stops firing (no
+      // stale answers)
+      s.table("graft_db.stats_t").limit(5).write.mode("append")
+        .saveAsTable("graft_db.stats_t")
+      val after = s.sql("SELECT COUNT(*) AS n FROM graft_db.stats_t")
+      assert(after.collect()(0).getLong(0) == expectN + 5,
+        "count after append must come from data, not stale stats")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
