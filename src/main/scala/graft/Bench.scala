@@ -53,7 +53,10 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale f-interpolator would print a
+    // decimal COMMA under e.g. de_DE, producing unparseable JSON
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => s"\"$k\":${r3(v)}" }
       .mkString("{", ",", "}")

@@ -332,8 +332,18 @@ case class StopwordRatio(left: Expression, right: Expression)
   override def graftInputTypes: Seq[DataType] =
     Seq(ArrayType(StringType), ArrayType(StringType))
 
+  // reject a non-literal stopword list at ANALYSIS time — a lazy require
+  // inside eval would surface as per-task executor failures instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "stopword_ratio: the stopword list must be a literal")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
   @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
-    require(right.foldable, "stopword_ratio: the stopword list must be a literal")
     val arr = right.eval(null).asInstanceOf[ArrayData]
     val s = new java.util.HashSet[UTF8String](arr.numElements() * 2)
     var i = 0

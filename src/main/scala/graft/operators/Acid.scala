@@ -114,10 +114,13 @@ object Acid {
   }
 
   /** The table's storage location (works for managed and external
-    * datasource tables; DESCRIBE FORMATTED is the public API for it). */
+    * datasource tables; DESCRIBE FORMATTED is the public API for it).
+    * Only the detailed-information section is scanned — a user COLUMN
+    * named "Location" would otherwise shadow the real row. */
   private[operators] def tableLocation(spark: SparkSession, table: String): Path =
     new Path(
       spark.sql(s"DESCRIBE FORMATTED $table").collect()
+        .dropWhile(!_.getString(0).trim.startsWith("# Detailed Table Information"))
         .find(_.getString(0).trim == "Location")
         .map(_.getString(1).trim)
         .getOrElse(throw new IllegalStateException(s"no Location for $table")))
@@ -139,14 +142,21 @@ object Acid {
         // rewrite ONLY the partitions present in the staged data
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       }
-      spark.read.parquet(staging.toString).write.mode("overwrite").insertInto(table)
+      try spark.read.parquet(staging.toString).write.mode("overwrite").insertInto(table)
+      catch { case e: Throwable =>
+        // overwrite failed mid-commit: the staged copy is now the only
+        // complete version of the data — KEEP it (the header's recovery
+        // guarantee) and tell the operator where it is
+        throw new IllegalStateException(
+          s"overwrite of $table failed; complete staged copy kept at $staging", e)
+      }
+      // success: the staged copy is table-sized — never leak it
+      fs.delete(staging, true)
     } finally {
       saved match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      // the staged copy is table-sized — never leak it
-      fs.delete(staging, true)
     }
   }
 }

@@ -28,7 +28,8 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 object AnswerFromStats extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (conf.getConfString("spark.graft.answerFromStats", "true") == "false") return plan
+    if (conf.getConfString("spark.graft.answerFromStats", "true")
+          .trim.equalsIgnoreCase("false")) return plan
     plan.transform {
       case agg: Aggregate
           if agg.groupingExpressions.isEmpty && agg.child.maxRows != Some(0L) =>
