@@ -144,6 +144,47 @@ object Dedup {
       WHERE SIZE(ARRAY_INTERSECT(sa.grams, sb.grams)) / SIZE(ARRAY_UNION(sa.grams, sb.grams)) >= 0.5
       ORDER BY doc_a, doc_b"""),
 
+    // Duplicate-cluster assignment: connected components over the
+    // near-duplicate pair graph (pairs = the oracle-checked
+    // dedup_minhash_lsh output), so each doc maps to one cluster and a
+    // pipeline keeps min(doc_id) per cluster as the representative.
+    // Algorithm: hash-min label propagation — every node takes the min
+    // label in its neighborhood, iterated to fixpoint (O(diameter)
+    // rounds; cf. Kiveris et al., "Connected Components in MapReduce and
+    // Beyond", SoCC'14). Each round is one shuffle-join + min-agg on
+    // (node) — no driver-side graph state, so 100 TB-many edges just
+    // mean wider shuffles; lineage is truncated per round so plans stay
+    // O(1) deep. Output: (doc_id, cluster, csize) for every doc in ≥1
+    // pair; singletons are implicitly their own cluster.
+    "dedup_clusters" -> ((spark, sfDir) => {
+      val pairs = queries("dedup_minhash_lsh")(spark, sfDir)
+        .select(col("doc_a"), col("doc_b"))
+      val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint() // evaluated once, reused every round
+      var labels = sym.select(col("src").as("node")).distinct()
+        .withColumn("comp", col("node"))
+        .localCheckpoint()
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < 15) {
+        val viaNeighbors = sym
+          .join(labels, sym("dst") === labels("node"))
+          .select(sym("src").as("node"), col("comp"))
+        val next = viaNeighbors.union(labels)
+          .groupBy("node").agg(min("comp").as("comp"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
+          .where(col("comp") =!= col("prev")).count()
+        labels = next
+        round += 1
+      }
+      val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "comp")
+        .select(col("node").as("doc_id"), col("comp").as("cluster"), col("csize"))
+        .orderBy(col("cluster"), col("doc_id"))
+    }),
+
     // Embedding near-dup: cosine ≥ 0.35 within label blocks (label is
     // the blocking key; LSH buckets replace it at scale — see
     // ann_lsh_bucketed).
@@ -188,6 +229,40 @@ object Dedup {
       SELECT doc_a, doc_b, ROUND(n_int / (na + nb - n_int), 6) AS jaccard
       FROM pairs WHERE n_int / (na + nb - n_int) >= 0.8
       ORDER BY doc_a, doc_b""",
+
+    // same pair definition as dedup_minhash_lsh, then connected
+    // components as a RECURSIVE CTE (transitive closure of comp labels,
+    // min per node) — an independent formulation of the same graph
+    "dedup_clusters" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
+                 i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))) AS grams
+        FROM t WHERE LEN(toks) >= 3
+      ), inv AS (
+        SELECT doc_id, LEN(grams) AS n, UNNEST(grams) AS gram FROM sh
+      ), prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int,
+               ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), good AS (
+        SELECT doc_a, doc_b FROM prs WHERE n_int / (na + nb - n_int) >= 0.8
+      ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM good
+        UNION ALL SELECT doc_b, doc_a FROM good
+      ), cc AS (
+        SELECT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
+      ), lab AS (
+        SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
+      )
+      SELECT l.node AS doc_id, l.comp AS cluster, s.csize
+      FROM lab l JOIN (SELECT comp, COUNT(*) AS csize FROM lab GROUP BY comp) s USING (comp)
+      ORDER BY cluster, doc_id""",
 
     "dedup_ngram_jaccard" -> """
       WITH t AS (

@@ -35,6 +35,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("dedup_clusters equals local union-find over the same pairs") {
+    Tables.register(spark, LocalSpark.sf)
+    val pairs = Dedup.queries("dedup_minhash_lsh")(spark, LocalSpark.sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference: classic union-find on the driver
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(n => n -> find(n)).toMap
+    val got = Dedup.queries("dedup_clusters")(spark, LocalSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => t._1 -> t._2).toMap == expect)
+    // csize agrees with the cluster's cardinality
+    val sizes = expect.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    assert(got.forall(t => sizes(t._2) == t._3))
+  }
+
   test("dedup_ngram_jaccard prefix filter is exact: equals brute-force block pairs") {
     Tables.register(spark, LocalSpark.sf)
     graft.functions.GraftFunctions.register(spark)
