@@ -20,6 +20,7 @@ object SparkEntry {
     QueryModule(Similarity.queries, Similarity.oracle),
     QueryModule(TextAnalysis.queries, TextAnalysis.oracle),
     QueryModule(Events.queries, Events.oracle),
+    QueryModule(AsOfJoin.queries, AsOfJoin.oracle),
     QueryModule(Multimodal.queries, Multimodal.oracle),
     QueryModule(MatchPath.queries, MatchPath.oracle)
   )

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Backward as-of join — "for each left row, the latest right row at or
+  * before its timestamp, per key" — the canonical event-enrichment
+  * operation (trade↔quote, purchase↔view).
+  *
+  * Spark-first plan: instead of a range/theta join (which Catalyst can
+  * only execute as a broadcast-nested-loop or an exploded range-bin
+  * equi-join), the two inputs are UNIONed with a side tag and processed
+  * with one window pass: partition by key, order by (ts, side), carry
+  * the last non-null right payload forward, keep left rows. Cost is ONE
+  * shuffle of |L|+|R| rows on the key plus a per-key sort — at 100 TB
+  * that beats any pairwise formulation, and ties on ts resolve
+  * deterministically (right rows sort before left rows at equal ts, so
+  * an equal-timestamp right row IS visible to the left row, matching
+  * DuckDB/pandas ASOF `>=` semantics; the right input must be unique
+  * per (key, ts) — pre-aggregate it if not).
+  */
+object AsOfJoin {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** leftDf enriched with `rightPayload` from the latest right row with
+    * rightTs <= leftTs on the same key; null when no such row. */
+  def asofBackward(leftDf: DataFrame, rightDf: DataFrame,
+                   key: String, leftTs: String, rightTs: String,
+                   rightPayload: String): DataFrame = {
+    val leftCols = leftDf.columns.toSeq
+    val l = leftDf.withColumn("__side", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__payload", lit(null).cast(rightDf.schema(rightPayload).dataType))
+    val r = rightDf.select(
+      col(key), lit(0).as("__side"), col(rightTs).as("__ts"),
+      col(rightPayload).as("__payload"))
+    val unioned = l.select(
+      (leftCols.map(col) :+ col("__side") :+ col("__ts") :+ col("__payload")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select((leftCols.map(col) :+ col("__match").as(s"asof_$rightPayload")): _*)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // purchases enriched with the latest prior-or-simultaneous view of
+    // the same user; views pre-aggregated to one per (user, ts) so the
+    // match is well-defined on ties (same contract DuckDB ASOF assumes)
+    "events_asof_join" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val purchases = spark.table("events")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = spark.table("events")
+        .where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      asofBackward(purchases, views, "user_id", "ts", "ts", "view_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_view_id").as("view_id"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // DuckDB's native ASOF LEFT JOIN as an independent implementation
+    "events_asof_join" -> """
+      WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      ), views AS (
+        SELECT user_id, ts, MAX(event_id) AS view_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+      )
+      SELECT p.event_id, p.user_id, v.view_id
+      FROM purchases p
+      ASOF LEFT JOIN views v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY p.event_id"""
+  )
+}

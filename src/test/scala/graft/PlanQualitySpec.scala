@@ -93,6 +93,22 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("events_asof_join is one key shuffle + window — no range/nested-loop join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val root =
+      try SparkEntry.queries("events_asof_join")(spark, LocalSpark.sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val p = root.toString()
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must not plan a pairwise join:\n$p")
+    // shuffles: one per union branch for the window key + the final sort
+    // — the point is |L|+|R| rows move once, never |L|×|R| pairs
+    val shuffles = root.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty && shuffles.size <= 3, s"unexpected shuffles:\n$p")
+  }
+
   test("custom text expressions stay inside whole-stage codegen") {
     // TOKENIZE/STOPWORD_RATIO/SHINGLE_SET implement doGenCode — a
     // CodegenFallback expression anywhere in a projection knocks the

@@ -12,6 +12,24 @@ class SemanticTrapsSpec extends AnyFunSuite {
 
   private def one(sql: String) = spark.sql(s"SELECT $sql").collect()(0)
 
+  test("asofBackward: equal-ts right row matches, no-prior-row yields null, keys isolate") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // key 10: ts 100 — right rows at 50 and 100 exist
+      (2L, 10L, 60L),  // key 10: ts 60 — only the 50 row is visible
+      (3L, 10L, 40L),  // key 10: ts 40 — nothing at or before -> null
+      (4L, 20L, 500L)  // key 20: other key's rows must not leak
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, 50L, 777L), (10L, 100L, 888L), (20L, 1L, 999L)
+    ).toDF("k", "ts", "payload")
+    val got = graft.operators.AsOfJoin
+      .asofBackward(left, right, "k", "ts", "ts", "payload")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 888L), (2L, 777L), (3L, -1L), (4L, 999L)))
+  }
+
   test("division: / is double, DIV is integer (same as Hive)") {
     assert(one("7 / 2").getDouble(0) == 3.5)
     assert(one("7 DIV 2").getLong(0) == 3L)
