@@ -13,6 +13,7 @@ import java.sql.Timestamp
   * per-key session state via flatMapGroupsWithState. */
 case class Ev(ts: Timestamp, user_id: Long, value: Double)
 case class Sess(user_id: Long, n: Long)
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = LocalSpark.spark
@@ -62,6 +63,28 @@ class StreamingSpec extends AnyFunSuite {
       val expect = spark.read.parquet(dir).groupBy("event_type").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got == expect)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup: dropDuplicatesWithinWatermark on content digest") {
+    // the streaming twin of the batch dedup_exact operator: same digest
+    // key, bounded state via the watermark interval
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val dedup = input.toDF()
+      .withColumn("digest", md5($"text".cast("binary")))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("digest")
+    val q = dedup.writeStream.format("memory").queryName("doc_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Doc(ts(1), 1, "alpha"), Doc(ts(2), 2, "alpha"), Doc(ts(3), 3, "beta"))
+      q.processAllAvailable()
+      // a later batch inside the watermark: repeat content stays dropped
+      input.addData(Doc(ts(10), 4, "alpha"), Doc(ts(11), 5, "gamma"))
+      q.processAllAvailable()
+      val ids = spark.table("doc_dedup").collect().map(_.getLong(1)).toSet
+      assert(ids == Set(1L, 3L, 5L), ids.toString)
     } finally q.stop()
   }
 
