@@ -24,6 +24,12 @@ object Multimodal {
   /** Output: decoded metadata + an 8-dim feature vector. */
   case class DecodedRow(doc_id: Long, fmt: String, width: Int, height: Int,
                         mean_byte: Double, feat: Array[Float])
+  /** Output of the resize stage: target dims + resampled intensity. */
+  case class ResizedRow(doc_id: Long, width: Int, height: Int,
+                        src_width: Int, src_height: Int, mean_resized: Double)
+  /** Output of the frame-sample stage: one row per kept frame. */
+  case class FrameRow(doc_id: Long, frame_idx: Int, n_frames: Int,
+                      frame_feat: Double)
 
   /** STUB: stands in for an image/audio codec (none in this container).
     * Deterministic in the payload bytes so results are testable. */
@@ -50,6 +56,43 @@ object Multimodal {
       }
       out
     }
+    /** STUB "pixel": intensity [0,256) derived from an 8-byte window of
+      * the payload, seeded by the pixel index. */
+    def pixel(payload: Array[Byte], idx: Int): Int =
+      if (payload.isEmpty) 0
+      else {
+        val off = java.lang.Math.floorMod(idx, math.max(1, payload.length - 8))
+        (Hashing.hash64(payload, off, math.min(8, payload.length - off),
+          1000L + idx) & 0xffL).toInt
+      }
+    /** STUB resize: nearest-neighbor resample of the pseudo-pixel grid
+      * to (w1 × h1); returns the resampled mean intensity. Resizing to
+      * the source dims is exactly the full-grid mean (tested). */
+    def resizeMean(payload: Array[Byte],
+                   w0: Int, h0: Int, w1: Int, h1: Int): Double = {
+      var sum = 0L
+      var j = 0
+      while (j < h1) {
+        val sj = (j.toLong * h0 / h1).toInt
+        var i = 0
+        while (i < w1) {
+          val si = (i.toLong * w0 / w1).toInt
+          sum += pixel(payload, sj * w0 + si)
+          i += 1
+        }
+        j += 1
+      }
+      sum.toDouble / (w1.toLong * h1)
+    }
+    /** STUB frame count for "video" payloads: 8..31 frames. */
+    def frameCount(payload: Array[Byte]): Int =
+      8 + java.lang.Math.floorMod(
+        Hashing.hash64(payload, 0, payload.length, 9L), 24L).toInt
+    /** STUB per-frame feature (e.g. a per-frame embedding norm). */
+    def frameFeature(payload: Array[Byte], frame: Int): Double = {
+      val h = Hashing.hash64(payload, 0, payload.length, 5000L + frame)
+      (h >>> 11).toDouble / (1L << 53).toDouble
+    }
   }
 
   /** The decode pipeline: binary column in, typed decoded Dataset out.
@@ -71,6 +114,49 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Resize stage: every image resampled to a fixed target — the
+    * batch-normalization step before a vision encoder. Same narrow
+    * mapPartitions shape as decode (no shuffle, per-partition init). */
+  def resizePipeline(spark: SparkSession, sfDir: String,
+                     targetW: Int, targetH: Int): DataFrame = {
+    Tables.register(spark, sfDir)
+    import spark.implicits._
+    val media = spark.table("documents")
+      .select(col("doc_id"), col("lang").as("fmt"),
+        col("text").cast("binary").as("payload"))
+      .repartition(32)
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w0, h0, _) = FakeCodec.decode(r.payload)
+        ResizedRow(r.doc_id, targetW, targetH, w0, h0,
+          FakeCodec.resizeMean(r.payload, w0, h0, targetW, targetH))
+      }
+    }.toDF()
+  }
+
+  /** Frame-sample stage: every Nth frame of a "video" payload becomes a
+    * row — a flatMap, so output cardinality is data-dependent (the
+    * explode shape a real frame extractor produces). */
+  def frameSamplePipeline(spark: SparkSession, sfDir: String,
+                          everyN: Int): DataFrame = {
+    require(everyN >= 1)
+    Tables.register(spark, sfDir)
+    import spark.implicits._
+    val media = spark.table("documents")
+      .select(col("doc_id"), col("lang").as("fmt"),
+        col("text").cast("binary").as("payload"))
+      .repartition(32)
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = FakeCodec.frameCount(r.payload)
+        (0 until n by everyN).iterator.map(i =>
+          FrameRow(r.doc_id, i, n, FakeCodec.frameFeature(r.payload, i)))
+      }
+    }.toDF()
+  }
+
   private type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -82,6 +168,22 @@ object Multimodal {
           round(col("mean_byte"), 6).as("mean_byte"),
           round(aggregate(col("feat"), lit(0.0d), (acc, x) => acc + x * x), 6).as("feat_sq_norm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Resize + frame-sample stages (stub kernels, real plumbing) —
+    // rows-only like multimodal_decode; PipelineSpec pins invariants.
+    "multimodal_resize" -> ((spark, sfDir) => {
+      resizePipeline(spark, sfDir, 32, 32)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("src_width"), col("src_height"),
+          round(col("mean_resized"), 6).as("mean_resized"))
+        .orderBy(col("doc_id"))
+    }),
+    "multimodal_frames" -> ((spark, sfDir) => {
+      frameSamplePipeline(spark, sfDir, 4)
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          round(col("frame_feat"), 6).as("frame_feat"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
     // The metadata side IS oracle-checkable: byte lengths + digests of

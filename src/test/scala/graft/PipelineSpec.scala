@@ -159,6 +159,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(4)).toSeq == again.map(_.getDouble(4)).toSeq)
   }
 
+  test("multimodal resize: identity resize equals full-grid mean, deterministic") {
+    val r1 = Multimodal.resizePipeline(spark, LocalSpark.sf, 32, 32)
+      .orderBy("doc_id").collect()
+    assert(r1.length == 500)
+    assert(r1.forall(r => r.getInt(1) == 32 && r.getInt(2) == 32))
+    val again = Multimodal.resizePipeline(spark, LocalSpark.sf, 32, 32)
+      .orderBy("doc_id").collect()
+    assert(r1.map(_.getDouble(5)).toSeq == again.map(_.getDouble(5)).toSeq)
+    // identity resize (target == source dims) is the plain pixel-grid mean
+    val row = spark.table("documents").select("doc_id", "text").first()
+    val payload = row.getString(1).getBytes("UTF-8")
+    val (w0, h0, _) = Multimodal.FakeCodec.decode(payload)
+    val identity = Multimodal.FakeCodec.resizeMean(payload, w0, h0, w0, h0)
+    val full = (0 until w0 * h0).map(Multimodal.FakeCodec.pixel(payload, _)).sum.toDouble / (w0 * h0)
+    assert(identity == full)
+  }
+
+  test("multimodal frame sampling: every-Nth cardinality and bounds") {
+    val frames = Multimodal.frameSamplePipeline(spark, LocalSpark.sf, 4).collect()
+    val byDoc = frames.groupBy(_.getLong(0))
+    assert(byDoc.size == 500)
+    byDoc.values.foreach { rs =>
+      val n = rs.head.getInt(2)
+      assert(n >= 8 && n < 32)
+      // ceil(n / 4) sampled frames, indices 0, 4, 8, ...
+      assert(rs.length == (n + 3) / 4, s"n=$n got ${rs.length}")
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (0 until n by 4).toSeq)
+    }
+  }
+
   test("percentile_approx stays within group min/max") {
     Tables.register(spark, LocalSpark.sf)
     val rows = Aggregates.queries("agg_percentile_approx")(spark, LocalSpark.sf).collect()
