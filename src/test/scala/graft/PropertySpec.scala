@@ -75,6 +75,41 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("tokenize kernel equals the composed split/lower/filter reference") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val tok = graft.functions.Tokenize(
+      org.apache.spark.sql.catalyst.expressions.Literal(null))
+    val textGen = Gen.listOf(Gen.oneOf("a", "Bc", "DEF", " ", "  ", "x1", "ü"))
+      .map(_.mkString)
+    check(Prop.forAll(textGen) { s =>
+      val got = tok.kernel(UTF8String.fromString(s))
+        .asInstanceOf[GenericArrayData].array.map(_.toString).toSeq
+      val ref = s.toLowerCase.split(' ').filter(_.nonEmpty).toSeq
+      got == ref
+    })
+  }
+
+  test("prefix filter keeps every pair with jaccard >= t (theorem check)") {
+    // mirror of the dedup_ngram_jaccard prefix: order grams by (df, gram),
+    // keep n - ceil(t*n) + 1 per set; any pair at jaccard >= t must share
+    // a kept gram
+    val t = 0.5
+    val setGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'j').map(_.toString))).map(_.toSet))
+    check(Prop.forAll(Gen.listOfN(6, setGen)) { sets =>
+      val df = sets.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def prefix(s: Set[String]): Set[String] = {
+        val keep = s.size - math.ceil(t * s.size).toInt + 1
+        s.toSeq.sortBy(g => (df(g), g)).take(keep).toSet
+      }
+      sets.combinations(2).forall { case Seq(a, b) =>
+        val j = a.intersect(b).size.toDouble / a.union(b).size
+        j < t || prefix(a).intersect(prefix(b)).nonEmpty
+      }
+    })
+  }
+
   test("minhash signature equality rate estimates jaccard (statistical bound)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
