@@ -84,6 +84,32 @@ object MatchPath {
   )
 
   val oracle: Map[String, String] = Map(
+    // windowed reformulation of greedy non-overlapping `v+p` matching:
+    // a match ends at each 'p' whose immediate predecessor run is ≥1
+    // consecutive 'v'; the run start is the position after the last
+    // non-view symbol (which includes any previously consumed 'p', so
+    // matches never overlap — exactly java.util.regex find() semantics
+    // for this pattern). Valid for the fixed v+p pattern of the query.
+    "matchpath_view_purchase" -> """
+      WITH ev AS (
+        SELECT user_id, event_id,
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS sym,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+      ), marked AS (
+        SELECT *, MAX(CASE WHEN sym <> 'v' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_non_v
+        FROM ev
+      )
+      SELECT m.user_id, s.event_id AS start_event_id,
+             CAST(m.rn - COALESCE(m.last_non_v, 0) AS INT) AS match_len
+      FROM marked m JOIN ev s
+        ON s.user_id = m.user_id AND s.rn = COALESCE(m.last_non_v, 0) + 1
+      WHERE m.sym = 'p' AND m.rn - COALESCE(m.last_non_v, 0) >= 2
+      ORDER BY m.user_id, start_event_id""",
+
     "events_seq_match" -> """
       WITH seq AS (
         SELECT user_id,

@@ -268,6 +268,34 @@ object Relational {
       GROUP BY n_name
       ORDER BY n_name"""),
 
+    // SMB join over bucketed+sorted tables (Hive
+    // SortedMergeBucketMapJoinOptimizer): both sides bucketed by the join
+    // key into the same bucket count, so the MERGE-hinted sort-merge join
+    // reads co-located buckets with NO shuffle exchange (WritePathsSpec
+    // pins the exchange-free plan). Results are bucketing-independent —
+    // the oracle is the plain join on the raw tables.
+    "join_bucketed_smb" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+      import org.apache.spark.sql.functions.col
+      spark.table("lineitem").where(col("l_orderkey") <= 2000)
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_db.lineitem_b")
+      spark.table("orders").where(col("o_orderkey") <= 2000)
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_db.orders_b")
+      spark.sql("""
+        SELECT /*+ MERGE(l) */ o.o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM graft_db.lineitem_b l
+        JOIN graft_db.orders_b o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+        ORDER BY status""")
+    }),
+
     // Multi-column global sort with explicit null placement (Spark's
     // default NULLS FIRST on ASC differs from DuckDB's NULLS LAST —
     // always explicit; SURVEY.md §7.3).
@@ -459,6 +487,15 @@ object Relational {
       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
       GROUP BY n_name
       ORDER BY n_name""",
+
+    "join_bucketed_smb" -> """
+      SELECT o.o_orderstatus AS status,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_orderkey <= 2000
+      GROUP BY o.o_orderstatus
+      ORDER BY status""",
 
     "topk_per_key" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (

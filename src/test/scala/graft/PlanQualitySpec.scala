@@ -93,6 +93,23 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("join_bucketed_smb: sort-merge join over co-located buckets, no pre-join shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val root =
+      try SparkEntry.queries("join_bucketed_smb")(spark, LocalSpark.sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val p = root.toString()
+    assert(p.contains("SortMergeJoin"), p)
+    // the only exchanges allowed are post-aggregation (group key/sort) —
+    // nothing carrying join-input columns may shuffle
+    val preJoin = root.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.output.exists(a => a.name == "l_orderkey" || a.name == "l_quantity"))
+    assert(preJoin.isEmpty,
+      s"bucketed join must not shuffle its inputs:\n$p")
+  }
+
   test("events_asof_join is one key shuffle + window — no range/nested-loop join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
