@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fresh warehouse per run: the in-memory catalog forgets tables
+      // between JVMs but a persistent warehouse dir does not, and a
+      // stale managed-table location fails CREATE TABLE
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

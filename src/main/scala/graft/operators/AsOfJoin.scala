@@ -26,17 +26,26 @@ object AsOfJoin {
   private type Q = (SparkSession, String) => DataFrame
 
   /** leftDf enriched with `rightPayload` from the latest right row with
-    * rightTs <= leftTs on the same key; null when no such row. */
+    * rightTs <= leftTs on the same key; null when no such row.
+    *
+    * NULL semantics match SQL ASOF exactly: right rows with a NULL key
+    * or NULL timestamp never match anything (filtered out), and a
+    * matched right row whose PAYLOAD is NULL yields NULL — the payload
+    * rides inside a struct through the window, so `last(..., ignoreNulls)`
+    * tracks "latest right ROW", never "latest non-null payload". */
   def asofBackward(leftDf: DataFrame, rightDf: DataFrame,
                    key: String, leftTs: String, rightTs: String,
                    rightPayload: String): DataFrame = {
     val leftCols = leftDf.columns.toSeq
+    val payloadType = new org.apache.spark.sql.types.StructType()
+      .add(rightPayload, rightDf.schema(rightPayload).dataType)
     val l = leftDf.withColumn("__side", lit(1))
       .withColumn("__ts", col(leftTs))
-      .withColumn("__payload", lit(null).cast(rightDf.schema(rightPayload).dataType))
-    val r = rightDf.select(
-      col(key), lit(0).as("__side"), col(rightTs).as("__ts"),
-      col(rightPayload).as("__payload"))
+      .withColumn("__payload", lit(null).cast(payloadType))
+    val r = rightDf
+      .where(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(col(key), lit(0).as("__side"), col(rightTs).as("__ts"),
+        struct(col(rightPayload)).as("__payload"))
     val unioned = l.select(
       (leftCols.map(col) :+ col("__side") :+ col("__ts") :+ col("__payload")): _*)
       .unionByName(r, allowMissingColumns = true)
@@ -46,7 +55,8 @@ object AsOfJoin {
     unioned
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select((leftCols.map(col) :+ col("__match").as(s"asof_$rightPayload")): _*)
+      .select((leftCols.map(col)
+        :+ col("__match").getField(rightPayload).as(s"asof_$rightPayload")): _*)
   }
 
   val queries: Map[String, Q] = Map(

@@ -27,26 +27,12 @@ object Dedup {
     spark.sql(q)
   }
 
-  val queries: Map[String, Q] = Map(
-    // Exact dedup: content digest → keep lowest doc_id per digest.
-    "dedup_exact" -> Tables.sql("""
-      SELECT MD5(CAST(text AS BINARY)) AS h,
-             MIN(doc_id) AS keep_id,
-             COUNT(*) AS dup_cnt
-      FROM documents
-      GROUP BY MD5(CAST(text AS BINARY))
-      ORDER BY keep_id"""),
-
-    // MinHash (64 perms) + LSH banding (16 bands × 4 rows): candidate
-    // pairs share ≥1 band hash; then exact token-set Jaccard ≥ 0.8
-    // filters false positives. Deterministic (seeded FNV hashing), and
-    // since the final filter is EXACT jaccard, precision is 1.0 by
-    // construction — so the exact all-pairs result is a valid oracle
-    // whenever LSH recall is 1.0, which holds on the testdata (verified:
-    // candidate prob per true pair is 1-(1-j^4)^16 >= 0.9998 at j=0.8,
-    // and the seeded pipeline is bit-stable). PipelineSpec additionally
-    // asserts recall >= 0.9 against planted near-duplicates at sf0.001.
-    "dedup_minhash_lsh" -> gsql("""
+  /** The minhash+LSH near-duplicate pair SQL WITHOUT the final global
+    * sort — shared by dedup_minhash_lsh (which adds ORDER BY for the
+    * oracle compare) and dedup_clusters (whose symmetric-edge union
+    * would immediately discard a sort, so it must not pay the range
+    * exchange). */
+  private val MinhashPairsSql = """
       WITH sh AS (
         -- repartition BEFORE the heavy shingle/minhash projection: the
         -- documents file scans as one partition at test scale, which
@@ -74,8 +60,52 @@ object Dedup {
       FROM cand
       JOIN sh sa ON doc_a = sa.doc_id
       JOIN sh sb ON doc_b = sb.doc_id
-      WHERE SIZE(ARRAY_INTERSECT(sa.grams, sb.grams)) / SIZE(ARRAY_UNION(sa.grams, sb.grams)) >= 0.8
-      ORDER BY doc_a, doc_b"""),
+      WHERE SIZE(ARRAY_INTERSECT(sa.grams, sb.grams)) / SIZE(ARRAY_UNION(sa.grams, sb.grams)) >= 0.8"""
+
+  /** DuckDB spelling of the same pair set (exact all-pairs via inverted
+    * index) — one constant, so the dedup_minhash_lsh and dedup_clusters
+    * oracles can never drift onto different pair graphs. */
+  private val OraclePairsCte = """
+      t AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
+                 i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))) AS grams
+        FROM t WHERE LEN(toks) >= 3
+      ), inv AS (
+        SELECT doc_id, LEN(grams) AS n, UNNEST(grams) AS gram FROM sh
+      ), prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int,
+               ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), good AS (
+        SELECT doc_a, doc_b,
+               ROUND(n_int / (na + nb - n_int), 6) AS jaccard
+        FROM prs WHERE n_int / (na + nb - n_int) >= 0.8
+      )"""
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: content digest → keep lowest doc_id per digest.
+    "dedup_exact" -> Tables.sql("""
+      SELECT MD5(CAST(text AS BINARY)) AS h,
+             MIN(doc_id) AS keep_id,
+             COUNT(*) AS dup_cnt
+      FROM documents
+      GROUP BY MD5(CAST(text AS BINARY))
+      ORDER BY keep_id"""),
+
+    // MinHash (64 perms) + LSH banding (16 bands × 4 rows): candidate
+    // pairs share ≥1 band hash; then exact token-set Jaccard ≥ 0.8
+    // filters false positives. Deterministic (seeded FNV hashing), and
+    // since the final filter is EXACT jaccard, precision is 1.0 by
+    // construction — so the exact all-pairs result is a valid oracle
+    // whenever LSH recall is 1.0, which holds on the testdata (verified:
+    // candidate prob per true pair is 1-(1-j^4)^16 >= 0.9998 at j=0.8,
+    // and the seeded pipeline is bit-stable). PipelineSpec additionally
+    // asserts recall >= 0.9 against planted near-duplicates at sf0.001.
+    "dedup_minhash_lsh" -> gsql(MinhashPairsSql + "\n      ORDER BY doc_a, doc_b"),
 
     // SimHash: 64-bit fingerprint; candidates share one of four 16-bit
     // bands (any pair with hamming ≤ 3 must agree on ≥1 band by
@@ -157,7 +187,9 @@ object Dedup {
     // O(1) deep. Output: (doc_id, cluster, csize) for every doc in ≥1
     // pair; singletons are implicitly their own cluster.
     "dedup_clusters" -> ((spark, sfDir) => {
-      val pairs = queries("dedup_minhash_lsh")(spark, sfDir)
+      // the UNSORTED pair set — the symmetric-edge union would discard
+      // dedup_minhash_lsh's final ORDER BY range exchange unused
+      val pairs = gsql(MinhashPairsSql)(spark, sfDir)
         .select(col("doc_a"), col("doc_b"))
       val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -165,20 +197,35 @@ object Dedup {
       var labels = sym.select(col("src").as("node")).distinct()
         .withColumn("comp", col("node"))
         .localCheckpoint()
-      var changed = 1L
+      // fixpoint detection: comp values are monotone non-increasing and
+      // the node set is fixed, so the labeling changed iff sum(comp)
+      // changed — one aggregate per round, no join+count job. Overflow-
+      // safe via decimal.
+      def compSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
+      var prevSum = compSum(labels)
+      var converged = false
       var round = 0
-      while (changed > 0 && round < 15) {
+      val maxRounds = 50
+      while (!converged && round < maxRounds) {
         val viaNeighbors = sym
           .join(labels, sym("dst") === labels("node"))
           .select(sym("src").as("node"), col("comp"))
         val next = viaNeighbors.union(labels)
           .groupBy("node").agg(min("comp").as("comp"))
           .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
-          .where(col("comp") =!= col("prev")).count()
+        val s = compSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         labels = next
         round += 1
       }
+      // NEVER emit unconverged labels as if they were clusters: a
+      // component with eccentricity > maxRounds (e.g. a very long
+      // near-dup chain) must fail loudly. (The O(log n) fix at that
+      // scale is pointer-doubling/large-star — out of scope here.)
+      if (!converged) throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds")
       val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csize"))
       labels.join(sizes, "comp")
         .select(col("node").as("doc_id"), col("comp").as("cluster"), col("csize"))
@@ -209,48 +256,19 @@ object Dedup {
     // exact all-pairs jaccard >= 0.8 via an inverted-index join (the
     // O(n²) spelling would be too slow for DuckDB at sf0.01); valid
     // because the Spark side's final filter is exact jaccard and LSH
-    // recall is 1.0 on the testdata — see the query comment
-    "dedup_minhash_lsh" -> """
-      WITH t AS (
-        SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
-        FROM documents
-      ), sh AS (
-        SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
-                 i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))) AS grams
-        FROM t WHERE LEN(toks) >= 3
-      ), inv AS (
-        SELECT doc_id, LEN(grams) AS n, UNNEST(grams) AS gram FROM sh
-      ), pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int,
-               ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
-        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      )
-      SELECT doc_a, doc_b, ROUND(n_int / (na + nb - n_int), 6) AS jaccard
-      FROM pairs WHERE n_int / (na + nb - n_int) >= 0.8
+    // recall is 1.0 on the testdata — see the query comment. Pair CTEs
+    // are shared with the dedup_clusters oracle (OraclePairsCte) so the
+    // two can never verify against different pair graphs.
+    "dedup_minhash_lsh" -> s"""
+      WITH $OraclePairsCte
+      SELECT doc_a, doc_b, jaccard FROM good
       ORDER BY doc_a, doc_b""",
 
-    // same pair definition as dedup_minhash_lsh, then connected
+    // same pair definition (shared CTE constant), then connected
     // components as a RECURSIVE CTE (transitive closure of comp labels,
     // min per node) — an independent formulation of the same graph
-    "dedup_clusters" -> """
-      WITH RECURSIVE t AS (
-        SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
-        FROM documents
-      ), sh AS (
-        SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
-                 i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))) AS grams
-        FROM t WHERE LEN(toks) >= 3
-      ), inv AS (
-        SELECT doc_id, LEN(grams) AS n, UNNEST(grams) AS gram FROM sh
-      ), prs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int,
-               ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
-        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      ), good AS (
-        SELECT doc_a, doc_b FROM prs WHERE n_int / (na + nb - n_int) >= 0.8
-      ), edges AS (
+    "dedup_clusters" -> s"""
+      WITH RECURSIVE $OraclePairsCte, edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM good
         UNION ALL SELECT doc_b, doc_a FROM good
       ), cc AS (

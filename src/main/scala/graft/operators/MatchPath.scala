@@ -40,7 +40,10 @@ object MatchPath {
     val bSym = symbolOf // serialized into the closure
     events.groupByKey(_._1)
       .flatMapGroups { (uid, it) =>
-        val evs = it.toArray.sortBy(e => (e._4.getTime, e._2))
+        // getTime is millisecond-truncated; getNanos breaks same-ms ties
+        // at full precision so ordering agrees with the oracle's
+        // microsecond ORDER BY ts (events carry sub-ms components)
+        val evs = it.toArray.sortBy(e => (e._4.getTime, e._4.getNanos, e._2))
         val syms = new StringBuilder
         evs.foreach(e => syms.append(bSym.getOrElse(e._3, "?")))
         val m = java.util.regex.Pattern.compile(pattern).matcher(syms)

@@ -95,17 +95,25 @@ object Multimodal {
     }
   }
 
+  /** Shared media input: documents as opaque binary payloads,
+    * repartitioned so per-row codec work parallelizes (the small file
+    * scans as one partition at test scale). */
+  private def mediaInput(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.Dataset[MediaRow] = {
+    Tables.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .select(col("doc_id"), col("lang").as("fmt"),
+        col("text").cast("binary").as("payload"))
+      .repartition(32)
+      .as[MediaRow]
+  }
+
   /** The decode pipeline: binary column in, typed decoded Dataset out.
     * mapPartitions so a real codec would init once per partition. */
   def decodePipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.register(spark, sfDir)
     import spark.implicits._
-    val media = spark.table("documents")
-      .select(col("doc_id"), col("lang").as("fmt"),
-        col("text").cast("binary").as("payload"))
-      .repartition(32) // small file scans as 1 partition; decode is per-row CPU
-      .as[MediaRow]
-    media.mapPartitions { rows =>
+    mediaInput(spark, sfDir).mapPartitions { rows =>
       // per-partition codec init would go here
       rows.map { r =>
         val (w, h, mean) = FakeCodec.decode(r.payload)
@@ -119,14 +127,8 @@ object Multimodal {
     * mapPartitions shape as decode (no shuffle, per-partition init). */
   def resizePipeline(spark: SparkSession, sfDir: String,
                      targetW: Int, targetH: Int): DataFrame = {
-    Tables.register(spark, sfDir)
     import spark.implicits._
-    val media = spark.table("documents")
-      .select(col("doc_id"), col("lang").as("fmt"),
-        col("text").cast("binary").as("payload"))
-      .repartition(32)
-      .as[MediaRow]
-    media.mapPartitions { rows =>
+    mediaInput(spark, sfDir).mapPartitions { rows =>
       rows.map { r =>
         val (w0, h0, _) = FakeCodec.decode(r.payload)
         ResizedRow(r.doc_id, targetW, targetH, w0, h0,
@@ -141,14 +143,8 @@ object Multimodal {
   def frameSamplePipeline(spark: SparkSession, sfDir: String,
                           everyN: Int): DataFrame = {
     require(everyN >= 1)
-    Tables.register(spark, sfDir)
     import spark.implicits._
-    val media = spark.table("documents")
-      .select(col("doc_id"), col("lang").as("fmt"),
-        col("text").cast("binary").as("payload"))
-      .repartition(32)
-      .as[MediaRow]
-    media.mapPartitions { rows =>
+    mediaInput(spark, sfDir).mapPartitions { rows =>
       rows.flatMap { r =>
         val n = FakeCodec.frameCount(r.payload)
         (0 until n by everyN).iterator.map(i =>

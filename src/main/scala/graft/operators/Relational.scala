@@ -278,14 +278,26 @@ object Relational {
       Tables.register(spark, sfDir)
       spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
       import org.apache.spark.sql.functions.col
-      spark.table("lineitem").where(col("l_orderkey") <= 2000)
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_db.lineitem_b")
-      spark.table("orders").where(col("o_orderkey") <= 2000)
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_db.orders_b")
+      // a previous JVM's managed-table directory can survive in a
+      // persistent warehouse while the in-memory catalog forgot the
+      // table — drop both the entry and any stale location first
+      def recreate(name: String, df: org.apache.spark.sql.DataFrame,
+                   bucketCol: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS graft_db.$name")
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val loc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(wh, "graft_db.db"), name)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+        df.write.mode("overwrite")
+          .bucketBy(8, bucketCol).sortBy(bucketCol)
+          .saveAsTable(s"graft_db.$name")
+      }
+      recreate("lineitem_b",
+        spark.table("lineitem").where(col("l_orderkey") <= 2000), "l_orderkey")
+      recreate("orders_b",
+        spark.table("orders").where(col("o_orderkey") <= 2000), "o_orderkey")
       spark.sql("""
         SELECT /*+ MERGE(l) */ o.o_orderstatus AS status,
                COUNT(*) AS n,

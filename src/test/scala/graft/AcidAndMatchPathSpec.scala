@@ -122,7 +122,7 @@ class AcidAndMatchPathSpec extends AnyFunSuite {
       .select($"user_id", $"event_id", $"event_type", $"ts").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
     val expect = evs.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
-      val sorted = rows.sortBy(e => (e._4.getTime, e._2))
+      val sorted = rows.sortBy(e => (e._4.getTime, e._4.getNanos, e._2))
       val syms = sorted.map(e => MatchPath.symbolOf.getOrElse(e._3, "?")).mkString
       val m = java.util.regex.Pattern.compile("v+p").matcher(syms)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]

@@ -30,6 +30,23 @@ class SemanticTrapsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 888L), (2L, 777L), (3L, -1L), (4L, 999L)))
   }
 
+  test("asofBackward NULL semantics: null payload is returned, null-ts/key right rows never match") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("id", "k", "ts")
+    // matched row (ts=50) carries a NULL payload: SQL ASOF returns NULL,
+    // not the earlier non-null payload at ts=30
+    val right = Seq(
+      (Some(10L), Some(30L), Some(7L)),
+      (Some(10L), Some(50L), None),
+      (Some(10L), None, Some(9L)),  // null ts: matches nothing
+      (None, Some(60L), Some(8L))   // null key: matches nothing
+    ).toDF("k", "ts", "payload")
+    val got = graft.operators.AsOfJoin
+      .asofBackward(left, right, "k", "ts", "ts", "payload").collect()
+    assert(got.length == 1 && got(0).isNullAt(3),
+      s"matched NULL payload must surface as NULL: ${got.toSeq}")
+  }
+
   test("division: / is double, DIV is integer (same as Hive)") {
     assert(one("7 / 2").getDouble(0) == 3.5)
     assert(one("7 DIV 2").getLong(0) == 3L)
