@@ -232,6 +232,34 @@ object Dedup {
         .orderBy(col("cluster"), col("doc_id"))
     }),
 
+    // End-to-end curation: the composed pipeline a training-data run
+    // actually executes — (1) quality gate (>= 10 tokens, type-token
+    // ratio >= 0.2), (2) exact dedup among survivors (keep min doc_id
+    // per content digest), (3) near-dup removal: every document that is
+    // not its cluster's representative (cluster = connected component of
+    // the minhash pair graph over the FULL corpus, representative = min
+    // doc_id) is dropped. Each stage is one of the operators above; this
+    // query pins that they compose, with the whole pipeline verified
+    // end-to-end against an independent DuckDB formulation.
+    "pipeline_curate" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      GraftFunctions.register(spark)
+      val nonRep = queries("dedup_clusters")(spark, sfDir)
+        .where(col("doc_id") =!= col("cluster"))
+        .select(col("doc_id").as("drop_id"))
+      val base = spark.sql("""
+        SELECT doc_id, lang, TOKENIZE(text) AS toks,
+               MD5(CAST(text AS BINARY)) AS digest
+        FROM (SELECT /*+ REPARTITION(32) */ * FROM documents)""")
+        .where(size(col("toks")) >= 10 &&
+          size(array_distinct(col("toks"))).cast("double") / size(col("toks")) >= 0.2)
+      val reps = base.groupBy(col("digest")).agg(min(col("doc_id")).as("keep_id"))
+      base.join(reps, base("doc_id") === reps("keep_id"))
+        .join(nonRep, base("doc_id") === nonRep("drop_id"), "left_anti")
+        .select(base("doc_id"), col("lang"), size(col("toks")).as("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding near-dup: cosine ≥ 0.35 within label blocks (label is
     // the blocking key; LSH buckets replace it at scale — see
     // ann_lsh_bucketed).
@@ -281,6 +309,34 @@ object Dedup {
       SELECT l.node AS doc_id, l.comp AS cluster, s.csize
       FROM lab l JOIN (SELECT comp, COUNT(*) AS csize FROM lab GROUP BY comp) s USING (comp)
       ORDER BY cluster, doc_id""",
+
+    // independent spelling of the full curation pipeline: shared pair
+    // CTEs + recursive components for stage 3, plain SQL for stages 1-2
+    "pipeline_curate" -> s"""
+      WITH RECURSIVE $OraclePairsCte, edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM good
+        UNION ALL SELECT doc_b, doc_a FROM good
+      ), cc AS (
+        SELECT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
+      ), lab AS (
+        SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
+      ), q2 AS (
+        SELECT doc_id, lang, LEN(toks) AS n_tok, MD5(text) AS digest
+        FROM (SELECT doc_id, lang, text,
+                     LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+              FROM documents)
+        WHERE LEN(toks) >= 10 AND LEN(LIST_DISTINCT(toks)) / LEN(toks) >= 0.2
+      ), reps AS (
+        SELECT MIN(doc_id) AS keep_id FROM q2 GROUP BY digest
+      ), nonrep AS (
+        SELECT node AS doc_id FROM lab WHERE node <> comp
+      )
+      SELECT q2.doc_id, q2.lang, q2.n_tok
+      FROM q2 JOIN reps ON q2.doc_id = reps.keep_id
+      WHERE q2.doc_id NOT IN (SELECT doc_id FROM nonrep)
+      ORDER BY q2.doc_id""",
 
     "dedup_ngram_jaccard" -> """
       WITH t AS (
