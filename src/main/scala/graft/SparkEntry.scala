@@ -21,6 +21,7 @@ object SparkEntry {
     QueryModule(TextAnalysis.queries, TextAnalysis.oracle),
     QueryModule(Events.queries, Events.oracle),
     QueryModule(AsOfJoin.queries, AsOfJoin.oracle),
+    QueryModule(RangeJoin.queries, RangeJoin.oracle),
     QueryModule(Multimodal.queries, Multimodal.oracle),
     QueryModule(MatchPath.queries, MatchPath.oracle)
   )

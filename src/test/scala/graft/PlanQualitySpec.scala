@@ -110,6 +110,12 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bucketed join must not shuffle its inputs:\n$p")
   }
 
+  test("events_range_join_sessions plans as a binned equi-join, not a nested loop") {
+    val p = plan("events_range_join_sessions")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must bin to an equi-join:\n$p")
+  }
+
   test("events_asof_join is one key shuffle + window — no range/nested-loop join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")

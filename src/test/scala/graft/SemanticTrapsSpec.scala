@@ -30,6 +30,27 @@ class SemanticTrapsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 888L), (2L, 777L), (3L, -1L), (4L, 999L)))
   }
 
+  test("rangeJoin equals brute-force containment for random intervals incl. boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ptsLocal = (1 to 300).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val ivsLocal = (1 to 60).map { i =>
+      val lo = rnd.nextInt(950).toLong; (i.toLong, lo, lo + rnd.nextInt(120).toLong)
+    }
+    val pts = ptsLocal.toDF("pid", "pt").withColumn("k", lit(1))
+    val ivs = ivsLocal.toDF("iid", "lo", "hi").withColumn("k", lit(1))
+    // binWidth 37 divides nothing — every bin-boundary edge case in play
+    val got = graft.operators.RangeJoin
+      .rangeJoin(pts, "pt", ivs, "lo", "hi", Seq("k"), 37L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      (pid, pt) <- ptsLocal
+      (iid, lo, hi) <- ivsLocal
+      if lo <= pt && pt <= hi
+    } yield (pid, iid)).toSet
+    assert(got == expect, s"missing=${expect.diff(got).take(5)} extra=${got.diff(expect).take(5)}")
+  }
+
   test("asofBackward NULL semantics: null payload is returned, null-ts/key right rows never match") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L)).toDF("id", "k", "ts")
