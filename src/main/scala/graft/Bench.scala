@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Perf harness the round driver runs at sf0.1 (`BENCH_r{N}.json`).
   *
-  * Measurement validity (round-1 lessons):
+  * Measurement validity (round-1/2 lessons):
   *  - every query materializes through the `noop` sink, not `.count()` —
   *    count let Catalyst prune projection expressions and drop final
   *    sorts, flattering exactly the function-heavy queries;
@@ -11,12 +11,35 @@ import org.apache.spark.sql.SparkSession
   *    (scan/agg/join/window/sort + custom expressions) so shared JVM/JIT
   *    cost is not charged to whichever query happens to run first — each
   *    query still pays its own planning + whole-stage-codegen compile;
+  *  - round 2's driver artifact (179.6 s recorded vs 61.7 s verified on
+  *    the same commit/host) was uniform ~3× host contention. Defenses:
+  *    (a) each query runs TWICE and the reported total is the min of the
+  *    two passes — a transient stall on one pass no longer decides the
+  *    gate; (b) a fixed CPU busy-loop ("calibration sentinel") is timed
+  *    at start and end, so a contended run self-identifies (inflated
+  *    cal_* values) without guessing; (c) a query that throws is
+  *    recorded as -1 with its name in "failed" and the process exits
+  *    non-zero — a crash can no longer masquerade as a fast query;
   *  - output: one full per-query JSON line first, then a COMPACT summary
   *    line. The driver keeps only a ~2 KB stdout tail, which truncated
   *    the front of round 1's single long line ("parsed": null) — the
   *    compact line is short enough to always survive the tail window.
   */
 object Bench {
+  /** Fixed single-thread FP busy-loop; returns elapsed seconds. On an
+    * idle host this is a stable constant (machine-specific, ~0.2 s); a
+    * value inflated 2×+ at start or end flags host-level contention for
+    * the whole run. The accumulator feeds a side effect so the loop
+    * cannot be dead-code-eliminated.
+    */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 1.0; var i = 0
+    while (i < 100000000) { x = x * 1.0000000001 + 1e-12; i += 1 }
+    if (x.isNaN) println("calibration NaN") // defeat DCE; never taken
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's cores (the driver machine is local[32]);
@@ -38,6 +61,8 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    val calStart = calibrate()
+
     // Warm shared machinery: parquet reader + view registration, the
     // Janino/codegen compiler, broadcast + shuffle join paths, window
     // exec, and the custom expression kernels.
@@ -54,25 +79,53 @@ object Bench {
     materialize(spark.sql(
       "SELECT SIZE(SHINGLE_SET(text, 3)) s, SIZE(TOKENIZE(text)) t FROM documents LIMIT 50"))
 
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Two timed passes per query; a pass that throws yields None. The
+    // reported time is the min of the successful passes (a host stall on
+    // one pass doesn't decide the gate); "first" keeps pass-1 visible so
+    // cold cost stays observable. Both passes failing marks the query
+    // failed (-1 in the map) and fails the run.
+    final case class Timing(name: String, first: Option[Double], min: Option[Double])
+    // harness self-test hook: SPARK_GRAFT_BENCH_FAULT=<name> injects a
+    // query that always throws, proving a broken query surfaces in
+    // "failed" and fails the process (instead of round 2's silent ~0 s)
+    val fault: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      sys.env.get("SPARK_GRAFT_BENCH_FAULT").map { n =>
+        n -> ((_: SparkSession, _: String) =>
+          throw new RuntimeException("injected bench fault"))
+      }.toMap
+    val results: Seq[Timing] = (SparkEntry.queries ++ fault).toSeq.map { case (name, fn) =>
+      def once(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case t: Throwable =>
+            Console.err.println(s"[bench] query $name failed: ${t.getClass.getName}: ${t.getMessage}")
+            None
+        }
+      }
+      val p1 = once(); val p2 = once()
+      Timing(name, p1, (p1.toSeq ++ p2.toSeq).reduceOption(_ min _))
     }
+
+    val calEnd = calibrate()
+
     // Locale.ROOT: the default-locale f-interpolator would print a
     // decimal COMMA under e.g. de_DE, producing unparseable JSON
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = results.map(_._2).sum
-    val qs = results.map { case (k, v) => s"\"$k\":${r3(v)}" }
-      .mkString("{", ",", "}")
+    val failed = results.filter(_.min.isEmpty).map(_.name)
+    val total = results.flatMap(_.min).sum
+    val firstTotal = results.flatMap(_.first).sum
+    def qmap(sel: Timing => Option[Double], ts: Seq[Timing]): String =
+      ts.map(t => s"\"${t.name}\":${r3(sel(t).getOrElse(-1.0))}").mkString("{", ",", "}")
+    val failedJson = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
+    val meta = s""""unit":"sec","first_value":${r3(firstTotal)},"cal_start":${r3(calStart)},"cal_end":${r3(calEnd)},"nfail":${failed.length},"failed":$failedJson"""
     // full detail first (may fall outside the driver's tail window)…
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},$meta,"queries":${qmap(_.min, results)},"first":${qmap(_.first, results)},"sf":"$sfDir"}""")
     // …then the compact line the tail always captures: total + slowest 6
-    val slow = results.sortBy(-_._2).take(6)
-      .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"sf":"$sfDir"}""")
+    val slow = results.filter(_.min.isDefined).sortBy(-_.min.get).take(6)
+    println(s"""{"metric":"total","value":${r3(total)},$meta,"queries":${qmap(_.min, slow)},"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

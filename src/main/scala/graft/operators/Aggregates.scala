@@ -115,17 +115,29 @@ object Aggregates {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
 
-    // histogram_numeric sketch (GenericUDAFHistogramNumeric): bin
-    // centroids are engine-specific numerics — rows-only + ScalaTest.
+    // histogram_numeric (GenericUDAFHistogramNumeric — Ben-Haim/Tom-Yossef
+    // streaming histogram, same algorithm in Spark). General inputs give
+    // merge-order-dependent centroids, but the sketch is EXACT and
+    // deterministic when distinct(input) <= nbins: add() increments an
+    // existing bin on exact x-match instead of appending, and merge()
+    // collapses gap-0 (identical-x) bin pairs first, so no two distinct
+    // values are ever averaged. l_linenumber has 7 distinct values vs
+    // nbins=10, so the result is exactly the per-value counts — a valid
+    // cross-engine value oracle that still drives the sketch's
+    // partial/merge path. (The approximate regime — more values than
+    // bins — stays covered by ScalaTest bounds in AggregatesSpec.)
     // Bins are posexploded to scalar (bin, bin_x, bin_y) columns: the
     // driver's pandas compare cannot hash an array<struct> column
     // (round-1 `err`), and scalars also make the row count meaningful.
     "agg_histogram_numeric" -> Tables.sql("""
       SELECT l_returnflag, pos AS bin,
-             ROUND(b.x, 6) AS bin_x,
+             ROUND(CAST(b.x AS DOUBLE), 6) AS bin_x,
              CAST(b.y AS DOUBLE) AS bin_y
       FROM (
-        SELECT l_returnflag, HISTOGRAM_NUMERIC(l_quantity, 5) AS hist
+        -- NB: Spark 4 propagates the input type to bin.x
+        -- (spark.sql.legacy.histogramNumericPropagateInputType=true), so
+        -- x arrives as INT here and must be cast for the oracle compare
+        SELECT l_returnflag, HISTOGRAM_NUMERIC(l_linenumber, 10) AS hist
         FROM lineitem
         GROUP BY l_returnflag
       ) h
@@ -251,6 +263,17 @@ object Aggregates {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // Exact-regime histogram (distinct values <= nbins) == per-value
+    // counts, sorted by x within each group — SQL-expressible exactly.
+    "agg_histogram_numeric" -> """
+      SELECT l_returnflag,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_linenumber) - 1 AS INT) AS bin,
+             ROUND(CAST(l_linenumber AS DOUBLE), 6) AS bin_x,
+             CAST(COUNT(*) AS DOUBLE) AS bin_y
+      FROM lineitem
+      GROUP BY l_returnflag, l_linenumber
+      ORDER BY l_returnflag, bin""",
 
     "agg_collect" -> """
       SELECT c_nationkey,

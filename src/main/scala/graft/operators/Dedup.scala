@@ -178,54 +178,16 @@ object Dedup {
     // near-duplicate pair graph (pairs = the oracle-checked
     // dedup_minhash_lsh output), so each doc maps to one cluster and a
     // pipeline keeps min(doc_id) per cluster as the representative.
-    // Algorithm: hash-min label propagation — every node takes the min
-    // label in its neighborhood, iterated to fixpoint (O(diameter)
-    // rounds; cf. Kiveris et al., "Connected Components in MapReduce and
-    // Beyond", SoCC'14). Each round is one shuffle-join + min-agg on
-    // (node) — no driver-side graph state, so 100 TB-many edges just
-    // mean wider shuffles; lineage is truncated per round so plans stay
-    // O(1) deep. Output: (doc_id, cluster, csize) for every doc in ≥1
-    // pair; singletons are implicitly their own cluster.
+    // See connectedComponents() below for the algorithm (alternating
+    // large-star/small-star, O(log n)-ish rounds, reliable checkpoints).
+    // Output: (doc_id, cluster, csize) for every doc in ≥1 pair;
+    // singletons are implicitly their own cluster.
     "dedup_clusters" -> ((spark, sfDir) => {
-      // the UNSORTED pair set — the symmetric-edge union would discard
-      // dedup_minhash_lsh's final ORDER BY range exchange unused
+      // the UNSORTED pair set — the symmetric-edge canonicalization would
+      // discard dedup_minhash_lsh's final ORDER BY range exchange unused
       val pairs = gsql(MinhashPairsSql)(spark, sfDir)
-        .select(col("doc_a"), col("doc_b"))
-      val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint() // evaluated once, reused every round
-      var labels = sym.select(col("src").as("node")).distinct()
-        .withColumn("comp", col("node"))
-        .localCheckpoint()
-      // fixpoint detection: comp values are monotone non-increasing and
-      // the node set is fixed, so the labeling changed iff sum(comp)
-      // changed — one aggregate per round, no join+count job. Overflow-
-      // safe via decimal.
-      def compSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
-      var prevSum = compSum(labels)
-      var converged = false
-      var round = 0
-      val maxRounds = 50
-      while (!converged && round < maxRounds) {
-        val viaNeighbors = sym
-          .join(labels, sym("dst") === labels("node"))
-          .select(sym("src").as("node"), col("comp"))
-        val next = viaNeighbors.union(labels)
-          .groupBy("node").agg(min("comp").as("comp"))
-          .localCheckpoint()
-        val s = compSum(next)
-        converged = s.compareTo(prevSum) == 0
-        prevSum = s
-        labels = next
-        round += 1
-      }
-      // NEVER emit unconverged labels as if they were clusters: a
-      // component with eccentricity > maxRounds (e.g. a very long
-      // near-dup chain) must fail loudly. (The O(log n) fix at that
-      // scale is pointer-doubling/large-star — out of scope here.)
-      if (!converged) throw new IllegalStateException(
-        s"connected components did not converge within $maxRounds rounds")
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val (labels, _) = connectedComponents(spark, pairs)
       val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csize"))
       labels.join(sizes, "comp")
         .select(col("node").as("doc_id"), col("comp").as("cluster"), col("csize"))
@@ -271,6 +233,92 @@ object Dedup {
       WHERE COSINE_SIM(a.embedding, b.embedding) >= 0.35
       ORDER BY vec_a, vec_b""")
   )
+
+  /** Connected components over an undirected edge set via alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 §3) — the scale-safe
+    * replacement for round 2's hash-min label propagation, which needed
+    * O(graph diameter) shuffle rounds (a 64-node near-dup chain = 63
+    * rounds; this converges in ~6 — pinned by PipelineSpec).
+    *
+    * large-star(u): attach every neighbor v > u to m = min(Γ(u) ∪ {u});
+    * small-star(u): attach u and all smaller neighbors to m = min(Γ<(u)).
+    * Both are a min-aggregate plus an equi-join on the node key — no
+    * per-node neighbor buffering, so a hot node (one doc near-duplicated
+    * a million times) never materializes its adjacency list in one task.
+    * At the fixpoint every component is a star centered at its minimum
+    * node, read off as (node → center) labels.
+    *
+    * Convergence is detected by EXACT edge-set equality for both steps
+    * (count + anti-join emptiness per step — a handful of cheap jobs for
+    * O(log) rounds), never a probabilistic checksum, and unconverged
+    * state throws rather than emitting wrong clusters. Round state goes
+    * through reliable `checkpoint()` on the session warehouse filesystem
+    * — on a cluster an executor loss replays from the checkpoint file,
+    * where round 2's `localCheckpoint` (executor-local blocks, truncated
+    * lineage) would have failed the job.
+    *
+    * @param edges undirected edges in columns (src, dst), any
+    *              orientation; self-loops and duplicates are ignored
+    * @return (labels (node, comp) for every edge endpoint, rounds run)
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+                          maxRounds: Int = 50): (DataFrame, Int) = {
+    spark.sparkContext.setCheckpointDir(
+      spark.conf.get("spark.sql.warehouse.dir") + "/_graft_checkpoints")
+    // canonical orientation: src > dst, no self-loops, set semantics
+    val canon = edges
+      .select(greatest(col("src"), col("dst")).as("src"),
+              least(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .checkpoint()
+    if (canon.isEmpty) {
+      // empty graph: no pairs ⇒ no clusters (round 2 NPE'd here via a
+      // null sum aggregate)
+      (canon.select(col("src").as("node"), col("dst").as("comp")), 0)
+    } else {
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        val mins = sym.groupBy("src").agg(min("dst").as("mind"))
+          .select(col("src").as("u"), least(col("src"), col("mind")).as("m"))
+        sym.join(mins, sym("src") === col("u"))
+          .where(col("dst") > sym("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .distinct()
+      }
+      def smallStar(e: DataFrame): DataFrame = {
+        val mins = e.groupBy("src").agg(min("dst").as("m")) // src > dst ⇒ m < src
+        val attachNbrs = e.join(mins, "src")
+          .where(col("dst") =!= col("m"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+        val attachSelf = mins.select(col("src"), col("m").as("dst"))
+        attachNbrs.union(attachSelf).distinct()
+      }
+      // both inputs are distinct sets, so equal counts + empty difference
+      // is full set equality
+      def sameSet(a: DataFrame, b: DataFrame): Boolean =
+        a.count() == b.count() && a.except(b).isEmpty
+      var cur = canon
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        val e1 = largeStar(cur).checkpoint()
+        val e2 = smallStar(e1).checkpoint()
+        // fixpoint of BOTH steps individually (the SoCC'14 convergence
+        // condition), not just of the composition
+        converged = sameSet(e1, cur) && sameSet(e2, e1)
+        cur = e2
+        round += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds")
+      // stars: every edge is (leaf, center); centers get their own label
+      val labels = cur.select(col("src").as("node"), col("dst").as("comp"))
+        .union(cur.select(col("dst").as("node"), col("dst").as("comp")))
+        .groupBy("node").agg(min("comp").as("comp"))
+      (labels, round)
+    }
+  }
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> """

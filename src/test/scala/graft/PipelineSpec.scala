@@ -59,6 +59,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(t => sizes(t._2) == t._3))
   }
 
+  test("connectedComponents converges in O(log n) rounds on a 64-node chain") {
+    // worst case for round 2's hash-min propagation: a path graph, where
+    // label propagation needs diameter-1 = 63 rounds. Large-star/small-
+    // star must collapse it in ~log2(64)=6 (allow 12 for the final
+    // verification round and odd/even effects).
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Dedup.connectedComponents(spark, edges)
+    assert(rounds <= 12, s"took $rounds rounds — not O(log n)")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L until 64L).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponents: empty edge set yields empty labels, not an error") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val (labels, rounds) = Dedup.connectedComponents(spark, empty)
+    assert(labels.collect().isEmpty)
+    assert(rounds == 0)
+  }
+
+  test("connectedComponents handles multiple components, self-loops, duplicate edges") {
+    val edges = Seq(
+      (5L, 3L), (3L, 5L), (5L, 5L),        // dup + reversed + self-loop
+      (10L, 11L), (11L, 12L), (12L, 10L),  // triangle
+      (20L, 21L)
+    ).toDF("src", "dst")
+    val (labels, _) = Dedup.connectedComponents(spark, edges)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("dedup_ngram_jaccard prefix filter is exact: equals brute-force block pairs") {
     Tables.register(spark, LocalSpark.sf)
     graft.functions.GraftFunctions.register(spark)
