@@ -37,6 +37,18 @@ object AsOfJoin {
                    key: String, leftTs: String, rightTs: String,
                    rightPayload: String): DataFrame = {
     val leftCols = leftDf.columns.toSeq
+    // the helper columns are plain names (withColumn would silently
+    // REPLACE a caller column of the same name and mis-resolve the join);
+    // same for the asof_ output colliding with an existing left column
+    val reserved = Seq("__side", "__ts", "__payload", "__match")
+    val clashes = leftCols.filter(c => reserved.contains(c) || c == s"asof_$rightPayload")
+    require(clashes.isEmpty,
+      s"asofBackward: left input columns ${clashes.mkString(", ")} collide " +
+        s"with reserved helper names (${reserved.mkString(", ")}) or the " +
+        s"asof_$rightPayload output — rename them first")
+    require(!reserved.contains(key) && !reserved.contains(rightTs) &&
+        !reserved.contains(rightPayload),
+      "asofBackward: key/ts/payload parameters must not use reserved __ names")
     val payloadType = new org.apache.spark.sql.types.StructType()
       .add(rightPayload, rightDf.schema(rightPayload).dataType)
     val l = leftDf.withColumn("__side", lit(1))

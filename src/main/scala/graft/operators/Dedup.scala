@@ -17,6 +17,16 @@ import graft.functions.GraftFunctions
   * is confined to same-bucket collisions. Exact-Jaccard verification
   * runs only on those candidates.
   */
+/** DuckDB spellings of the seeded-hash arithmetic used by oracle
+  * replications of the custom kernels (FNV-1a/fmix64 on UBIGINT). */
+private[operators] object DuckHash {
+  /** a*b mod 2^64 in DuckDB (HUGEINT is signed 128-bit, so a full 64×64
+    * product overflows — split the left operand at 32 bits). */
+  def mulmod(a: String, b: String): String =
+    s"CAST((((CAST(($a) >> 32 AS HUGEINT) * $b) % 4294967296) * 4294967296 + " +
+      s"CAST(($a) & 4294967295 AS HUGEINT) * $b) % 18446744073709551616 AS UBIGINT)"
+}
+
 object Dedup {
 
   private type Q = (SparkSession, String) => DataFrame
@@ -107,10 +117,16 @@ object Dedup {
     // asserts recall >= 0.9 against planted near-duplicates at sf0.001.
     "dedup_minhash_lsh" -> gsql(MinhashPairsSql + "\n      ORDER BY doc_a, doc_b"),
 
-    // SimHash: 64-bit fingerprint; candidates share one of four 16-bit
-    // bands (any pair with hamming ≤ 3 must agree on ≥1 band by
-    // pigeonhole... with 4 bands, hamming ≤ 3 guarantees a shared band);
-    // exact hamming ≤ 6 on candidates via bit_count(xor).
+    // SimHash: 64-bit fingerprint; candidates share one of SEVEN bands
+    // (six 9-bit + one 10-bit). Pigeonhole: a pair at hamming ≤ 6 flips
+    // bits in at most 6 of the 7 disjoint bands, so at least one band is
+    // untouched and shared — recall is PROVABLY 1.0 for the hamming ≤ 6
+    // filter, which both makes the exact all-pairs hamming join a valid
+    // oracle and fixes round 2's 4×16-bit banding, whose pigeonhole only
+    // covered hamming ≤ 3 (it silently missed 10 of 57 true pairs at
+    // sf0.01 in the 4–6 range). Exact hamming on candidates via
+    // bit_count(xor); at 100 TB the only shuffle is the (band, key)
+    // equi-join.
     "dedup_simhash" -> gsql("""
       WITH sh AS (
         SELECT doc_id, SIMHASH64(toks) AS sim
@@ -119,8 +135,9 @@ object Dedup {
         WHERE SIZE(toks) > 0
       ), bands AS (
         SELECT doc_id, sim, band,
-               (sim >> (band * 16)) & 65535 AS bandkey
-        FROM sh LATERAL VIEW EXPLODE(SEQUENCE(0, 3)) b AS band
+               CASE WHEN band < 6 THEN (sim >> (band * 9)) & 511
+                    ELSE (sim >> 54) & 1023 END AS bandkey
+        FROM sh LATERAL VIEW EXPLODE(SEQUENCE(0, 6)) b AS band
       )
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(BIT_COUNT(a.sim ^ b.sim) AS INT) AS hamming
@@ -385,6 +402,48 @@ object Dedup {
       FROM q2 JOIN reps ON q2.doc_id = reps.keep_id
       WHERE q2.doc_id NOT IN (SELECT doc_id FROM nonrep)
       ORDER BY q2.doc_id""",
+
+    // FULL INDEPENDENT REPLICATION of simhash, then EXACT ALL-PAIRS
+    // hamming ≤ 6 (valid oracle because the 7-band pigeonhole makes the
+    // Spark side's recall provably 1.0). The token hash (FNV-1a 64 +
+    // murmur fmix64, seed 0) is recomputed in SQL with HUGEINT mod-2^64
+    // arithmetic — the corpus is ASCII, so unicode(char) == utf8 byte;
+    // constants are the decimal spellings of the FNV offset/prime and
+    // fmix64 multipliers. Validated bit-for-bit against the Spark
+    // fingerprints at sf0.01.
+    "dedup_simhash" -> s"""
+      WITH t AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), tok AS (
+        SELECT doc_id, UNNEST(toks) AS tok FROM t WHERE LEN(toks) > 0
+      ), th0 AS (
+        SELECT doc_id, list_reduce(
+          list_prepend(14695981039346656037::UBIGINT,
+            list_transform(range(1, length(tok) + 1), i -> unicode(tok[i:i])::UBIGINT)),
+          (h, b) -> ${DuckHash.mulmod("xor(h, b)", "1099511628211")}) AS h0
+        FROM tok
+      ), f1 AS (SELECT doc_id, xor(h0, h0 >> 33) AS a FROM th0
+      ), f2 AS (SELECT doc_id, ${DuckHash.mulmod("a", "18397679294719823053")} AS b FROM f1
+      ), f3 AS (SELECT doc_id, xor(b, b >> 33) AS c FROM f2
+      ), f4 AS (SELECT doc_id, ${DuckHash.mulmod("c", "14181476777654086739")} AS dd FROM f3
+      ), th AS (SELECT doc_id, xor(dd, dd >> 33) AS h FROM f4
+      ), bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        FROM th, UNNEST(range(64)) AS u(j)
+        GROUP BY doc_id, j
+      ), sim AS (
+        SELECT doc_id,
+               bit_or(CASE WHEN cnt > 0 THEN (1::UBIGINT << CAST(j AS INT))
+                           ELSE 0::UBIGINT END) AS sim
+        FROM bits GROUP BY doc_id
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sim, b.sim)) <= 6
+      ORDER BY doc_a, doc_b""",
 
     "dedup_ngram_jaccard" -> """
       WITH t AS (

@@ -30,8 +30,17 @@ object MatchPath {
     "signup" -> "s", "error" -> "e")
 
   /** All non-overlapping matches of `pattern` (over the symbol alphabet)
-    * in each user's time-ordered event sequence. */
-  def matches(spark: SparkSession, sfDir: String, pattern: String): DataFrame = {
+    * in each user's time-ordered event sequence.
+    *
+    * Regex matching requires the whole per-key sequence in memory (Hive's
+    * PTF buffers partitions the same way), which is fine for bounded
+    * per-user activity but would OOM the task on one hot key — a bot user
+    * with 10^8 events. `maxEventsPerKey` (generous default) fails loudly
+    * with the offending key BEFORE the buffer grows past the cap, instead
+    * of a silent executor OOM; callers with legitimate hot keys raise it
+    * or pre-filter. */
+  def matches(spark: SparkSession, sfDir: String, pattern: String,
+              maxEventsPerKey: Int = 4 << 20): DataFrame = {
     Tables.register(spark, sfDir)
     import spark.implicits._
     val events = spark.table("events")
@@ -40,10 +49,18 @@ object MatchPath {
     val bSym = symbolOf // serialized into the closure
     events.groupByKey(_._1)
       .flatMapGroups { (uid, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, String, java.sql.Timestamp)]
+        while (it.hasNext) {
+          buf += it.next()
+          if (buf.length > maxEventsPerKey) throw new IllegalStateException(
+            s"matchpath: key $uid exceeds $maxEventsPerKey buffered events — " +
+              "hot key; raise maxEventsPerKey or pre-filter it")
+        }
         // getTime is millisecond-truncated; getNanos breaks same-ms ties
         // at full precision so ordering agrees with the oracle's
         // microsecond ORDER BY ts (events carry sub-ms components)
-        val evs = it.toArray.sortBy(e => (e._4.getTime, e._4.getNanos, e._2))
+        val evs = buf.toArray.sortBy(e => (e._4.getTime, e._4.getNanos, e._2))
         val syms = new StringBuilder
         evs.foreach(e => syms.append(bSym.getOrElse(e._3, "?")))
         val m = java.util.regex.Pattern.compile(pattern).matcher(syms)

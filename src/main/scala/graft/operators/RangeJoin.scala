@@ -25,17 +25,36 @@ object RangeJoin {
 
   /** `points` enriched with the matching `intervals` rows where
     * lo <= pt <= hi (all numeric, same unit), equi-joined on `keys` and
-    * the bin. Interval columns must not collide with point columns. */
+    * the bin. Interval columns must not collide with point columns.
+    *
+    * Explosion cap: one pathological interval spanning the whole domain
+    * would otherwise explode into `len / binWidth` bin rows (at 100 TB,
+    * millions of rows from a single input row, and `sequence()` itself
+    * throws past 2^31 elements). Intervals wider than
+    * `maxBinsPerInterval` bins are split off into a BROADCAST branch
+    * joined on keys with the exact range predicate — such intervals are
+    * few by construction (each covers > maxBins·binWidth of the domain,
+    * so the broadcast side is bounded by domain/binWidth / maxBins per
+    * key) — while the common short intervals keep the linear equi-join
+    * plan. Both branches apply the same exact post-filter; a point
+    * matches exactly one branch per interval, so the union is exact. */
   def rangeJoin(points: DataFrame, ptCol: String,
                 intervals: DataFrame, loCol: String, hiCol: String,
-                keys: Seq[String], binWidth: Long): DataFrame = {
+                keys: Seq[String], binWidth: Long,
+                maxBinsPerInterval: Int = 64): DataFrame = {
     require(binWidth > 0)
+    require(maxBinsPerInterval > 0)
+    val nBins = floor(col(hiCol) / binWidth) - floor(col(loCol) / binWidth) + 1
     val p = points.withColumn("__bin", floor(col(ptCol) / binWidth))
-    val i = intervals.withColumn("__bin",
+    val i = intervals.where(nBins <= maxBinsPerInterval).withColumn("__bin",
       explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
-    p.join(i, keys :+ "__bin")
-      .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
-      .drop("__bin")
+    val rangePred = col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol)
+    val short = p.join(i, keys :+ "__bin").where(rangePred).drop("__bin")
+    val longIv = intervals.where(nBins > maxBinsPerInterval)
+    val long =
+      (if (keys.nonEmpty) points.join(broadcast(longIv), keys)
+       else points.crossJoin(broadcast(longIv))).where(rangePred)
+    short.unionByName(long)
   }
 
   val queries: Map[String, Q] = Map(

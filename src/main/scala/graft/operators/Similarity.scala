@@ -122,7 +122,87 @@ object Similarity {
     })
   )
 
+  import DuckHash.mulmod
+
   val oracle: Map[String, String] = Map(
+    // FULL INDEPENDENT REPLICATION of the LSH pipeline, not a recall
+    // assumption: the ±1 plane signs come from the same seeded fmix64
+    // stream (replicated with HUGEINT mod-2^64 arithmetic; constants are
+    // the decimal spellings of the murmur fmix64 multipliers), the dot
+    // products accumulate in the same dimension order via list_reduce
+    // (IEEE doubles: same order ⇒ bit-identical sums ⇒ identical sign
+    // bits ⇒ identical buckets), and the rerank mirrors the Spark query.
+    // Validated bit-for-bit against the Spark output at sf0.01.
+    "ann_lsh_bucketed" -> s"""
+      WITH sgn0 AS (
+        SELECT t, p, d,
+               xor((CAST(t AS UBIGINT) << 32) | (CAST(p AS UBIGINT) << 8),
+                   ${mulmod("CAST(d AS UBIGINT)", "11400714819323198485")}) AS x0
+        FROM range(16) r1(t), range(6) r2(p), range(64) r3(d)
+      ), f1 AS (SELECT t, p, d, xor(x0, x0 >> 33) AS a FROM sgn0
+      ), f2 AS (SELECT t, p, d, ${mulmod("a", "18397679294719823053")} AS b FROM f1
+      ), f3 AS (SELECT t, p, d, xor(b, b >> 33) AS c FROM f2
+      ), f4 AS (SELECT t, p, d, ${mulmod("c", "14181476777654086739")} AS dd FROM f3
+      ), sgn AS (SELECT t, p, d,
+                 CASE WHEN (xor(dd, dd >> 33) & 1) = 1 THEN 1.0 ELSE -1.0 END AS sign
+                 FROM f4
+      ), sgl AS (SELECT t, p, LIST(sign ORDER BY d) AS sg FROM sgn GROUP BY t, p
+      ), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ), dots AS (
+        SELECT e.vec_id, s.t, s.p,
+               list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 65), i -> s.sg[i] * e.emb[i])), (x, y) -> x + y) AS dot
+        FROM e CROSS JOIN sgl s
+      ), buckets AS (
+        SELECT vec_id, t, CAST(SUM(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+        FROM dots GROUP BY vec_id, t
+      ), cand AS (
+        SELECT DISTINCT q.vec_id AS qid, n.vec_id AS nid
+        FROM buckets q JOIN buckets n ON q.t = n.t AND q.bucket = n.bucket
+        WHERE q.vec_id < 50 AND q.vec_id <> n.vec_id
+      ), scored AS (
+        SELECT c.qid, c.nid,
+               ROUND(LIST_COSINE_SIMILARITY(eq.emb, en.emb), 6) AS cos
+        FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e en ON en.vec_id = c.nid
+      )
+      SELECT qid, nid, cos, rn FROM (
+        SELECT qid, nid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        FROM scored)
+      WHERE rn <= 3 ORDER BY qid, rn""",
+
+    // independent IVF replication: same deterministic coarse quantizer
+    // (pivots = vec_id < 32, nearest-pivot assignment with pid
+    // tie-break), nprobe=4 probing, exact rerank. Assignment orders by
+    // full-precision cosine on both sides — validated identical at
+    // sf0.01 (no near-tie cells in the testdata).
+    "ann_ivf_probe" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      piv AS (SELECT vec_id AS pid, emb AS pemb FROM e WHERE vec_id < 32),
+      cells AS (
+        SELECT vec_id, emb, pid AS cell FROM (
+          SELECT e.vec_id, e.emb, p.pid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY LIST_COSINE_SIMILARITY(e.emb, p.pemb) DESC, p.pid) AS rn
+          FROM e CROSS JOIN piv p) WHERE rn = 1
+      ), probes AS (
+        SELECT qid, qemb, pid AS cell FROM (
+          SELECT e.vec_id AS qid, e.emb AS qemb, p.pid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY LIST_COSINE_SIMILARITY(e.emb, p.pemb) DESC, p.pid) AS rn
+          FROM e CROSS JOIN piv p WHERE e.vec_id < 50) WHERE rn <= 4
+      ), scored AS (
+        SELECT DISTINCT pr.qid, c.vec_id AS nid,
+               ROUND(LIST_COSINE_SIMILARITY(pr.qemb, c.emb), 6) AS cos
+        FROM probes pr JOIN cells c USING (cell)
+        WHERE pr.qid <> c.vec_id
+      )
+      SELECT qid, nid, cos, rn FROM (
+        SELECT qid, nid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        FROM scored)
+      WHERE rn <= 3 ORDER BY qid, rn""",
+
     "ann_cosine_topk" -> """
       WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
       scored AS (

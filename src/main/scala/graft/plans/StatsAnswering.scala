@@ -19,17 +19,19 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * Safety: fires only when (a) the aggregate has no grouping and no
   * filter between it and the relation, (b) the relation is a catalog
   * table whose stats carry a rowCount (column stats for COUNT(col)/
-  * MIN/MAX), and (c) `spark.graft.answerFromStats` is not "false".
-  * Spark clears catalog stats on catalog-routed writes
-  * (CommandUtils.updateTableStats), so stats present ⇒ stats current,
-  * except for out-of-band file drops — the same contract Hive's
-  * StatsOptimizer trusted.
+  * MIN/MAX), and (c) `spark.graft.answerFromStats` is "true" — OPT-IN,
+  * matching Hive's hive.compute.query.using.stats default: Spark clears
+  * catalog stats on catalog-routed writes (CommandUtils.updateTableStats)
+  * so stats present ⇒ stats current for catalog traffic, but files
+  * added/dropped OUT OF BAND (direct FS writes into the table location)
+  * leave stale stats the rule cannot detect, so the user must opt into
+  * that contract explicitly.
   */
 object AnswerFromStats extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (conf.getConfString("spark.graft.answerFromStats", "true")
-          .trim.equalsIgnoreCase("false")) return plan
+    if (!conf.getConfString("spark.graft.answerFromStats", "false")
+          .trim.equalsIgnoreCase("true")) return plan
     plan.transform {
       case agg: Aggregate
           if agg.groupingExpressions.isEmpty && agg.child.maxRows != Some(0L) =>

@@ -46,6 +46,7 @@ class ExtensionsSpec extends AnyFunSuite {
       val s = SparkSession.builder()
         .master("local[4]")
         .config("spark.ui.enabled", "false")
+        .config("spark.graft.answerFromStats", "true")
         .withExtensions(new GraftExtensions)
         .getOrCreate()
       s.sql("CREATE DATABASE IF NOT EXISTS graft_db")
@@ -61,6 +62,15 @@ class ExtensionsSpec extends AnyFunSuite {
 
       s.sql("ANALYZE TABLE graft_db.stats_t COMPUTE STATISTICS")
       s.sql("ANALYZE TABLE graft_db.stats_t COMPUTE STATISTICS FOR COLUMNS s_suppkey, s_acctbal")
+
+      // the rule is OPT-IN (out-of-band FS writes can leave stale stats,
+      // matching Hive's hive.compute.query.using.stats=false default):
+      // with the flag off it must not fire even with fresh stats
+      s.conf.set("spark.graft.answerFromStats", "false")
+      val optedOut = s.sql("SELECT COUNT(*) AS n FROM graft_db.stats_t")
+      assert(!optedOut.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+        "rule must not fire when opted out")
+      s.conf.set("spark.graft.answerFromStats", "true")
       val df = s.sql(
         "SELECT COUNT(*) AS n, COUNT(s_suppkey) AS ns, MIN(s_suppkey) AS mn, MAX(s_acctbal) AS mx FROM graft_db.stats_t")
       val plan = df.queryExecution.optimizedPlan.toString

@@ -28,11 +28,42 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     assert(truth.nonEmpty, "test corpus should contain planted near-duplicates")
-    // precision is exact by construction (final filter is exact jaccard)
-    assert(found.subsetOf(truth), s"false positives: ${found.diff(truth)}")
-    // 16 bands x 4 rows at j>=0.8: candidate prob >= 1-(1-0.8^4)^16 = 0.9996
-    val recall = found.intersect(truth).size.toDouble / truth.size
-    assert(recall >= 0.9, s"recall $recall")
+    // precision is exact by construction (final filter is exact jaccard),
+    // and the driver oracle ASSUMES recall is exactly 1.0 on the active
+    // testdata (the 1-(1-j^4)^16 >= 0.9996 bound is probabilistic, not a
+    // guarantee) — so demand full equality, not a recall threshold: if a
+    // testdata regeneration ever breaks the assumption, this fails with a
+    // clear message instead of an opaque driver pair-set diff
+    assert(found == truth,
+      s"LSH recall/precision must be exactly 1.0 for the DuckDB oracle to " +
+        s"be valid — missed=${truth.diff(found).take(5)} extra=${found.diff(truth).take(5)}")
+  }
+
+  test("dedup_minhash_lsh oracle validity: recall exactly 1.0 at the driver's sf0.01") {
+    val sf01 = "/root/testdata/sf0.01"
+    Tables.register(spark, sf01)
+    graft.functions.GraftFunctions.register(spark)
+    // exact all-pairs jaccard >= 0.8 via inverted-index join (all-pairs
+    // product would be 12.5M at 5000 docs; postings are fine here)
+    val truth = spark.sql("""
+      WITH t AS (SELECT doc_id, FILTER(SPLIT(LOWER(text),' '), w -> w <> '') toks FROM documents),
+      sh AS (SELECT doc_id, ARRAY_DISTINCT(TRANSFORM(SEQUENCE(0, SIZE(toks)-3),
+               i -> CONCAT_WS(' ', SLICE(toks, i+1, 3)))) grams FROM t WHERE SIZE(toks) >= 3),
+      inv AS (SELECT doc_id, SIZE(grams) n, gram FROM sh LATERAL VIEW EXPLODE(grams) g AS gram),
+      prs AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) ni,
+                     ANY_VALUE(a.n) na, ANY_VALUE(b.n) nb
+              FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      SELECT da, db FROM prs WHERE ni / (na + nb - ni) >= 0.8
+    """).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.queries("dedup_minhash_lsh")(spark, sf01)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(found == truth,
+      s"driver-scale oracle assumption broken: missed=${truth.diff(found).take(5)} " +
+        s"extra=${found.diff(truth).take(5)}")
+    // leave the shared session back on the spec-wide testdata
+    Tables.register(spark, LocalSpark.sf)
   }
 
   test("dedup_clusters equals local union-find over the same pairs") {
@@ -140,6 +171,27 @@ class PipelineSpec extends AnyFunSuite {
     val df = Dedup.queries("dedup_simhash")(spark, LocalSpark.sf).collect()
     assert(df.nonEmpty)
     assert(df.forall(_.getInt(2) <= 6))
+  }
+
+  test("dedup_simhash 7-band pigeonhole is exact: equals brute-force all-pairs hamming") {
+    Tables.register(spark, LocalSpark.sf)
+    graft.functions.GraftFunctions.register(spark)
+    // any pair at hamming <= 6 leaves >= 1 of the 7 disjoint bands
+    // untouched, so the banded candidate join must lose NOTHING vs the
+    // O(n^2) all-pairs join (fine at 500 docs) — this is what makes the
+    // exact all-pairs DuckDB oracle valid
+    val truth = spark.sql("""
+      WITH sh AS (SELECT doc_id, SIMHASH64(TOKENIZE(text)) AS sim FROM documents
+                  WHERE SIZE(TOKENIZE(text)) > 0)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(BIT_COUNT(a.sim ^ b.sim) AS INT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE BIT_COUNT(a.sim ^ b.sim) <= 6""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = Dedup.queries("dedup_simhash")(spark, LocalSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(truth.nonEmpty)
+    assert(got == truth, s"missing=${truth.diff(got).take(5)} extra=${got.diff(truth).take(5)}")
   }
 
   test("ann_lsh_bucketed: exact precision within candidates, measurable recall vs brute force") {

@@ -51,6 +51,47 @@ class SemanticTrapsSpec extends AnyFunSuite {
     assert(got == expect, s"missing=${expect.diff(got).take(5)} extra=${got.diff(expect).take(5)}")
   }
 
+  test("rangeJoin: domain-spanning interval takes the bounded broadcast branch") {
+    import spark.implicits._
+    val pts = (0L until 100L).map(i => (i, i * 1000L)).toDF("pid", "pt")
+      .withColumn("k", lit(1))
+    // one pathological interval covering 3e9 bins at binWidth=1: the
+    // unbounded explode would need a 3-billion-element sequence()
+    // (throws past 2^31, and would be a multi-million-row blowup long
+    // before that); the cap must route it to the broadcast branch
+    val ivs = Seq(
+      (900L, 1L, 2000L, 5000L),          // normal short interval
+      (901L, 1L, -1000000000L, 2000000000L) // spans ~3e9 bins
+    ).toDF("iid", "k", "lo", "hi")
+    val joined = graft.operators.RangeJoin
+      .rangeJoin(pts, "pt", ivs, "lo", "hi", Seq("k"), 1L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"long-interval branch should broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "must stay an equi-join")
+    val got = joined.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      i <- 0L until 100L; (iid, lo, hi) <- Seq((900L, 2000L, 5000L), (901L, -1000000000L, 2000000000L))
+      if lo <= i * 1000 && i * 1000 <= hi
+    } yield (i, iid)).toSet
+    assert(got == expect)
+  }
+
+  test("matchpath: hot key trips the buffer cap loudly instead of OOM") {
+    Tables.register(spark, LocalSpark.sf)
+    val ex = intercept[Exception] {
+      graft.operators.MatchPath
+        .matches(spark, LocalSpark.sf, "v+p", maxEventsPerKey = 5)
+        .collect()
+    }
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => s"${x.getClass.getName}: ${x.getMessage}").toSeq
+    assert(rootChain(ex).exists(_.contains("exceeds 5 buffered events")),
+      s"unexpected failure chain: ${rootChain(ex)}")
+  }
+
   test("asofBackward NULL semantics: null payload is returned, null-ts/key right rows never match") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L)).toDF("id", "k", "ts")
