@@ -81,6 +81,13 @@ object MatchPath {
     "matchpath_view_purchase" -> ((spark, sfDir) =>
       matches(spark, sfDir, "v+p")),
 
+    // second pattern over the same PTF ("one or more clicks then a
+    // purchase") — pins that the operator is generic in the pattern, not
+    // a single-pattern proof; same windowed-greedy oracle construction
+    // with the run symbol swapped.
+    "matchpath_click_purchase" -> ((spark, sfDir) =>
+      matches(spark, sfDir, "c+p")),
+
     // SQL projection with exact DuckDB oracle: per-user symbol string +
     // match count of the same pattern.
     "events_seq_match" -> Tables.sql("""
@@ -128,6 +135,30 @@ object MatchPath {
       FROM marked m JOIN ev s
         ON s.user_id = m.user_id AND s.rn = COALESCE(m.last_non_v, 0) + 1
       WHERE m.sym = 'p' AND m.rn - COALESCE(m.last_non_v, 0) >= 2
+      ORDER BY m.user_id, start_event_id""",
+
+    // same construction as matchpath_view_purchase with the run symbol
+    // swapped to 'c' — valid for any fixed x+y pattern by the same
+    // argument (a previously consumed 'p' is itself a non-'c' symbol, so
+    // matches never overlap, exactly java.util.regex find() semantics)
+    "matchpath_click_purchase" -> """
+      WITH ev AS (
+        SELECT user_id, event_id,
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS sym,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+      ), marked AS (
+        SELECT *, MAX(CASE WHEN sym <> 'c' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_non_c
+        FROM ev
+      )
+      SELECT m.user_id, s.event_id AS start_event_id,
+             CAST(m.rn - COALESCE(m.last_non_c, 0) AS INT) AS match_len
+      FROM marked m JOIN ev s
+        ON s.user_id = m.user_id AND s.rn = COALESCE(m.last_non_c, 0) + 1
+      WHERE m.sym = 'p' AND m.rn - COALESCE(m.last_non_c, 0) >= 2
       ORDER BY m.user_id, start_event_id""",
 
     "events_seq_match" -> """

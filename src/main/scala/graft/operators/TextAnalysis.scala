@@ -111,8 +111,8 @@ object TextAnalysis {
       ORDER BY freq DESC, follower"""),
 
     // Winnowing fingerprints (k=8 chars, window=4): per-doc fingerprint
-    // set size + stable sample values. Custom hashing → ScalaTest golden
-    // values instead of a SQL oracle.
+    // set size + stable sample values. The seeded hashing is replicated
+    // in the DuckDB oracle (see below), so this is value-checked.
     "text_fingerprint" -> gsql("""
       SELECT doc_id,
              SIZE(fp) AS n_fp,
@@ -124,6 +124,65 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // FULL INDEPENDENT REPLICATION of the winnowing fingerprint
+    // (Schleimer et al., SIGMOD'03): the k-gram FNV-1a/fmix64 hashes are
+    // recomputed with HUGEINT mod-2^64 arithmetic (ASCII corpus ⇒
+    // unicode(char) == utf8 byte), converted to SIGNED two's-complement
+    // (the kernel compares Scala Longs), and the rightmost-minimum of
+    // each 4-window is selected by maximizing the lexicographic key
+    // ((2^63-1 − g)·2^32 + i); consecutive duplicate picks collapse via
+    // LAG (a non-consecutive re-pick is impossible: two candidates
+    // co-resident in overlapping windows compare identically in each).
+    // Validated bit-for-bit against the Spark output at sf0.01.
+    "text_fingerprint" -> s"""
+      WITH docs AS (
+        SELECT doc_id, text, length(text) AS tl FROM documents
+      ), pos AS (
+        SELECT doc_id, tl, CAST(u.i AS INT) AS i, text[u.i + 1 : u.i + 8] AS gram
+        FROM docs, UNNEST(range(GREATEST(tl - 7, 0))) AS u(i)
+      ), h0 AS (
+        SELECT doc_id, tl, i, list_reduce(
+          list_prepend(14695981039346656037::UBIGINT,
+            list_transform(range(1, 9), c -> unicode(gram[c:c])::UBIGINT)),
+          (h, b) -> ${DuckHash.mulmod("xor(h, b)", "1099511628211")}) AS v0
+        FROM pos
+      ), m1 AS (SELECT doc_id, tl, i, xor(v0, v0 >> 33) AS a FROM h0
+      ), m2 AS (SELECT doc_id, tl, i, ${DuckHash.mulmod("a", "18397679294719823053")} AS b FROM m1
+      ), m3 AS (SELECT doc_id, tl, i, xor(b, b >> 33) AS c FROM m2
+      ), m4 AS (SELECT doc_id, tl, i, ${DuckHash.mulmod("c", "14181476777654086739")} AS dd FROM m3
+      ), grams AS (
+        SELECT doc_id, tl, i,
+               CAST(CASE WHEN xor(dd, dd >> 33) < 9223372036854775808::UBIGINT
+                         THEN CAST(xor(dd, dd >> 33) AS HUGEINT)
+                         ELSE CAST(xor(dd, dd >> 33) AS HUGEINT) - 18446744073709551616::HUGEINT
+                    END AS BIGINT) AS g
+        FROM m4
+      ), keyed AS (
+        SELECT doc_id, tl, i, g,
+               MAX((9223372036854775807::HUGEINT - g) * 4294967296 + i) OVER
+                 (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pick
+        FROM grams
+      ), starts AS (
+        SELECT doc_id, i AS s, CAST(pick % 4294967296 AS INT) AS minidx
+        FROM keyed WHERE i <= GREATEST(tl - 7 - 4, 0)
+      ), dedup AS (
+        SELECT doc_id, s, minidx,
+               LAG(minidx) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+        FROM starts
+      ), picks AS (
+        SELECT doc_id, s, minidx FROM dedup WHERE prev IS NULL OR prev <> minidx
+      ), fp AS (
+        SELECT p.doc_id, LIST(g.g ORDER BY p.s) AS fp
+        FROM picks p JOIN grams g ON g.doc_id = p.doc_id AND g.i = p.minidx
+        GROUP BY p.doc_id
+      )
+      SELECT d.doc_id,
+             COALESCE(LEN(f.fp), 0) AS n_fp,
+             f.fp[1] AS first_fp,
+             LIST_MIN(f.fp) AS min_fp
+      FROM docs d LEFT JOIN fp f USING (doc_id)
+      ORDER BY d.doc_id""",
+
     "text_langid" -> """
       WITH t AS (
         SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
