@@ -93,7 +93,14 @@ object Bench {
         n -> ((_: SparkSession, _: String) =>
           throw new RuntimeException("injected bench fault"))
       }.toMap
-    val results: Seq[Timing] = (SparkEntry.queries ++ fault).toSeq.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run for focused
+    // iteration; the driver never sets it, so round benches stay full
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = (SparkEntry.queries ++ fault).filter {
+      case (n, _) => only.forall(_.contains(n))
+    }
+    val results: Seq[Timing] = selected.toSeq.map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }

@@ -311,19 +311,23 @@ object Dedup {
         val attachSelf = mins.select(col("src"), col("m").as("dst"))
         attachNbrs.union(attachSelf).distinct()
       }
-      // both inputs are distinct sets, so equal counts + empty difference
-      // is full set equality
-      def sameSet(a: DataFrame, b: DataFrame): Boolean =
-        a.count() == b.count() && a.except(b).isEmpty
       var cur = canon
       var converged = false
       var round = 0
       while (!converged && round < maxRounds) {
-        val e1 = largeStar(cur).checkpoint()
+        // e1 is transient within the round and keeps lineage to the
+        // CHECKPOINTED cur, so an executor loss replays it from reliable
+        // storage — only the round state e2 needs its own checkpoint
+        val e1 = largeStar(cur)
         val e2 = smallStar(e1).checkpoint()
         // fixpoint of BOTH steps individually (the SoCC'14 convergence
-        // condition), not just of the composition
-        converged = sameSet(e1, cur) && sameSet(e2, e1)
+        // condition), not just of the composition. All four set
+        // differences union into ONE job (inputs are distinct sets, so
+        // empty symmetric difference is exact equality); isEmpty stops
+        // at the first surviving row.
+        converged = e1.except(cur).union(cur.except(e1))
+          .union(e2.except(e1)).union(e1.except(e2))
+          .isEmpty
         cur = e2
         round += 1
       }
