@@ -116,16 +116,19 @@ object Aggregates {
       ORDER BY l_returnflag"""),
 
     // histogram_numeric (GenericUDAFHistogramNumeric — Ben-Haim/Tom-Yossef
-    // streaming histogram, same algorithm in Spark). General inputs give
-    // merge-order-dependent centroids, but the sketch is EXACT and
-    // deterministic when distinct(input) <= nbins: add() increments an
-    // existing bin on exact x-match instead of appending, and merge()
-    // collapses gap-0 (identical-x) bin pairs first, so no two distinct
-    // values are ever averaged. l_linenumber has 7 distinct values vs
-    // nbins=10, so the result is exactly the per-value counts — a valid
-    // cross-engine value oracle that still drives the sketch's
-    // partial/merge path. (The approximate regime — more values than
-    // bins — stays covered by ScalaTest bounds in AggregatesSpec.)
+    // streaming histogram, same algorithm in Spark). The sketch is EXACT
+    // only when each group is fed by exactly ONE partial buffer whose
+    // distinct(input) <= nbins: add() increments an existing bin on exact
+    // x-match, but merge()'s trim breaks equal-gap ties with a PRNG and
+    // does NOT collapse duplicate-x bins preferentially (verified
+    // empirically: multi-partition input returns duplicate/averaged bins
+    // nondeterministically — HistogramExactnessSpec pins both regimes).
+    // Hence the REPARTITION(1): one map-side partial per group, merge
+    // touches nothing, and the result is exactly the 7 per-value counts
+    // of l_linenumber — a valid cross-engine value oracle. This is a
+    // deliberately serialized VERIFICATION query; the approximate
+    // partition-parallel regime a 100 TB user runs stays covered by
+    // ScalaTest bounds (SemanticTrapsSpec).
     // Bins are posexploded to scalar (bin, bin_x, bin_y) columns: the
     // driver's pandas compare cannot hash an array<struct> column
     // (round-1 `err`), and scalars also make the row count meaningful.
@@ -138,7 +141,7 @@ object Aggregates {
         -- (spark.sql.legacy.histogramNumericPropagateInputType=true), so
         -- x arrives as INT here and must be cast for the oracle compare
         SELECT l_returnflag, HISTOGRAM_NUMERIC(l_linenumber, 10) AS hist
-        FROM lineitem
+        FROM (SELECT /*+ REPARTITION(1) */ l_returnflag, l_linenumber FROM lineitem)
         GROUP BY l_returnflag
       ) h
       LATERAL VIEW POSEXPLODE(hist) t AS pos, b

@@ -17,6 +17,31 @@ import graft.functions.GraftFunctions
   * is confined to same-bucket collisions. Exact-Jaccard verification
   * runs only on those candidates.
   */
+/** Best-effort JVM-exit cleanup of per-call checkpoint directories (the
+  * files must outlive the returned DataFrame's lazy execution, so the
+  * earliest safe deletion point is shutdown). */
+private[operators] object CheckpointJanitor {
+  private val registered = new java.util.concurrent.ConcurrentLinkedQueue[
+    (String, org.apache.hadoop.conf.Configuration)]()
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread("graft-ckpt-janitor") {
+      override def run(): Unit = {
+        registered.forEach { case (dir, conf) =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(conf).delete(p, true)
+          } catch { case _: Throwable => () } // best-effort at exit
+        }
+      }
+    })
+  }
+  def deleteAtExit(dir: String,
+                   conf: org.apache.hadoop.conf.Configuration): Unit = {
+    hook
+    registered.add((dir, conf))
+  }
+}
+
 /** DuckDB spellings of the seeded-hash arithmetic used by oracle
   * replications of the custom kernels (FNV-1a/fmix64 on UBIGINT). */
 private[operators] object DuckHash {
@@ -25,6 +50,20 @@ private[operators] object DuckHash {
   def mulmod(a: String, b: String): String =
     s"CAST((((CAST(($a) >> 32 AS HUGEINT) * $b) % 4294967296) * 4294967296 + " +
       s"CAST(($a) & 4294967295 AS HUGEINT) * $b) % 18446744073709551616 AS UBIGINT)"
+
+  /** The murmur fmix64 finalizer as a chain of CTEs: reads column `in`
+    * of CTE `from`, carries `carry` through, and yields CTE `out` with
+    * the finalized value in `outCol`. ONE spelling shared by every
+    * kernel-replication oracle (simhash, LSH planes, winnowing) so a
+    * constant typo cannot silently break a single oracle. Internal CTE
+    * names are `prefix`1..4 — pass a prefix unused in the host query. */
+  def fmix64Ctes(from: String, carry: String, in: String, prefix: String,
+                 out: String, outCol: String): String =
+    s"""${prefix}1 AS (SELECT $carry, xor($in, ($in) >> 33) AS fxa FROM $from
+      ), ${prefix}2 AS (SELECT $carry, ${mulmod("fxa", "18397679294719823053")} AS fxb FROM ${prefix}1
+      ), ${prefix}3 AS (SELECT $carry, xor(fxb, fxb >> 33) AS fxc FROM ${prefix}2
+      ), ${prefix}4 AS (SELECT $carry, ${mulmod("fxc", "14181476777654086739")} AS fxd FROM ${prefix}3
+      ), $out AS (SELECT $carry, xor(fxd, fxd >> 33) AS $outCol FROM ${prefix}4)"""
 }
 
 object Dedup {
@@ -281,8 +320,28 @@ object Dedup {
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
                           maxRounds: Int = 50): (DataFrame, Int) = {
-    spark.sparkContext.setCheckpointDir(
-      spark.conf.get("spark.sql.warehouse.dir") + "/_graft_checkpoints")
+    val sc = spark.sparkContext
+    val prevCkptDir = sc.getCheckpointDir
+    // unique per-call subdir on the warehouse FS: calls never collide,
+    // and the whole subtree is best-effort deleted at JVM exit (earlier
+    // deletion is unsafe — the returned labels' lineage reads the final
+    // checkpoint when the caller's action runs). Reliable checkpoints
+    // otherwise accumulate for the session, as Spark's own do with
+    // spark.cleaner.referenceTracking.cleanCheckpoints unset.
+    val ckptDir = spark.conf.get("spark.sql.warehouse.dir") +
+      s"/_graft_checkpoints/cc-${java.util.UUID.randomUUID()}"
+    sc.setCheckpointDir(ckptDir)
+    CheckpointJanitor.deleteAtExit(ckptDir, sc.hadoopConfiguration)
+    try {
+      connectedComponentsIn(spark, edges, maxRounds)
+    } finally {
+      // a caller-configured checkpoint dir must survive this call
+      prevCkptDir.filter(_ != ckptDir).foreach(sc.setCheckpointDir)
+    }
+  }
+
+  private def connectedComponentsIn(spark: SparkSession, edges: DataFrame,
+                                    maxRounds: Int): (DataFrame, Int) = {
     // canonical orientation: src > dst, no self-loops, set semantics
     val canon = edges
       .select(greatest(col("src"), col("dst")).as("src"),
@@ -315,10 +374,12 @@ object Dedup {
       var converged = false
       var round = 0
       while (!converged && round < maxRounds) {
-        // e1 is transient within the round and keeps lineage to the
-        // CHECKPOINTED cur, so an executor loss replays it from reliable
-        // storage — only the round state e2 needs its own checkpoint
-        val e1 = largeStar(cur)
+        // e1 is consumed by two jobs (the e2 checkpoint and the
+        // convergence check), so persist it for the round — cache loss
+        // just recomputes from the CHECKPOINTED cur, preserving the
+        // executor-loss story; only the round state e2 needs its own
+        // reliable checkpoint
+        val e1 = largeStar(cur).persist()
         val e2 = smallStar(e1).checkpoint()
         // fixpoint of BOTH steps individually (the SoCC'14 convergence
         // condition), not just of the composition. All four set
@@ -328,6 +389,7 @@ object Dedup {
         converged = e1.except(cur).union(cur.except(e1))
           .union(e2.except(e1)).union(e1.except(e2))
           .isEmpty
+        e1.unpersist(blocking = false)
         cur = e2
         round += 1
       }
@@ -427,12 +489,8 @@ object Dedup {
             list_transform(range(1, length(tok) + 1), i -> unicode(tok[i:i])::UBIGINT)),
           (h, b) -> ${DuckHash.mulmod("xor(h, b)", "1099511628211")}) AS h0
         FROM tok
-      ), f1 AS (SELECT doc_id, xor(h0, h0 >> 33) AS a FROM th0
-      ), f2 AS (SELECT doc_id, ${DuckHash.mulmod("a", "18397679294719823053")} AS b FROM f1
-      ), f3 AS (SELECT doc_id, xor(b, b >> 33) AS c FROM f2
-      ), f4 AS (SELECT doc_id, ${DuckHash.mulmod("c", "14181476777654086739")} AS dd FROM f3
-      ), th AS (SELECT doc_id, xor(dd, dd >> 33) AS h FROM f4
-      ), bits AS (
+      ), ${DuckHash.fmix64Ctes(from = "th0", carry = "doc_id", in = "h0",
+                               prefix = "fm", out = "th", outCol = "h")}, bits AS (
         SELECT doc_id, j,
                SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
         FROM th, UNNEST(range(64)) AS u(j)

@@ -44,17 +44,32 @@ object RangeJoin {
                 maxBinsPerInterval: Int = 64): DataFrame = {
     require(binWidth > 0)
     require(maxBinsPerInterval > 0)
-    val nBins = floor(col(hiCol) / binWidth) - floor(col(loCol) / binWidth) + 1
-    val p = points.withColumn("__bin", floor(col(ptCol) / binWidth))
-    val i = intervals.where(nBins <= maxBinsPerInterval).withColumn("__bin",
-      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
     val rangePred = col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol)
-    val short = p.join(i, keys :+ "__bin").where(rangePred).drop("__bin")
-    val longIv = intervals.where(nBins > maxBinsPerInterval)
-    val long =
-      (if (keys.nonEmpty) points.join(broadcast(longIv), keys)
-       else points.crossJoin(broadcast(longIv))).where(rangePred)
-    short.unionByName(long)
+    val p = points.withColumn("__bin", floor(col(ptCol) / binWidth))
+    if (maxBinsPerInterval == Int.MaxValue) {
+      // guard disabled: single-branch plan, intervals evaluated once.
+      // Callers who can bound interval length by construction use this
+      // to skip the guarded form's cost (see below).
+      val i = intervals.withColumn("__bin",
+        explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+      p.join(i, keys :+ "__bin").where(rangePred).drop("__bin")
+    } else {
+      // guarded form: the intervals subplan is referenced by BOTH
+      // branches (complementary filters), so the part of it above its
+      // last exchange is evaluated twice even when no interval is long —
+      // the price of not knowing interval lengths until runtime. Pass a
+      // pre-materialized (cached/checkpointed) intervals input if that
+      // subplan is expensive.
+      val nBins = floor(col(hiCol) / binWidth) - floor(col(loCol) / binWidth) + 1
+      val i = intervals.where(nBins <= maxBinsPerInterval).withColumn("__bin",
+        explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+      val short = p.join(i, keys :+ "__bin").where(rangePred).drop("__bin")
+      val longIv = intervals.where(nBins > maxBinsPerInterval)
+      val long =
+        (if (keys.nonEmpty) points.join(broadcast(longIv), keys)
+         else points.crossJoin(broadcast(longIv))).where(rangePred)
+      short.unionByName(long)
+    }
   }
 
   val queries: Map[String, Q] = Map(

@@ -139,13 +139,11 @@ object Similarity {
                xor((CAST(t AS UBIGINT) << 32) | (CAST(p AS UBIGINT) << 8),
                    ${mulmod("CAST(d AS UBIGINT)", "11400714819323198485")}) AS x0
         FROM range(16) r1(t), range(6) r2(p), range(64) r3(d)
-      ), f1 AS (SELECT t, p, d, xor(x0, x0 >> 33) AS a FROM sgn0
-      ), f2 AS (SELECT t, p, d, ${mulmod("a", "18397679294719823053")} AS b FROM f1
-      ), f3 AS (SELECT t, p, d, xor(b, b >> 33) AS c FROM f2
-      ), f4 AS (SELECT t, p, d, ${mulmod("c", "14181476777654086739")} AS dd FROM f3
-      ), sgn AS (SELECT t, p, d,
-                 CASE WHEN (xor(dd, dd >> 33) & 1) = 1 THEN 1.0 ELSE -1.0 END AS sign
-                 FROM f4
+      ), ${DuckHash.fmix64Ctes(from = "sgn0", carry = "t, p, d", in = "x0",
+                               prefix = "fm", out = "fmo", outCol = "hv")},
+      sgn AS (SELECT t, p, d,
+              CASE WHEN (hv & 1) = 1 THEN 1.0 ELSE -1.0 END AS sign
+              FROM fmo
       ), sgl AS (SELECT t, p, LIST(sign ORDER BY d) AS sg FROM sgn GROUP BY t, p
       ), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       ), dots AS (

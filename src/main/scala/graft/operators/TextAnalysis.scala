@@ -146,17 +146,15 @@ object TextAnalysis {
             list_transform(range(1, 9), c -> unicode(gram[c:c])::UBIGINT)),
           (h, b) -> ${DuckHash.mulmod("xor(h, b)", "1099511628211")}) AS v0
         FROM pos
-      ), m1 AS (SELECT doc_id, tl, i, xor(v0, v0 >> 33) AS a FROM h0
-      ), m2 AS (SELECT doc_id, tl, i, ${DuckHash.mulmod("a", "18397679294719823053")} AS b FROM m1
-      ), m3 AS (SELECT doc_id, tl, i, xor(b, b >> 33) AS c FROM m2
-      ), m4 AS (SELECT doc_id, tl, i, ${DuckHash.mulmod("c", "14181476777654086739")} AS dd FROM m3
-      ), grams AS (
+      ), ${DuckHash.fmix64Ctes(from = "h0", carry = "doc_id, tl, i", in = "v0",
+                               prefix = "fm", out = "hfin", outCol = "hu")},
+      grams AS (
         SELECT doc_id, tl, i,
-               CAST(CASE WHEN xor(dd, dd >> 33) < 9223372036854775808::UBIGINT
-                         THEN CAST(xor(dd, dd >> 33) AS HUGEINT)
-                         ELSE CAST(xor(dd, dd >> 33) AS HUGEINT) - 18446744073709551616::HUGEINT
+               CAST(CASE WHEN hu < 9223372036854775808::UBIGINT
+                         THEN CAST(hu AS HUGEINT)
+                         ELSE CAST(hu AS HUGEINT) - 18446744073709551616::HUGEINT
                     END AS BIGINT) AS g
-        FROM m4
+        FROM hfin
       ), keyed AS (
         SELECT doc_id, tl, i, g,
                MAX((9223372036854775807::HUGEINT - g) * 4294967296 + i) OVER

@@ -41,6 +41,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("dedup_minhash_lsh oracle validity: recall exactly 1.0 at the driver's sf0.01") {
     val sf01 = "/root/testdata/sf0.01"
+    try {
     Tables.register(spark, sf01)
     graft.functions.GraftFunctions.register(spark)
     // exact all-pairs jaccard >= 0.8 via inverted-index join (all-pairs
@@ -62,8 +63,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(found == truth,
       s"driver-scale oracle assumption broken: missed=${truth.diff(found).take(5)} " +
         s"extra=${found.diff(truth).take(5)}")
-    // leave the shared session back on the spec-wide testdata
-    Tables.register(spark, LocalSpark.sf)
+    } finally {
+      // leave the shared session back on the spec-wide testdata even if
+      // the assertion fails — later tests share this SparkSession
+      Tables.register(spark, LocalSpark.sf)
+    }
   }
 
   test("dedup_clusters equals local union-find over the same pairs") {

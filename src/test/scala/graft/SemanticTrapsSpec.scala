@@ -60,7 +60,7 @@ class SemanticTrapsSpec extends AnyFunSuite {
     // (throws past 2^31, and would be a multi-million-row blowup long
     // before that); the cap must route it to the broadcast branch
     val ivs = Seq(
-      (900L, 1L, 2000L, 5000L),          // normal short interval
+      (900L, 1L, 2000L, 2050L),          // genuinely short: 51 bins <= 64
       (901L, 1L, -1000000000L, 2000000000L) // spans ~3e9 bins
     ).toDF("iid", "k", "lo", "hi")
     val joined = graft.operators.RangeJoin
@@ -71,11 +71,15 @@ class SemanticTrapsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "must stay an equi-join")
     val got = joined.select("pid", "iid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one interval routes through EACH branch, so the union path itself
+    // is validated (both-long would vacuously pass a broken short branch)
     val expect = (for {
-      i <- 0L until 100L; (iid, lo, hi) <- Seq((900L, 2000L, 5000L), (901L, -1000000000L, 2000000000L))
+      i <- 0L until 100L; (iid, lo, hi) <- Seq((900L, 2000L, 2050L), (901L, -1000000000L, 2000000000L))
       if lo <= i * 1000 && i * 1000 <= hi
     } yield (i, iid)).toSet
     assert(got == expect)
+    assert(got.exists(_._2 == 900L) && got.exists(_._2 == 901L),
+      "both branches must contribute matches")
   }
 
   test("matchpath: hot key trips the buffer cap loudly instead of OOM") {
