@@ -280,14 +280,40 @@ object Dedup {
 
     // Embedding near-dup: cosine ≥ 0.35 within label blocks (label is
     // the blocking key; LSH buckets replace it at scale — see
-    // ann_lsh_bucketed).
+    // dedup_embedding_lsh below for exactly that form).
     "dedup_embedding_cosine" -> gsql("""
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              ROUND(COSINE_SIM(a.embedding, b.embedding), 6) AS cos
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE COSINE_SIM(a.embedding, b.embedding) >= 0.35
-      ORDER BY vec_a, vec_b""")
+      ORDER BY vec_a, vec_b"""),
+
+    // The 100 TB form of embedding near-dup: no metadata blocking key —
+    // candidates come from random-hyperplane LSH buckets (16 tables ×
+    // 6-bit), i.e. the same equi-join-on-(table, bucket) discipline as
+    // ann_lsh_bucketed, with exact cosine verification on the deduped
+    // candidate ids only (the wide vectors re-join after DISTINCT).
+    // The oracle replicates the bucket computation exactly, so no recall
+    // assumption is needed — the pair set matches by construction.
+    "dedup_embedding_lsh" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val emb = spark.table("embeddings")
+      val bucketed = emb
+        .withColumn("bs", GraftFunctions.lsh_buckets(col("embedding"), 16, 6))
+        .select(col("vec_id"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
+      val cand = bucketed.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+        .join(bucketed.withColumnRenamed("vec_id", "vec_b"), Seq("tbl", "bucket"))
+        .where(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      cand
+        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+        .withColumn("cos", GraftFunctions.cosine_sim(col("ea"), col("eb")))
+        .where(col("cos") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    })
   )
 
   /** Connected components over an undirected edge set via alternating
@@ -530,6 +556,20 @@ object Dedup {
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+      ORDER BY vec_a, vec_b""",
+
+    // shared LSH bucket replication (Similarity.lshBucketCtes) + the
+    // same candidate join and exact cosine filter as the Spark side
+    "dedup_embedding_lsh" -> s"""
+      WITH ${Similarity.lshBucketCtes(16, 6)}, cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+      )
+      SELECT c.vec_a, c.vec_b,
+             ROUND(LIST_COSINE_SIMILARITY(ea.emb, eb.emb), 6) AS cos
+      FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+      WHERE LIST_COSINE_SIMILARITY(ea.emb, eb.emb) >= 0.35
       ORDER BY vec_a, vec_b"""
   )
 }

@@ -255,10 +255,38 @@ object Functions {
     // algorithms differ across engines — rows-only check + ScalaTest.
     "sample_bernoulli" -> Tables.sql("""
       SELECT o_orderkey FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)
-      ORDER BY o_orderkey""")
+      ORDER BY o_orderkey"""),
+
+    // Stratified exact-count sampling — the training-data form of
+    // sampling (k docs per language/source/quality stratum, reproducible
+    // across runs): rank rows inside each stratum by a deterministic
+    // multiplicative hash (Knuth: (id * 2654435761) mod 2^32 — plain
+    // integer arithmetic both engines compute identically; doc_id stays
+    // far below the BIGINT overflow ANSI mode would reject) and keep the
+    // first k. One shuffle on the stratum key, map-side nothing wasted —
+    // at 100 TB this is the per-stratum top-k pattern (window + filter),
+    // which AQE handles under stratum skew.
+    "sample_stratified" -> Tables.sql("""
+      SELECT lang, doc_id, sample_rank FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS sample_rank
+        FROM documents)
+      WHERE sample_rank <= 30
+      ORDER BY lang, doc_id""")
   )
 
   val oracle: Map[String, String] = Map(
+    // identical integer arithmetic — the hash rank is engine-independent
+    "sample_stratified" -> """
+      SELECT lang, doc_id, sample_rank FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS sample_rank
+        FROM documents)
+      WHERE sample_rank <= 30
+      ORDER BY lang, doc_id""",
+
     "string_fns" -> """
       SELECT c_custkey,
              CONCAT_WS('|', c_name, c_mktsegment) AS joined,

@@ -124,21 +124,20 @@ object Similarity {
 
   import DuckHash.mulmod
 
-  val oracle: Map[String, String] = Map(
-    // FULL INDEPENDENT REPLICATION of the LSH pipeline, not a recall
-    // assumption: the ±1 plane signs come from the same seeded fmix64
-    // stream (replicated with HUGEINT mod-2^64 arithmetic; constants are
-    // the decimal spellings of the murmur fmix64 multipliers), the dot
-    // products accumulate in the same dimension order via list_reduce
-    // (IEEE doubles: same order ⇒ bit-identical sums ⇒ identical sign
-    // bits ⇒ identical buckets), and the rerank mirrors the Spark query.
-    // Validated bit-for-bit against the Spark output at sf0.01.
-    "ann_lsh_bucketed" -> s"""
-      WITH sgn0 AS (
+  /** CTE chain replicating `LshBuckets(embedding, tables, planes)` over
+    * the embeddings table, ending in `buckets(vec_id, t, bucket)` (plus
+    * `e(vec_id, emb)` for reuse): the ±1 plane signs come from the same
+    * seeded fmix64 stream (HUGEINT mod-2^64 arithmetic), and the dot
+    * products accumulate in the same dimension order via list_reduce —
+    * IEEE doubles: same order ⇒ bit-identical sums ⇒ identical sign bits
+    * ⇒ identical buckets. Shared by every LSH-replication oracle.
+    * Validated bit-for-bit against the Spark buckets at sf0.01. */
+  private[operators] def lshBucketCtes(tables: Int, planes: Int): String = s"""
+      sgn0 AS (
         SELECT t, p, d,
                xor((CAST(t AS UBIGINT) << 32) | (CAST(p AS UBIGINT) << 8),
                    ${mulmod("CAST(d AS UBIGINT)", "11400714819323198485")}) AS x0
-        FROM range(16) r1(t), range(6) r2(p), range(64) r3(d)
+        FROM range($tables) r1(t), range($planes) r2(p), range(64) r3(d)
       ), ${DuckHash.fmix64Ctes(from = "sgn0", carry = "t, p, d", in = "x0",
                                prefix = "fm", out = "fmo", outCol = "hv")},
       sgn AS (SELECT t, p, d,
@@ -154,7 +153,13 @@ object Similarity {
       ), buckets AS (
         SELECT vec_id, t, CAST(SUM(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
         FROM dots GROUP BY vec_id, t
-      ), cand AS (
+      )"""
+
+  val oracle: Map[String, String] = Map(
+    // FULL INDEPENDENT REPLICATION of the LSH pipeline, not a recall
+    // assumption — see lshBucketCtes; the rerank mirrors the Spark query.
+    "ann_lsh_bucketed" -> s"""
+      WITH ${lshBucketCtes(16, 6)}, cand AS (
         SELECT DISTINCT q.vec_id AS qid, n.vec_id AS nid
         FROM buckets q JOIN buckets n ON q.t = n.t AND q.bucket = n.bucket
         WHERE q.vec_id < 50 AND q.vec_id <> n.vec_id
