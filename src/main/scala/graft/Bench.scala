@@ -84,7 +84,10 @@ object Bench {
     // one pass doesn't decide the gate); "first" keeps pass-1 visible so
     // cold cost stays observable. Both passes failing marks the query
     // failed (-1 in the map) and fails the run.
-    final case class Timing(name: String, first: Option[Double], min: Option[Double])
+    final case class Timing(name: String, first: Option[Double], second: Option[Double]) {
+      def min: Option[Double] = (first.toSeq ++ second.toSeq).reduceOption(_ min _)
+      def isFlaky: Boolean = min.isDefined && (first.isEmpty || second.isEmpty)
+    }
     // harness self-test hook: SPARK_GRAFT_BENCH_FAULT=<name> injects a
     // query that always throws, proving a broken query surfaces in
     // "failed" and fails the process (instead of round 2's silent ~0 s)
@@ -111,7 +114,7 @@ object Bench {
         }
       }
       val p1 = once(); val p2 = once()
-      Timing(name, p1, (p1.toSeq ++ p2.toSeq).reduceOption(_ min _))
+      Timing(name, p1, p2)
     }
 
     val calEnd = calibrate()
@@ -121,12 +124,18 @@ object Bench {
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val failed = results.filter(_.min.isEmpty).map(_.name)
+    // a query that threw on ONE of its two passes still has a valid min
+    // but is a real intermittent bug — surface it in BOTH output lines
+    // (the compact tail-surviving one included), not just as a -1 buried
+    // in the full line's "first" map
+    val flaky = results.filter(_.isFlaky).map(_.name)
+    flaky.foreach(n => Console.err.println(s"[bench] query $n failed pass 1 but passed pass 2 (flaky)"))
     val total = results.flatMap(_.min).sum
     val firstTotal = results.flatMap(_.first).sum
     def qmap(sel: Timing => Option[Double], ts: Seq[Timing]): String =
       ts.map(t => s"\"${t.name}\":${r3(sel(t).getOrElse(-1.0))}").mkString("{", ",", "}")
-    val failedJson = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val meta = s""""unit":"sec","first_value":${r3(firstTotal)},"cal_start":${r3(calStart)},"cal_end":${r3(calEnd)},"nfail":${failed.length},"failed":$failedJson"""
+    def names(ns: Seq[String]): String = ns.map(n => s"\"$n\"").mkString("[", ",", "]")
+    val meta = s""""unit":"sec","first_value":${r3(firstTotal)},"cal_start":${r3(calStart)},"cal_end":${r3(calEnd)},"nfail":${failed.length},"failed":${names(failed)},"flaky":${names(flaky)}"""
     // full detail first (may fall outside the driver's tail window)…
     println(s"""{"metric":"total","value":${r3(total)},$meta,"queries":${qmap(_.min, results)},"first":${qmap(_.first, results)},"sf":"$sfDir"}""")
     // …then the compact line the tail always captures: total + slowest 6

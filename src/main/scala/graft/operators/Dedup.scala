@@ -344,8 +344,14 @@ object Dedup {
     *              orientation; self-loops and duplicates are ignored
     * @return (labels (node, comp) for every edge endpoint, rounds run)
     */
+  /** Serializes checkpoint-dir mutation: setCheckpointDir is
+    * SparkContext-GLOBAL state, so two concurrent connectedComponents
+    * calls on one session would otherwise race and leak each other's
+    * round files past their janitor registrations. */
+  private val ckptDirLock = new Object
+
   def connectedComponents(spark: SparkSession, edges: DataFrame,
-                          maxRounds: Int = 50): (DataFrame, Int) = {
+                          maxRounds: Int = 50): (DataFrame, Int) = ckptDirLock.synchronized {
     val sc = spark.sparkContext
     val prevCkptDir = sc.getCheckpointDir
     // unique per-call subdir on the warehouse FS: calls never collide,
@@ -354,15 +360,23 @@ object Dedup {
     // checkpoint when the caller's action runs). Reliable checkpoints
     // otherwise accumulate for the session, as Spark's own do with
     // spark.cleaner.referenceTracking.cleanCheckpoints unset.
-    val ckptDir = spark.conf.get("spark.sql.warehouse.dir") +
-      s"/_graft_checkpoints/cc-${java.util.UUID.randomUUID()}"
+    val ckptBase = spark.conf.get("spark.sql.warehouse.dir") + "/_graft_checkpoints"
+    val ckptDir = s"$ckptBase/cc-${java.util.UUID.randomUUID()}"
     sc.setCheckpointDir(ckptDir)
     CheckpointJanitor.deleteAtExit(ckptDir, sc.hadoopConfiguration)
     try {
       connectedComponentsIn(spark, edges, maxRounds)
     } finally {
-      // a caller-configured checkpoint dir must survive this call
-      prevCkptDir.filter(_ != ckptDir).foreach(sc.setCheckpointDir)
+      // a caller-configured checkpoint dir must survive this call; with
+      // none configured, park the session on a STABLE (never janitor-
+      // deleted) dir so a later non-graft checkpoint() doesn't write
+      // into a directory scheduled for deletion at JVM exit.
+      // getCheckpointDir returns the uuid-RESOLVED subdir, so a previous
+      // park of our own must not be re-parked verbatim (paths would nest
+      // one uuid level per call) — re-park from the bare base instead.
+      sc.setCheckpointDir(prevCkptDir
+        .filterNot(_.contains("/_graft_checkpoints/"))
+        .getOrElse(s"$ckptBase/session"))
     }
   }
 

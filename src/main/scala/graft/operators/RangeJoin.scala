@@ -79,6 +79,10 @@ object RangeJoin {
     // must plan as an equi-join on (user_id, bin), never a nested loop
     "events_range_join_sessions" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
+      // persist: the guarded rangeJoin references the intervals plan from
+      // both branches, and the sessionization (two window passes + agg)
+      // is the expensive part — cache it once instead of evaluating it
+      // per branch. Plain persist keeps lineage, so cache loss recomputes.
       val sess = spark.sql("""
         WITH flagged AS (
           SELECT user_id, ts, event_id,
@@ -93,7 +97,7 @@ object RangeJoin {
           FROM flagged
         )
         SELECT user_id, UNIX_MICROS(MIN(ts)) AS lo, UNIX_MICROS(MAX(ts)) AS hi
-        FROM numbered GROUP BY user_id, sess_id""")
+        FROM numbered GROUP BY user_id, sess_id""").persist()
       val points = spark.table("events")
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("pt"))

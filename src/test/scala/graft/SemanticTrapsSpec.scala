@@ -63,23 +63,41 @@ class SemanticTrapsSpec extends AnyFunSuite {
       (900L, 1L, 2000L, 2050L),          // genuinely short: 51 bins <= 64
       (901L, 1L, -1000000000L, 2000000000L) // spans ~3e9 bins
     ).toDF("iid", "k", "lo", "hi")
-    val joined = graft.operators.RangeJoin
-      .rangeJoin(pts, "pt", ivs, "lo", "hi", Seq("k"), 1L)
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"long-interval branch should broadcast:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), "must stay an equi-join")
-    val got = joined.select("pid", "iid").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // one interval routes through EACH branch, so the union path itself
-    // is validated (both-long would vacuously pass a broken short branch)
-    val expect = (for {
-      i <- 0L until 100L; (iid, lo, hi) <- Seq((900L, 2000L, 2050L), (901L, -1000000000L, 2000000000L))
-      if lo <= i * 1000 && i * 1000 <= hi
-    } yield (i, iid)).toSet
-    assert(got == expect)
-    assert(got.exists(_._2 == 900L) && got.exists(_._2 == 901L),
-      "both branches must contribute matches")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      // AQE off so the concrete plan tree (and its metrics) is inspectable
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = graft.operators.RangeJoin
+        .rangeJoin(pts, "pt", ivs, "lo", "hi", Seq("k"), 1L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"long-interval branch should broadcast:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), "must stay an equi-join")
+      val got = joined.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // one interval routes through EACH branch, so the union path itself
+      // is validated (both-long would vacuously pass a broken short branch)
+      val expect = (for {
+        i <- 0L until 100L; (iid, lo, hi) <- Seq((900L, 2000L, 2050L), (901L, -1000000000L, 2000000000L))
+        if lo <= i * 1000 && i * 1000 <= hi
+      } yield (i, iid)).toSet
+      assert(got == expect)
+      assert(got.exists(_._2 == 900L) && got.exists(_._2 == 901L),
+        "both branches must contribute matches")
+      // ROUTING pin via exchange metrics: the long-interval branch must
+      // carry exactly 1 row (only interval 901) and the short branch's
+      // exploded side exactly 51 bin rows (interval 900's 51 bins, which
+      // the planner happens to broadcast too at this size). A regression
+      // shipping short intervals to the long branch would read (0, 2);
+      // shipping long ones to the explode branch throws in sequence().
+      joined.collect()
+      val bcastRows = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.metrics("numOutputRows").value
+      }.sorted
+      assert(bcastRows == Seq(1L, 51L),
+        s"expected long-branch=1 row and short-explode=51 rows, got $bcastRows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("matchpath: hot key trips the buffer cap loudly instead of OOM") {
