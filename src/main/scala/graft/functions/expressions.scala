@@ -431,7 +431,13 @@ case class LshBuckets(child: Expression, numTables: Int, numPlanes: Int)
 
 /** field(needle, s1, s2, ...) → 1-based index of needle among the
   * following args, 0 if absent or needle null — Hive's UDFField
-  * (one of the few registry names with no Spark builtin). */
+  * (one of the few registry names with no Spark builtin).
+  *
+  * Codegen: short-circuiting per-candidate equality when all argument
+  * types agree (the common string case), so field() no longer knocks its
+  * whole stage out of whole-stage codegen; heterogeneous argument types
+  * keep the interpreted fallback (whose Scala `==` across mixed internal
+  * types is the documented loose behavior). */
 case class FieldFn(children: Seq[Expression])
     extends Expression with CodegenFallback {
   override def dataType: DataType = IntegerType
@@ -448,6 +454,33 @@ case class FieldFn(children: Seq[Expression])
     }
     0
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (children.map(_.dataType).distinct.length > 1) return super.doGenCode(ctx, ev)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val needle = children.head.genCode(ctx)
+    val result = ctx.freshName("fieldIdx")
+    val checks = children.tail.zipWithIndex.map { case (c, i) =>
+      val e = c.genCode(ctx)
+      s"""if ($result == 0) {
+         |  ${e.code}
+         |  if (!${e.isNull} && ${ctx.genEqual(c.dataType, needle.value, e.value)}) {
+         |    $result = ${i + 1};
+         |  }
+         |}""".stripMargin
+    }.mkString("\n")
+    ev.copy(
+      code = code"""
+        ${needle.code}
+        int $result = 0;
+        if (!${needle.isNull}) {
+          $checks
+        }""",
+      value = JavaCode.variable(result, IntegerType),
+      isNull = FalseLiteral)
+  }
+
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): FieldFn = copy(children = newChildren)
 }

@@ -85,6 +85,23 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 2 && r.getInt(1) == 0 && r.getInt(2) == 0)
   }
 
+  test("field() over columns: codegen path agrees with interpreted, stays in WholeStageCodegen") {
+    GraftFunctions.register(spark)
+    // a range() scan (not a LocalRelation, which ConvertToLocalRelation
+    // folds via the interpreted path) so the expression really generates
+    // code; a CodegenFallback here would break the stage's codegen span
+    val q = spark.sql(
+      "SELECT FIELD(CAST(id AS STRING), '1', '2', '3') AS f FROM RANGE(5) ORDER BY id")
+    assert(q.collect().map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3, 0))
+    // inspect AFTER execution — AQE only renders codegen spans (*(n))
+    // in the finalized plan
+    assert(q.queryExecution.executedPlan.toString.contains("*("),
+      s"field() must not knock the stage out of codegen:\n${q.queryExecution.executedPlan}")
+    // heterogeneous argument types keep the interpreted fallback semantics
+    val mixed = spark.sql("SELECT FIELD(CAST(id AS STRING), '1', 1) AS f FROM RANGE(2) ORDER BY id")
+    assert(mixed.collect().map(_.getInt(0)).toSeq == Seq(0, 1))
+  }
+
   test("lsh_buckets: shape, range, scale-invariance") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1)).toFloat)
     val df = Seq((1L, v), (2L, v.map(_ * 2.5f))).toDF("id", "e")
