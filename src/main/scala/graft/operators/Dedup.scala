@@ -294,18 +294,18 @@ object Dedup {
     // 6-bit), i.e. the same equi-join-on-(table, bucket) discipline as
     // ann_lsh_bucketed, with exact cosine verification on the deduped
     // candidate ids only (the wide vectors re-join after DISTINCT).
-    // The oracle replicates the bucket computation exactly, so no recall
-    // assumption is needed — the pair set matches by construction.
+    // Hot-bucket cap: a bucket of B members contributes O(B²) candidate
+    // pairs, so one degenerate bucket (near-identical embeddings at
+    // scale) would go quadratic — buckets over 64 members are skipped,
+    // standard LSH practice: members still pair through their other 15
+    // tables, so only pairs whose EVERY shared bucket is hot are lost.
+    // On the testdata no bucket exceeds 25, so the cap is result-neutral
+    // there. The oracle replicates buckets AND the cap exactly, so no
+    // recall assumption is needed — the pair set matches by construction.
     "dedup_embedding_lsh" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       val emb = spark.table("embeddings")
-      val bucketed = emb
-        .withColumn("bs", GraftFunctions.lsh_buckets(col("embedding"), 16, 6))
-        .select(col("vec_id"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
-      val cand = bucketed.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
-        .join(bucketed.withColumnRenamed("vec_id", "vec_b"), Seq("tbl", "bucket"))
-        .where(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b").distinct()
+      val cand = lshCandidatePairs(emb, tables = 16, planes = 6, maxBucket = 64)
       cand
         .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
         .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
@@ -315,6 +315,26 @@ object Dedup {
         .orderBy("vec_a", "vec_b")
     })
   )
+
+  /** Candidate id-pairs (vec_a < vec_b) sharing ≥1 random-hyperplane LSH
+    * bucket over a (vec_id, embedding) input, with buckets over
+    * `maxBucket` members skipped (see dedup_embedding_lsh's comment for
+    * the O(B²) hot-bucket rationale). Only ids travel through the
+    * candidate DISTINCT shuffle. */
+  def lshCandidatePairs(emb: DataFrame, tables: Int, planes: Int,
+                        maxBucket: Int): DataFrame = {
+    val bucketed = emb
+      .withColumn("bs", GraftFunctions.lsh_buckets(col("embedding"), tables, planes))
+      .select(col("vec_id"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
+    val coolBuckets = bucketed.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("bsz")).where(col("bsz") <= maxBucket)
+      .select("tbl", "bucket")
+    val capped = bucketed.join(coolBuckets, Seq("tbl", "bucket"))
+    capped.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+      .join(capped.withColumnRenamed("vec_id", "vec_b"), Seq("tbl", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+  }
 
   /** Connected components over an undirected edge set via alternating
     * large-star / small-star rounds (Kiveris et al., "Connected
@@ -573,11 +593,16 @@ object Dedup {
       ORDER BY vec_a, vec_b""",
 
     // shared LSH bucket replication (Similarity.lshBucketCtes) + the
-    // same candidate join and exact cosine filter as the Spark side
+    // same hot-bucket cap, candidate join, and exact cosine filter as
+    // the Spark side
     "dedup_embedding_lsh" -> s"""
-      WITH ${Similarity.lshBucketCtes(16, 6)}, cand AS (
+      WITH ${Similarity.lshBucketCtes(16, 6)}, cool AS (
+        SELECT t, bucket FROM buckets GROUP BY t, bucket HAVING COUNT(*) <= 64
+      ), capped AS (
+        SELECT b.vec_id, b.t, b.bucket FROM buckets b JOIN cool USING (t, bucket)
+      ), cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+        FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
         WHERE a.vec_id < b.vec_id
       )
       SELECT c.vec_a, c.vec_b,

@@ -125,6 +125,19 @@ class PipelineSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("lshCandidatePairs: hot buckets are skipped, cool buckets pair fully") {
+    // 100 identical embeddings land in the SAME bucket of every table —
+    // bucket size 100 > cap 64 in all 16 tables, so NO pairs may emerge
+    // (at 100 TB this is the one-degenerate-bucket quadratic blowup);
+    // raising the cap past the bucket size restores all 4950 pairs
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val emb = (0L until 100L).map(id => (id, v)).toDF("vec_id", "embedding")
+    val capped = Dedup.lshCandidatePairs(emb, tables = 16, planes = 6, maxBucket = 64)
+    assert(capped.count() == 0, "hot bucket must be skipped, not exploded")
+    val uncapped = Dedup.lshCandidatePairs(emb, tables = 16, planes = 6, maxBucket = 200)
+    assert(uncapped.count() == 100L * 99 / 2)
+  }
+
   test("dedup_ngram_jaccard prefix filter is exact: equals brute-force block pairs") {
     Tables.register(spark, LocalSpark.sf)
     graft.functions.GraftFunctions.register(spark)
