@@ -111,6 +111,11 @@ object Bench {
           case t: Throwable =>
             Console.err.println(s"[bench] query $name failed: ${t.getClass.getName}: ${t.getMessage}")
             None
+        } finally {
+          // queries may persist() intermediates; without this, pass 2
+          // reads pass 1's populated cache (min-of-2 would report a
+          // warm-cache time) and cached blocks pile up across the run
+          spark.catalog.clearCache()
         }
       }
       val p1 = once(); val p2 = once()
@@ -129,7 +134,10 @@ object Bench {
     // (the compact tail-surviving one included), not just as a -1 buried
     // in the full line's "first" map
     val flaky = results.filter(_.isFlaky).map(_.name)
-    flaky.foreach(n => Console.err.println(s"[bench] query $n failed pass 1 but passed pass 2 (flaky)"))
+    results.filter(_.isFlaky).foreach { t =>
+      val which = if (t.first.isEmpty) "pass 1 (cold)" else "pass 2 (warm)"
+      Console.err.println(s"[bench] query ${t.name} failed $which only (flaky)")
+    }
     val total = results.flatMap(_.min).sum
     val firstTotal = results.flatMap(_.first).sum
     def qmap(sel: Timing => Option[Double], ts: Seq[Timing]): String =

@@ -433,15 +433,30 @@ case class LshBuckets(child: Expression, numTables: Int, numPlanes: Int)
   * following args, 0 if absent or needle null — Hive's UDFField
   * (one of the few registry names with no Spark builtin).
   *
-  * Codegen: short-circuiting per-candidate equality when all argument
-  * types agree (the common string case), so field() no longer knocks its
-  * whole stage out of whole-stage codegen; heterogeneous argument types
-  * keep the interpreted fallback (whose Scala `==` across mixed internal
-  * types is the documented loose behavior). */
-case class FieldFn(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+  * Equality is boxed `.equals` on the internal values everywhere —
+  * exact same-type equality, NaN matches NaN, no cross-numeric-type
+  * coercion — so the interpreted and generated paths agree (Scala
+  * `==`'s numeric cooperation and NaN special case would diverge from
+  * genEqual).
+  *
+  * NOT a CodegenFallback: the mere presence of that trait makes
+  * CollapseCodegenStages exclude the stage from whole-stage codegen
+  * regardless of doGenCode. Homogeneous argument types (the common
+  * string case) generate short-circuiting inline equality; mixed types
+  * generate a boxed-kernel call — both stay inside the codegen span. */
+case class FieldFn(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
+
+  /** Shared by the interpreted path and the mixed-type generated code. */
+  def matchIndex(needle: Any, cands: Array[Object]): Int = {
+    var i = 0
+    while (i < cands.length) {
+      if (cands(i) != null && cands(i).equals(needle)) return i + 1
+      i += 1
+    }
+    0
+  }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val needle = children.head.eval(input)
@@ -449,33 +464,51 @@ case class FieldFn(children: Seq[Expression])
     var i = 1
     while (i < children.length) {
       val v = children(i).eval(input)
-      if (v != null && v == needle) return i
+      if (v != null && v.equals(needle)) return i
       i += 1
     }
     0
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    if (children.map(_.dataType).distinct.length > 1) return super.doGenCode(ctx, ev)
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, FalseLiteral, JavaCode}
     val needle = children.head.genCode(ctx)
     val result = ctx.freshName("fieldIdx")
-    val checks = children.tail.zipWithIndex.map { case (c, i) =>
-      val e = c.genCode(ctx)
-      s"""if ($result == 0) {
-         |  ${e.code}
-         |  if (!${e.isNull} && ${ctx.genEqual(c.dataType, needle.value, e.value)}) {
-         |    $result = ${i + 1};
-         |  }
-         |}""".stripMargin
-    }.mkString("\n")
+    val homogeneous = children.map(_.dataType).distinct.length == 1
+    val body = if (homogeneous) {
+      children.tail.zipWithIndex.map { case (c, i) =>
+        val e = c.genCode(ctx)
+        s"""if ($result == 0) {
+           |  ${e.code}
+           |  if (!${e.isNull} && ${ctx.genEqual(c.dataType, needle.value, e.value)}) {
+           |    $result = ${i + 1};
+           |  }
+           |}""".stripMargin
+      }.mkString("\n")
+    } else {
+      // mixed types: box every value and reuse the interpreted kernel —
+      // still plain generated Java, so the stage keeps codegen
+      val ref = ctx.addReferenceObj("fieldFn", this, classOf[FieldFn].getName)
+      val cands = ctx.freshName("fieldCands")
+      def boxed(dt: DataType, v: String): String =
+        if (CodeGenerator.isPrimitiveType(dt)) s"${CodeGenerator.boxedType(dt)}.valueOf($v)"
+        else v
+      val fills = children.tail.zipWithIndex.map { case (c, i) =>
+        val e = c.genCode(ctx)
+        s"""${e.code}
+           |$cands[$i] = ${e.isNull} ? null : (Object) ${boxed(c.dataType, e.value.toString)};""".stripMargin
+      }.mkString("\n")
+      s"""Object[] $cands = new Object[${children.length - 1}];
+         |$fills
+         |$result = $ref.matchIndex((Object) ${boxed(children.head.dataType, needle.value.toString)}, $cands);""".stripMargin
+    }
     ev.copy(
       code = code"""
         ${needle.code}
         int $result = 0;
         if (!${needle.isNull}) {
-          $checks
+          $body
         }""",
       value = JavaCode.variable(result, IntegerType),
       isNull = FalseLiteral)

@@ -323,9 +323,13 @@ object Dedup {
     * candidate DISTINCT shuffle. */
   def lshCandidatePairs(emb: DataFrame, tables: Int, planes: Int,
                         maxBucket: Int): DataFrame = {
+    // persist: this (ids+tbl+bucket — narrow) subtree is referenced by
+    // the size aggregate and both self-join sides; without the cache the
+    // O(tables·planes·dim) bucket kernel re-runs per reference
     val bucketed = emb
       .withColumn("bs", GraftFunctions.lsh_buckets(col("embedding"), tables, planes))
       .select(col("vec_id"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
+      .persist()
     val coolBuckets = bucketed.groupBy("tbl", "bucket")
       .agg(count(lit(1)).as("bsz")).where(col("bsz") <= maxBucket)
       .select("tbl", "bucket")
@@ -391,11 +395,14 @@ object Dedup {
       // none configured, park the session on a STABLE (never janitor-
       // deleted) dir so a later non-graft checkpoint() doesn't write
       // into a directory scheduled for deletion at JVM exit.
-      // getCheckpointDir returns the uuid-RESOLVED subdir, so a previous
-      // park of our own must not be re-parked verbatim (paths would nest
-      // one uuid level per call) — re-park from the bare base instead.
+      // getCheckpointDir returns the uuid-RESOLVED subdir (base/<uuid>),
+      // and setCheckpointDir(resolved) would nest one uuid level per
+      // call — strip the trailing uuid segment to restore the caller's
+      // bare base, and never re-park our own dirs verbatim.
+      val uuidTail = "/[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
       sc.setCheckpointDir(prevCkptDir
         .filterNot(_.contains("/_graft_checkpoints/"))
+        .map(p => uuidTail.replaceFirstIn(p, ""))
         .getOrElse(s"$ckptBase/session"))
     }
   }

@@ -20,7 +20,13 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    // formatted plan first: pushdown detail (ReadSchema/PushedFilters)
     df.explain("formatted")
+    // then EXECUTE and print the finalized plan — AQE only renders
+    // codegen spans (*(n)) and settled exchange placement after a run
+    df.write.mode("overwrite").format("noop").save()
+    println("=== finalized plan (post-execution, AQE settled) ===")
+    println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

@@ -93,13 +93,28 @@ class ExpressionsSpec extends AnyFunSuite {
     val q = spark.sql(
       "SELECT FIELD(CAST(id AS STRING), '1', '2', '3') AS f FROM RANGE(5) ORDER BY id")
     assert(q.collect().map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3, 0))
-    // inspect AFTER execution — AQE only renders codegen spans (*(n))
-    // in the finalized plan
-    assert(q.queryExecution.executedPlan.toString.contains("*("),
-      s"field() must not knock the stage out of codegen:\n${q.queryExecution.executedPlan}")
-    // heterogeneous argument types keep the interpreted fallback semantics
+    // inspect AFTER execution — AQE only renders codegen spans (*(n)) in
+    // the finalized plan. The *(n) prefix must be on the fieldfn
+    // PROJECTION LINE itself: a plan-wide contains("*(") is vacuously
+    // true from the Range scan even when the fieldfn Project fell out of
+    // codegen (exactly what happened while FieldFn was a CodegenFallback)
+    // only the "== Final Plan ==" section — the AQE dump repeats the
+    // plan under "== Initial Plan ==" without codegen stars
+    def finalPlanLines(s: String): Seq[String] =
+      s.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    val planStr = q.queryExecution.executedPlan.toString
+    val fieldLines = finalPlanLines(planStr).filter(_.contains("fieldfn"))
+    assert(fieldLines.nonEmpty, s"expected a fieldfn projection in:\n$planStr")
+    assert(fieldLines.forall(_.contains("*(")),
+      s"fieldfn projection fell out of whole-stage codegen:\n$planStr")
+    // heterogeneous argument types run the boxed kernel — also inside
+    // the codegen span, with .equals semantics (no cross-type equality)
     val mixed = spark.sql("SELECT FIELD(CAST(id AS STRING), '1', 1) AS f FROM RANGE(2) ORDER BY id")
     assert(mixed.collect().map(_.getInt(0)).toSeq == Seq(0, 1))
+    val mixedLines = finalPlanLines(mixed.queryExecution.executedPlan.toString)
+      .filter(_.contains("fieldfn"))
+    assert(mixedLines.nonEmpty && mixedLines.forall(_.contains("*(")),
+      s"mixed-type fieldfn must stay in codegen:\n${mixed.queryExecution.executedPlan}")
   }
 
   test("lsh_buckets: shape, range, scale-invariance") {
