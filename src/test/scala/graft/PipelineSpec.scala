@@ -113,6 +113,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rounds == 0)
   }
 
+  test("connectedComponents equals union-find on random graphs (seeded sweep)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 5 + rnd.nextInt(60)
+      val m = 1 + rnd.nextInt(2 * n)
+      val raw = Seq.fill(m)((rnd.nextLong(n).abs % n, rnd.nextLong(n).abs % n))
+      val real = raw.filter { case (a, b) => a != b }
+      // reference: union-find, component label = min member
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      real.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(k => k -> find(k)).toMap
+      val (labels, rounds) = Dedup.connectedComponents(spark, raw.toDF("src", "dst"))
+      val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expect, s"n=$n m=$m rounds=$rounds: " +
+        s"mismatch ${got.toSet.diff(expect.toSet).take(5)} / ${expect.toSet.diff(got.toSet).take(5)}")
+      assert(rounds <= 12, s"n=$n m=$m took $rounds rounds")
+    }
+  }
+
   test("connectedComponents handles multiple components, self-loops, duplicate edges") {
     val edges = Seq(
       (5L, 3L), (3L, 5L), (5L, 5L),        // dup + reversed + self-loop
