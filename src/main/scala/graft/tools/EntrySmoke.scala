@@ -1,20 +1,10 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Mirrors the driver's flagship smoke check: SparkEntry.entry at
   * sf0.001 must return rows > 0. */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.local()
     val n = graft.SparkEntry.entry(spark).count()
     println(s"[entry-smoke] rows=$n")
     spark.stop()

@@ -118,7 +118,7 @@ class PipelineSpec extends AnyFunSuite {
     for (_ <- 1 to 5) {
       val n = 5 + rnd.nextInt(60)
       val m = 1 + rnd.nextInt(2 * n)
-      val raw = Seq.fill(m)((rnd.nextLong(n).abs % n, rnd.nextLong(n).abs % n))
+      val raw = Seq.fill(m)((rnd.nextLong(n), rnd.nextLong(n)))
       val real = raw.filter { case (a, b) => a != b }
       // reference: union-find, component label = min member
       val parent = scala.collection.mutable.Map.empty[Long, Long]
