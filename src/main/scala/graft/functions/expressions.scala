@@ -133,6 +133,54 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** jaccard_sim(Array[String], Array[String]) → Double:
+  * |distinct(A) ∩ distinct(B)| / |distinct(A) ∪ distinct(B)| in ONE
+  * hash-set pass — semantically identical to
+  * SIZE(ARRAY_INTERSECT(a,b)) / SIZE(ARRAY_UNION(a,b)) (exact integer
+  * counts, same double division) but without materializing either
+  * intermediate array, and computed once where the composed spelling is
+  * evaluated separately for the filter and the projection. This is the
+  * verify kernel of the dedup family (minhash/ngram candidates).
+  * Returns 0.0 when both inputs are empty. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with Bridge.GraftExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+
+  def kernel(l: ArrayData, r: ArrayData): Double = {
+    val aSet = new java.util.HashSet[UTF8String]()
+    var i = 0
+    val na = l.numElements()
+    while (i < na) { if (!l.isNullAt(i)) aSet.add(l.getUTF8String(i)); i += 1 }
+    val bSeen = new java.util.HashSet[UTF8String]()
+    var inter = 0
+    var bOnly = 0
+    var j = 0
+    val nb = r.numElements()
+    while (j < nb) {
+      if (!r.isNullAt(j)) {
+        val v = r.getUTF8String(j)
+        if (bSeen.add(v)) { if (aSet.contains(v)) inter += 1 else bOnly += 1 }
+      }
+      j += 1
+    }
+    val union = aSet.size + bOnly
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccard", this, classOf[JaccardSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.kernel($a, $b);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** simhash64(Array[String]) → Long: 64-bit bitwise-majority fingerprint
   * of the token multiset (Charikar's simhash; near-identical token sets
   * differ in few bits → hamming-distance dedup). */
@@ -524,6 +572,8 @@ object GraftFunctions {
 
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  def jaccard_sim(a: Column, b: Column): Column =
+    Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
   def simhash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
   def minhash_sig(c: Column, numHashes: Int): Column =
@@ -547,6 +597,8 @@ object GraftFunctions {
     def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("jaccard_sim",
+      es => JaccardSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",

@@ -104,12 +104,14 @@ object Dedup {
           ON a.band = b.band AND a.bandhash = b.bandhash
          AND a.doc_id < b.doc_id
       )
-      SELECT doc_a, doc_b,
-             ROUND(SIZE(ARRAY_INTERSECT(sa.grams, sb.grams)) / SIZE(ARRAY_UNION(sa.grams, sb.grams)), 6) AS jaccard
-      FROM cand
-      JOIN sh sa ON doc_a = sa.doc_id
-      JOIN sh sb ON doc_b = sb.doc_id
-      WHERE SIZE(ARRAY_INTERSECT(sa.grams, sb.grams)) / SIZE(ARRAY_UNION(sa.grams, sb.grams)) >= 0.8"""
+      SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
+      FROM (
+        SELECT doc_a, doc_b, JACCARD_SIM(sa.grams, sb.grams) AS j
+        FROM cand
+        JOIN sh sa ON doc_a = sa.doc_id
+        JOIN sh sb ON doc_b = sb.doc_id
+      )
+      WHERE j >= 0.8"""
 
   /** DuckDB spelling of the same pair set (exact all-pairs via inverted
     * index) — one constant, so the dedup_minhash_lsh and dedup_clusters
@@ -222,12 +224,14 @@ object Dedup {
         FROM prefix a JOIN prefix b
           ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
       )
-      SELECT doc_a, doc_b,
-             ROUND(SIZE(ARRAY_INTERSECT(sa.grams, sb.grams)) / SIZE(ARRAY_UNION(sa.grams, sb.grams)), 6) AS jaccard
-      FROM cand
-      JOIN sh sa ON doc_a = sa.doc_id
-      JOIN sh sb ON doc_b = sb.doc_id
-      WHERE SIZE(ARRAY_INTERSECT(sa.grams, sb.grams)) / SIZE(ARRAY_UNION(sa.grams, sb.grams)) >= 0.5
+      SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
+      FROM (
+        SELECT doc_a, doc_b, JACCARD_SIM(sa.grams, sb.grams) AS j
+        FROM cand
+        JOIN sh sa ON doc_a = sa.doc_id
+        JOIN sh sb ON doc_b = sb.doc_id
+      )
+      WHERE j >= 0.5
       ORDER BY doc_a, doc_b"""),
 
     // Duplicate-cluster assignment: connected components over the

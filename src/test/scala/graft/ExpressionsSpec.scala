@@ -77,6 +77,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(shared.size > fps(0).size / 4)
   }
 
+  test("jaccard_sim equals the SIZE(ARRAY_INTERSECT)/SIZE(ARRAY_UNION) spelling") {
+    GraftFunctions.register(spark)
+    // duplicates inside an input must count once (set semantics), and
+    // results must be bit-identical to the composed built-ins
+    val rows = spark.sql("""
+      SELECT JACCARD_SIM(a, b) AS j,
+             SIZE(ARRAY_INTERSECT(a, b)) / SIZE(ARRAY_UNION(a, b)) AS ref
+      FROM VALUES
+        (ARRAY('x','y','z'), ARRAY('y','z','w')),
+        (ARRAY('x','x','y'), ARRAY('y','y','x')),
+        (ARRAY('a'), ARRAY('b')),
+        (ARRAY('a','b'), ARRAY('a','b')) AS t(a, b)""").collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"kernel ${r.getDouble(0)} vs composed ${r.getDouble(1)}"))
+    // empty-vs-empty: composed spelling divides 0/0; kernel defines 0.0
+    val e = spark.sql(
+      "SELECT JACCARD_SIM(CAST(ARRAY() AS ARRAY<STRING>), CAST(ARRAY() AS ARRAY<STRING>)) AS j"
+    ).collect()(0)
+    assert(e.getDouble(0) == 0.0)
+  }
+
   test("field(): 1-based index, 0 when absent/null") {
     GraftFunctions.register(spark)
     val r = spark.sql(
