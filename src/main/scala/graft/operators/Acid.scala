@@ -94,6 +94,43 @@ object Acid {
     }
   }
 
+  /** Hive `ALTER TABLE ... [PARTITION ...] CONCATENATE`
+    * (QL/parse/DDLSemanticAnalyzer, merge task — SURVEY.md §2.1 #19):
+    * merge small files without changing data. Spark-first form: a
+    * partition-pruned read, a repartition sized from the ACTUAL on-disk
+    * bytes (ceil(scopedBytes / targetFileBytes) output files; for a
+    * partitioned table the shuffle keys on the partition columns so each
+    * partition compacts to one file per holding task), then the same
+    * staged overwrite as UPDATE/DELETE — table-FS staging, dynamic
+    * overwrite confined to the scoped partitions, crash-safe. A no-op
+    * when the scope is already compact (file count ≤ target), so cron-ed
+    * compaction does not rewrite healthy tables.
+    *
+    * @return (filesBefore, targetFiles) — equal when nothing was done
+    */
+  def concatenate(spark: SparkSession, table: String,
+                  targetFileBytes: Long = 128L << 20,
+                  partitionScope: Option[Column] = None): (Int, Int) = {
+    require(targetFileBytes > 0)
+    val partCols = partitionColumns(spark, table)
+    if (partitionScope.isDefined)
+      require(partCols.nonEmpty, "partitionScope given but table is unpartitioned")
+    val base = scoped(spark, table, partitionScope)
+    val files = base.inputFiles // partition-pruned under a scope
+    val fs = tableLocation(spark, table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = files.map(f =>
+      fs.getFileStatus(new Path(new java.net.URI(f))).getLen).sum
+    val target = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (files.length > target) {
+      val compacted =
+        if (partCols.isEmpty) base.repartition(target)
+        else base.repartition(target, partCols.map(col): _*)
+      overwrite(spark, table, compacted, dynamicPartitions = partitionScope.isDefined)
+      (files.length, target)
+    } else (files.length, files.length)
+  }
+
   private def project(base: DataFrame, cond: Column,
                       assignments: Map[String, Column]): DataFrame =
     base.select(base.columns.map { c =>

@@ -112,6 +112,46 @@ class AcidAndMatchPathSpec extends AnyFunSuite {
     assert(t.count() == total - enRows, "other partitions untouched")
   }
 
+  test("CONCATENATE merges small files without changing data; compact tables are a no-op") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.acid_c")
+    Tables.register(spark, LocalSpark.sf)
+    // 20 deliberately tiny files
+    spark.table("supplier").repartition(20).write.saveAsTable("graft_db.acid_c")
+    val before = spark.table("graft_db.acid_c")
+      .orderBy("s_suppkey").collect().toSeq
+    val filesBefore = spark.table("graft_db.acid_c").inputFiles.length
+    // supplier at sf0.001 has few rows — empty shuffle partitions write
+    // no file, so "20 partitions" lands well under 20 actual files
+    assert(filesBefore >= 5, s"expected many small files, got $filesBefore")
+    val (was, target) = Acid.concatenate(spark, "graft_db.acid_c")
+    assert(was == filesBefore && target == 1)
+    assert(spark.table("graft_db.acid_c").inputFiles.length == 1)
+    assert(spark.table("graft_db.acid_c").orderBy("s_suppkey").collect().toSeq == before)
+    // second call: already compact → no rewrite
+    val (w2, t2) = Acid.concatenate(spark, "graft_db.acid_c")
+    assert(w2 == 1 && t2 == 1)
+  }
+
+  test("partition-scoped CONCATENATE compacts only the scoped partition") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.acid_cp")
+    Tables.register(spark, LocalSpark.sf)
+    spark.table("documents").select("doc_id", "text", "lang")
+      .repartition(10).write.partitionBy("lang").saveAsTable("graft_db.acid_cp")
+    val t = spark.table("graft_db.acid_cp")
+    val before = t.orderBy("doc_id").collect().toSeq
+    val otherFiles = t.where($"lang" =!= "en").inputFiles.toSet
+    assert(t.where($"lang" === "en").inputFiles.length > 1)
+    Acid.concatenate(spark, "graft_db.acid_cp",
+      partitionScope = Some(col("lang") === "en"))
+    val after = spark.table("graft_db.acid_cp")
+    assert(after.where($"lang" === "en").inputFiles.length == 1)
+    // untouched partitions keep their exact files (not rewritten)
+    assert(after.where($"lang" =!= "en").inputFiles.toSet == otherFiles)
+    assert(after.orderBy("doc_id").collect().toSeq == before)
+  }
+
   test("matchpath PTF agrees with a local reference implementation") {
     Tables.register(spark, LocalSpark.sf)
     val got = MatchPath.matches(spark, LocalSpark.sf, "v+p")
