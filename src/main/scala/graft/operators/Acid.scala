@@ -98,36 +98,94 @@ object Acid {
     * (QL/parse/DDLSemanticAnalyzer, merge task — SURVEY.md §2.1 #19):
     * merge small files without changing data. Spark-first form: a
     * partition-pruned read, a repartition sized from the ACTUAL on-disk
-    * bytes (ceil(scopedBytes / targetFileBytes) output files; for a
-    * partitioned table the shuffle keys on the partition columns so each
-    * partition compacts to one file per holding task), then the same
-    * staged overwrite as UPDATE/DELETE — table-FS staging, dynamic
-    * overwrite confined to the scoped partitions, crash-safe. A no-op
-    * when the scope is already compact (file count ≤ target), so cron-ed
-    * compaction does not rewrite healthy tables.
+    * bytes, then the same staged overwrite as UPDATE/DELETE — table-FS
+    * staging, dynamic overwrite confined to the scoped partitions,
+    * crash-safe.
     *
-    * @return (filesBefore, targetFiles) — equal when nothing was done
+    * Convergence contract (so cron-ed compaction never rewrites a
+    * healthy table): the no-op threshold is the file count the rewrite
+    * itself would produce — for a partitioned scope that is
+    * P·ceil(byteTarget/P) (one file per (partition, salt bucket): a
+    * partition can never compact below one file, and a partition larger
+    * than `targetFileBytes` splits across salt buckets instead of
+    * funnelling through a single task), and the staged read-back scan is
+    * kept from re-splitting the compacted files by raising
+    * `maxPartitionBytes` for the duration of the overwrite.
+    *
+    * `partitionScope` must reference ONLY partition columns — a
+    * data-column predicate would silently DELETE the non-matching rows
+    * of rewritten partitions (this is a data-preserving operation, so it
+    * refuses).
+    *
+    * @return (filesBefore, minAchievable) — equal when nothing was done
     */
   def concatenate(spark: SparkSession, table: String,
                   targetFileBytes: Long = 128L << 20,
                   partitionScope: Option[Column] = None): (Int, Int) = {
     require(targetFileBytes > 0)
     val partCols = partitionColumns(spark, table)
-    if (partitionScope.isDefined)
+    partitionScope.foreach { scope =>
       require(partCols.nonEmpty, "partitionScope given but table is unpartitioned")
+      // NB: a freestanding Column is an opaque ColumnNodeExpression in
+      // Spark 4 (its catalyst children are not traversable, and
+      // .references is empty pre-resolution) — resolve the predicate
+      // against the table and read the references off the ANALYZED plan
+      val refs = spark.table(table).where(scope).queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.references.map(_.name.toLowerCase).toSeq
+      }.flatten.toSet
+      val bad = refs.diff(partCols.map(_.toLowerCase).toSet)
+      require(bad.isEmpty,
+        s"partitionScope must reference only partition columns; found ${bad.mkString(", ")} — " +
+          "a data-column predicate would delete the non-matching rows of rewritten partitions")
+    }
     val base = scoped(spark, table, partitionScope)
-    val files = base.inputFiles // partition-pruned under a scope
+    val files = base.inputFiles // partition-pruned under a (validated) scope
     val fs = tableLocation(spark, table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = files.map(f =>
-      fs.getFileStatus(new Path(new java.net.URI(f))).getLen).sum
-    val target = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    if (files.length > target) {
-      val compacted =
-        if (partCols.isEmpty) base.repartition(target)
-        else base.repartition(target, partCols.map(col): _*)
-      overwrite(spark, table, compacted, dynamicPartitions = partitionScope.isDefined)
-      (files.length, target)
+    // one listStatus per directory, not one getFileStatus RPC per file —
+    // many-small-files is exactly this operator's workload
+    val totalBytes = files.map(new Path(_)).groupBy(_.getParent).iterator.flatMap {
+      case (dir, paths) =>
+        val names = paths.map(_.getName).toSet
+        fs.listStatus(dir).collect {
+          case st if names.contains(st.getPath.getName) => st.getLen
+        }
+    }.sum
+    val byteTarget = math.min(Int.MaxValue.toLong,
+      math.max(1L, math.ceil(totalBytes.toDouble / targetFileBytes).toLong))
+    val (compacted, minAchievable) =
+      if (partCols.isEmpty) {
+        (base.repartition(byteTarget.toInt), byteTarget.toInt)
+      } else {
+        val nParts = base.select(partCols.map(col).toIndexedSeq: _*).distinct().count()
+        if (nParts == 0) return (files.length, files.length)
+        // one file per (partition, salt bucket); salt is a DETERMINISTIC
+        // hash of the data columns (rand() keys break shuffle-retry
+        // correctness), splitting oversized partitions across tasks
+        val saltBuckets = math.max(1L, math.ceil(byteTarget.toDouble / nParts).toLong).toInt
+        val dataCols = base.columns.filterNot(partCols.contains)
+        val saltExpr =
+          if (dataCols.isEmpty) lit(0) // partition-columns-only table
+          else pmod(hash(dataCols.map(col).toIndexedSeq: _*), lit(saltBuckets))
+        val nOut = math.min(Int.MaxValue.toLong, nParts * saltBuckets.toLong).toInt
+        val df = base.withColumn("__salt", saltExpr)
+          .repartition(nOut, (partCols.map(col) :+ col("__salt")).toIndexedSeq: _*)
+          .drop("__salt")
+        (df, nOut)
+      }
+    if (files.length > minAchievable) {
+      // the staged read-back must not re-split the just-compacted files
+      // into maxPartitionBytes-sized scan tasks (one output file per
+      // task would undo the merge and the operation would never converge)
+      val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (targetFileBytes * 4).toString)
+      try overwrite(spark, table, compacted, dynamicPartitions = partitionScope.isDefined)
+      finally savedSplit match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+        case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      }
+      (files.length, minAchievable)
     } else (files.length, files.length)
   }
 

@@ -88,24 +88,33 @@ object AvroIO {
     case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
     case (t: java.sql.Timestamp, TimestampType) =>
       t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    // rows carry java.time types when spark.sql.datetime.java8API.enabled
+    case (t: java.time.Instant, TimestampType) =>
+      Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L), t.getNano / 1000L)
     case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
+    case (d: java.time.LocalDate, DateType) => d.toEpochDay.toInt
     case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
       seq.map(toAvroValue(_, et)).asJava
     case (other, _) => other // Long/Int/Double/Float/Boolean/String pass through
   }
 
-  private def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
+  private def fromAvroValue(v: Any, dt: DataType, java8: Boolean): Any = (v, dt) match {
     case (null, _) => null
     case (cs: CharSequence, StringType) => cs.toString
     case (bb: java.nio.ByteBuffer, BinaryType) =>
       val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+    case (l: java.lang.Long, TimestampType) if java8 =>
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L)
     case (l: java.lang.Long, TimestampType) =>
       val ts = new java.sql.Timestamp(Math.floorDiv(l, 1000000L) * 1000L)
       ts.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt); ts
+    case (i: java.lang.Integer, DateType) if java8 =>
+      java.time.LocalDate.ofEpochDay(i.toLong)
     case (i: java.lang.Integer, DateType) =>
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong))
     case (c: java.util.Collection[_], ArrayType(et, _)) =>
-      c.asScala.map(fromAvroValue(_, et)).toSeq
+      c.asScala.map(fromAvroValue(_, et, java8)).toSeq
     case (other, _) => other
   }
 
@@ -144,6 +153,10 @@ object AvroIO {
       new FsInput(sample, conf), new GenericDatumReader[GenericRecord]())
     val avroSchema = try reader.getSchema finally reader.close()
     val structType = toStructType(avroSchema)
+    // createDataFrame expects Instant/LocalDate externals under the
+    // java8 datetime API; capture the flag outside the closure
+    val java8 = spark.conf
+      .getOption("spark.sql.datetime.java8API.enabled").exists(_.toBoolean)
     val rows = spark.sparkContext.newAPIHadoopFile(
         path, classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]], classOf[NullWritable], conf)
@@ -151,7 +164,7 @@ object AvroIO {
         // convert IMMEDIATELY: the record reader reuses the datum object
         val rec = k.datum()
         Row.fromSeq(structType.fields.zipWithIndex.map { case (f, i) =>
-          fromAvroValue(rec.get(i), f.dataType)
+          fromAvroValue(rec.get(i), f.dataType, java8)
         }.toIndexedSeq)
       }
     spark.createDataFrame(rows, structType)

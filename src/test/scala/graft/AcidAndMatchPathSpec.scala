@@ -152,6 +152,31 @@ class AcidAndMatchPathSpec extends AnyFunSuite {
     assert(after.orderBy("doc_id").collect().toSeq == before)
   }
 
+  test("CONCATENATE refuses a data-column scope and converges on partitioned tables") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.acid_cc")
+    Tables.register(spark, LocalSpark.sf)
+    spark.table("documents").select("doc_id", "text", "lang")
+      .repartition(6).write.partitionBy("lang").saveAsTable("graft_db.acid_cc")
+    // a data-column predicate would DELETE non-matching rows of
+    // rewritten partitions — must be refused up front
+    val ex = intercept[IllegalArgumentException] {
+      Acid.concatenate(spark, "graft_db.acid_cc",
+        partitionScope = Some(col("doc_id") > 100))
+    }
+    assert(ex.getMessage.contains("partition columns"))
+    // full-table compaction, then the healthy table must be a NO-OP:
+    // the threshold accounts for one-file-per-partition being the floor
+    val before = spark.table("graft_db.acid_cc").orderBy("doc_id").collect().toSeq
+    Acid.concatenate(spark, "graft_db.acid_cc")
+    val filesAfter = spark.table("graft_db.acid_cc").inputFiles.toSet
+    val (w2, t2) = Acid.concatenate(spark, "graft_db.acid_cc")
+    assert(w2 == t2, s"healthy partitioned table must be a no-op, got $w2 -> $t2")
+    assert(spark.table("graft_db.acid_cc").inputFiles.toSet == filesAfter,
+      "no-op must not rewrite any file")
+    assert(spark.table("graft_db.acid_cc").orderBy("doc_id").collect().toSeq == before)
+  }
+
   test("matchpath PTF agrees with a local reference implementation") {
     Tables.register(spark, LocalSpark.sf)
     val got = MatchPath.matches(spark, LocalSpark.sf, "v+p")

@@ -47,6 +47,24 @@ class AvroRoundTripSpec extends AnyFunSuite {
     assert(r2.getSeq[String](5).isEmpty)
   }
 
+  test("java8 datetime API: Instant/LocalDate rows round-trip") {
+    val prev = spark.conf.getOption("spark.sql.datetime.java8API.enabled")
+    try {
+      spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+      val ts = java.time.Instant.parse("2024-03-01T10:20:30.123456Z")
+      val d = java.time.LocalDate.parse("2024-03-01")
+      val df = Seq((1L, ts, d)).toDF("id", "ts", "d")
+      val path = tmp()
+      AvroIO.write(df, path)
+      val r = AvroIO.read(spark, path).collect()(0)
+      assert(r.getAs[java.time.Instant](1) == ts)
+      assert(r.getAs[java.time.LocalDate](2) == d)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.datetime.java8API.enabled", v)
+      case None => spark.conf.unset("spark.sql.datetime.java8API.enabled")
+    }
+  }
+
   test("multi-partition write produces one container per task, read merges them") {
     Tables.register(spark, LocalSpark.sf)
     val src = spark.table("orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
