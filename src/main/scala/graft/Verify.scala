@@ -26,7 +26,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // queries may persist() intermediates; release them so cached
+        // blocks from one query don't squeeze execution memory for the
+        // remaining ~96 (mirrors Bench)
+        spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -135,13 +135,15 @@ case class CosineSim(left: Expression, right: Expression)
 
 /** jaccard_sim(Array[String], Array[String]) → Double:
   * |distinct(A) ∩ distinct(B)| / |distinct(A) ∪ distinct(B)| in ONE
-  * hash-set pass — semantically identical to
+  * hash-set pass — for null-free inputs identical to
   * SIZE(ARRAY_INTERSECT(a,b)) / SIZE(ARRAY_UNION(a,b)) (exact integer
-  * counts, same double division) but without materializing either
-  * intermediate array, and computed once where the composed spelling is
-  * evaluated separately for the filter and the projection. This is the
-  * verify kernel of the dedup family (minhash/ngram candidates).
-  * Returns 0.0 when both inputs are empty. */
+  * counts, same double division; pinned in ExpressionsSpec) but without
+  * materializing either intermediate array, and computed once where the
+  * composed spelling is evaluated separately for the filter and the
+  * projection. Divergences from the composed spelling: NULL elements
+  * are IGNORED here (Spark's array set ops match null to null), and
+  * empty-vs-empty is defined as 0.0 where the composed form divides
+  * 0/0. The dedup gram inputs contain neither. */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression with Bridge.GraftExpectsInputTypes {
   override def dataType: DataType = DoubleType
@@ -481,26 +483,34 @@ case class LshBuckets(child: Expression, numTables: Int, numPlanes: Int)
   * following args, 0 if absent or needle null — Hive's UDFField
   * (one of the few registry names with no Spark builtin).
   *
-  * Equality is boxed `.equals` on the internal values everywhere —
-  * exact same-type equality, NaN matches NaN, no cross-numeric-type
-  * coercion — so the interpreted and generated paths agree (Scala
-  * `==`'s numeric cooperation and NaN special case would diverge from
-  * genEqual).
+  * Equality semantics (IDENTICAL on the interpreted and generated
+  * paths): exact same-type equality — no cross-numeric-type coercion —
+  * with binary compared by content, NaN matching NaN, and 0.0 distinct
+  * from -0.0 (boxed-Double semantics). Types whose inline codegen
+  * comparison (`ctx.genEqual`) differs from the boxed comparison
+  * (float/double's ±0.0, binary) are routed through the shared kernel
+  * in BOTH paths, so the result can never depend on which path ran.
   *
   * NOT a CodegenFallback: the mere presence of that trait makes
   * CollapseCodegenStages exclude the stage from whole-stage codegen
-  * regardless of doGenCode. Homogeneous argument types (the common
-  * string case) generate short-circuiting inline equality; mixed types
-  * generate a boxed-kernel call — both stay inside the codegen span. */
+  * regardless of doGenCode. Inline-safe homogeneous argument types (the
+  * common string case) generate short-circuiting inline equality;
+  * everything else generates a boxed-kernel call — both stay inside the
+  * codegen span. */
 case class FieldFn(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
 
-  /** Shared by the interpreted path and the mixed-type generated code. */
+  private def valueEquals(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case _ => a.equals(b)
+  }
+
+  /** Shared by the interpreted path and the kernel-call generated code. */
   def matchIndex(needle: Any, cands: Array[Object]): Int = {
     var i = 0
     while (i < cands.length) {
-      if (cands(i) != null && cands(i).equals(needle)) return i + 1
+      if (cands(i) != null && valueEquals(cands(i), needle)) return i + 1
       i += 1
     }
     0
@@ -512,10 +522,19 @@ case class FieldFn(children: Seq[Expression]) extends Expression {
     var i = 1
     while (i < children.length) {
       val v = children(i).eval(input)
-      if (v != null && v.equals(needle)) return i
+      if (v != null && valueEquals(v, needle)) return i
       i += 1
     }
     0
+  }
+
+  /** genEqual and boxed .equals agree for these (UTF8String/ integral /
+    * boolean content equality); float/double (±0.0) and binary
+    * (Arrays.equals vs reference) do NOT and must use the kernel. */
+  private def inlineSafe(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+         LongType | DateType | TimestampType => true
+    case _ => false
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -523,7 +542,8 @@ case class FieldFn(children: Seq[Expression]) extends Expression {
     import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, FalseLiteral, JavaCode}
     val needle = children.head.genCode(ctx)
     val result = ctx.freshName("fieldIdx")
-    val homogeneous = children.map(_.dataType).distinct.length == 1
+    val homogeneous = children.map(_.dataType).distinct.length == 1 &&
+      inlineSafe(children.head.dataType)
     val body = if (homogeneous) {
       children.tail.zipWithIndex.map { case (c, i) =>
         val e = c.genCode(ctx)
@@ -535,8 +555,9 @@ case class FieldFn(children: Seq[Expression]) extends Expression {
            |}""".stripMargin
       }.mkString("\n")
     } else {
-      // mixed types: box every value and reuse the interpreted kernel —
-      // still plain generated Java, so the stage keeps codegen
+      // mixed or non-inline-safe types: box every value and reuse the
+      // interpreted kernel — still plain generated Java, so the stage
+      // keeps codegen, and both paths share one equality definition
       val ref = ctx.addReferenceObj("fieldFn", this, classOf[FieldFn].getName)
       val cands = ctx.freshName("fieldCands")
       def boxed(dt: DataType, v: String): String =

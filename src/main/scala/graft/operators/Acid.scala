@@ -104,13 +104,16 @@ object Acid {
     *
     * Convergence contract (so cron-ed compaction never rewrites a
     * healthy table): the no-op threshold is the file count the rewrite
-    * itself would produce — for a partitioned scope that is
-    * P·ceil(byteTarget/P) (one file per (partition, salt bucket): a
-    * partition can never compact below one file, and a partition larger
-    * than `targetFileBytes` splits across salt buckets instead of
-    * funnelling through a single task), and the staged read-back scan is
-    * kept from re-splitting the compacted files by raising
-    * `maxPartitionBytes` for the duration of the overwrite.
+    * itself would produce — Σ over row-bearing directories of
+    * ceil(dirBytes / targetFileBytes) (each partition sized from its OWN
+    * bytes: a skewed 10 GB partition splits across salt buckets instead
+    * of funnelling through one task, while small partitions keep one
+    * bucket and never fragment) plus the count of files in dirs that
+    * yield no rows at all (zero-row residue from other writers — a
+    * dynamic overwrite can never remove those, so they must not trigger
+    * perpetual rewrites). The staged read-back scan is kept from
+    * re-splitting the compacted files by raising `maxPartitionBytes` for
+    * the duration of the overwrite.
     *
     * `partitionScope` must reference ONLY partition columns — a
     * data-column predicate would silently DELETE the non-matching rows
@@ -141,40 +144,61 @@ object Acid {
     }
     val base = scoped(spark, table, partitionScope)
     val files = base.inputFiles // partition-pruned under a (validated) scope
+    if (files.isEmpty) return (0, 0)
     val fs = tableLocation(spark, table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // one listStatus per directory, not one getFileStatus RPC per file —
+    // PER-DIRECTORY (= per-partition) byte totals, via one listStatus per
+    // directory rather than one getFileStatus RPC per file —
     // many-small-files is exactly this operator's workload
-    val totalBytes = files.map(new Path(_)).groupBy(_.getParent).iterator.flatMap {
-      case (dir, paths) =>
-        val names = paths.map(_.getName).toSet
-        fs.listStatus(dir).collect {
-          case st if names.contains(st.getPath.getName) => st.getLen
-        }
-    }.sum
-    val byteTarget = math.min(Int.MaxValue.toLong,
-      math.max(1L, math.ceil(totalBytes.toDouble / targetFileBytes).toLong))
-    val (compacted, minAchievable) =
-      if (partCols.isEmpty) {
-        (base.repartition(byteTarget.toInt), byteTarget.toInt)
-      } else {
-        val nParts = base.select(partCols.map(col).toIndexedSeq: _*).distinct().count()
-        if (nParts == 0) return (files.length, files.length)
-        // one file per (partition, salt bucket); salt is a DETERMINISTIC
-        // hash of the data columns (rand() keys break shuffle-retry
-        // correctness), splitting oversized partitions across tasks
-        val saltBuckets = math.max(1L, math.ceil(byteTarget.toDouble / nParts).toLong).toInt
-        val dataCols = base.columns.filterNot(partCols.contains)
-        val saltExpr =
-          if (dataCols.isEmpty) lit(0) // partition-columns-only table
-          else pmod(hash(dataCols.map(col).toIndexedSeq: _*), lit(saltBuckets))
-        val nOut = math.min(Int.MaxValue.toLong, nParts * saltBuckets.toLong).toInt
-        val df = base.withColumn("__salt", saltExpr)
-          .repartition(nOut, (partCols.map(col) :+ col("__salt")).toIndexedSeq: _*)
-          .drop("__salt")
-        (df, nOut)
-      }
+    val byDir: Map[Path, Array[Path]] = files.map(new Path(_)).groupBy(_.getParent)
+    val dirBytes: Map[Path, Long] = byDir.map { case (dir, paths) =>
+      val names = paths.map(_.getName).toSet
+      dir -> fs.listStatus(dir).collect {
+        case st if names.contains(st.getPath.getName) => st.getLen
+      }.sum
+    }
+    // files that actually yield rows: a dir whose files are ALL zero-row
+    // (e.g. residue from another writer) cannot be removed by a dynamic
+    // overwrite, so its files count as permanent in the no-op threshold
+    // — otherwise cron-ed compaction would rewrite the healthy rest of
+    // the table forever chasing unremovable files
+    val rowFileNames = base.select(input_file_name().as("__f"))
+      .distinct().collect().map(_.getString(0))
+    val activeDirs = rowFileNames.map(new Path(_).getParent).toSet
+    val residual = files.count(f => !activeDirs.contains(new Path(f).getParent))
+    // salt-bucket count PER DIRECTORY from that directory's own bytes (a
+    // global average would under-split one hot partition into a single
+    // unbounded task and judge fragmented small partitions healthy):
+    // each active dir compacts to ceil(dirBytes / targetFileBytes) files
+    val dirK: Map[Path, Int] = dirBytes.collect {
+      case (dir, bytes) if activeDirs.contains(dir) =>
+        dir -> math.min(Int.MaxValue.toLong,
+          math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong)).toInt
+    }
+    val minAchievable = math.min(Int.MaxValue.toLong,
+      dirK.valuesIterator.map(_.toLong).sum + residual).toInt
     if (files.length > minAchievable) {
+      // deterministic salt (rand() keys break shuffle-retry correctness):
+      // data-column hash mod the source directory's own bucket count,
+      // routed per row via a broadcast file→k map. The map keys are the
+      // COLLECTED input_file_name() strings (same provenance as the join
+      // column), so every row matches by construction; a left join +
+      // coalesce guards the impossible miss anyway — an inner join here
+      // would silently drop rows on a path-encoding mismatch.
+      val dataCols = base.columns.filterNot(partCols.contains)
+      val fileK = rowFileNames.toSeq.map { f =>
+        f -> dirK.getOrElse(new Path(f).getParent, 1)
+      }
+      import spark.implicits._
+      val kDf = fileK.toDF("__f", "__k")
+      val hashExpr =
+        if (dataCols.isEmpty) lit(0) else hash(dataCols.map(col).toIndexedSeq: _*)
+      val nOut = math.max(1, math.min(minAchievable - residual, Int.MaxValue))
+      val compacted = base.withColumn("__f", input_file_name())
+        .join(broadcast(kDf), Seq("__f"), "left")
+        .withColumn("__salt", pmod(hashExpr, coalesce(col("__k"), lit(1))))
+        .repartition(nOut, (partCols.map(col) :+ col("__salt")).toIndexedSeq: _*)
+        .drop("__f", "__k", "__salt")
       // the staged read-back must not re-split the just-compacted files
       // into maxPartitionBytes-sized scan tasks (one output file per
       // task would undo the merge and the operation would never converge)

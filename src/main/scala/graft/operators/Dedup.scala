@@ -154,8 +154,10 @@ object Dedup {
     // construction — so the exact all-pairs result is a valid oracle
     // whenever LSH recall is 1.0, which holds on the testdata (verified:
     // candidate prob per true pair is 1-(1-j^4)^16 >= 0.9998 at j=0.8,
-    // and the seeded pipeline is bit-stable). PipelineSpec additionally
-    // asserts recall >= 0.9 against planted near-duplicates at sf0.001.
+    // and the seeded pipeline is bit-stable). PipelineSpec asserts FULL
+    // pair-set equality (recall exactly 1.0) against brute force at both
+    // sf0.001 and sf0.01, so a testdata change that breaks the oracle
+    // assumption fails with a clear message.
     "dedup_minhash_lsh" -> gsql(MinhashPairsSql + "\n      ORDER BY doc_a, doc_b"),
 
     // SimHash: 64-bit fingerprint; candidates share one of SEVEN bands
@@ -165,9 +167,18 @@ object Dedup {
     // filter, which both makes the exact all-pairs hamming join a valid
     // oracle and fixes round 2's 4×16-bit banding, whose pigeonhole only
     // covered hamming ≤ 3 (it silently missed 10 of 57 true pairs at
-    // sf0.01 in the 4–6 range). Exact hamming on candidates via
-    // bit_count(xor); at 100 TB the only shuffle is the (band, key)
-    // equi-join.
+    // sf0.01 in the 4–6 range).
+    // The narrower bands shrink the keyspace to 512/1024 values, so one
+    // hot (band, key) bucket of B docs yields O(B²) join pairs — bounded
+    // by skipping buckets over 1000 members (same policy as
+    // lshCandidatePairs: members still pair through their other 6 bands;
+    // only a pair whose EVERY shared band is hot is lost). On the
+    // testdata no bucket exceeds a few members (PipelineSpec asserts a
+    // wide margin, so the uncapped all-pairs oracle stays valid); at
+    // corpus scales where the cap binds routinely, widen the bands —
+    // band count/width is the scale knob, documented here. Exact hamming
+    // on candidates via bit_count(xor); the only shuffle is the
+    // (band, key) equi-join.
     "dedup_simhash" -> gsql("""
       WITH sh AS (
         SELECT doc_id, SIMHASH64(toks) AS sim
@@ -179,10 +190,16 @@ object Dedup {
                CASE WHEN band < 6 THEN (sim >> (band * 9)) & 511
                     ELSE (sim >> 54) & 1023 END AS bandkey
         FROM sh LATERAL VIEW EXPLODE(SEQUENCE(0, 6)) b AS band
+      ), cool AS (
+        SELECT band, bandkey FROM bands
+        GROUP BY band, bandkey HAVING COUNT(*) <= 1000
+      ), cb AS (
+        SELECT b.doc_id, b.sim, b.band, b.bandkey
+        FROM bands b JOIN cool USING (band, bandkey)
       )
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(BIT_COUNT(a.sim ^ b.sim) AS INT) AS hamming
-      FROM bands a JOIN bands b
+      FROM cb a JOIN cb b
         ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
       WHERE BIT_COUNT(a.sim ^ b.sim) <= 6
       ORDER BY doc_a, doc_b"""),

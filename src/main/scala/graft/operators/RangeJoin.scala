@@ -32,12 +32,20 @@ object RangeJoin {
     * millions of rows from a single input row, and `sequence()` itself
     * throws past 2^31 elements). Intervals wider than
     * `maxBinsPerInterval` bins are split off into a BROADCAST branch
-    * joined on keys with the exact range predicate — such intervals are
-    * few by construction (each covers > maxBins·binWidth of the domain,
-    * so the broadcast side is bounded by domain/binWidth / maxBins per
-    * key) — while the common short intervals keep the linear equi-join
-    * plan. Both branches apply the same exact post-filter; a point
-    * matches exactly one branch per interval, so the union is exact. */
+    * joined on keys with the exact range predicate, while the common
+    * short intervals keep the linear equi-join plan. Both branches apply
+    * the same exact post-filter; a point matches exactly one branch per
+    * interval, so the union is exact.
+    *
+    * Sizing assumption, stated honestly: the broadcast branch holds ALL
+    * long intervals, bounded per key by domain/(maxBins·binWidth) — fine
+    * when wide intervals are pathological outliers (the intended case),
+    * but a workload where MOST keys own wide intervals would overflow
+    * the broadcast. The fixes there are a larger binWidth /
+    * maxBinsPerInterval (so "wide" stays rare) or a multi-resolution
+    * binning scheme; this operator deliberately keeps the two-branch
+    * form and documents the boundary rather than silently planning an
+    * unbounded broadcast-nested-loop as Catalyst would. */
   def rangeJoin(points: DataFrame, ptCol: String,
                 intervals: DataFrame, loCol: String, hiCol: String,
                 keys: Seq[String], binWidth: Long,

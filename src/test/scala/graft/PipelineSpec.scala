@@ -216,6 +216,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.forall(_.getInt(2) <= 6))
   }
 
+  test("dedup_simhash band buckets stay far below the hot-bucket cap (oracle-validity guard)") {
+    // the all-pairs DuckDB oracle is only valid while the 1000-member
+    // hot-bucket cap never binds — assert a wide margin so a testdata
+    // change that concentrates fingerprints fails loudly here, not as an
+    // opaque oracle diff
+    Tables.register(spark, LocalSpark.sf)
+    graft.functions.GraftFunctions.register(spark)
+    val maxBucket = spark.sql("""
+      WITH sh AS (SELECT doc_id, SIMHASH64(TOKENIZE(text)) AS sim FROM documents
+                  WHERE SIZE(TOKENIZE(text)) > 0),
+      bands AS (SELECT doc_id,
+                       CASE WHEN band < 6 THEN (sim >> (band * 9)) & 511
+                            ELSE (sim >> 54) & 1023 END AS bandkey, band
+                FROM sh LATERAL VIEW EXPLODE(SEQUENCE(0, 6)) b AS band)
+      SELECT MAX(c) FROM (SELECT COUNT(*) c FROM bands GROUP BY band, bandkey)""")
+      .collect()(0).getLong(0)
+    assert(maxBucket <= 250, s"band buckets approaching the 1000 cap: max=$maxBucket")
+  }
+
   test("dedup_simhash 7-band pigeonhole is exact: equals brute-force all-pairs hamming") {
     Tables.register(spark, LocalSpark.sf)
     graft.functions.GraftFunctions.register(spark)
