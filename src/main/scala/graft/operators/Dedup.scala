@@ -283,9 +283,14 @@ object Dedup {
     "pipeline_curate" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       GraftFunctions.register(spark)
-      val nonRep = queries("dedup_clusters")(spark, sfDir)
-        .where(col("doc_id") =!= col("cluster"))
-        .select(col("doc_id").as("drop_id"))
+      // components directly over the pair graph — dedup_clusters' final
+      // cluster-size join and ORDER BY serve its own output contract and
+      // would be dead weight under this anti-join consumer
+      val pairs = gsql(MinhashPairsSql)(spark, sfDir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val nonRep = connectedComponents(spark, pairs)._1
+        .where(col("node") =!= col("comp"))
+        .select(col("node").as("drop_id"))
       val base = spark.sql("""
         SELECT doc_id, lang, TOKENIZE(text) AS toks,
                MD5(CAST(text AS BINARY)) AS digest
@@ -470,12 +475,20 @@ object Dedup {
         val e1 = largeStar(cur).persist()
         val e2 = smallStar(e1).checkpoint()
         // fixpoint of BOTH steps individually (the SoCC'14 convergence
-        // condition), not just of the composition. All four set
-        // differences union into ONE job (inputs are distinct sets, so
-        // empty symmetric difference is exact equality); isEmpty stops
-        // at the first surviving row.
-        converged = e1.except(cur).union(cur.except(e1))
-          .union(e2.except(e1)).union(e1.except(e2))
+        // condition), not just of the composition — checked EXACTLY in a
+        // single shuffle: every input is a distinct edge set, so tagging
+        // members ±1 and summing per (step, edge) yields 0 for every key
+        // iff e1 == cur and e2 == e1. This replaces round 3a's union of
+        // four except()s (four anti-joins, each shuffling both sides)
+        // with one aggregate over the same rows — the check was the
+        // dominant per-round cost at small edge counts.
+        def tag(df: DataFrame, step: Int, sign: Int): DataFrame =
+          df.select(lit(step).as("step"), col("src"), col("dst"),
+                    lit(sign.toLong).as("t"))
+        converged = tag(e1, 0, 1).union(tag(cur, 0, -1))
+          .union(tag(e2, 1, 1)).union(tag(e1, 1, -1))
+          .groupBy("step", "src", "dst").agg(sum("t").as("d"))
+          .where(col("d") =!= 0L)
           .isEmpty
         e1.unpersist(blocking = false)
         cur = e2
