@@ -17,6 +17,7 @@ object SparkEntry {
     QueryModule(Windows.queries, Windows.oracle),
     QueryModule(Functions.queries, Functions.oracle),
     QueryModule(Dedup.queries, Dedup.oracle),
+    QueryModule(Curation.queries, Curation.oracle),
     QueryModule(Similarity.queries, Similarity.oracle),
     QueryModule(TextAnalysis.queries, TextAnalysis.oracle),
     QueryModule(Events.queries, Events.oracle),

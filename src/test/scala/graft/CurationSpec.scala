@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Property checks for the corpus-curation operators at sf0.001:
+  * chunk coverage/bounds, packing balance and token preservation,
+  * incremental-dedup status correctness vs brute force, mixture-sample
+  * reproducibility, and PII-scrub residue. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  test("text_chunks: stride-48 starts, <=64-token chunks, full coverage") {
+    val chunks = Curation.queries("text_chunks")(spark, LocalSpark.sf)
+      .select("doc_id", "chunk_id", "chunk_start", "n_tok_chunk", "chunk_text")
+      .collect()
+    assert(chunks.nonEmpty)
+    chunks.foreach { r =>
+      val (start, len, text) = (r.getInt(2), r.getInt(3), r.getString(4))
+      assert(start % 48 === 0)
+      assert(r.getLong(1) === start / 48, "chunk_id is start/stride")
+      assert(len >= 1 && len <= 64)
+      assert(text.split(' ').count(_.nonEmpty) === len,
+        "chunk_text token count matches n_tok_chunk")
+    }
+    // per doc: starts are 0,48,96,…; the final chunk reaches the last token
+    Tables.register(spark, LocalSpark.sf)
+    val nTok = spark.sql(
+      "SELECT doc_id, SIZE(FILTER(SPLIT(LOWER(text),' '), w -> w <> '')) n FROM documents")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.groupBy(_.getLong(0)).foreach { case (doc, cs) =>
+      val starts = cs.map(_.getInt(2)).sorted
+      assert(starts === starts.indices.map(_ * 48).toArray)
+      val last = cs.maxBy(_.getInt(2))
+      assert(last.getInt(2) + last.getInt(3) === nTok(doc),
+        "chunks cover every token position")
+    }
+  }
+
+  test("pack_sequences: bin count, +/-1 doc balance, token preservation") {
+    Tables.register(spark, LocalSpark.sf)
+    val docs = spark.sql(
+      "SELECT SIZE(FILTER(SPLIT(LOWER(text),' '), w -> w <> '')) n FROM documents")
+      .collect().map(_.getInt(0)).filter(_ > 0)
+    val total = docs.map(_.toLong).sum
+    val bins = math.max(1L, math.ceil(total / 2048.0).toLong)
+
+    val packed = Curation.queries("pack_sequences")(spark, LocalSpark.sf).collect()
+    assert(packed.length === bins)
+    assert(packed.map(_.getLong(2)).sum === total, "every token lands in a sequence")
+    val counts = packed.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1, "round-robin doc balance")
+    // balanced token mass: no bin above 2x the target budget (the greedy
+    // round-robin bound on this corpus; exact equality is not the contract)
+    assert(packed.map(_.getLong(2)).max <= 2 * 2048,
+      s"token mass stays near the 2048 budget")
+  }
+
+  test("pack_sequences is deterministic across runs") {
+    val a = Curation.queries("pack_sequences")(spark, LocalSpark.sf).collect().toSeq
+    val b = Curation.queries("pack_sequences")(spark, LocalSpark.sf).collect().toSeq
+    assert(a === b)
+  }
+
+  test("dedup_incremental statuses match brute force over new x old") {
+    Tables.register(spark, LocalSpark.sf)
+    val rows = Curation.queries("dedup_incremental")(spark, LocalSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = spark.sql("SELECT doc_id, text FROM documents")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (newIds, oldIds) = docs.keySet.partition(_ % 5 == 4)
+    assert(rows.keySet === newIds, "one status row per new-batch doc")
+
+    def grams(s: String): Set[String] = {
+      val t = s.toLowerCase.split(' ').filter(_.nonEmpty)
+      t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val oldTexts = oldIds.map(docs)
+    val oldGrams = oldIds.toSeq.map(i => grams(docs(i))).filter(_.nonEmpty)
+    newIds.foreach { id =>
+      val g = grams(docs(id))
+      val isExact = oldTexts.contains(docs(id))
+      val isNear = g.nonEmpty && oldGrams.exists { og =>
+        val inter = (g & og).size.toDouble
+        inter / (g.size + og.size - inter) >= 0.8
+      }
+      val expect = if (isExact) "exact_dup" else if (isNear) "near_dup" else "kept"
+      assert(rows(id) === expect, s"doc $id")
+    }
+    // sf0.001 plants near-dups but no cross-batch exact copy — the
+    // exact_dup path is exercised by the planted test below
+    assert(Set("near_dup", "kept").subsetOf(rows.values.toSet),
+      "corpus exercises the near_dup and kept statuses")
+  }
+
+  test("dedup_incremental flags a planted cross-batch exact duplicate") {
+    Tables.register(spark, LocalSpark.sf)
+    val docs = spark.table("documents")
+    val oldText = docs.where($"doc_id" === 0L).select($"text").head.getString(0)
+    // 9999 % 5 == 4 → new batch; identical text to old doc 0 → exact_dup
+    val extra = Seq((9999L, oldText, "en", "src0", oldText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.unionByName(extra).createOrReplaceTempView("documents")
+    try {
+      val rows = Curation.queries("dedup_incremental")(spark, LocalSpark.sf)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows(9999L) === "exact_dup")
+    } finally {
+      // restore the pristine view (register short-circuits on same dir,
+      // so bounce through another sfDir)
+      Tables.register(spark, "/root/testdata/sf0.01")
+      Tables.register(spark, LocalSpark.sf)
+    }
+  }
+
+  test("sample_weighted_mix: exact hash-threshold keep set; en kept fully") {
+    Tables.register(spark, LocalSpark.sf)
+    val kept = Curation.queries("sample_weighted_mix")(spark, LocalSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    val thresholds = Map("en" -> 4294967296L, "de" -> 2147483648L,
+      "fr" -> 2147483648L, "es" -> 1073741824L, "zh" -> 429496729L)
+    val docs = spark.sql("SELECT doc_id, lang FROM documents")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.collect {
+      case (id, lang) if (id * 2654435761L) % 4294967296L < thresholds(lang) => id
+    }.toSet
+    assert(kept === expect)
+    val en = docs.collect { case (id, "en") => id }.toSet
+    assert(en.subsetOf(kept), "weight-1.0 stratum keeps everything")
+    assert(kept.size < docs.length, "sub-1.0 strata actually drop documents")
+  }
+
+  test("text_pii_scrub: all planted PII found and redacted, none left behind") {
+    val rows = Curation.queries("text_pii_scrub")(spark, LocalSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b".r
+    val phone = "\\+[0-9][0-9 ]{7,}[0-9]".r
+    rows.foreach { r =>
+      assert(r.getInt(1) === 1 && r.getInt(2) === 1 && r.getInt(3) === 1,
+        "each augmented row plants exactly one of each class")
+      val s = r.getString(4)
+      assert(s.contains("<EMAIL>") && s.contains("<IP>") && s.contains("<PHONE>"))
+      assert(email.findFirstIn(s).isEmpty && ip.findFirstIn(s).isEmpty &&
+        phone.findFirstIn(s).isEmpty, "no residual PII after scrubbing")
+    }
+  }
+}
