@@ -23,7 +23,12 @@ import graft.functions.GraftFunctions
   *                          fixed-token-budget training sequences via a
   *                          DISTRIBUTED global rank (sort +
   *                          `zipWithIndex`), not a single-partition
-  *                          window.
+  *                          window;
+  *  - `text_decontaminate` — benchmark/eval-set contamination flagging
+  *                          by n-gram overlap (the standard pre-training
+  *                          decontamination pass): the eval side's
+  *                          shingle set is tiny and broadcast, so the
+  *                          corpus is never shuffled.
   *
   * Scale notes are per-query; the common theme is that every shuffle is
   * an equi-join or aggregate on a bounded key (band hash, digest, domain,
@@ -168,6 +173,41 @@ object Curation {
       FROM aug
       ORDER BY doc_id"""),
 
+    // Benchmark decontamination: flag corpus documents sharing any
+    // 5-token shingle with a held-out benchmark/eval slice (here the
+    // deterministic doc_id % 97 = 0 subset standing in for an eval set).
+    // This is the standard pre-training decontamination pass (13-gram
+    // overlap in GPT-3/PaLM practice; 5 here because the synthetic docs
+    // are short). Scale shape: the benchmark side is small by nature
+    // (eval sets are MBs, not TBs), so its distinct-gram set is hinted
+    // BROADCAST and the corpus-side probe is a map-side semi-join —
+    // the only corpus shuffle is the per-doc COUNT aggregate of the few
+    // matching grams. n_shared counts DISTINCT shared shingles (both
+    // sides are set-valued by construction).
+    "text_decontaminate" -> gsql("""
+      WITH sh AS (
+        SELECT doc_id, SHINGLE_SET(text, 5) AS grams
+        FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents)
+      ), bench AS (
+        SELECT DISTINCT gram
+        FROM sh LATERAL VIEW EXPLODE(grams) g AS gram
+        WHERE doc_id % 97 = 0
+      ), corpus AS (
+        SELECT doc_id, gram
+        FROM sh LATERAL VIEW EXPLODE(grams) g AS gram
+        WHERE doc_id % 97 <> 0
+      ), hits AS (
+        SELECT /*+ BROADCAST(b) */ c.doc_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN bench b ON c.gram = b.gram
+        GROUP BY c.doc_id
+      )
+      SELECT d.doc_id, COALESCE(h.n_shared, 0L) AS n_shared,
+             CASE WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+                  ELSE 'clean' END AS status
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 97 <> 0
+      ORDER BY d.doc_id"""),
+
     // Balanced sequence packing: documents are packed into
     // ceil(total_tokens / 2048) training sequences by round-robin over
     // the length-descending order — the classic greedy balanced packer
@@ -288,6 +328,31 @@ object Curation {
                '\+[0-9][0-9 ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
       FROM aug
       ORDER BY doc_id""",
+
+    // 5-gram spelling identical to the validated dedup oracles
+    "text_decontaminate" -> """
+      WITH t AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 4),
+                 i -> ARRAY_TO_STRING(toks[i + 1 : i + 5], ' '))) AS grams
+        FROM t WHERE LEN(toks) >= 5
+      ), bench AS (
+        SELECT DISTINCT UNNEST(grams) AS gram FROM sh WHERE doc_id % 97 = 0
+      ), corpus AS (
+        SELECT doc_id, UNNEST(grams) AS gram FROM sh WHERE doc_id % 97 <> 0
+      ), hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN bench b ON c.gram = b.gram
+        GROUP BY c.doc_id
+      )
+      SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+             CASE WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+                  ELSE 'clean' END AS status
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 97 <> 0
+      ORDER BY d.doc_id""",
 
     "pack_sequences" -> """
       WITH t AS (

@@ -5,14 +5,15 @@ import graft.Tables
 import graft.functions.{ContextNGramsAgg, GraftFunctions, NGramsTopKAgg}
 
 /** Text-analysis operators for the training-data pipeline: language ID
-  * (stopword-ratio heuristic), quality scoring, token counting
-  * (whitespace + BPE-ish regex), n-gram frequency (Hive `ngrams` UDAF
-  * re-expressed as a bounded-buffer Aggregator), and winnowing document
-  * fingerprints.
+  * (stopword-ratio heuristic), quality scoring, repetition filtering
+  * (the Gopher rules), token counting (whitespace + BPE-ish regex),
+  * n-gram frequency (Hive `ngrams` UDAF re-expressed as a
+  * bounded-buffer Aggregator), and winnowing document fingerprints.
   *
   * Everything is per-row scalar work inside whole-stage codegen except
-  * ngrams_topk (a mergeable partial aggregate) — all embarrassingly
-  * parallel at 100 TB, no shuffle except the final top-k merge.
+  * ngrams_topk (a mergeable partial aggregate) and text_repetition's
+  * fine-grained (doc, token) aggregate — all embarrassingly parallel at
+  * 100 TB, no shuffle except the final top-k merge.
   */
 object TextAnalysis {
 
@@ -109,6 +110,41 @@ object TextAnalysis {
         WHERE SIZE(toks) >= 2
       )
       ORDER BY freq DESC, follower"""),
+
+    // Repetition-based quality filter (the Gopher repetition rules, Rae
+    // et al. 2021 §A1.1): per-document duplicate-token fraction, most-
+    // frequent-token fraction, and duplicate-3-gram fraction, plus the
+    // composite keep flag. The per-token counts come from an explode +
+    // two-stage aggregate keyed on (doc_id, token) then doc_id — both
+    // keys are fine-grained, map-side partial agg applies, and nothing
+    // is per-row quadratic (the ARRAY_MAX(TRANSFORM(FILTER...))
+    // spelling of top-token count would be O(n²) per document).
+    "text_repetition" -> gsql(TokCte + """
+      , cnt AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM t LATERAL VIEW EXPLODE(toks) x AS tok
+        GROUP BY doc_id, tok
+      ), m AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+               COUNT(*) AS n_uniq, MAX(c) AS top_c
+        FROM cnt GROUP BY doc_id
+      ), g AS (
+        SELECT doc_id, SIZE(SHINGLE_SET(text, 3)) AS n3_uniq,
+               GREATEST(SIZE(toks) - 2, 0) AS n3
+        FROM t
+      )
+      SELECT m.doc_id, m.n_tok,
+             ROUND(1.0 - m.n_uniq / m.n_tok, 6) AS frac_dup_tok,
+             ROUND(m.top_c / m.n_tok, 6) AS top_tok_frac,
+             ROUND(CASE WHEN g.n3 > 0 THEN 1.0 - g.n3_uniq / g.n3
+                        ELSE 0.0 END, 6) AS frac_dup_3gram,
+             CASE WHEN ROUND(1.0 - m.n_uniq / m.n_tok, 6) <= 0.3
+                   AND ROUND(m.top_c / m.n_tok, 6) <= 0.1
+                   AND ROUND(CASE WHEN g.n3 > 0 THEN 1.0 - g.n3_uniq / g.n3
+                                  ELSE 0.0 END, 6) <= 0.2
+                  THEN 1 ELSE 0 END AS keep_flag
+      FROM m JOIN g ON m.doc_id = g.doc_id
+      ORDER BY m.doc_id"""),
 
     // Winnowing fingerprints (k=8 chars, window=4): per-doc fingerprint
     // set size + stable sample values. The seeded hashing is replicated
@@ -217,6 +253,40 @@ object TextAnalysis {
                   THEN 1 ELSE 0 END AS keep_flag
       FROM t WHERE LEN(toks) > 0
       ORDER BY doc_id""",
+
+    "text_repetition" -> """
+      WITH t AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), e AS (
+        SELECT doc_id, UNNEST(toks) AS tok FROM t
+      ), cnt AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM e GROUP BY doc_id, tok
+      ), m AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+               COUNT(*) AS n_uniq, MAX(c) AS top_c
+        FROM cnt GROUP BY doc_id
+      ), g AS (
+        SELECT doc_id,
+               CASE WHEN LEN(toks) >= 3
+                    THEN LEN(LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
+                           i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))))
+                    ELSE 0 END AS n3_uniq,
+               GREATEST(LEN(toks) - 2, 0) AS n3
+        FROM t
+      )
+      SELECT m.doc_id, m.n_tok,
+             ROUND(1.0 - m.n_uniq / m.n_tok, 6) AS frac_dup_tok,
+             ROUND(m.top_c / m.n_tok, 6) AS top_tok_frac,
+             ROUND(CASE WHEN g.n3 > 0 THEN 1.0 - g.n3_uniq / g.n3
+                        ELSE 0.0 END, 6) AS frac_dup_3gram,
+             CASE WHEN ROUND(1.0 - m.n_uniq / m.n_tok, 6) <= 0.3
+                   AND ROUND(m.top_c / m.n_tok, 6) <= 0.1
+                   AND ROUND(CASE WHEN g.n3 > 0 THEN 1.0 - g.n3_uniq / g.n3
+                                  ELSE 0.0 END, 6) <= 0.2
+                  THEN 1 ELSE 0 END AS keep_flag
+      FROM m JOIN g ON m.doc_id = g.doc_id
+      ORDER BY m.doc_id""",
 
     "text_tokens" -> """
       SELECT doc_id,

@@ -132,6 +132,81 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.size < docs.length, "sub-1.0 strata actually drop documents")
   }
 
+  test("text_decontaminate matches brute-force 5-gram overlap vs the bench slice") {
+    Tables.register(spark, LocalSpark.sf)
+    val docs = spark.sql("SELECT doc_id, text FROM documents")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(s: String): Set[String] = {
+      val t = s.toLowerCase.split(' ').filter(_.nonEmpty)
+      t.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }
+    val benchGrams = docs.collect { case (id, t) if id % 97 == 0 => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val rows = Curation.queries("text_decontaminate")(spark, LocalSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_._1).toSet === docs.keySet.filter(_ % 97 != 0),
+      "one row per non-benchmark doc")
+    rows.foreach { case (id, nShared, status) =>
+      val expect = (grams(docs(id)) & benchGrams).size.toLong
+      assert(nShared === expect, s"doc $id shared-gram count")
+      assert(status === (if (expect > 0) "contaminated" else "clean"), s"doc $id")
+    }
+  }
+
+  test("text_decontaminate flags a planted eval-set copy") {
+    Tables.register(spark, LocalSpark.sf)
+    val docs = spark.table("documents")
+    val benchText = docs.where($"doc_id" === 0L).select($"text").head.getString(0)
+    // 9998 % 97 != 0 → corpus side; identical text to benchmark doc 0
+    val extra = Seq((9998L, benchText, "en", "src0", benchText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.unionByName(extra).createOrReplaceTempView("documents")
+    try {
+      val byId = Curation.queries("text_decontaminate")(spark, LocalSpark.sf)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(byId(9998L) === "contaminated")
+    } finally {
+      Tables.register(spark, "/root/testdata/sf0.01")
+      Tables.register(spark, LocalSpark.sf)
+    }
+  }
+
+  test("text_repetition matches brute-force Gopher metrics") {
+    Tables.register(spark, LocalSpark.sf)
+    val docs = spark.sql("SELECT doc_id, text FROM documents")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.queries("text_repetition")(spark, LocalSpark.sf)
+      .collect()
+    val expected = docs.toSeq.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+      if (toks.isEmpty) None else {
+        val n = toks.length.toLong
+        val uniq = toks.distinct.length
+        val topC = toks.groupBy(identity).values.map(_.length).max
+        val n3 = math.max(n - 2, 0L)
+        val n3uniq = toks.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet.size
+        def r6(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val fdt = r6(1.0 - uniq.toDouble / n)
+        val ttf = r6(topC.toDouble / n)
+        val fd3 = if (n3 > 0) r6(1.0 - n3uniq.toDouble / n3) else 0.0
+        val keep = if (fdt <= 0.3 && ttf <= 0.1 && fd3 <= 0.2) 1 else 0
+        Some(id -> ((n, fdt, ttf, fd3, keep)))
+      }
+    }.toMap
+    assert(rows.map(_.getLong(0)).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n, fdt, ttf, fd3, keep) = expected(r.getLong(0))
+      assert(r.getLong(1) === n, s"n_tok for doc ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(2) - fdt) < 1e-9, s"frac_dup_tok doc ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(3) - ttf) < 1e-9, s"top_tok_frac doc ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(4) - fd3) < 1e-9, s"frac_dup_3gram doc ${r.getLong(0)}")
+      assert(r.getInt(5) === keep, s"keep_flag doc ${r.getLong(0)}")
+    }
+    assert(rows.map(_.getInt(5)).toSet.size >= 1)
+  }
+
   test("text_pii_scrub: all planted PII found and redacted, none left behind") {
     val rows = Curation.queries("text_pii_scrub")(spark, LocalSpark.sf).collect()
     assert(rows.nonEmpty)
