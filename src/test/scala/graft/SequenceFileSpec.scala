@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.sources.SequenceFileIO
+
+/** Round-trips for the SequenceFile source (SURVEY §2.2 — Hive's
+  * `STORED AS SEQUENCEFILE` + LazySimpleSerDe on-disk shape: empty
+  * BytesWritable key, ctrl-A-delimited Text value, `\N` nulls). */
+class SequenceFileSpec extends AnyFunSuite {
+  lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-seq").toString + "/out"
+
+  test("supplier table round-trips exactly (strings/longs/doubles)") {
+    Tables.register(spark, LocalSpark.sf)
+    val src = spark.table("supplier")
+    val path = tmp()
+    SequenceFileIO.write(src, path)
+    val back = SequenceFileIO.read(spark, path,
+      src.schema.copy(fields = src.schema.fields.map(_.copy(nullable = true))))
+    assert(back.orderBy("s_suppkey").collect().toSeq ==
+      src.orderBy("s_suppkey").collect().toSeq)
+  }
+
+  test("orders timestamps survive at microsecond precision") {
+    Tables.register(spark, LocalSpark.sf)
+    val src = spark.table("orders")
+    val path = tmp()
+    SequenceFileIO.write(src, path)
+    val back = SequenceFileIO.read(spark, path, src.schema)
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      src.orderBy("o_orderkey").collect().toSeq)
+  }
+
+  test("nulls, decimals, dates, booleans round-trip; \\N token distinguishes null from 'N'") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("dec", DecimalType(10, 2)), StructField("d", DateType),
+      StructField("b", BooleanType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "N", new java.math.BigDecimal("12.34"),
+        java.sql.Date.valueOf("2024-03-01"), true),
+      org.apache.spark.sql.Row(2L, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val path = tmp()
+    SequenceFileIO.write(df, path)
+    val back = SequenceFileIO.read(spark, path, schema).orderBy("id").collect()
+    assert(back(0).getString(1) == "N", "literal string N is not null")
+    assert(back(0).getDecimal(2) == new java.math.BigDecimal("12.34"))
+    assert(back(0).getDate(3) == java.sql.Date.valueOf("2024-03-01"))
+    assert(back(0).getBoolean(4))
+    (1 to 4).foreach(i => assert(back(1).isNullAt(i), s"col $i null"))
+  }
+
+  test("a value containing the delimiter fails loudly instead of corrupting") {
+    val df = Seq((1L, "a\u0001b")).toDF("id", "s")
+    val ex = intercept[org.apache.spark.SparkException] {
+      SequenceFileIO.write(df, tmp())
+    }
+    assert(ex.getMessage.contains("delimiter") ||
+      Option(ex.getCause).exists(_.getMessage.contains("delimiter")))
+  }
+
+  test("java8 datetime API: Instant/LocalDate rows round-trip") {
+    val prev = spark.conf.getOption("spark.sql.datetime.java8API.enabled")
+    try {
+      spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+      val ts = java.time.Instant.parse("2024-03-01T10:20:30.123456Z")
+      val d = java.time.LocalDate.parse("2024-03-01")
+      val df = Seq((1L, ts, d)).toDF("id", "ts", "d")
+      val path = tmp()
+      SequenceFileIO.write(df, path)
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("ts", TimestampType), StructField("d", DateType)))
+      val r = SequenceFileIO.read(spark, path, schema).collect()(0)
+      assert(r.getAs[java.time.Instant](1) == ts)
+      assert(r.getAs[java.time.LocalDate](2) == d)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.datetime.java8API.enabled", v)
+        case None => spark.conf.unset("spark.sql.datetime.java8API.enabled")
+      }
+    }
+  }
+}
