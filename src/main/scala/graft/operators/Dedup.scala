@@ -464,6 +464,7 @@ object Dedup {
         attachNbrs.union(attachSelf).distinct()
       }
       var cur = canon
+      var curCount = canon.count()
       var converged = false
       var round = 0
       while (!converged && round < maxRounds) {
@@ -475,23 +476,30 @@ object Dedup {
         val e1 = largeStar(cur).persist()
         val e2 = smallStar(e1).checkpoint()
         // fixpoint of BOTH steps individually (the SoCC'14 convergence
-        // condition), not just of the composition — checked EXACTLY in a
-        // single shuffle: every input is a distinct edge set, so tagging
-        // members ±1 and summing per (step, edge) yields 0 for every key
-        // iff e1 == cur and e2 == e1. This replaces round 3a's union of
-        // four except()s (four anti-joins, each shuffling both sides)
-        // with one aggregate over the same rows — the check was the
-        // dominant per-round cost at small edge counts.
-        def tag(df: DataFrame, step: Int, sign: Int): DataFrame =
-          df.select(lit(step).as("step"), col("src"), col("dst"),
-                    lit(sign.toLong).as("t"))
-        converged = tag(e1, 0, 1).union(tag(cur, 0, -1))
-          .union(tag(e2, 1, 1)).union(tag(e1, 1, -1))
-          .groupBy("step", "src", "dst").agg(sum("t").as("d"))
-          .where(col("d") =!= 0L)
-          .isEmpty
+        // condition), not just of the composition. Two tiers: equal
+        // cardinality is NECESSARY for set equality and costs only two
+        // count jobs over already-materialized data (e1 persisted, e2
+        // checkpointed; cur's count carries over from last round), so
+        // the EXACT check — every input is a distinct edge set, so
+        // tagging members ±1 and summing per (step, edge) yields 0 for
+        // every key iff e1 == cur and e2 == e1 — runs in its single
+        // shuffle only in rounds where all three counts already agree,
+        // i.e. typically just the final round(s).
+        val e1Count = e1.count()
+        val e2Count = e2.count()
+        if (e1Count == curCount && e2Count == e1Count) {
+          def tag(df: DataFrame, step: Int, sign: Int): DataFrame =
+            df.select(lit(step).as("step"), col("src"), col("dst"),
+                      lit(sign.toLong).as("t"))
+          converged = tag(e1, 0, 1).union(tag(cur, 0, -1))
+            .union(tag(e2, 1, 1)).union(tag(e1, 1, -1))
+            .groupBy("step", "src", "dst").agg(sum("t").as("d"))
+            .where(col("d") =!= 0L)
+            .isEmpty
+        }
         e1.unpersist(blocking = false)
         cur = e2
+        curCount = e2Count
         round += 1
       }
       if (!converged) throw new IllegalStateException(
