@@ -80,7 +80,8 @@ class FunctionParitySpec extends AnyFunSuite {
   )
 
   /** graft custom functions (registered by GraftFunctions/NGramsTopKAgg). */
-  private val custom = Set("field", "ngrams", "ngrams_topk", "context_ngrams")
+  private val custom =
+    Set("field", "ngrams", "ngrams_topk", "context_ngrams", "parse_url_tuple")
 
   /** Deliberately out of scope, with the reason pinned here
     * (SURVEY.md §7.2 decision table). */
@@ -92,8 +93,8 @@ class FunctionParitySpec extends AnyFunSuite {
     "compute_stats" -> "internal feed for ANALYZE; Spark ANALYZE computes its own",
     "reflect2" -> "unsafe reflection variant; java_method covers the use",
     "in_file" -> "reads server-local files at eval time — anti-pattern at scale",
-    "matchpath" -> "obscure PTF; deferred (flatMapGroups sketch in SURVEY §7.2)",
-    "parse_url_tuple" -> "generator form of parse_url; covered by parse_url × n (url_fns query)",
+    "matchpath" -> ("implemented as the MatchPath flatMapGroups operator " +
+      "(matchpath_* queries), not a SQL-registered PTF — Spark has no PTF syntax"),
     "logged_in_user" -> "HS2 session concept; no server here",
     "create_union" -> "uniontype has no Spark equivalent (SURVEY §1.3)",
     "extract_union" -> "uniontype has no Spark equivalent",

@@ -173,6 +173,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.collect().toSeq == expect)
   }
 
+  test("text_decontaminate broadcasts the benchmark gram set; corpus side never shuffles pre-join") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"bench grams must broadcast:\n$p")
+    // the gram probe must not be a shuffled join: the only Exchanges are
+    // the per-doc COUNT aggregate, the final left join, and the ORDER BY
+    assert(!p.contains("SortMergeJoin [gram"), "gram probe must not sort-merge")
+  }
+
+  test("text_repetition aggregates partially before both exchanges (map-side combine)") {
+    val p = plan("text_repetition")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined,
+      s"expected partial aggregation below the exchange:\n$p")
+  }
+
   test("Hive MAPJOIN hint produces a broadcast join") {
     val p = plan("join_mapjoin_hint")
     assert(p.contains("BroadcastHashJoin"), p)
