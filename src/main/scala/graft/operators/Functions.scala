@@ -257,6 +257,20 @@ object Functions {
       SELECT o_orderkey FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)
       ORDER BY o_orderkey"""),
 
+    // Hive's OTHER sampling form, TABLESAMPLE(BUCKET x OUT OF y ON col)
+    // (FilterDesc$SampleDesc, SURVEY §2.1#2): rows where hash(col) mod y
+    // lands in bucket x — DETERMINISTIC on the column, so unlike the
+    // seeded Bernoulli row sample it is exactly value-checkable. Spelled
+    // with the same engine-independent multiplicative hash as
+    // sample_stratified instead of Hive's ObjectInspector hash (which no
+    // other engine computes). Pure map-side predicate: no shuffle, no
+    // state — at 100 TB this samples inside the scan.
+    "sample_bucket_on" -> Tables.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE (o_orderkey * 2654435761) % 4294967296 % 8 = 0
+      ORDER BY o_orderkey"""),
+
     // Stratified exact-count sampling — the training-data form of
     // sampling (k docs per language/source/quality stratum, reproducible
     // across runs): rank rows inside each stratum by a deterministic
@@ -277,6 +291,13 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical integer arithmetic — the bucket predicate is engine-independent
+    "sample_bucket_on" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE (o_orderkey * 2654435761) % 4294967296 % 8 = 0
+      ORDER BY o_orderkey""",
+
     // identical integer arithmetic — the hash rank is engine-independent
     "sample_stratified" -> """
       SELECT lang, doc_id, sample_rank FROM (
