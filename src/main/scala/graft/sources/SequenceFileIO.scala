@@ -37,7 +37,7 @@ object SequenceFileIO {
 
   private val TsFmt = DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")
 
-  private def toText(v: Any, dt: DataType, sep: Char): String = (v, dt) match {
+  private[graft] def toText(v: Any, dt: DataType, sep: Char): String = (v, dt) match {
     case (null, _) => NullToken
     case (s: String, StringType) =>
       require(s.indexOf(sep) < 0 && s.indexOf('\n') < 0,
@@ -55,7 +55,7 @@ object SequenceFileIO {
     case (other, _) => other.toString // Long/Int/Short/Byte/Double/Float/Boolean
   }
 
-  private def fromText(s: String, dt: DataType, java8: Boolean): Any =
+  private[graft] def fromText(s: String, dt: DataType, java8: Boolean): Any =
     if (s == NullToken) null
     else dt match {
       case StringType => s

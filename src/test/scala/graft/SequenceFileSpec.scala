@@ -65,6 +65,43 @@ class SequenceFileSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("delimiter")))
   }
 
+  test("field serde is its own inverse on edge values (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sep = '\u0001'
+    def rt(v: Any, dt: DataType): Any =
+      SequenceFileIO.fromText(SequenceFileIO.toText(v, dt, sep), dt, java8 = false)
+    val stringGen = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.filterNot(c => c == sep || c == '\n')),
+      Gen.oneOf("\\N ", "N", "\\n", "null", "", "  spaced  ", "日本語", "\\\\N"))
+    val doubleGen = Gen.oneOf(Gen.double,
+      Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+        -0.0, Double.MinPositiveValue, 1.7976931348623157e308))
+    val longGen = Gen.oneOf(Gen.long, Gen.oneOf(Long.MinValue, Long.MaxValue, 0L))
+    val props = Prop.all(
+      Prop.forAll(stringGen) { s =>
+        // the \N token itself is the ONE string the format cannot carry
+        s == SequenceFileIO.NullToken || rt(s, StringType) == s
+      },
+      Prop.forAll(doubleGen) { d =>
+        val back = rt(d, DoubleType).asInstanceOf[Double]
+        java.lang.Double.compare(back, d) == 0 // NaN == NaN, -0.0 != 0.0
+      },
+      Prop.forAll(longGen)(l => rt(l, LongType) == l),
+      Prop.forAll(Gen.choose(-719162L, 2932896L)) { epochDay =>
+        val d = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(epochDay))
+        rt(d, DateType) == d
+      },
+      Prop.forAll(Gen.choose(0L, 253402300799L), Gen.choose(0L, 999999L)) {
+        (sec, micro) =>
+          val t = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(sec, micro * 1000L))
+          rt(t, TimestampType) == t
+      })
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), props)
+    assert(res.passed, res.status.toString)
+  }
+
   test("java8 datetime API: Instant/LocalDate rows round-trip") {
     val prev = spark.conf.getOption("spark.sql.datetime.java8API.enabled")
     try {
