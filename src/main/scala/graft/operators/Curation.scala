@@ -180,10 +180,15 @@ object Curation {
     // overlap in GPT-3/PaLM practice; 5 here because the synthetic docs
     // are short). Scale shape: the benchmark side is small by nature
     // (eval sets are MBs, not TBs), so its distinct-gram set is hinted
-    // BROADCAST and the corpus-side probe is a map-side semi-join —
-    // the only corpus shuffle is the per-doc COUNT aggregate of the few
-    // matching grams. n_shared counts DISTINCT shared shingles (both
-    // sides are set-valued by construction).
+    // BROADCAST and the corpus-side probe is a map-side semi-join — the
+    // only corpus shuffles the OPERATOR adds are the per-doc COUNT
+    // aggregate of the few matching grams and the final left join.
+    // (The REPARTITION(32) hint is a testdata artifact shared by the
+    // text_* queries — documents.parquet is one file locally, so the
+    // hint buys local[32] parallelism; a real corpus arrives in
+    // thousands of splits and the hint would be dropped.) n_shared
+    // counts DISTINCT shared shingles (both sides are set-valued by
+    // construction).
     "text_decontaminate" -> gsql("""
       WITH sh AS (
         SELECT doc_id, SHINGLE_SET(text, 5) AS grams

@@ -261,14 +261,19 @@ object Functions {
     // (FilterDesc$SampleDesc, SURVEY §2.1#2): rows where hash(col) mod y
     // lands in bucket x — DETERMINISTIC on the column, so unlike the
     // seeded Bernoulli row sample it is exactly value-checkable. Spelled
-    // with the same engine-independent multiplicative hash as
-    // sample_stratified instead of Hive's ObjectInspector hash (which no
-    // other engine computes). Pure map-side predicate: no shuffle, no
-    // state — at 100 TB this samples inside the scan.
+    // with the engine-independent multiplicative hash (as
+    // sample_stratified) instead of Hive's ObjectInspector hash (which
+    // no other engine computes); the key pre-reduces mod 2^31 so the
+    // product stays below 2^62 and NEVER overflows BIGINT — keys beyond
+    // 2^31 alias into the same hash domain, which a bucket sampler
+    // tolerates by construction (DuckDB would raise on the unreduced
+    // product; Spark non-ANSI would silently wrap negative). Pure
+    // map-side predicate: no shuffle, no state — at 100 TB this samples
+    // inside the scan.
     "sample_bucket_on" -> Tables.sql("""
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders
-      WHERE (o_orderkey * 2654435761) % 4294967296 % 8 = 0
+      WHERE (o_orderkey % 2147483648) * 2654435761 % 4294967296 % 8 = 0
       ORDER BY o_orderkey"""),
 
     // Stratified exact-count sampling — the training-data form of
@@ -295,7 +300,7 @@ object Functions {
     "sample_bucket_on" -> """
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders
-      WHERE (o_orderkey * 2654435761) % 4294967296 % 8 = 0
+      WHERE (o_orderkey % 2147483648) * 2654435761 % 4294967296 % 8 = 0
       ORDER BY o_orderkey""",
 
     // identical integer arithmetic — the hash rank is engine-independent

@@ -43,6 +43,9 @@ object SequenceFileIO {
       require(s.indexOf(sep) < 0 && s.indexOf('\n') < 0,
         s"string value contains the field delimiter or a newline; " +
           "choose another delimiter (LazySimpleSerDe escaping is not emulated)")
+      require(s != NullToken,
+        s"string value equals the null token $NullToken and would read " +
+          "back as NULL; this format cannot carry it")
       s
     case (t: java.sql.Timestamp, TimestampType) =>
       TsFmt.format(LocalDateTime.ofInstant(t.toInstant, ZoneOffset.UTC))
@@ -80,9 +83,27 @@ object SequenceFileIO {
           s"SequenceFileIO supports flat Hive-style schemas; unsupported type: $other")
     }
 
+  /** Types this serde carries; everything else must fail at write() time
+    * on the driver, not fall through toString into unreadable rows. */
+  private def supported(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType |
+         DoubleType | FloatType | BooleanType | TimestampType |
+         TimestampNTZType | DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  private def checkSchema(schema: StructType): Unit = {
+    val bad = schema.fields.filterNot(f => supported(f.dataType))
+    require(bad.isEmpty,
+      "SequenceFileIO supports flat Hive-style schemas; unsupported " +
+        s"fields: ${bad.map(f => s"${f.name}: ${f.dataType}").mkString(", ")}")
+  }
+
   /** Write `df` under `path` as Hive-shaped SequenceFiles (one per task). */
   def write(df: DataFrame, path: String, sep: Char = '\u0001'): Unit = {
     val structType = df.schema
+    checkSchema(structType)
     val sepStr = sep.toString
     df.rdd.mapPartitions { rows =>
       val emptyKey = new BytesWritable()
@@ -100,6 +121,7 @@ object SequenceFileIO {
   /** Read the SequenceFiles under `path` with the given schema. */
   def read(spark: SparkSession, path: String, schema: StructType,
            sep: Char = '\u0001'): DataFrame = {
+    checkSchema(schema)
     val java8 = spark.conf
       .getOption("spark.sql.datetime.java8API.enabled").exists(_.toBoolean)
     val sepRe = java.util.regex.Pattern.quote(sep.toString)

@@ -12,6 +12,22 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = LocalSpark.spark
   import spark.implicits._
 
+  /** Run `body` with an extra row unioned into the `documents` view,
+    * restoring the pristine view afterwards (Tables.register memoizes
+    * per sfDir, so the restore bounces through the other testdata dir
+    * to defeat the short-circuit). */
+  private def withPlantedDoc[A](row: (Long, String, String, String, Long))(body: => A): A = {
+    Tables.register(spark, LocalSpark.sf)
+    val docs = spark.table("documents")
+    docs.unionByName(Seq(row).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .createOrReplaceTempView("documents")
+    try body
+    finally {
+      Tables.register(spark, "/root/testdata/sf0.01")
+      Tables.register(spark, LocalSpark.sf)
+    }
+  }
+
   test("text_chunks: stride-48 starts, <=64-token chunks, full coverage") {
     val chunks = Curation.queries("text_chunks")(spark, LocalSpark.sf)
       .select("doc_id", "chunk_id", "chunk_start", "n_tok_chunk", "chunk_text")
@@ -97,21 +113,13 @@ class CurationSpec extends AnyFunSuite {
 
   test("dedup_incremental flags a planted cross-batch exact duplicate") {
     Tables.register(spark, LocalSpark.sf)
-    val docs = spark.table("documents")
-    val oldText = docs.where($"doc_id" === 0L).select($"text").head.getString(0)
+    val oldText = spark.table("documents")
+      .where($"doc_id" === 0L).select($"text").head.getString(0)
     // 9999 % 5 == 4 → new batch; identical text to old doc 0 → exact_dup
-    val extra = Seq((9999L, oldText, "en", "src0", oldText.length.toLong))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    docs.unionByName(extra).createOrReplaceTempView("documents")
-    try {
+    withPlantedDoc((9999L, oldText, "en", "src0", oldText.length.toLong)) {
       val rows = Curation.queries("dedup_incremental")(spark, LocalSpark.sf)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(rows(9999L) === "exact_dup")
-    } finally {
-      // restore the pristine view (register short-circuits on same dir,
-      // so bounce through another sfDir)
-      Tables.register(spark, "/root/testdata/sf0.01")
-      Tables.register(spark, LocalSpark.sf)
     }
   }
 
@@ -155,19 +163,13 @@ class CurationSpec extends AnyFunSuite {
 
   test("text_decontaminate flags a planted eval-set copy") {
     Tables.register(spark, LocalSpark.sf)
-    val docs = spark.table("documents")
-    val benchText = docs.where($"doc_id" === 0L).select($"text").head.getString(0)
+    val benchText = spark.table("documents")
+      .where($"doc_id" === 0L).select($"text").head.getString(0)
     // 9998 % 97 != 0 → corpus side; identical text to benchmark doc 0
-    val extra = Seq((9998L, benchText, "en", "src0", benchText.length.toLong))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    docs.unionByName(extra).createOrReplaceTempView("documents")
-    try {
+    withPlantedDoc((9998L, benchText, "en", "src0", benchText.length.toLong)) {
       val byId = Curation.queries("text_decontaminate")(spark, LocalSpark.sf)
         .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
       assert(byId(9998L) === "contaminated")
-    } finally {
-      Tables.register(spark, "/root/testdata/sf0.01")
-      Tables.register(spark, LocalSpark.sf)
     }
   }
 
@@ -204,7 +206,6 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(4) - fd3) < 1e-9, s"frac_dup_3gram doc ${r.getLong(0)}")
       assert(r.getInt(5) === keep, s"keep_flag doc ${r.getLong(0)}")
     }
-    assert(rows.map(_.getInt(5)).toSet.size >= 1)
   }
 
   test("text_pii_scrub: all planted PII found and redacted, none left behind") {

@@ -176,8 +176,9 @@ class PlanQualitySpec extends AnyFunSuite {
   test("text_decontaminate broadcasts the benchmark gram set; corpus side never shuffles pre-join") {
     val p = plan("text_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"bench grams must broadcast:\n$p")
-    // the gram probe must not be a shuffled join: the only Exchanges are
-    // the per-doc COUNT aggregate, the final left join, and the ORDER BY
+    // the gram probe must not be a shuffled join: beyond the explicit
+    // local-parallelism REPARTITION(32) hint, the only Exchanges are the
+    // per-doc COUNT aggregate, the final left join, and the ORDER BY
     assert(!p.contains("SortMergeJoin [gram"), "gram probe must not sort-merge")
   }
 

@@ -65,6 +65,23 @@ class SequenceFileSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("delimiter")))
   }
 
+  test("a string equal to the null token fails loudly instead of reading back as NULL") {
+    val df = Seq((1L, "\\N")).toDF("id", "s")
+    val ex = intercept[org.apache.spark.SparkException] {
+      SequenceFileIO.write(df, tmp())
+    }
+    assert(ex.getMessage.contains("null token") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null token")))
+  }
+
+  test("unsupported column types fail at the driver before any file is written") {
+    val df = Seq((1L, Seq("a", "b"))).toDF("id", "arr")
+    val ex = intercept[IllegalArgumentException] {
+      SequenceFileIO.write(df, tmp())
+    }
+    assert(ex.getMessage.contains("unsupported fields: arr"))
+  }
+
   test("field serde is its own inverse on edge values (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val sep = '\u0001'
@@ -79,7 +96,8 @@ class SequenceFileSpec extends AnyFunSuite {
     val longGen = Gen.oneOf(Gen.long, Gen.oneOf(Long.MinValue, Long.MaxValue, 0L))
     val props = Prop.all(
       Prop.forAll(stringGen) { s =>
-        // the \N token itself is the ONE string the format cannot carry
+        // the \N token itself cannot be carried — write() rejects it
+        // loudly (separate test) rather than letting it read back null
         s == SequenceFileIO.NullToken || rt(s, StringType) == s
       },
       Prop.forAll(doubleGen) { d =>
