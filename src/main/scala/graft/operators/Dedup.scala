@@ -172,9 +172,11 @@ object Dedup {
     // hot (band, key) bucket of B docs yields O(B²) join pairs — bounded
     // by skipping buckets over 1000 members (same policy as
     // lshCandidatePairs: members still pair through their other 6 bands;
-    // only a pair whose EVERY shared band is hot is lost). On the
-    // testdata no bucket exceeds a few members (PipelineSpec asserts a
-    // wide margin, so the uncapped all-pairs oracle stays valid); at
+    // only a pair whose EVERY shared band is hot is lost). The oracle
+    // replicates the banding AND the cap exactly (same construction as
+    // dedup_embedding_lsh), so the pair sets match by definition at any
+    // scale factor — no cap-neutrality assumption: at sf0.1 one band key
+    // does exceed 1000 members and both engines drop the same pairs. At
     // corpus scales where the cap binds routinely, widen the bands —
     // band count/width is the scale knob, documented here. Exact hamming
     // on candidates via bit_count(xor); the only shuffle is the
@@ -609,10 +611,22 @@ object Dedup {
                bit_or(CASE WHEN cnt > 0 THEN (1::UBIGINT << CAST(j AS INT))
                            ELSE 0::UBIGINT END) AS sim
         FROM bits GROUP BY doc_id
+      ), bands AS (
+        SELECT doc_id, sim, CAST(u.band AS INT) AS band,
+               CASE WHEN u.band < 6 THEN (sim >> CAST(u.band * 9 AS INT)) & 511
+                    ELSE (sim >> 54) & 1023 END AS bandkey
+        FROM sim, UNNEST(range(7)) AS u(band)
+      ), cool AS (
+        SELECT band, bandkey FROM bands
+        GROUP BY band, bandkey HAVING COUNT(*) <= 1000
+      ), cb AS (
+        SELECT b.doc_id, b.sim, b.band, b.bandkey
+        FROM bands b JOIN cool USING (band, bandkey)
       )
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      FROM cb a JOIN cb b
+        ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sim, b.sim)) <= 6
       ORDER BY doc_a, doc_b""",
 
