@@ -88,6 +88,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: doc stream deduped against the static corpus digest index") {
+    // the streaming twin of dedup_incremental's exact stage: a NEW-doc
+    // stream left-joins the precomputed corpus digest index (static
+    // side). In production the index is the 100 TB corpus's digest
+    // table; each micro-batch joins against it without rescanning the
+    // stream side — the canonical continuous-ingestion dedup shape.
+    implicit val sqlCtx = spark.sqlContext
+    Tables.register(spark, LocalSpark.sf)
+    val index = spark.table("documents")
+      .select(md5($"text".cast("binary")).as("digest")).distinct()
+      .withColumn("known", lit(true))
+    val input = MemoryStream[Doc]
+    val flagged = input.toDF()
+      .withColumn("digest", md5($"text".cast("binary")))
+      .join(index, Seq("digest"), "left")
+      .select($"doc_id", coalesce($"known", lit(false)).as("is_dup"))
+    val q = flagged.writeStream.format("memory").queryName("inc_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val corpusText = spark.table("documents")
+        .where($"doc_id" === 0L).select($"text").head.getString(0)
+      input.addData(Doc(ts(1), 100, corpusText), Doc(ts(2), 101, "novel zz text"))
+      q.processAllAvailable()
+      val got = spark.table("inc_dedup").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == Map(100L -> true, 101L -> false), got.toString)
+    } finally q.stop()
+  }
+
   test("custom sessionization with flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
