@@ -187,6 +187,12 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(edge.getSeq[String](0) == Seq("a", "b"))
     assert(edge.getSeq[String](1).isEmpty)
     assert(edge.getSeq[String](2).isEmpty)
+    // n=5 (text_decontaminate's width): 4 tokens → empty, 5 → one, 6 → two
+    val e5 = spark.sql(
+      "SELECT SHINGLE_SET('a b c d', 5), SHINGLE_SET('a b c d e', 5), SHINGLE_SET('a b c d e f', 5)").collect()(0)
+    assert(e5.getSeq[String](0).isEmpty)
+    assert(e5.getSeq[String](1) == Seq("a b c d e"))
+    assert(e5.getSeq[String](2).toSet == Set("a b c d e", "b c d e f"))
   }
 
   test("parse_url_tuple generator agrees with parse_url per part") {
