@@ -39,35 +39,44 @@ class PipelineSpec extends AnyFunSuite {
         s"be valid — missed=${truth.diff(found).take(5)} extra=${found.diff(truth).take(5)}")
   }
 
-  test("dedup_minhash_lsh oracle validity: recall exactly 1.0 at the driver's sf0.01") {
-    val sf01 = "/root/testdata/sf0.01"
+  /** Exact truth-vs-LSH pair-set equality at `sfDir` — the validity
+    * condition for the dedup_minhash_lsh (and dedup_incremental) DuckDB
+    * oracles. Truth via inverted-index join (all-pairs product would be
+    * 12.5M at 5000 docs; postings are fine at both SFs). */
+  private def assertMinhashOracleValid(sfDir: String): Unit = {
     try {
-    Tables.register(spark, sf01)
-    graft.functions.GraftFunctions.register(spark)
-    // exact all-pairs jaccard >= 0.8 via inverted-index join (all-pairs
-    // product would be 12.5M at 5000 docs; postings are fine here)
-    val truth = spark.sql("""
-      WITH t AS (SELECT doc_id, FILTER(SPLIT(LOWER(text),' '), w -> w <> '') toks FROM documents),
-      sh AS (SELECT doc_id, ARRAY_DISTINCT(TRANSFORM(SEQUENCE(0, SIZE(toks)-3),
-               i -> CONCAT_WS(' ', SLICE(toks, i+1, 3)))) grams FROM t WHERE SIZE(toks) >= 3),
-      inv AS (SELECT doc_id, SIZE(grams) n, gram FROM sh LATERAL VIEW EXPLODE(grams) g AS gram),
-      prs AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) ni,
-                     ANY_VALUE(a.n) na, ANY_VALUE(b.n) nb
-              FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-      SELECT da, db FROM prs WHERE ni / (na + nb - ni) >= 0.8
-    """).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val found = Dedup.queries("dedup_minhash_lsh")(spark, sf01)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(truth.nonEmpty)
-    assert(found == truth,
-      s"driver-scale oracle assumption broken: missed=${truth.diff(found).take(5)} " +
-        s"extra=${found.diff(truth).take(5)}")
+      Tables.register(spark, sfDir)
+      graft.functions.GraftFunctions.register(spark)
+      val truth = spark.sql("""
+        WITH t AS (SELECT doc_id, FILTER(SPLIT(LOWER(text),' '), w -> w <> '') toks FROM documents),
+        sh AS (SELECT doc_id, ARRAY_DISTINCT(TRANSFORM(SEQUENCE(0, SIZE(toks)-3),
+                 i -> CONCAT_WS(' ', SLICE(toks, i+1, 3)))) grams FROM t WHERE SIZE(toks) >= 3),
+        inv AS (SELECT doc_id, SIZE(grams) n, gram FROM sh LATERAL VIEW EXPLODE(grams) g AS gram),
+        prs AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) ni,
+                       ANY_VALUE(a.n) na, ANY_VALUE(b.n) nb
+                FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+        SELECT da, db FROM prs WHERE ni / (na + nb - ni) >= 0.8
+      """).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = Dedup.queries("dedup_minhash_lsh")(spark, sfDir)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.nonEmpty)
+      assert(found == truth,
+        s"oracle assumption broken at $sfDir: missed=${truth.diff(found).take(5)} " +
+          s"extra=${found.diff(truth).take(5)}")
     } finally {
       // leave the shared session back on the spec-wide testdata even if
       // the assertion fails — later tests share this SparkSession
       Tables.register(spark, LocalSpark.sf)
     }
+  }
+
+  test("dedup_minhash_lsh oracle validity: recall exactly 1.0 at the driver's sf0.01") {
+    assertMinhashOracleValid("/root/testdata/sf0.01")
+  }
+
+  test("dedup_minhash_lsh oracle validity: recall exactly 1.0 at the bench's sf0.1") {
+    assertMinhashOracleValid("/root/testdata/sf0.1")
   }
 
   test("dedup_clusters equals local union-find over the same pairs") {
