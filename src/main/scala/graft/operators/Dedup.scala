@@ -580,14 +580,18 @@ object Dedup {
       WHERE q2.doc_id NOT IN (SELECT doc_id FROM nonrep)
       ORDER BY q2.doc_id""",
 
-    // FULL INDEPENDENT REPLICATION of simhash, then EXACT ALL-PAIRS
-    // hamming ≤ 6 (valid oracle because the 7-band pigeonhole makes the
-    // Spark side's recall provably 1.0). The token hash (FNV-1a 64 +
-    // murmur fmix64, seed 0) is recomputed in SQL with HUGEINT mod-2^64
-    // arithmetic — the corpus is ASCII, so unicode(char) == utf8 byte;
-    // constants are the decimal spellings of the FNV offset/prime and
-    // fmix64 multipliers. Validated bit-for-bit against the Spark
-    // fingerprints at sf0.01.
+    // FULL INDEPENDENT REPLICATION of simhash, then the SAME 7-band
+    // candidate join and 1000-member hot-bucket cap as the Spark query
+    // (an implementation replication, like dedup_embedding_lsh — NOT an
+    // all-pairs ground truth, so the compare is assumption-free at any
+    // scale factor; what the cap actually costs vs exact all-pairs is
+    // measured independently in PipelineSpec, recall 1.0 at sf0.001 and
+    // ≥0.99 at sf0.1). The token hash (FNV-1a 64 + murmur fmix64,
+    // seed 0) is recomputed in SQL with HUGEINT mod-2^64 arithmetic —
+    // the corpus is ASCII, so unicode(char) == utf8 byte; constants are
+    // the decimal spellings of the FNV offset/prime and fmix64
+    // multipliers. Validated bit-for-bit against the Spark fingerprints
+    // at sf0.01.
     "dedup_simhash" -> s"""
       WITH t AS (
         SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks

@@ -264,7 +264,8 @@ object Functions {
     // with the engine-independent multiplicative hash (as
     // sample_stratified) instead of Hive's ObjectInspector hash (which
     // no other engine computes); the key pre-reduces mod 2^31 so the
-    // product stays below 2^62 and NEVER overflows BIGINT — keys beyond
+    // product caps at (2^31-1)·2654435761 ≈ 5.7e18 < 2^63-1 ≈ 9.2e18
+    // and NEVER overflows BIGINT — keys beyond
     // 2^31 alias into the same hash domain, which a bucket sampler
     // tolerates by construction (DuckDB would raise on the unreduced
     // product; Spark non-ANSI would silently wrap negative). Pure

@@ -23,7 +23,12 @@ class CurationSpec extends AnyFunSuite {
       .createOrReplaceTempView("documents")
     try body
     finally {
-      Tables.register(spark, "/root/testdata/sf0.01")
+      // the bounce dir must differ from the active sfDir or register's
+      // same-dir short-circuit would skip the restore and leak the
+      // planted doc into every later test
+      val bounce = if (LocalSpark.sf.endsWith("sf0.01")) "/root/testdata/sf0.001"
+                   else "/root/testdata/sf0.01"
+      Tables.register(spark, bounce)
       Tables.register(spark, LocalSpark.sf)
     }
   }
