@@ -43,6 +43,13 @@ object Tables {
     }
   }
 
+  /** Drop the memoized sfDir for this session so the NEXT register()
+    * call re-reads the parquet views even for the same dir. Test hook:
+    * specs that temporarily replace a view (e.g. planting a document)
+    * restore the pristine views with invalidate+register instead of
+    * bouncing through a sibling testdata dir that may not exist. */
+  def invalidate(spark: SparkSession): Unit = registered.remove(spark)
+
   /** Standard shape of a harness query: register views, run SQL. */
   def sql(q: String): (SparkSession, String) => DataFrame =
     (spark, sfDir) => { register(spark, sfDir); spark.sql(q) }

@@ -232,15 +232,26 @@ case class MinHashSig(child: Expression, numHashes: Int)
   def kernel(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    // hash each element once per seed; bytes fetched once per element
+    // Kirsch-Mitzenmacher double hashing (ESA'06): two full byte hashes
+    // per element, permutation s = h1 + s·h2 (mod 2^64) — statistically
+    // equivalent to k independent hashes for min-wise sketching at ~k×
+    // less byte-hashing work (the dominant cost: grams are re-hashed
+    // numHashes times otherwise). h2 is forced ODD so s·h2 cycles the
+    // full 2^64 ring (h2=0 would make every permutation identical).
+    // Changing this scheme re-rolls which pairs band-collide, so the
+    // recall-exactly-1.0 oracle arguments are re-pinned empirically by
+    // PipelineSpec at sf0.001/sf0.01/sf0.1.
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val bytes = arr.getUTF8String(i).getBytes
+        val h1 = Hashing.hash64(bytes, 0, bytes.length, 0L)
+        val h2 = Hashing.hash64(bytes, 0, bytes.length, 1L) | 1L
+        var h = h1
         var s = 0
         while (s < numHashes) {
-          val h = Hashing.hash64(bytes, 0, bytes.length, s.toLong)
           if (h < sig(s)) sig(s) = h
+          h += h2
           s += 1
         }
       }
@@ -611,6 +622,8 @@ object GraftFunctions {
     Bridge.column(LshBuckets(Bridge.expression(c), numTables, numPlanes))
   def field(cols: Column*): Column =
     Bridge.column(FieldFn(cols.map(Bridge.expression)))
+  def vec_sum(c: Column): Column =
+    Bridge.column(VecSumAgg(Bridge.expression(c)).toAggregateExpression())
 
   /** Make the functions usable from spark.sql text too. */
   def register(spark: SparkSession): Unit = {
@@ -639,5 +652,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("field", es => FieldFn(es), "built-in")
     reg.createOrReplaceTempFunction("parse_url_tuple",
       es => ParseUrlTuple(es), "built-in")
+    reg.createOrReplaceTempFunction("vec_sum",
+      es => VecSumAgg(es.head), "built-in")
   }
 }

@@ -183,6 +183,13 @@ object Curation {
     // BROADCAST and the corpus-side probe is a map-side semi-join — the
     // only corpus shuffles the OPERATOR adds are the per-doc COUNT
     // aggregate of the few matching grams and the final left join.
+    // Note on the `sh` CTE: Catalyst inlines it into BOTH the bench and
+    // corpus branches, so the documents parquet is READ twice — but the
+    // doc_id % 97 predicates push below the explode and the SHINGLE_SET
+    // projection, so each branch shingles only its own disjoint slice;
+    // the per-doc shingling (the expensive part) happens once per doc
+    // overall. Two pruned column scans beat materializing a corpus-wide
+    // gram table at 100 TB, so the inlining is left as-is deliberately.
     // (The REPARTITION(32) hint is a testdata artifact shared by the
     // text_* queries — documents.parquet is one file locally, so the
     // hint buys local[32] parallelism; a real corpus arrives in

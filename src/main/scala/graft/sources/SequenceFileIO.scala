@@ -1,7 +1,8 @@
 package graft.sources
 
 import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
-import java.time.format.DateTimeFormatter
+import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+import java.time.temporal.ChronoField
 
 import org.apache.hadoop.io.{BytesWritable, Text}
 import org.apache.hadoop.mapreduce.lib.input.SequenceFileInputFormat
@@ -19,17 +20,23 @@ import org.apache.spark.sql.types._
   * Schema is caller-supplied on read (schema-on-read from the
   * metastore, §1.3 — a delimited SequenceFile carries no schema).
   * Flat Hive-style rows: primitives, string, decimal, date, timestamp.
-  * Timestamps serialize as `yyyy-MM-dd HH:mm:ss.SSSSSS` wall-clock in
+  * Timestamps WRITE as fixed `yyyy-MM-dd HH:mm:ss.SSSSSS` wall-clock in
   * UTC (the session timezone fixed by build.sbt, matching Hive's
-  * TZ-less timestamp semantics).
+  * TZ-less timestamp semantics); READ accepts 0-9 fraction digits,
+  * because Hive's `TimestampWritable` trims trailing zeros and omits
+  * the fraction entirely for whole seconds — a genuine Hive-written
+  * table has variable-width fractions.
   *
   * Scale shape: both directions are narrow per-partition converters
   * with no shuffle — one output file per task on write, Hadoop splits
   * on read (SequenceFile sync markers make it splittable, the reason
   * Hive preferred it over raw text). Values that contain the field
-  * delimiter or a newline fail LOUDLY on write instead of corrupting
-  * the row (LazySimpleSerDe's optional escaping is off by default and
-  * silently mangles such rows — we refuse instead).
+  * delimiter fail LOUDLY on write instead of corrupting the row
+  * (LazySimpleSerDe's optional escaping is off by default and silently
+  * mangles such rows — we refuse instead). Embedded newlines are FINE
+  * here, unlike TextFile: SequenceFile Text records are
+  * length-prefixed, so a newline cannot split a row, and Hive itself
+  * preserves them in SEQUENCEFILE tables.
   */
 object SequenceFileIO {
 
@@ -37,11 +44,24 @@ object SequenceFileIO {
 
   private val TsFmt = DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")
 
+  /** Lenient read-side twin of [[TsFmt]]: Hive's TimestampWritable
+    * writes `HH:mm:ss` for whole seconds and trims trailing fraction
+    * zeros otherwise, so the fraction is 0-9 digits and optional. */
+  private val TsParse = new DateTimeFormatterBuilder()
+    .appendPattern("uuuu-MM-dd HH:mm:ss")
+    .optionalStart()
+    .appendFraction(ChronoField.NANO_OF_SECOND, 0, 9, true)
+    .optionalEnd()
+    .toFormatter()
+
   private[graft] def toText(v: Any, dt: DataType, sep: Char): String = (v, dt) match {
     case (null, _) => NullToken
     case (s: String, StringType) =>
-      require(s.indexOf(sep) < 0 && s.indexOf('\n') < 0,
-        s"string value contains the field delimiter or a newline; " +
+      // newlines are deliberately NOT rejected: SequenceFile records are
+      // length-prefixed (a newline cannot split a row) and Hive preserves
+      // them in SEQUENCEFILE tables — only the field delimiter is unsafe
+      require(s.indexOf(sep) < 0,
+        s"string value contains the field delimiter; " +
           "choose another delimiter (LazySimpleSerDe escaping is not emulated)")
       require(s != NullToken,
         s"string value equals the null token $NullToken and would read " +
@@ -72,9 +92,9 @@ object SequenceFileIO {
       case d: DecimalType =>
         new java.math.BigDecimal(s).setScale(d.scale)
       case TimestampType =>
-        val inst = LocalDateTime.parse(s, TsFmt).toInstant(ZoneOffset.UTC)
+        val inst = LocalDateTime.parse(s, TsParse).toInstant(ZoneOffset.UTC)
         if (java8) inst else java.sql.Timestamp.from(inst)
-      case TimestampNTZType => LocalDateTime.parse(s, TsFmt)
+      case TimestampNTZType => LocalDateTime.parse(s, TsParse)
       case DateType =>
         val ld = LocalDate.parse(s)
         if (java8) ld else java.sql.Date.valueOf(ld)

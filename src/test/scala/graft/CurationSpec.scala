@@ -14,8 +14,8 @@ class CurationSpec extends AnyFunSuite {
 
   /** Run `body` with an extra row unioned into the `documents` view,
     * restoring the pristine view afterwards (Tables.register memoizes
-    * per sfDir, so the restore bounces through the other testdata dir
-    * to defeat the short-circuit). */
+    * per sfDir; invalidate drops the memo so the restore re-reads the
+    * real views regardless of which sfDir is active). */
   private def withPlantedDoc[A](row: (Long, String, String, String, Long))(body: => A): A = {
     Tables.register(spark, LocalSpark.sf)
     val docs = spark.table("documents")
@@ -23,12 +23,7 @@ class CurationSpec extends AnyFunSuite {
       .createOrReplaceTempView("documents")
     try body
     finally {
-      // the bounce dir must differ from the active sfDir or register's
-      // same-dir short-circuit would skip the restore and leak the
-      // planted doc into every later test
-      val bounce = if (LocalSpark.sf.endsWith("sf0.01")) "/root/testdata/sf0.001"
-                   else "/root/testdata/sf0.01"
-      Tables.register(spark, bounce)
+      Tables.invalidate(spark)
       Tables.register(spark, LocalSpark.sf)
     }
   }

@@ -56,6 +56,35 @@ class SequenceFileSpec extends AnyFunSuite {
     (1 to 4).foreach(i => assert(back(1).isNullAt(i), s"col $i null"))
   }
 
+  test("Hive-written variable-width timestamp fractions parse on read") {
+    // Hive's TimestampWritable trims trailing zeros and writes no
+    // fraction for whole seconds; read must accept all of these even
+    // though our own writer always emits 6 digits
+    val cases = Seq(
+      "2024-03-01 10:20:30" -> "2024-03-01T10:20:30Z",
+      "2024-03-01 10:20:30.5" -> "2024-03-01T10:20:30.500Z",
+      "2024-03-01 10:20:30.123" -> "2024-03-01T10:20:30.123Z",
+      "2024-03-01 10:20:30.123456" -> "2024-03-01T10:20:30.123456Z",
+      "2024-03-01 10:20:30.123456789" -> "2024-03-01T10:20:30.123456789Z")
+    for ((txt, iso) <- cases) {
+      val got = SequenceFileIO.fromText(txt, TimestampType, java8 = true)
+      assert(got == java.time.Instant.parse(iso), s"parsing '$txt'")
+    }
+  }
+
+  test("embedded newlines round-trip (records are length-prefixed, not line-split)") {
+    val df = Seq((1L, "line1\nline2"), (2L, "\n"), (3L, "tail\n")).toDF("id", "s")
+    val path = tmp()
+    SequenceFileIO.write(df, path)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val back = SequenceFileIO.read(spark, path, schema).orderBy("id").collect()
+    assert(back.length == 3)
+    assert(back(0).getString(1) == "line1\nline2")
+    assert(back(1).getString(1) == "\n")
+    assert(back(2).getString(1) == "tail\n")
+  }
+
   test("a value containing the delimiter fails loudly instead of corrupting") {
     val df = Seq((1L, "a\u0001b")).toDF("id", "s")
     val ex = intercept[org.apache.spark.SparkException] {
