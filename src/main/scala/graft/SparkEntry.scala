@@ -19,6 +19,7 @@ object SparkEntry {
     QueryModule(Dedup.queries, Dedup.oracle),
     QueryModule(Curation.queries, Curation.oracle),
     QueryModule(Similarity.queries, Similarity.oracle),
+    QueryModule(Clustering.queries, Clustering.oracle),
     QueryModule(TextAnalysis.queries, TextAnalysis.oracle),
     QueryModule(Events.queries, Events.oracle),
     QueryModule(AsOfJoin.queries, AsOfJoin.oracle),

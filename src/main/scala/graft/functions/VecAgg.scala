@@ -18,9 +18,11 @@ import org.apache.spark.sql.graftbridge.Bridge
   * a dim× shuffle blowup this aggregate exists to avoid.
   *
   * The dimension is learned from the first non-null row; mismatched
-  * widths fail loudly rather than silently truncating. Sums accumulate
-  * in double regardless of input precision (callers cast float vectors
-  * up first so the SQL types are explicit).
+  * widths, zero-length vectors, and null ELEMENTS all fail loudly
+  * rather than silently truncating or summing 0.0 (null ROWS are
+  * skipped, like built-in `sum`). Sums accumulate in double regardless
+  * of input precision (callers cast float vectors up first so the SQL
+  * types are explicit).
   */
 case class VecSumAgg(
     child: Expression,
@@ -38,11 +40,19 @@ case class VecSumAgg(
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null) return buf
     val n = arr.numElements()
+    // reject zero-length up front: an empty first row would leave the
+    // buffer indistinguishable from the initial one (silently dropped,
+    // while the same row arriving later trips the width require)
+    require(n > 0, "vec_sum: zero-length input vector")
     val acc = if (buf.isEmpty) new Array[Double](n) else buf
     require(acc.length == n,
       s"vec_sum: vector width $n differs from the group's ${acc.length}")
     var i = 0
-    while (i < n) { acc(i) += arr.getDouble(i); i += 1 }
+    while (i < n) {
+      require(!arr.isNullAt(i), s"vec_sum: null element at index $i")
+      acc(i) += arr.getDouble(i)
+      i += 1
+    }
     acc
   }
 

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Distributed k-means over the embeddings table (Lloyd's algorithm),
+  * plus SemDeDup-style semantic dedup that uses the learned clusters as
+  * the blocking key (Abbas et al., "SemDeDup", arXiv:2303.09540).
+  *
+  * Hive 1.2 has no clustering operator — like Dedup/Similarity this is
+  * brief-mandated LLM-pipeline surface. The design is the classic
+  * distributed-k-means shape (same as Spark MLlib's): centroids are
+  * O(k·dim) and live on the driver, each iteration is
+  *
+  *   1. assignment — a NARROW map stage: centroids enter the plan as
+  *      literals (a broadcast in spirit; no join, no shuffle) and every
+  *      row picks argmax-cosine via one projection;
+  *   2. update — one tiny shuffle: groupBy(cluster) with the bounded
+  *      mergeable `vec_sum` aggregate (graft.functions.VecSumAgg), so
+  *      map-side partials reduce a 100 TB scan to (#partitions × k)
+  *      buffer rows before the exchange, then k rows to the driver.
+  *
+  * DETERMINISM (what makes the DuckDB oracle exact, not approximate):
+  * float sums are order-dependent, and Spark's partitioning would make
+  * centroid means nondeterministic. So coordinates are quantized first:
+  * q(x) = floor(x·1e6) as a double. Each float coordinate times 1e6 is
+  * an exact double (24-bit × 20-bit mantissas < 53), floor is exact, and
+  * sums of integer-valued doubles are EXACT and order-independent while
+  * |sum| < 2^53 (2^53/1e6 ≈ 9e9 rows per cluster at |x|≤1 — far above
+  * any real partition). Every downstream value — centroid = sum/n/1e6,
+  * cosine as a left fold in index order — is then a fixed IEEE op
+  * sequence on identical inputs, so Spark and DuckDB (list_reduce folds
+  * in the same order) agree BIT-FOR-BIT: assignments, ties (broken by
+  * cluster id), and thresholds all match by construction, with no
+  * near-tie validation needed.
+  *
+  * Init is deterministic too: seeds are the k lowest vec_ids (the same
+  * public-data convention as Similarity's IVF pivots). Fixed iteration
+  * count, no RNG anywhere.
+  */
+object Clustering {
+
+  /** Quantization scale: 6 decimal places. */
+  private val Scale = 1e6
+  /** Cluster count for the harness queries. Deliberately small for the
+    * testdata; at 100 TB SemDeDup runs k in the 10⁴–10⁵ range so each
+    * cluster (= dedup block) stays small — k is a parameter, the plan
+    * shape does not change. */
+  private val K = 8
+  /** Lloyd iterations (updates) before the final assignment. */
+  private val Iters = 2
+  /** Within-cluster cosine threshold for semantic near-dup pairs (the
+    * same 0.35 dedup_embedding_cosine uses, for comparability). */
+  private val Tau = 0.35
+
+  /** (vec_id, qe, ve): qe = floor(x·1e6) per coordinate (integer-valued
+    * doubles — the exact-sum representation), ve = qe/1e6 (the working
+    * vector all cosines are computed on). */
+  private[operators] def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(Scale)).cast("double")).as("qe"))
+      .withColumn("ve", transform(col("qe"), x => x / lit(Scale)))
+
+  /** Cosine over double arrays as explicit left folds in index order —
+    * the same op sequence DuckDB's list_reduce replication performs, so
+    * the doubles match bit-for-bit (see class doc). The -2.0 guard keeps
+    * the value total (a zero vector sorts below every real cosine). */
+  private[operators] def cosD(a: Column, b: Column): Column = {
+    def fold(c: Column): Column = aggregate(c, lit(0.0), (s, v) => s + v)
+    val dot = fold(zip_with(a, b, (x, y) => x * y))
+    val na = aggregate(a, lit(0.0), (s, v) => s + v * v)
+    val nb = aggregate(b, lit(0.0), (s, v) => s + v * v)
+    when(na * nb === 0.0, lit(-2.0)).otherwise(dot / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** Assignment: centroids as literal structs, argmax cosine per row via
+    * array_max over struct(cos, -cid) — highest cos, ties to the LOWEST
+    * cid (mirrors the oracle's ORDER BY cos DESC, cid). Narrow stage. */
+  private def assign(q: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val scored = array(cents.map { case (cid, c) =>
+      struct(cosD(col("ve"), typedlit(c.toSeq)).as("cos"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    q.withColumn("best", array_max(scored))
+      .select(col("vec_id"), col("qe"), col("ve"),
+        (-col("best.ncid")).as("cluster"), col("best.cos").as("cos"))
+  }
+
+  /** Update: one k-group shuffle (vec_sum partials merge map-side), k
+    * rows to the driver. Exact integer sums ⇒ centroid = sum/n/1e6 is
+    * the same double everywhere. Empty clusters simply drop out. */
+  private def update(assigned: DataFrame): Seq[(Int, Array[Double])] =
+    assigned.groupBy(col("cluster"))
+      .agg(GraftFunctions.vec_sum(col("qe")).as("vs"), count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(2)
+        (r.getInt(0), r.getSeq[Double](1).map(v => v / n / Scale).toArray)
+      }.sortBy(_._1).toSeq
+
+  /** Run Lloyd's for `iters` updates; returns the final centroids. */
+  def kmeansCentroids(spark: SparkSession, sfDir: String,
+                      k: Int = K, iters: Int = Iters): Seq[(Int, Array[Double])] = {
+    Tables.register(spark, sfDir)
+    GraftFunctions.register(spark)
+    val q = quantized(spark.table("embeddings")).persist()
+    try {
+      val seeds = q.where(col("vec_id") < k).select(col("vec_id"), col("ve"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      require(seeds.size == k, s"k-means: expected $k seed vectors, got ${seeds.size}")
+      var cents = seeds
+      var i = 0
+      while (i < iters) { cents = update(assign(q, cents)); i += 1 }
+      cents
+    } finally q.unpersist()
+  }
+
+  /** Final assignment under the converged centroids (fresh scan — the
+    * iteration cache is released by then). */
+  def kmeansAssign(spark: SparkSession, sfDir: String,
+                   k: Int = K, iters: Int = Iters): DataFrame = {
+    val cents = kmeansCentroids(spark, sfDir, k, iters)
+    assign(quantized(spark.table("embeddings")), cents)
+  }
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // vec_id → cluster id + cosine to its centroid after Iters updates.
+    "cluster_kmeans_assign" -> ((spark, sfDir) => {
+      kmeansAssign(spark, sfDir)
+        .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup: semantic near-dup pairs with the learned cluster as the
+    // blocking key — the no-metadata-blocking-label form of
+    // dedup_embedding_cosine that scales (cluster = bucket; candidate
+    // pairs are within-cluster only, never all-pairs).
+    "dedup_semantic" -> ((spark, sfDir) => {
+      val af = kmeansAssign(spark, sfDir).select(col("vec_id"), col("cluster"), col("ve"))
+      val a = af.select(col("vec_id").as("vec_a"), col("cluster"), col("ve").as("va"))
+      val b = af.select(col("vec_id").as("vec_b"), col("cluster"), col("ve").as("vb"))
+      a.join(b, "cluster")
+        .where(col("vec_a") < col("vec_b"))
+        .withColumn("cos", cosD(col("va"), col("vb")))
+        .where(col("cos") >= Tau)
+        .select(col("vec_a"), col("vec_b"), col("cluster"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB cosine replication: identical fold order as cosD. */
+  private def cosSql(a: String, b: String): String = {
+    def na(v: String) =
+      s"list_reduce(list_prepend(0.0, list_transform($v, x -> x * x)), (x, y) -> x + y)"
+    val dot = s"""list_reduce(list_prepend(0.0,
+        list_transform(range(1, 65), i -> $a[i] * $b[i])), (x, y) -> x + y)"""
+    s"""CASE WHEN (${na(a)}) * (${na(b)}) = 0 THEN -2.0
+        ELSE ($dot) / (sqrt(${na(a)}) * sqrt(${na(b)})) END"""
+  }
+
+  /** The full unrolled k-means CTE chain: q (quantized vectors), c0
+    * (seed centroids), per-iteration assignment aᵢ / update cᵢ, ending
+    * in `af(vec_id, cid, cos)` — the final assignment. Exactly mirrors
+    * kmeansCentroids + assign (see the determinism note in the class
+    * doc: identical IEEE op order ⇒ bit-identical values). */
+  private[operators] def kmeansCtes(k: Int, iters: Int): String = {
+    def assignCte(s: String, a: String, cents: String) = s"""
+      $s AS (
+        SELECT q.vec_id, c.cid, ${cosSql("q.ve", "c.ce")} AS cos
+        FROM q CROSS JOIN $cents c
+      ), $a AS (
+        SELECT vec_id, cid, cos FROM (
+          SELECT vec_id, cid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cid) AS rn
+          FROM $s) WHERE rn = 1
+      )"""
+    def updateCte(a: String, u: String, c: String) = s"""
+      $u AS (
+        SELECT a.cid, g.d, SUM(q.qe[g.d]) AS s, COUNT(*) AS n
+        FROM $a a JOIN q USING (vec_id) CROSS JOIN range(1, 65) g(d)
+        GROUP BY a.cid, g.d
+      ), $c AS (
+        SELECT cid, LIST(s / n / 1000000.0 ORDER BY d) AS ce FROM $u GROUP BY cid
+      )"""
+    val iterCtes = (1 to iters).map { i =>
+      assignCte(s"s$i", s"a$i", s"c${i - 1}") + "," +
+        updateCte(s"a$i", s"u$i", s"c$i")
+    }.mkString(",")
+    s"""
+      q0 AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * 1000000.0) AS DOUBLE)) AS qe
+        FROM embeddings
+      ), q AS (
+        SELECT vec_id, qe, list_transform(qe, x -> x / 1000000.0) AS ve FROM q0
+      ), c0 AS (
+        SELECT vec_id AS cid, ve AS ce FROM q WHERE vec_id < $k
+      ),$iterCtes,${assignCte("sf", "af", s"c$iters")}"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "cluster_kmeans_assign" -> s"""
+      WITH ${kmeansCtes(K, Iters)}
+      SELECT vec_id, CAST(cid AS INT) AS cluster, ROUND(cos, 6) AS cos
+      FROM af ORDER BY vec_id""",
+
+    "dedup_semantic" -> s"""
+      WITH ${kmeansCtes(K, Iters)}, pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(a.cid AS INT) AS cluster,
+               ${cosSql("qa.ve", "qb.ve")} AS cos
+        FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN q qa ON qa.vec_id = a.vec_id
+        JOIN q qb ON qb.vec_id = b.vec_id
+      )
+      SELECT vec_a, vec_b, cluster, ROUND(cos, 6) AS cos
+      FROM pairs WHERE cos >= $Tau
+      ORDER BY vec_a, vec_b"""
+  )
+}
