@@ -95,8 +95,3 @@ case class VecSumAgg(
     copy(child = newChildren.head)
 }
 
-object VecSumAgg {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("vec_sum",
-      es => VecSumAgg(es.head), "built-in")
-}

@@ -8,13 +8,19 @@ import graft.functions.Hashing
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so `FakeCodec.decode` is a
-  * clearly-marked DETERMINISTIC STUB (derives "pixels" from payload
-  * bytes); everything around it — binary column handling, the typed
-  * Dataset schema, mapPartitions batching, partition-parallel execution,
-  * bounded per-row state — is the real Spark plumbing a production
-  * decode (JNI codec / Pandas UDF over Arrow batches) would use
-  * unchanged. At 100 TB this is a narrow map stage: no shuffle, codecs
+  * The IMAGE half is REAL as of round 5: payloads whose magic bytes
+  * identify a PNG/JPEG/GIF/BMP are decoded with `javax.imageio` (in the
+  * JDK — no external codec needed), producing true pixel dimensions,
+  * BT.601 mean luma, an 8-bin luma histogram as the feature vector, and
+  * nearest-neighbor resampling for the resize stage
+  * (MultimodalImageSpec pins exact pixel goldens through a lossless PNG
+  * round-trip). Non-image payloads (the documents testdata is text) and
+  * the VIDEO frame stage still go through `FakeCodec`, a clearly-marked
+  * DETERMINISTIC STUB — the JDK ships no video codec, so frame counts /
+  * per-frame features remain synthetic. Everything around the codecs —
+  * binary column handling, the typed Dataset schema, mapPartitions with
+  * per-partition codec init, bounded per-row state — is the production
+  * shape. At 100 TB this is a narrow map stage: no shuffle, codec init
   * amortized per partition, output columnar.
   */
 object Multimodal {
@@ -31,8 +37,86 @@ object Multimodal {
   case class FrameRow(doc_id: Long, frame_idx: Int, n_frames: Int,
                       frame_feat: Double)
 
-  /** STUB: stands in for an image/audio codec (none in this container).
-    * Deterministic in the payload bytes so results are testable. */
+  /** REAL image codec over `javax.imageio` (JDK-resident; PNG, JPEG,
+    * GIF, BMP). All derived values are deterministic functions of the
+    * decoded raster: luma is integer-scaled ITU-R BT.601
+    * ((299·R + 587·G + 114·B)/1000), accumulated in raster scan order.
+    */
+  object ImageCodec {
+    /** Decoded raster facts: true dims, mean luma, 8-bin luma histogram
+      * (the feature vector — each bin is the fraction of pixels with
+      * luma in [32·b, 32·(b+1))). */
+    final case class Decoded(width: Int, height: Int, meanLuma: Double,
+                             hist: Array[Float])
+
+    /** Magic-byte sniff — cheap pre-filter so non-image payloads never
+      * pay for an ImageIO probe. */
+    def isImage(p: Array[Byte]): Boolean =
+      p.length >= 4 && (
+        (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) ||
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+        (p(0) == 'B' && p(1) == 'M'))
+
+    private def read(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (!isImage(p)) None
+      else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+
+    /** Per-pixel luma grid in raster order (y-major), values in [0,256). */
+    private def lumaGrid(img: java.awt.image.BufferedImage): Array[Double] = {
+      val w = img.getWidth; val h = img.getHeight
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new Array[Double](w * h)
+      var i = 0
+      while (i < rgb.length) {
+        val v = rgb(i)
+        out(i) = (299 * ((v >> 16) & 0xff) + 587 * ((v >> 8) & 0xff) +
+          114 * (v & 0xff)) / 1000.0
+        i += 1
+      }
+      out
+    }
+
+    def decode(p: Array[Byte]): Option[Decoded] = read(p).map { img =>
+      val lum = lumaGrid(img)
+      var sum = 0.0
+      val hist = new Array[Float](8)
+      var i = 0
+      while (i < lum.length) {
+        sum += lum(i)
+        hist(math.min(7, lum(i).toInt >> 5)) += 1f
+        i += 1
+      }
+      var b = 0
+      while (b < 8) { hist(b) /= lum.length; b += 1 }
+      Decoded(img.getWidth, img.getHeight, sum / lum.length, hist)
+    }
+
+    /** Nearest-neighbor resample of the luma grid to (w1 × h1); returns
+      * (srcW, srcH, mean of the resampled grid). Resizing to the source
+      * dims is exactly the full-grid mean (pinned in the spec). */
+    def resizeMean(p: Array[Byte], w1: Int, h1: Int): Option[(Int, Int, Double)] =
+      read(p).map { img =>
+        val w0 = img.getWidth; val h0 = img.getHeight
+        val lum = lumaGrid(img)
+        var sum = 0.0
+        var j = 0
+        while (j < h1) {
+          val sj = (j.toLong * h0 / h1).toInt
+          var i = 0
+          while (i < w1) {
+            sum += lum(sj * w0 + (i.toLong * w0 / w1).toInt)
+            i += 1
+          }
+          j += 1
+        }
+        (w0, h0, sum / (w1.toLong * h1))
+      }
+  }
+
+  /** STUB: stands in for the remaining codec-less paths (non-image
+    * payloads, video). Deterministic in the payload bytes so results
+    * are testable. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int, Double) = {
       val w = 16 + (math.abs(payload.length * 31) % 64)
@@ -109,37 +193,63 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** The decode pipeline: binary column in, typed decoded Dataset out.
-    * mapPartitions so a real codec would init once per partition. */
-  def decodePipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    mediaInput(spark, sfDir).mapPartitions { rows =>
-      // per-partition codec init would go here
+  /** Decode core over any media Dataset: real ImageIO path for image
+    * payloads, deterministic stub for the rest. mapPartitions so codec
+    * init happens once per partition (ImageIO's disk cache would
+    * otherwise spill a temp file per row). */
+  def decodeRows(ds: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.Dataset[DecodedRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       rows.map { r =>
-        val (w, h, mean) = FakeCodec.decode(r.payload)
-        DecodedRow(r.doc_id, r.fmt, w, h, mean, FakeCodec.features(r.payload))
+        ImageCodec.decode(r.payload) match {
+          case Some(d) =>
+            DecodedRow(r.doc_id, r.fmt, d.width, d.height, d.meanLuma, d.hist)
+          case None =>
+            val (w, h, mean) = FakeCodec.decode(r.payload)
+            DecodedRow(r.doc_id, r.fmt, w, h, mean, FakeCodec.features(r.payload))
+        }
       }
-    }.toDF()
+    }
   }
 
-  /** Resize stage: every image resampled to a fixed target — the
-    * batch-normalization step before a vision encoder. Same narrow
-    * mapPartitions shape as decode (no shuffle, per-partition init). */
-  def resizePipeline(spark: SparkSession, sfDir: String,
-                     targetW: Int, targetH: Int): DataFrame = {
-    import spark.implicits._
-    mediaInput(spark, sfDir).mapPartitions { rows =>
+  /** The decode pipeline: binary column in, typed decoded Dataset out. */
+  def decodePipeline(spark: SparkSession, sfDir: String): DataFrame =
+    decodeRows(mediaInput(spark, sfDir)).toDF()
+
+  /** Resize core: every image resampled to a fixed target — the
+    * batch-normalization step before a vision encoder. Real
+    * nearest-neighbor resampling of the decoded luma grid for image
+    * payloads; stub grid for the rest. Same narrow shape as decode. */
+  def resizeRows(ds: org.apache.spark.sql.Dataset[MediaRow],
+                 targetW: Int, targetH: Int)
+      : org.apache.spark.sql.Dataset[ResizedRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val (w0, h0, _) = FakeCodec.decode(r.payload)
-        ResizedRow(r.doc_id, targetW, targetH, w0, h0,
-          FakeCodec.resizeMean(r.payload, w0, h0, targetW, targetH))
+        ImageCodec.resizeMean(r.payload, targetW, targetH) match {
+          case Some((w0, h0, mean)) =>
+            ResizedRow(r.doc_id, targetW, targetH, w0, h0, mean)
+          case None =>
+            val (w0, h0, _) = FakeCodec.decode(r.payload)
+            ResizedRow(r.doc_id, targetW, targetH, w0, h0,
+              FakeCodec.resizeMean(r.payload, w0, h0, targetW, targetH))
+        }
       }
-    }.toDF()
+    }
   }
+
+  def resizePipeline(spark: SparkSession, sfDir: String,
+                     targetW: Int, targetH: Int): DataFrame =
+    resizeRows(mediaInput(spark, sfDir), targetW, targetH).toDF()
 
   /** Frame-sample stage: every Nth frame of a "video" payload becomes a
     * row — a flatMap, so output cardinality is data-dependent (the
-    * explode shape a real frame extractor produces). */
+    * explode shape a real frame extractor produces). STILL STUB: the JDK
+    * has no video codec, so frame counts/features stay synthetic — the
+    * one remaining fake kernel in this module. */
   def frameSamplePipeline(spark: SparkSession, sfDir: String,
                           everyN: Int): DataFrame = {
     require(everyN >= 1)

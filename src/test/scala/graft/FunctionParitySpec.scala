@@ -134,6 +134,60 @@ class FunctionParitySpec extends AnyFunSuite {
       s"${custom.size} custom, ${skipped.size} pinned-skipped = ${all.size} names")
   }
 
+  /** The round-4 invariant: a function registered by
+    * GraftFunctions.register (or the ngrams aggregates) MUST be
+    * exercised — the smoke map's keys are asserted equal to the
+    * registered set, and every smoke query executes against the
+    * registry and checks a concrete value. A new registration without a
+    * smoke entry (or with a broken kernel) fails here. */
+  test("every graft-registered function is exercised with a value check") {
+    GraftFunctions.register(spark)
+    NGramsTopKAgg.register(spark)
+    ContextNGramsAgg.register(spark)
+    // unit basis vector: norms are exactly 1, so the cosine is exactly 1.0
+    val farr = "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))"
+    // name → (smoke SQL, check on the single result cell)
+    val smoke: Map[String, (String, Any => Boolean)] = Map(
+      "cosine_sim" -> ((s"SELECT cosine_sim($farr, $farr)",
+        v => v.asInstanceOf[Double] == 1.0)),
+      "jaccard_sim" -> (("SELECT jaccard_sim(array('a','b','c'), array('b','c','d'))",
+        v => v.asInstanceOf[Double] == 0.5)),
+      "simhash64" -> (("SELECT simhash64(array('alpha','beta'))",
+        v => v.isInstanceOf[Long])),
+      "minhash_sig" -> (("SELECT size(minhash_sig(array('alpha','beta'), 16))",
+        v => v == 16)),
+      "winnow_fingerprint" -> (("SELECT size(winnow_fingerprint('the quick brown fox jumps', 4, 3))",
+        v => v.asInstanceOf[Int] > 0)),
+      "tokenize" -> (("SELECT tokenize('  a  b c ')",
+        v => v.asInstanceOf[scala.collection.Seq[_]].toSeq == Seq("a", "b", "c"))),
+      "shingle_set" -> (("SELECT shingle_set('a b c', 2)",
+        v => v.asInstanceOf[scala.collection.Seq[_]].toSet == Set("a b", "b c"))),
+      "stopword_ratio" -> (("SELECT stopword_ratio(array('the','cat'), array('the'))",
+        v => v.asInstanceOf[Double] == 0.5)),
+      "lsh_buckets" -> ((s"SELECT size(lsh_buckets($farr, 4, 3))",
+        v => v == 4)),
+      "field" -> (("SELECT field('b', 'a', 'b', 'c')",
+        v => v == 2)),
+      "parse_url_tuple" -> (("SELECT parse_url_tuple('http://h.example/p?a=1', 'HOST', 'QUERY:a')",
+        v => v == "h.example")),
+      "vec_sum" -> (("SELECT vec_sum(v)[0] FROM VALUES (array(1.0d)), (array(2.5d)) t(v)",
+        v => v.asInstanceOf[Double] == 3.5)),
+      "ngrams_topk" -> (("SELECT ngrams_topk(tokenize('a b a b'), 2, 5, 100)[0].ngram",
+        v => v == "a b")),
+      "context_ngrams" -> (("SELECT context_ngrams(tokenize('x y x z'), array('x', NULL), 5, 100)[0].ngram",
+        v => v != null))
+    )
+    val registered = GraftFunctions.builders.keySet ++
+      Set("ngrams_topk", "context_ngrams")
+    assert(smoke.keySet == registered,
+      s"smoke coverage drift: missing=${registered -- smoke.keySet} " +
+        s"extra=${smoke.keySet -- registered}")
+    smoke.toSeq.sortBy(_._1).foreach { case (name, (sql, check)) =>
+      val v = spark.sql(sql).collect().head.get(0)
+      assert(check(v), s"$name smoke check failed; got: $v")
+    }
+  }
+
   test("type-cast function names all work as CAST targets") {
     val casts = Seq("boolean", "tinyint", "smallint", "int", "bigint",
       "float", "double", "decimal(10,2)", "string", "varchar(10)",

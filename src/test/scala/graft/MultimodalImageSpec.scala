@@ -1,0 +1,108 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{ImageCodec, MediaRow}
+
+/** Pixel goldens for the REAL image half of Multimodal: programmatic
+  * rasters round-tripped through PNG (lossless, so decode must
+  * reproduce the source pixels exactly), driven both directly and
+  * through the Spark mapPartitions pipelines. The video/frames stage is
+  * deliberately NOT covered here — it remains the documented stub. */
+class MultimodalImageSpec extends AnyFunSuite with Matchers {
+  lazy val spark = LocalSpark.spark
+
+  /** Deterministic RGB test raster. */
+  private def raster(w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 37 + y * 101) % 256 << 16) |
+        ((x * 59 + y * 13) % 256 << 8) | ((x * 7 + y * 211) % 256))
+    img
+  }
+
+  private def png(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Reference luma: integer BT.601, same definition as the codec. */
+  private def luma(img: BufferedImage, x: Int, y: Int): Double = {
+    val v = img.getRGB(x, y)
+    (299 * ((v >> 16) & 0xff) + 587 * ((v >> 8) & 0xff) + 114 * (v & 0xff)) / 1000.0
+  }
+
+  test("PNG decode reproduces source dims, mean luma, and histogram exactly") {
+    val img = raster(7, 5)
+    val d = ImageCodec.decode(png(img)).get
+    d.width shouldBe 7
+    d.height shouldBe 5
+    // PNG is lossless: decoded pixels == source pixels, bit-exactly
+    val lums = for (y <- 0 until 5; x <- 0 until 7) yield luma(img, x, y)
+    d.meanLuma shouldBe lums.sum / 35.0
+    val expectHist = new Array[Float](8)
+    lums.foreach(l => expectHist(math.min(7, l.toInt >> 5)) += 1f / 35f)
+    d.hist.toSeq shouldBe expectHist.toSeq
+    d.hist.map(_.toDouble).sum shouldBe 1.0 +- 1e-6
+  }
+
+  test("nearest-neighbor resize: identity == full mean; 2x2 golden by hand") {
+    val img = raster(4, 4)
+    val p = png(img)
+    val full = (for (y <- 0 until 4; x <- 0 until 4) yield luma(img, x, y)).sum / 16.0
+    ImageCodec.resizeMean(p, 4, 4).get shouldBe ((4, 4, full))
+    // 2x2 NN samples source indices {0,2} x {0,2}
+    val nn = (luma(img, 0, 0) + luma(img, 2, 0) + luma(img, 0, 2) + luma(img, 2, 2)) / 4.0
+    ImageCodec.resizeMean(p, 2, 2).get shouldBe ((4, 4, nn))
+  }
+
+  test("JPEG decodes via the same path (dims exact, luma in range)") {
+    val img = raster(16, 9)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    val d = ImageCodec.decode(bos.toByteArray).get
+    (d.width, d.height) shouldBe ((16, 9))
+    d.meanLuma should (be >= 0.0 and be <= 255.0)
+  }
+
+  test("magic sniff: text payloads never reach ImageIO") {
+    ImageCodec.isImage("just some document text".getBytes) shouldBe false
+    ImageCodec.decode("just some document text".getBytes) shouldBe None
+    ImageCodec.isImage(png(raster(2, 2))) shouldBe true
+  }
+
+  test("Spark decode pipeline: real codec for images, stub fallback for text") {
+    import spark.implicits._
+    val img = raster(6, 4)
+    val rows = Seq(
+      MediaRow(1L, "png", png(img)),
+      MediaRow(2L, "txt", "plain text payload".getBytes("UTF-8")))
+    val out = Multimodal.decodeRows(spark.createDataset(rows).repartition(2))
+      .collect().sortBy(_.doc_id)
+    // image row: true dims + exact mean luma
+    out(0).width shouldBe 6
+    out(0).height shouldBe 4
+    val expect = (for (y <- 0 until 4; x <- 0 until 6) yield luma(img, x, y)).sum / 24.0
+    out(0).mean_byte shouldBe expect
+    out(0).feat.map(_.toDouble).sum shouldBe 1.0 +- 1e-6
+    // text row: falls back to the documented stub
+    val (sw, sh, smean) = Multimodal.FakeCodec.decode(rows(1).payload)
+    (out(1).width, out(1).height, out(1).mean_byte) shouldBe ((sw, sh, smean))
+  }
+
+  test("Spark resize pipeline: real NN resample for images") {
+    import spark.implicits._
+    val img = raster(8, 8)
+    val rows = Seq(MediaRow(1L, "png", png(img)))
+    val out = Multimodal.resizeRows(spark.createDataset(rows), 4, 4).collect().head
+    (out.src_width, out.src_height, out.width, out.height) shouldBe ((8, 8, 4, 4))
+    val nn = (for (j <- 0 until 4; i <- 0 until 4)
+      yield luma(img, i * 8 / 4, j * 8 / 4)).sum / 16.0
+    out.mean_resized shouldBe nn
+  }
+}
