@@ -133,6 +133,75 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** cosine_sim_d(Array[Double], Array[Double]) → Double: the
+  * double-array twin of CosineSim for the clustering / semantic-dedup
+  * path, where vectors are 6-dp-quantized doubles (a float kernel would
+  * re-round them). One pass in index order — the accumulation sequence
+  * of each of dot/na/nb is identical to an independent left fold, which
+  * is exactly what the DuckDB oracle replicates via list_reduce
+  * (Clustering.cosSql), so values match bit-for-bit. Zero norm yields
+  * -2.0 (below every real cosine) rather than NULL so the value is
+  * total for argmax assignment. Codegen'd: the SemDeDup pair join
+  * evaluates this over O(|cluster|²) candidate pairs per cluster —
+  * interpreted higher-order folds (aggregate/zip_with are
+  * CodegenFallback) cost 9× more wall-clock there in the round-5 bench. */
+case class CosineSimD(left: Expression, right: Expression)
+    extends BinaryExpression with Bridge.GraftExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+      int $n = $a.numElements();
+      if ($n != $b.numElements() || $n == 0) {
+        ${ev.isNull} = true;
+      } else {
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = $a.getDouble($i);
+          double $y = $b.getDouble($i);
+          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        }
+        if ($na * $nb == 0.0) {
+          ${ev.value} = -2.0;
+        } else {
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        }
+      }"""
+    })
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na * nb == 0.0) -2.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimD =
+    copy(left = newLeft, right = newRight)
+}
+
 /** jaccard_sim(Array[String], Array[String]) → Double:
   * |distinct(A) ∩ distinct(B)| / |distinct(A) ∪ distinct(B)| in ONE
   * hash-set pass — for null-free inputs identical to
@@ -604,6 +673,8 @@ object GraftFunctions {
 
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  def cosine_sim_d(a: Column, b: Column): Column =
+    Bridge.column(CosineSimD(Bridge.expression(a), Bridge.expression(b)))
   def jaccard_sim(a: Column, b: Column): Column =
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
   def simhash64(c: Column): Column =
@@ -634,6 +705,7 @@ object GraftFunctions {
     * (round-4 lesson: vec_sum shipped registered but unverified). */
   val builders: Map[String, Seq[Expression] => Expression] = Map(
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+    "cosine_sim_d" -> (es => CosineSimD(es(0), es(1))),
     "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
     "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1)))),

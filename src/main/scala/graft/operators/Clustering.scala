@@ -64,17 +64,16 @@ object Clustering {
           x => floor(x.cast("double") * lit(Scale)).cast("double")).as("qe"))
       .withColumn("ve", transform(col("qe"), x => x / lit(Scale)))
 
-  /** Cosine over double arrays as explicit left folds in index order —
-    * the same op sequence DuckDB's list_reduce replication performs, so
-    * the doubles match bit-for-bit (see class doc). The -2.0 guard keeps
-    * the value total (a zero vector sorts below every real cosine). */
-  private[operators] def cosD(a: Column, b: Column): Column = {
-    def fold(c: Column): Column = aggregate(c, lit(0.0), (s, v) => s + v)
-    val dot = fold(zip_with(a, b, (x, y) => x * y))
-    val na = aggregate(a, lit(0.0), (s, v) => s + v * v)
-    val nb = aggregate(b, lit(0.0), (s, v) => s + v * v)
-    when(na * nb === 0.0, lit(-2.0)).otherwise(dot / (sqrt(na) * sqrt(nb)))
-  }
+  /** Cosine over double arrays: the codegen'd CosineSimD kernel, whose
+    * per-accumulator op sequence equals a left fold in index order —
+    * the same sequence DuckDB's list_reduce replication performs, so
+    * the doubles match bit-for-bit (see class doc). The -2.0 guard
+    * keeps the value total (a zero vector sorts below every real
+    * cosine). Kernel, not aggregate/zip_with folds: those are
+    * CodegenFallback, and the SemDeDup pair join scores O(|cluster|²)
+    * pairs — the interpreted form was 9× slower in the round-5 bench. */
+  private[operators] def cosD(a: Column, b: Column): Column =
+    GraftFunctions.cosine_sim_d(a, b)
 
   /** Assignment: centroids as literal structs, argmax cosine per row via
     * array_max over struct(cos, -cid) — highest cos, ties to the LOWEST

@@ -150,6 +150,8 @@ class FunctionParitySpec extends AnyFunSuite {
     val smoke: Map[String, (String, Any => Boolean)] = Map(
       "cosine_sim" -> ((s"SELECT cosine_sim($farr, $farr)",
         v => v.asInstanceOf[Double] == 1.0)),
+      "cosine_sim_d" -> (("SELECT cosine_sim_d(array(1.0d, 0.0d), array(1.0d, 0.0d))",
+        v => v.asInstanceOf[Double] == 1.0)),
       "jaccard_sim" -> (("SELECT jaccard_sim(array('a','b','c'), array('b','c','d'))",
         v => v.asInstanceOf[Double] == 0.5)),
       "simhash64" -> (("SELECT simhash64(array('alpha','beta'))",
