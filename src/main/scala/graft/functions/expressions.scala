@@ -449,6 +449,41 @@ case class ShingleSet(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** char_ngrams(text, n) → Array[String]: ALL character n-grams (with
+  * multiplicity, original order) of LOWER(text) — the feature extractor
+  * for Cavnar–Trenkle-style n-gram language ID (text_langid_trigram):
+  * spaces are kept, so word-boundary grams like "he " and " th" carry
+  * the positional signal the published trigram profiles encode. Returns
+  * an empty array for texts shorter than n. Character-based (not byte),
+  * matching DuckDB's substr for the oracle replication. */
+case class CharNGrams(child: Expression, n: Int)
+    extends UnaryExpression with Bridge.GraftExpectsInputTypes {
+  require(n >= 1 && n <= 8)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
+
+  def kernel(input: UTF8String): ArrayData = {
+    val s = input.toLowerCase
+    val m = s.numChars()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      out(i) = s.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charNgrams", this, classOf[CharNGrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): CharNGrams =
+    copy(child = c)
+}
+
 /** stopword_ratio(Array[String], Array[String] literal) → Double: the
   * fraction of tokens found in the (foldable) stopword list; null for an
   * empty token array. One hashed-set pass — replaces the
@@ -687,6 +722,8 @@ object GraftFunctions {
     Bridge.column(Tokenize(Bridge.expression(c)))
   def shingle_set(c: Column, n: Int): Column =
     Bridge.column(ShingleSet(Bridge.expression(c), n))
+  def char_ngrams(c: Column, n: Int): Column =
+    Bridge.column(CharNGrams(Bridge.expression(c), n))
   def stopword_ratio(toks: Column, stopwords: Column): Column =
     Bridge.column(StopwordRatio(Bridge.expression(toks), Bridge.expression(stopwords)))
   def lsh_buckets(c: Column, numTables: Int, numPlanes: Int): Column =
@@ -713,6 +750,7 @@ object GraftFunctions {
       intArg(es(1)), intArg(es(2)))),
     "tokenize" -> (es => Tokenize(es.head)),
     "shingle_set" -> (es => ShingleSet(es(0), intArg(es(1)))),
+    "char_ngrams" -> (es => CharNGrams(es(0), intArg(es(1)))),
     "stopword_ratio" -> (es => StopwordRatio(es(0), es(1))),
     "lsh_buckets" -> (es => LshBuckets(es(0), intArg(es(1)), intArg(es(2)))),
     "field" -> (es => FieldFn(es)),

@@ -58,6 +58,32 @@ object TextAnalysis {
       ) s
       ORDER BY doc_id"""),
 
+    // Character-trigram language ID (Cavnar–Trenkle, "N-Gram-Based Text
+    // Categorization", SDAIR'94): score = fraction of the document's
+    // char trigrams (spaces kept — word-boundary grams carry the
+    // signal) found in each language's published top-trigram profile,
+    // argmax wins. A real n-gram classifier vs text_langid's
+    // word-stopword heuristic; same synthetic-corpus caveat (scores,
+    // not accuracy, are the contract — lang is an independent label).
+    // CHAR_NGRAMS + STOPWORD_RATIO are one-pass codegen'd kernels, so
+    // at 100 TB this is pure narrow map work.
+    "text_langid_trigram" -> gsql("""
+      WITH g AS (
+        SELECT doc_id, CHAR_NGRAMS(text, 3) AS gs FROM documents
+      )
+      SELECT doc_id, t_en, t_de, t_fr,
+             CASE WHEN t_en >= t_de AND t_en >= t_fr THEN 'en'
+                  WHEN t_de >= t_fr THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM (
+        SELECT doc_id,
+          ROUND(STOPWORD_RATIO(gs, ARRAY('the','he ',' th','ing','ng ',' an','and','nd ','ion','on ',' of','of ',' to','to ','ed ','er ',' in','in ','at ','ent','es ','tio','ati',' co','for',' fo',' is','is ','tha','hat')), 6) AS t_en,
+          ROUND(STOPWORD_RATIO(gs, ARRAY('en ','er ',' de','der','ie ','die','sch','ein',' ei','che','ch ','ung',' un','und','ich',' ge','ver',' ve','ten','den','ber',' be','das',' da','cht','ht ','gen','nen',' au','ne ')), 6) AS t_de,
+          ROUND(STOPWORD_RATIO(gs, ARRAY(' de','de ','es ','le ',' le','ent','nt ','la ',' la','ion','on ','re ',' co','que',' qu','ue ','les','et ',' et','eur','our',' po','ur ','ans',' pa','tio','men','ait','e d',' du')), 6) AS t_fr
+        FROM g WHERE SIZE(gs) > 0
+      ) s
+      ORDER BY doc_id"""),
+
     // Quality metrics: length, token stats, type-token ratio, stopword
     // ratio, alphanumeric ratio, and a composite keep/drop flag.
     "text_quality" -> gsql(TokCte + """
@@ -216,6 +242,28 @@ object TextAnalysis {
              LIST_MIN(f.fp) AS min_fp
       FROM docs d LEFT JOIN fp f USING (doc_id)
       ORDER BY d.doc_id""",
+
+    // same trigram extraction (substr is char-based in both engines;
+    // int/int division → double, like text_langid's ratio)
+    "text_langid_trigram" -> """
+      WITH g AS (
+        SELECT doc_id,
+               list_transform(range(1, GREATEST(LEN(text) - 1, 1)),
+                 i -> substr(LOWER(text), CAST(i AS INT), 3)) AS gs
+        FROM documents
+      )
+      SELECT doc_id, t_en, t_de, t_fr,
+             CASE WHEN t_en >= t_de AND t_en >= t_fr THEN 'en'
+                  WHEN t_de >= t_fr THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM (
+        SELECT doc_id,
+          ROUND(LEN(LIST_FILTER(gs, g -> LIST_CONTAINS(['the','he ',' th','ing','ng ',' an','and','nd ','ion','on ',' of','of ',' to','to ','ed ','er ',' in','in ','at ','ent','es ','tio','ati',' co','for',' fo',' is','is ','tha','hat'], g))) / LEN(gs), 6) AS t_en,
+          ROUND(LEN(LIST_FILTER(gs, g -> LIST_CONTAINS(['en ','er ',' de','der','ie ','die','sch','ein',' ei','che','ch ','ung',' un','und','ich',' ge','ver',' ve','ten','den','ber',' be','das',' da','cht','ht ','gen','nen',' au','ne '], g))) / LEN(gs), 6) AS t_de,
+          ROUND(LEN(LIST_FILTER(gs, g -> LIST_CONTAINS([' de','de ','es ','le ',' le','ent','nt ','la ',' la','ion','on ','re ',' co','que',' qu','ue ','les','et ',' et','eur','our',' po','ur ','ans',' pa','tio','men','ait','e d',' du'], g))) / LEN(gs), 6) AS t_fr
+        FROM g WHERE LEN(gs) > 0
+      ) s
+      ORDER BY doc_id""",
 
     "text_langid" -> """
       WITH t AS (

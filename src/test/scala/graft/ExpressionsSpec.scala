@@ -15,6 +15,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(Hashing.hash64(b, 0, 5, 0L) != Hashing.hash64(b, 0, b.length, 0L))
   }
 
+  test("char_ngrams: multiplicity, boundaries, short inputs; trigram langid on real text") {
+    GraftFunctions.register(spark)
+    val grams = spark.sql("SELECT char_ngrams('Aba ab', 3)")
+      .collect().head.getSeq[String](0)
+    assert(grams == Seq("aba", "ba ", "a a", " ab"))
+    assert(spark.sql("SELECT char_ngrams('ab', 3)")
+      .collect().head.getSeq[String](0).isEmpty)
+    // the profile scorer must classify REAL sentences correctly (the
+    // harness corpus is synthetic; this pins actual classifier behavior)
+    val sentences = Seq(
+      ("en", "the quick brown fox is in the garden and it is hunting for food"),
+      ("de", "der schnelle braune fuchs ist in dem garten und die katze schläft"),
+      ("fr", "le renard brun est dans le jardin et les chats dorment que du bonheur"))
+    sentences.foreach { case (expect, text) =>
+      val pred = spark.sql(s"""
+        SELECT CASE WHEN t_en >= t_de AND t_en >= t_fr THEN 'en'
+                    WHEN t_de >= t_fr THEN 'de' ELSE 'fr' END
+        FROM (SELECT
+          STOPWORD_RATIO(char_ngrams('$text', 3), ARRAY('the','he ',' th','ing','ng ',' an','and','nd ','ion','on ',' of','of ',' to','to ','ed ','er ',' in','in ','at ','ent','es ','tio','ati',' co','for',' fo',' is','is ','tha','hat')) AS t_en,
+          STOPWORD_RATIO(char_ngrams('$text', 3), ARRAY('en ','er ',' de','der','ie ','die','sch','ein',' ei','che','ch ','ung',' un','und','ich',' ge','ver',' ve','ten','den','ber',' be','das',' da','cht','ht ','gen','nen',' au','ne ')) AS t_de,
+          STOPWORD_RATIO(char_ngrams('$text', 3), ARRAY(' de','de ','es ','le ',' le','ent','nt ','la ',' la','ion','on ','re ',' co','que',' qu','ue ','les','et ',' et','eur','our',' po','ur ','ans',' pa','tio','men','ait','e d',' du')) AS t_fr)
+      """).collect().head.getString(0)
+      assert(pred == expect, s"trigram langid misclassified '$expect' sentence as '$pred'")
+    }
+  }
+
   test("cosine_sim: identity, orthogonality, nulls") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),

@@ -164,6 +164,9 @@ class FunctionParitySpec extends AnyFunSuite {
         v => v.asInstanceOf[scala.collection.Seq[_]].toSeq == Seq("a", "b", "c"))),
       "shingle_set" -> (("SELECT shingle_set('a b c', 2)",
         v => v.asInstanceOf[scala.collection.Seq[_]].toSet == Set("a b", "b c"))),
+      "char_ngrams" -> (("SELECT char_ngrams('The cat', 3)",
+        v => v.asInstanceOf[scala.collection.Seq[_]].toSeq ==
+          Seq("the", "he ", "e c", " ca", "cat"))),
       "stopword_ratio" -> (("SELECT stopword_ratio(array('the','cat'), array('the'))",
         v => v.asInstanceOf[Double] == 0.5)),
       "lsh_buckets" -> ((s"SELECT size(lsh_buckets($farr, 4, 3))",
