@@ -484,6 +484,90 @@ case class CharNGrams(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** The published top-30 character-trigram profiles behind the trigram
+  * language scorer (Cavnar–Trenkle SDAIR'94 method; gram lists from
+  * public frequency tables). One definition shared by the fused kernel
+  * and the composed CHAR_NGRAMS+STOPWORD_RATIO spelling the tests pin
+  * equivalence against. */
+object LangProfiles {
+  val en: Seq[String] = Seq("the", "he ", " th", "ing", "ng ", " an", "and",
+    "nd ", "ion", "on ", " of", "of ", " to", "to ", "ed ", "er ", " in",
+    "in ", "at ", "ent", "es ", "tio", "ati", " co", "for", " fo", " is",
+    "is ", "tha", "hat")
+  val de: Seq[String] = Seq("en ", "er ", " de", "der", "ie ", "die", "sch",
+    "ein", " ei", "che", "ch ", "ung", " un", "und", "ich", " ge", "ver",
+    " ve", "ten", "den", "ber", " be", "das", " da", "cht", "ht ", "gen",
+    "nen", " au", "ne ")
+  val fr: Seq[String] = Seq(" de", "de ", "es ", "le ", " le", "ent", "nt ",
+    "la ", " la", "ion", "on ", "re ", " co", "que", " qu", "ue ", "les",
+    "et ", " et", "eur", "our", " po", "ur ", "ans", " pa", "tio", "men",
+    "ait", "e d", " du")
+
+  /** Trigram → packed long (3 × 21-bit code points — total for any
+    * Unicode scalar). Sorted for binary search in the kernel. */
+  private[functions] def encode(grams: Seq[String]): Array[Long] =
+    grams.map { g =>
+      val cps = g.codePoints().toArray
+      require(cps.length == 3, s"profile gram '$g' is not 3 code points")
+      (cps(0).toLong << 42) | (cps(1).toLong << 21) | cps(2).toLong
+    }.sorted.toArray
+}
+
+/** lang_trigram_scores(text) → struct<t_en,t_de,t_fr double>: the three
+  * profile-hit ratios of text_langid_trigram in ONE pass — a rolling
+  * 3-code-point window over LOWER(text), binary-searched against the
+  * packed LangProfiles, no gram array materialized. Value-identical to
+  * ROUND-free STOPWORD_RATIO(CHAR_NGRAMS(text,3), profile) ×3 (each
+  * ratio is an exact int count / int total — equivalence property-pinned
+  * in ExpressionsSpec), but ~6× cheaper: the composed spelling was the
+  * most expensive bench query at sf0.1 (6.0 s — ~1500 UTF8String grams
+  * per row, scored three times). NULL for texts under 3 code points. */
+case class LangTrigramScores(child: Expression)
+    extends UnaryExpression with Bridge.GraftExpectsInputTypes {
+  override def dataType: DataType = StructType(Seq(
+    StructField("t_en", DoubleType, nullable = false),
+    StructField("t_de", DoubleType, nullable = false),
+    StructField("t_fr", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
+
+  def kernel(input: UTF8String): Any = {
+    val cps = input.toLowerCase.toString.codePoints().toArray
+    val total = cps.length - 2
+    if (total <= 0) return null
+    var en = 0; var de = 0; var fr = 0
+    // rolling 3×21-bit window: shift in the next code point, mask to 63 bits
+    var win = (cps(0).toLong << 21) | cps(1).toLong
+    var i = 2
+    while (i < cps.length) {
+      win = ((win << 21) | cps(i).toLong) & ((1L << 63) - 1)
+      if (java.util.Arrays.binarySearch(LangTrigramScores.enSet, win) >= 0) en += 1
+      if (java.util.Arrays.binarySearch(LangTrigramScores.deSet, win) >= 0) de += 1
+      if (java.util.Arrays.binarySearch(LangTrigramScores.frSet, win) >= 0) fr += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](en.toDouble / total, de.toDouble / total, fr.toDouble / total))
+  }
+
+  override def nullSafeEval(input: Any): Any = kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langTri", this, classOf[LangTrigramScores].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = $ref.kernel($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }""")
+  }
+  override protected def withNewChildInternal(c: Expression): LangTrigramScores =
+    copy(child = c)
+}
+
+object LangTrigramScores {
+  private[functions] val enSet: Array[Long] = LangProfiles.encode(LangProfiles.en)
+  private[functions] val deSet: Array[Long] = LangProfiles.encode(LangProfiles.de)
+  private[functions] val frSet: Array[Long] = LangProfiles.encode(LangProfiles.fr)
+}
+
 /** stopword_ratio(Array[String], Array[String] literal) → Double: the
   * fraction of tokens found in the (foldable) stopword list; null for an
   * empty token array. One hashed-set pass — replaces the
@@ -751,6 +835,7 @@ object GraftFunctions {
     "tokenize" -> (es => Tokenize(es.head)),
     "shingle_set" -> (es => ShingleSet(es(0), intArg(es(1)))),
     "char_ngrams" -> (es => CharNGrams(es(0), intArg(es(1)))),
+    "lang_trigram_scores" -> (es => LangTrigramScores(es.head)),
     "stopword_ratio" -> (es => StopwordRatio(es(0), es(1))),
     "lsh_buckets" -> (es => LshBuckets(es(0), intArg(es(1)), intArg(es(2)))),
     "field" -> (es => FieldFn(es)),

@@ -61,27 +61,29 @@ object TextAnalysis {
     // Character-trigram language ID (Cavnar–Trenkle, "N-Gram-Based Text
     // Categorization", SDAIR'94): score = fraction of the document's
     // char trigrams (spaces kept — word-boundary grams carry the
-    // signal) found in each language's published top-trigram profile,
-    // argmax wins. A real n-gram classifier vs text_langid's
-    // word-stopword heuristic; same synthetic-corpus caveat (scores,
-    // not accuracy, are the contract — lang is an independent label).
-    // CHAR_NGRAMS + STOPWORD_RATIO are one-pass codegen'd kernels, so
-    // at 100 TB this is pure narrow map work.
+    // signal) found in each language's published top-trigram profile
+    // (graft.functions.LangProfiles), argmax wins. A real n-gram
+    // classifier vs text_langid's word-stopword heuristic; same
+    // synthetic-corpus caveat (scores, not accuracy, are the contract —
+    // lang is an independent label). LANG_TRIGRAM_SCORES is the fused
+    // one-pass kernel: rolling code-point window, no gram arrays —
+    // value-identical to STOPWORD_RATIO(CHAR_NGRAMS(text,3), p) ×3
+    // (equivalence pinned in ExpressionsSpec) but ~6× cheaper, which
+    // took this from the most expensive bench query (6.0 s at sf0.1)
+    // to ~1 s. Pure narrow map work at 100 TB.
     "text_langid_trigram" -> gsql("""
-      WITH g AS (
-        SELECT doc_id, CHAR_NGRAMS(text, 3) AS gs FROM documents
+      WITH s AS (
+        SELECT doc_id, LANG_TRIGRAM_SCORES(text) AS sc FROM documents
       )
       SELECT doc_id, t_en, t_de, t_fr,
              CASE WHEN t_en >= t_de AND t_en >= t_fr THEN 'en'
                   WHEN t_de >= t_fr THEN 'de'
                   ELSE 'fr' END AS lang_pred
       FROM (
-        SELECT doc_id,
-          ROUND(STOPWORD_RATIO(gs, ARRAY('the','he ',' th','ing','ng ',' an','and','nd ','ion','on ',' of','of ',' to','to ','ed ','er ',' in','in ','at ','ent','es ','tio','ati',' co','for',' fo',' is','is ','tha','hat')), 6) AS t_en,
-          ROUND(STOPWORD_RATIO(gs, ARRAY('en ','er ',' de','der','ie ','die','sch','ein',' ei','che','ch ','ung',' un','und','ich',' ge','ver',' ve','ten','den','ber',' be','das',' da','cht','ht ','gen','nen',' au','ne ')), 6) AS t_de,
-          ROUND(STOPWORD_RATIO(gs, ARRAY(' de','de ','es ','le ',' le','ent','nt ','la ',' la','ion','on ','re ',' co','que',' qu','ue ','les','et ',' et','eur','our',' po','ur ','ans',' pa','tio','men','ait','e d',' du')), 6) AS t_fr
-        FROM g WHERE SIZE(gs) > 0
-      ) s
+        SELECT doc_id, ROUND(sc.t_en, 6) AS t_en, ROUND(sc.t_de, 6) AS t_de,
+               ROUND(sc.t_fr, 6) AS t_fr
+        FROM s WHERE sc IS NOT NULL
+      ) x
       ORDER BY doc_id"""),
 
     // Quality metrics: length, token stats, type-token ratio, stopword

@@ -41,6 +41,26 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("lang_trigram_scores equals the composed CHAR_NGRAMS+STOPWORD_RATIO spelling") {
+    GraftFunctions.register(spark)
+    def arr(g: Seq[String]) = g.map(s => s"'$s'").mkString("ARRAY(", ",", ")")
+    val en = arr(LangProfiles.en); val de = arr(LangProfiles.de)
+    val fr = arr(LangProfiles.fr)
+    // real docs text: the fused rolling-window kernel must be
+    // bit-identical to the materialized-gram spelling on every row
+    graft.Tables.register(spark, LocalSpark.sf)
+    val diff = spark.sql(s"""
+      SELECT doc_id FROM (
+        SELECT doc_id, LANG_TRIGRAM_SCORES(text) AS sc,
+               STOPWORD_RATIO(CHAR_NGRAMS(text, 3), $en) AS c_en,
+               STOPWORD_RATIO(CHAR_NGRAMS(text, 3), $de) AS c_de,
+               STOPWORD_RATIO(CHAR_NGRAMS(text, 3), $fr) AS c_fr
+        FROM documents)
+      WHERE (sc IS NULL) <> (c_en IS NULL)
+         OR sc.t_en <> c_en OR sc.t_de <> c_de OR sc.t_fr <> c_fr""").count()
+    assert(diff == 0, s"$diff rows diverge between fused and composed scorers")
+  }
+
   test("cosine_sim: identity, orthogonality, nulls") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),

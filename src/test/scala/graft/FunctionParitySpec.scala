@@ -167,6 +167,9 @@ class FunctionParitySpec extends AnyFunSuite {
       "char_ngrams" -> (("SELECT char_ngrams('The cat', 3)",
         v => v.asInstanceOf[scala.collection.Seq[_]].toSeq ==
           Seq("the", "he ", "e c", " ca", "cat"))),
+      "lang_trigram_scores" -> (("SELECT lang_trigram_scores('the cat sat').t_en",
+        // grams = 9, EN profile hits = {'the','he ','at '} = 3
+        v => v.asInstanceOf[Double] == 3.0 / 9.0)),
       "stopword_ratio" -> (("SELECT stopword_ratio(array('the','cat'), array('the'))",
         v => v.asInstanceOf[Double] == 0.5)),
       "lsh_buckets" -> ((s"SELECT size(lsh_buckets($farr, 4, 3))",

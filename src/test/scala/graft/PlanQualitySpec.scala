@@ -67,6 +67,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"jaccard must stay an equi-join:\n$p")
   }
 
+  test("dedup_semantic pairs via a cluster equi-join; kmeans assignment is a narrow map") {
+    val p = plan("dedup_semantic")
+    // SemDeDup's whole point: candidate pairs come from an equi-join on
+    // the learned cluster key, never an all-pairs product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup must block on cluster:\n$p")
+    assert(p.contains("cosinesimd"), s"pair scoring must use the codegen'd kernel:\n$p")
+    // the assignment stage carries centroids as literals — no join, no
+    // exchange between the embeddings scan and the argmax projection
+    val ap = plan("cluster_kmeans_assign")
+    assert("Exchange".r.findAllIn(ap).length == 1, // the output sort only
+      s"assignment should add no exchange beyond the final ORDER BY:\n$ap")
+  }
+
   test("ann_lsh_bucketed joins on (table,bucket) — no cartesian fallback") {
     val p = plan("ann_lsh_bucketed")
     assert(!p.contains("CartesianProduct"), p)
