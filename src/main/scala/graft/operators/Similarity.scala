@@ -29,6 +29,41 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    // Per-vector symmetric int8 quantization — the storage-prep step
+    // before a vector store ships 4×-smaller embeddings: scale =
+    // max|x|/127, q = clamp(round(x/scale), ±127), plus the
+    // reconstruction MSE so a pipeline can gate on quantization loss.
+    // Every value is a deterministic per-element function (max, divide,
+    // floor — no accumulation except the index-order MSE fold the
+    // oracle replicates with list_reduce), so the DuckDB compare is
+    // exact. Narrow map work at any scale.
+    "embed_quantize_int8" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      // each step is its own attribute: embedding a `sc_raw` expression
+      // TREE inside the transform lambdas would recompute the
+      // array_max per ELEMENT (64× per row — benched 2.3 s vs 0.4 s).
+      // The internal attribute must NOT share the output alias "scale":
+      // Spark 4 lateral-column-alias resolution rebinds col("scale")
+      // inside sibling select expressions to the ROUNDED alias,
+      // silently perturbing mse (SURVEY §7.3 trap 7; pinned in
+      // PipelineSpec).
+      val mse = aggregate(
+        zip_with(col("ed"), col("q"), (x, qi) => {
+          val e = x - qi.cast("double") * col("sc_raw"); e * e
+        }),
+        lit(0.0), (s, v) => s + v) / lit(64.0)
+      spark.table("embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("ed"))
+        .withColumn("sc_raw", array_max(transform(col("ed"), abs(_))) / lit(127.0))
+        // round-half-up via floor(v+0.5): identical in DuckDB; clamp after
+        .withColumn("q", transform(col("ed"), x =>
+          least(greatest(floor(x / col("sc_raw") + lit(0.5)), lit(-127L)), lit(127L))))
+        .select(col("vec_id"), round(col("sc_raw"), 9).as("scale"),
+          aggregate(col("q"), lit(0L), (s, v) => s + v).as("q_sum"),
+          round(mse, 12).as("mse"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Exact cosine top-3 for 5 query vectors against the whole corpus.
     "ann_cosine_topk" -> gsql("""
       WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
@@ -156,6 +191,24 @@ object Similarity {
       )"""
 
   val oracle: Map[String, String] = Map(
+    // same per-element ops (max, divide, floor-half-up, clamp) and the
+    // same index-order MSE fold — bit-identical, no tolerance
+    "embed_quantize_int8" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+      s AS (SELECT vec_id, ed,
+              list_max(list_transform(ed, x -> abs(x))) / 127.0 AS scale
+            FROM e),
+      qv AS (SELECT vec_id, ed, scale,
+              list_transform(ed, x ->
+                CAST(LEAST(GREATEST(floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) AS q
+             FROM s)
+      SELECT vec_id, ROUND(scale, 9) AS scale,
+             CAST(list_sum(q) AS BIGINT) AS q_sum,
+             ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+               i -> (ed[i] - q[i] * scale) * (ed[i] - q[i] * scale))),
+               (x, y) -> x + y) / 64.0, 12) AS mse
+      FROM qv ORDER BY vec_id""",
+
     // FULL INDEPENDENT REPLICATION of the LSH pipeline, not a recall
     // assumption — see lshBucketCtes; the rerank mirrors the Spark query.
     "ann_lsh_bucketed" -> s"""

@@ -334,6 +334,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == ivf)
   }
 
+  test("embed_quantize_int8: bounded error, exact checksum range, determinism") {
+    val out = Similarity.queries("embed_quantize_int8")(spark, LocalSpark.sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (scale, qSum, mse) = (r.getDouble(1), r.getLong(2), r.getDouble(3))
+      assert(scale > 0, "synthetic embeddings have no zero vectors")
+      // per-element |error| ≤ scale/2 (round-half-up, clipping only at
+      // the exact max element) ⇒ mse ≤ scale²/4
+      assert(mse <= scale * scale / 4.0 + 1e-15, s"mse $mse vs scale $scale")
+      // 64 int8 values: checksum must stay inside ±64·127
+      assert(math.abs(qSum) <= 64L * 127L)
+    }
+    val again = Similarity.queries("embed_quantize_int8")(spark, LocalSpark.sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // SURVEY §7.3 trap 7 pin: mse must be computed with the RAW scale,
+    // not the rounded output alias — exact local recomputation
+    Tables.register(spark, LocalSpark.sf)
+    val emb = spark.table("embeddings").orderBy($"vec_id").limit(10)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    out.take(10).foreach { r =>
+      val ed = emb(r.getLong(0))
+      val sc = ed.map(math.abs).max / 127.0
+      val q = ed.map(x => math.min(math.max(math.floor(x / sc + 0.5), -127.0), 127.0))
+      var sse = 0.0
+      ed.zip(q).foreach { case (x, qi) => val e = x - qi * sc; sse += e * e }
+      val expect = BigDecimal(sse / 64.0)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expect,
+        s"vec ${r.getLong(0)}: mse ${r.getDouble(3)} != raw-scale $expect (alias shadowing?)")
+    }
+  }
+
   test("multimodal decode pipeline: schema, determinism, distributed map") {
     val out = Multimodal.decodePipeline(spark, LocalSpark.sf)
     assert(out.columns.toSeq ==
