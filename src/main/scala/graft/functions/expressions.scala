@@ -168,6 +168,10 @@ case class CosineSimD(left: Expression, right: Expression)
       } else {
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) {
+            throw new IllegalArgumentException(
+              "cosine_sim_d: null element at index " + $i);
+          }
           double $x = $a.getDouble($i);
           double $y = $b.getDouble($i);
           $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
@@ -189,6 +193,10 @@ case class CosineSimD(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // fail loudly, like vec_sum: ArrayData.getDouble on a null slot
+      // silently reads 0.0 (quiet wrong cosine)
+      require(!a.isNullAt(i) && !b.isNullAt(i),
+        s"cosine_sim_d: null element at index $i")
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y

@@ -142,18 +142,50 @@ object Clustering {
     // dedup_embedding_cosine that scales (cluster = bucket; candidate
     // pairs are within-cluster only, never all-pairs).
     "dedup_semantic" -> ((spark, sfDir) => {
-      val af = kmeansAssign(spark, sfDir).select(col("vec_id"), col("cluster"), col("ve"))
-      val a = af.select(col("vec_id").as("vec_a"), col("cluster"), col("ve").as("va"))
-      val b = af.select(col("vec_id").as("vec_b"), col("cluster"), col("ve").as("vb"))
-      a.join(b, "cluster")
-        .where(col("vec_a") < col("vec_b"))
-        .withColumn("cos", cosD(col("va"), col("vb")))
-        .where(col("cos") >= Tau)
+      semanticPairs(spark, sfDir)
         .select(col("vec_a"), col("vec_b"), col("cluster"),
           round(col("cos"), 6).as("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // The full SemDeDup output: connected components over the semantic
+    // pair graph (alternating large-star/small-star — the same O(log n)
+    // machinery as dedup_clusters), keep = the min-id representative of
+    // each component, singletons kept by definition. Every vector is a
+    // row with its verdict — the auditable pruned-corpus form a
+    // training pipeline actually consumes.
+    "dedup_semantic_prune" -> ((spark, sfDir) => {
+      // one Lloyd run serves both the pair generation and the audit
+      // join (the driver iteration is eager — running kmeansAssign
+      // twice would repeat every assignment/update job)
+      val af = kmeansAssign(spark, sfDir)
+      val pairs = semanticPairsFrom(af)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val (labels, _) = Dedup.connectedComponents(spark, pairs)
+      af.select(col("vec_id"), col("cluster"))
+        .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("vec_id")))
+        .select(col("vec_id"), col("cluster"), col("comp"),
+          (col("vec_id") === col("comp")).cast("int").as("kept"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** Within-cluster near-dup pairs (vec_a < vec_b, cosine ≥ Tau) under
+    * the final k-means assignment — the shared core of dedup_semantic
+    * and dedup_semantic_prune. */
+  private def semanticPairs(spark: SparkSession, sfDir: String): DataFrame =
+    semanticPairsFrom(kmeansAssign(spark, sfDir))
+
+  private def semanticPairsFrom(afIn: DataFrame): DataFrame = {
+    val af = afIn.select(col("vec_id"), col("cluster"), col("ve"))
+    val a = af.select(col("vec_id").as("vec_a"), col("cluster"), col("ve").as("va"))
+    val b = af.select(col("vec_id").as("vec_b"), col("cluster"), col("ve").as("vb"))
+    a.join(b, "cluster")
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosD(col("va"), col("vb")))
+      .where(col("cos") >= Tau)
+  }
 
   // ---------------------------------------------------------------- oracle
 
@@ -226,6 +258,32 @@ object Clustering {
       )
       SELECT vec_a, vec_b, cluster, ROUND(cos, 6) AS cos
       FROM pairs WHERE cos >= $Tau
-      ORDER BY vec_a, vec_b"""
+      ORDER BY vec_a, vec_b""",
+
+    // the pair CTE above + the recursive-CTE CC labeling dedup_clusters
+    // established (comp = MIN reachable id), singleton vectors kept
+    "dedup_semantic_prune" -> s"""
+      WITH RECURSIVE ${kmeansCtes(K, Iters)}, pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN q qa ON qa.vec_id = a.vec_id
+        JOIN q qb ON qb.vec_id = b.vec_id
+        WHERE (${cosSql("qa.ve", "qb.ve")}) >= $Tau
+      ), edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL SELECT vec_b, vec_a FROM pairs
+      ), cc AS (
+        SELECT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
+      ), lab AS (
+        SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
+      )
+      SELECT a.vec_id, CAST(a.cid AS INT) AS cluster,
+             COALESCE(l.comp, a.vec_id) AS comp,
+             CAST(CASE WHEN a.vec_id = COALESCE(l.comp, a.vec_id)
+                  THEN 1 ELSE 0 END AS INT) AS kept
+      FROM af a LEFT JOIN lab l ON l.node = a.vec_id
+      ORDER BY a.vec_id"""
   )
 }

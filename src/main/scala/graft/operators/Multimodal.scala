@@ -60,7 +60,12 @@ object Multimodal {
 
     private def read(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (!isImage(p)) None
-      else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+      else
+        // a payload with image magic but a corrupt body must NOT kill
+        // the task (at 100 TB some fraction of any crawl is truncated):
+        // it degrades to the non-image path, same as an unsniffed format
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+        catch { case scala.util.control.NonFatal(_) => None }
 
     /** Per-pixel luma grid in raster order (y-major), values in [0,256). */
     private def lumaGrid(img: java.awt.image.BufferedImage): Array[Double] = {

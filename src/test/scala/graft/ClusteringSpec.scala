@@ -53,4 +53,30 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
     // no duplicate pairs
     pairs.map(p => (p.getLong(0), p.getLong(1))).distinct.length shouldBe pairs.length
   }
+
+  test("dedup_semantic_prune: one representative per component, pairs collapse") {
+    val pairs = Clustering.queries("dedup_semantic")(spark, sf).collect()
+      .map(p => (p.getLong(0), p.getLong(1)))
+    val prune = Clustering.queries("dedup_semantic_prune")(spark, sf).collect()
+    prune.length shouldBe 500                            // every vector audited
+    val comp = prune.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val kept = prune.filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+    // exactly one kept per component, and it is the component's min id
+    prune.groupBy(_.getLong(2)).foreach { case (c, rows) =>
+      rows.count(_.getInt(3) == 1) shouldBe 1
+      rows.filter(_.getInt(3) == 1).head.getLong(0) shouldBe rows.map(_.getLong(0)).min
+      c shouldBe rows.map(_.getLong(0)).min
+    }
+    // every near-dup pair is collapsed: same component, at most one kept
+    pairs.foreach { case (a, b) =>
+      comp(a) shouldBe comp(b)
+      (kept.contains(a) && kept.contains(b)) shouldBe false
+    }
+    // vectors in no pair are singletons and kept
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    prune.filterNot(r => paired.contains(r.getLong(0))).foreach { r =>
+      r.getInt(3) shouldBe 1
+      r.getLong(2) shouldBe r.getLong(0)
+    }
+  }
 }

@@ -41,6 +41,26 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine_sim_d: exact values, -2.0 zero-norm guard, loud null element") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT cosine_sim_d(array(3.0d, 4.0d), array(3.0d, 4.0d))")
+      .collect().head.getDouble(0) == 1.0)
+    assert(spark.sql("SELECT cosine_sim_d(array(1.0d, 0.0d), array(0.0d, 1.0d))")
+      .collect().head.getDouble(0) == 0.0)
+    // zero norm → -2.0 (total for argmax), not NULL
+    assert(spark.sql("SELECT cosine_sim_d(array(0.0d, 0.0d), array(1.0d, 0.0d))")
+      .collect().head.getDouble(0) == -2.0)
+    // length mismatch → NULL (matches the float kernel)
+    assert(spark.sql("SELECT cosine_sim_d(array(1.0d), array(1.0d, 0.0d))")
+      .collect().head.isNullAt(0))
+    // null ELEMENT fails loudly — ArrayData.getDouble would read 0.0
+    val ex = intercept[Exception] {
+      spark.sql("SELECT cosine_sim_d(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d))").collect()
+    }
+    assert(ex.getMessage.contains("null element") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("null element"))
+  }
+
   test("lang_trigram_scores equals the composed CHAR_NGRAMS+STOPWORD_RATIO spelling") {
     GraftFunctions.register(spark)
     def arr(g: Seq[String]) = g.map(s => s"'$s'").mkString("ARRAY(", ",", ")")

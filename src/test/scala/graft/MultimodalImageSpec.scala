@@ -76,6 +76,24 @@ class MultimodalImageSpec extends AnyFunSuite with Matchers {
     ImageCodec.isImage(png(raster(2, 2))) shouldBe true
   }
 
+  test("corrupt image payloads degrade to the non-image path, not a task failure") {
+    // valid PNG magic, truncated/garbage body — the 100 TB crawl reality
+    val truncated = png(raster(8, 8)).take(20)
+    ImageCodec.isImage(truncated) shouldBe true
+    ImageCodec.decode(truncated) shouldBe None
+    ImageCodec.resizeMean(truncated, 2, 2) shouldBe None
+    val garbage = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+      Array.fill[Byte](64)(0x5a)
+    ImageCodec.decode(garbage) shouldBe None
+    // and through the Spark pipeline: stub fallback, no exception
+    import spark.implicits._
+    val out = Multimodal.decodeRows(
+      spark.createDataset(Seq(MediaRow(9L, "png", truncated)))).collect()
+    out.length shouldBe 1
+    val (sw, sh, smean) = Multimodal.FakeCodec.decode(truncated)
+    (out(0).width, out(0).height, out(0).mean_byte) shouldBe ((sw, sh, smean))
+  }
+
   test("Spark decode pipeline: real codec for images, stub fallback for text") {
     import spark.implicits._
     val img = raster(6, 4)
