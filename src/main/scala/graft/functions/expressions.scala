@@ -561,10 +561,12 @@ case class LangTrigramScores(child: Expression)
   override def nullSafeEval(input: Any): Any = kernel(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("langTri", this, classOf[LangTrigramScores].getName)
+    val r = ctx.freshName("ltsRow") // fixed name would collide when the
+    // expression appears twice in one codegen context (silent fallback)
     nullSafeCodeGen(ctx, ev, c => s"""
-      Object r = $ref.kernel($c);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }""")
+      Object $r = $ref.kernel($c);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }""")
   }
   override protected def withNewChildInternal(c: Expression): LangTrigramScores =
     copy(child = c)

@@ -100,14 +100,20 @@ object Clustering {
         (r.getInt(0), r.getSeq[Double](1).map(v => v / n / Scale).toArray)
       }.sortBy(_._1).toSeq
 
-  /** Run Lloyd's for `iters` updates; returns the final centroids. */
+  /** Run Lloyd's for `iters` updates over the rows satisfying
+    * `corpusPred` (seeds = the k lowest qualifying vec_ids — on the
+    * full table identical to `vec_id < k`); returns the final
+    * centroids. A non-trivial predicate is the incremental scenario:
+    * the model is learned on the EXISTING corpus only, so a new batch
+    * can be assigned under frozen centroids. */
   def kmeansCentroids(spark: SparkSession, sfDir: String,
-                      k: Int = K, iters: Int = Iters): Seq[(Int, Array[Double])] = {
+                      k: Int = K, iters: Int = Iters,
+                      corpusPred: Column = lit(true)): Seq[(Int, Array[Double])] = {
     Tables.register(spark, sfDir)
     GraftFunctions.register(spark)
-    val q = quantized(spark.table("embeddings")).persist()
+    val q = quantized(spark.table("embeddings")).where(corpusPred).persist()
     try {
-      val seeds = q.where(col("vec_id") < k).select(col("vec_id"), col("ve"))
+      val seeds = q.orderBy(col("vec_id")).limit(k).select(col("vec_id"), col("ve"))
         .collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
         .sortBy(_._1).toSeq
@@ -154,6 +160,35 @@ object Clustering {
     // each component, singletons kept by definition. Every vector is a
     // row with its verdict — the auditable pruned-corpus form a
     // training pipeline actually consumes.
+    // Incremental SemDeDup — the production arrival path: centroids are
+    // learned on the EXISTING corpus only (vec_id % 5 <> 4; an
+    // SF-proportional 80/20 split), then frozen; the new batch is
+    // assigned under them (pure narrow map — at 100 TB the batch never
+    // re-clusters the corpus) and checked for semantic duplicates
+    // against corpus members of its cluster only. Every batch vector is
+    // a row: its cluster, its lowest-id corpus duplicate (NULL if
+    // none), how many corpus dups, and an is_new verdict.
+    "dedup_incremental_semantic" -> ((spark, sfDir) => {
+      val corpusPred = col("vec_id") % 5 =!= 4
+      val cents = kmeansCentroids(spark, sfDir, K, Iters, corpusPred)
+      val all = assign(quantized(spark.table("embeddings")), cents)
+        .select(col("vec_id"), col("cluster"), col("ve"))
+      val batch = all.where(!corpusPred)
+        .select(col("vec_id"), col("cluster"), col("ve").as("vb"))
+      val corpus = all.where(corpusPred)
+        .select(col("vec_id").as("cid_corp"), col("cluster"), col("ve").as("vc"))
+      val matches = batch.join(corpus, "cluster")
+        .where(cosD(col("vb"), col("vc")) >= Tau)
+        .groupBy(col("vec_id"))
+        .agg(min(col("cid_corp")).as("dup_of"), count(lit(1)).as("n_dups"))
+      batch.select(col("vec_id"), col("cluster"))
+        .join(matches, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("dup_of"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("dup_of").isNull.cast("int").as("is_new"))
+        .orderBy(col("vec_id"))
+    }),
+
     "dedup_semantic_prune" -> ((spark, sfDir) => {
       // one Lloyd run serves both the pair generation and the audit
       // join (the driver iteration is eager — running kmeansAssign
@@ -204,11 +239,12 @@ object Clustering {
     * in `af(vec_id, cid, cos)` — the final assignment. Exactly mirrors
     * kmeansCentroids + assign (see the determinism note in the class
     * doc: identical IEEE op order ⇒ bit-identical values). */
-  private[operators] def kmeansCtes(k: Int, iters: Int): String = {
-    def assignCte(s: String, a: String, cents: String) = s"""
+  private[operators] def kmeansCtes(k: Int, iters: Int,
+                                    corpusPred: String = "TRUE"): String = {
+    def assignCte(s: String, a: String, cents: String, src: String) = s"""
       $s AS (
         SELECT q.vec_id, c.cid, ${cosSql("q.ve", "c.ce")} AS cos
-        FROM q CROSS JOIN $cents c
+        FROM $src q CROSS JOIN $cents c
       ), $a AS (
         SELECT vec_id, cid, cos FROM (
           SELECT vec_id, cid, cos,
@@ -219,13 +255,17 @@ object Clustering {
     def updateCte(a: String, u: String, c: String) = s"""
       $u AS (
         SELECT a.cid, g.d, SUM(q.qe[g.d]) AS s, COUNT(*) AS n
-        FROM $a a JOIN q USING (vec_id) CROSS JOIN range(1, 65) g(d)
+        FROM $a a JOIN qc q USING (vec_id) CROSS JOIN range(1, 65) g(d)
         GROUP BY a.cid, g.d
       ), $c AS (
         SELECT cid, LIST(s / n / 1000000.0 ORDER BY d) AS ce FROM $u GROUP BY cid
       )"""
+    // Lloyd's iterates over the corpus rows (qc) only; the final
+    // assignment `af` covers ALL rows — on the full table (corpusPred
+    // TRUE) the two coincide, which keeps the established oracles
+    // byte-stable
     val iterCtes = (1 to iters).map { i =>
-      assignCte(s"s$i", s"a$i", s"c${i - 1}") + "," +
+      assignCte(s"s$i", s"a$i", s"c${i - 1}", "qc") + "," +
         updateCte(s"a$i", s"u$i", s"c$i")
     }.mkString(",")
     s"""
@@ -236,9 +276,11 @@ object Clustering {
         FROM embeddings
       ), q AS (
         SELECT vec_id, qe, list_transform(qe, x -> x / 1000000.0) AS ve FROM q0
+      ), qc AS (
+        SELECT * FROM q WHERE $corpusPred
       ), c0 AS (
-        SELECT vec_id AS cid, ve AS ce FROM q WHERE vec_id < $k
-      ),$iterCtes,${assignCte("sf", "af", s"c$iters")}"""
+        SELECT vec_id AS cid, ve AS ce FROM qc ORDER BY vec_id LIMIT $k
+      ),$iterCtes,${assignCte("sf", "af", s"c$iters", "q")}"""
   }
 
   val oracle: Map[String, String] = Map(
@@ -259,6 +301,27 @@ object Clustering {
       SELECT vec_a, vec_b, cluster, ROUND(cos, 6) AS cos
       FROM pairs WHERE cos >= $Tau
       ORDER BY vec_a, vec_b""",
+
+    // corpus-trained chain (qc = 80% split), batch assigned under the
+    // frozen centroids, lowest-id corpus match per batch vector
+    "dedup_incremental_semantic" -> s"""
+      WITH ${kmeansCtes(K, Iters, "vec_id % 5 <> 4")}, b AS (
+        SELECT vec_id, cid FROM af WHERE vec_id % 5 = 4
+      ), corp AS (
+        SELECT vec_id, cid FROM af WHERE vec_id % 5 <> 4
+      ), m AS (
+        SELECT b.vec_id, MIN(corp.vec_id) AS dup_of, COUNT(*) AS n_dups
+        FROM b JOIN corp ON b.cid = corp.cid
+        JOIN q qa ON qa.vec_id = b.vec_id
+        JOIN q qb ON qb.vec_id = corp.vec_id
+        WHERE (${cosSql("qa.ve", "qb.ve")}) >= $Tau
+        GROUP BY b.vec_id
+      )
+      SELECT b.vec_id, CAST(b.cid AS INT) AS cluster, m.dup_of,
+             COALESCE(m.n_dups, 0) AS n_dups,
+             CAST(CASE WHEN m.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS is_new
+      FROM b LEFT JOIN m USING (vec_id)
+      ORDER BY vec_id""",
 
     // the pair CTE above + the recursive-CTE CC labeling dedup_clusters
     // established (comp = MIN reachable id), singleton vectors kept

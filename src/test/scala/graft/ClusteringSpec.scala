@@ -79,4 +79,23 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
       r.getLong(2) shouldBe r.getLong(0)
     }
   }
+
+  test("dedup_incremental_semantic: batch-only rows, corpus dups verified, verdict consistent") {
+    val out = Clustering.queries("dedup_incremental_semantic")(spark, sf).collect()
+    out.length shouldBe 100                      // 20% of 500 ids (vec_id % 5 == 4)
+    out.foreach { r =>
+      r.getLong(0) % 5 shouldBe 4                // batch rows only
+      val isNew = r.getInt(4) == 1
+      if (isNew) {
+        r.isNullAt(2) shouldBe true
+        r.getLong(3) shouldBe 0L
+      } else {
+        r.getLong(2) % 5 should not be 4         // dup_of is a CORPUS id
+        r.getLong(3) should be >= 1L
+      }
+    }
+    // deterministic re-run (frozen corpus-trained centroids)
+    val again = Clustering.queries("dedup_incremental_semantic")(spark, sf).collect()
+    out.map(_.toString).toSeq shouldBe again.map(_.toString).toSeq
+  }
 }
