@@ -133,6 +133,15 @@ object Clustering {
     assign(quantized(spark.table("embeddings")), cents)
   }
 
+  /** Assign arbitrary (vec_id, embedding) rows under FROZEN centroids.
+    * The quantize + argmax projection is fully narrow, so the same call
+    * serves a batch DataFrame or a Structured Streaming micro-batch
+    * unchanged (StreamingSpec's semantic-dedup twin) — the continuous
+    * arrival path of dedup_incremental_semantic. */
+  def assignUnderCentroids(df: DataFrame,
+                           cents: Seq[(Int, Array[Double])]): DataFrame =
+    assign(quantized(df), cents)
+
   private type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(

@@ -79,6 +79,10 @@ class PlanQualitySpec extends AnyFunSuite {
     val ap = plan("cluster_kmeans_assign")
     assert("Exchange".r.findAllIn(ap).length == 1, // the output sort only
       s"assignment should add no exchange beyond the final ORDER BY:\n$ap")
+    // the incremental arrival path must stay cluster-blocked too
+    val ip = plan("dedup_incremental_semantic")
+    assert(!ip.contains("CartesianProduct") && !ip.contains("BroadcastNestedLoopJoin"),
+      s"batch-vs-corpus matching must block on cluster:\n$ip")
   }
 
   test("ann_lsh_bucketed joins on (table,bucket) — no cartesian fallback") {

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Clustering
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -14,6 +15,7 @@ import java.sql.Timestamp
 case class Ev(ts: Timestamp, user_id: Long, value: Double)
 case class Sess(user_id: Long, n: Long)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
+case class Vec(vec_id: Long, embedding: Array[Float])
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = LocalSpark.spark
@@ -114,6 +116,42 @@ class StreamingSpec extends AnyFunSuite {
       val got = spark.table("inc_dedup").collect()
         .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
       assert(got == Map(100L -> true, 101L -> false), got.toString)
+    } finally q.stop()
+  }
+
+  test("stream-static semantic dedup: embedding stream assigned under frozen centroids") {
+    // the streaming twin of dedup_incremental_semantic: new embeddings
+    // arrive as a stream, are assigned to a cluster by the NARROW
+    // frozen-centroid projection (no state, no shuffle on the stream
+    // side), and matched against the precomputed corpus assignment
+    // within their cluster only. In production the static side is the
+    // 100 TB corpus's (vec_id, cluster, ve) table.
+    implicit val sqlCtx = spark.sqlContext
+    Tables.register(spark, LocalSpark.sf)
+    val cents = Clustering.kmeansCentroids(spark, LocalSpark.sf)
+    val corpus = Clustering
+      .assignUnderCentroids(spark.table("embeddings"), cents)
+      .select($"vec_id".as("corp_id"), $"cluster", $"ve".as("vc"))
+    val input = MemoryStream[Vec]
+    val matches = Clustering.assignUnderCentroids(input.toDF(), cents)
+      .select($"vec_id", $"cluster", $"ve".as("vb"))
+      .join(corpus, "cluster")
+      .where(graft.functions.GraftFunctions.cosine_sim_d($"vb", $"vc") >= 0.35)
+      .select($"vec_id", $"corp_id")
+    val q = matches.writeStream.format("memory").queryName("sem_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val v0 = spark.table("embeddings").where($"vec_id" === 0L)
+        .select($"embedding").head.getSeq[Float](0).toArray
+      // vec 100 = exact copy of corpus vec 0 (must match it);
+      // vec 101 = zero vector (cosine guard -2.0 → can match nothing)
+      input.addData(Vec(100L, v0), Vec(101L, Array.fill(64)(0.0f)))
+      q.processAllAvailable()
+      val got = spark.table("sem_dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.exists(p => p._1 == 100L && p._2 == 0L),
+        s"copy of corpus vec 0 must match it: ${got.toSeq}")
+      assert(!got.exists(_._1 == 101L), s"zero vector must match nothing: ${got.toSeq}")
     } finally q.stop()
   }
 
