@@ -220,6 +220,32 @@ object Dedup {
     // (linear re-join by doc_id, no quadratic stage). At scale the
     // blocking key would be an LSH bucket; `source` stands in as the
     // deterministic blocking attribute so the oracle can reproduce it.
+    // Exact-substring dedup (Lee et al., ACL'22 "Deduplicating Training
+    // Data Makes Language Models Better"): doc pairs sharing verbatim
+    // runs of >= 15 consecutive tokens, found via an equi-join on
+    // 15-token window hashes. 100 TB discipline: only (doc_id, 128-bit
+    // window hash) travels through the join — never the window text —
+    // and boilerplate windows shared by > 64 docs are skipped (the same
+    // hot-posting cap as the LSH/jaccard operators; a pair is lost only
+    // if EVERY shared window is boilerplate-hot). >= 3 distinct shared
+    // windows filters incidental collisions of common phrases. All
+    // arithmetic is exact string hashing + integer counts — the oracle
+    // replicates it verbatim.
+    "dedup_substring" -> gsql("""
+      WITH w AS (
+        SELECT doc_id, MD5(win) AS wh
+        FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents)
+        LATERAL VIEW EXPLODE(SHINGLE_SET(text, 15)) s AS win
+      ), cool AS (
+        SELECT wh FROM w GROUP BY wh HAVING COUNT(*) <= 64
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM w a JOIN cool USING (wh) JOIN w b
+        ON a.wh = b.wh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 3
+      ORDER BY doc_a, doc_b"""),
+
     "dedup_ngram_jaccard" -> gsql("""
       WITH sh AS (
         SELECT doc_id, source, SHINGLE_SET(text, 3) AS grams
@@ -632,6 +658,28 @@ object Dedup {
       FROM cb a JOIN cb b
         ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sim, b.sim)) <= 6
+      ORDER BY doc_a, doc_b""",
+
+    // same tokenization (lowercase, space-split, empties dropped), same
+    // distinct 15-token windows, same MD5, cap, and count thresholds —
+    // exact string/integer arithmetic, no tolerance needed
+    "dedup_substring" -> """
+      WITH t AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+        FROM documents
+      ), w AS (
+        SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+          RANGE(0, GREATEST(LEN(toks) - 14, 0)),
+          i -> MD5(ARRAY_TO_STRING(toks[i + 1 : i + 15], ' '))))) AS wh
+        FROM t
+      ), cool AS (
+        SELECT wh FROM w GROUP BY wh HAVING COUNT(*) <= 64
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM w a JOIN cool USING (wh) JOIN w b
+        ON a.wh = b.wh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 3
       ORDER BY doc_a, doc_b""",
 
     "dedup_ngram_jaccard" -> """

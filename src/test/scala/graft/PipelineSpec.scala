@@ -219,6 +219,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(prefixMax < fullMax, s"hottest posting not reduced: $prefixMax vs $fullMax")
   }
 
+  test("dedup_substring pairs share verbatim 15-token windows (local recomputation)") {
+    Tables.register(spark, LocalSpark.sf)
+    val out = Dedup.queries("dedup_substring")(spark, LocalSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val text = spark.table("documents").select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def wins(s: String): Set[String] =
+      s.toLowerCase.split(' ').filter(_.nonEmpty).sliding(15)
+        .filter(_.length == 15).map(_.mkString(" ")).toSet
+    out.foreach { case (a, b, n) =>
+      val shared = wins(text(a)).intersect(wins(text(b)))
+      // n_shared can undercount shared windows only via the hot-window
+      // cap (window in > 64 docs), never overcount
+      assert(n <= shared.size.toLong && shared.size >= 3,
+        s"pair ($a,$b): reported $n, locally shared ${shared.size}")
+    }
+    // exact duplicates (same text) must be reported
+    val exact = text.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap(g => g.keys.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .filter { case (a, _) => wins(text(a)).size >= 3 }
+      .toSet
+    val reported = out.map(p => (p._1, p._2)).toSet
+    exact.foreach(p => assert(reported.contains(p), s"exact dup pair $p missing"))
+  }
+
   test("dedup_simhash pairs are hamming-verified and include exact duplicates") {
     val df = Dedup.queries("dedup_simhash")(spark, LocalSpark.sf).collect()
     assert(df.nonEmpty)
