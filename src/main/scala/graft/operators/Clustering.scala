@@ -169,6 +169,24 @@ object Clustering {
     // each component, singletons kept by definition. Every vector is a
     // row with its verdict — the auditable pruned-corpus form a
     // training pipeline actually consumes.
+    // Coreset sampling: the N vectors closest to their centroid per
+    // cluster — the representative-subset primitive behind dataset
+    // distillation / diversity-budgeted training mixes (cluster-then-
+    // select, the same shape SemDeDup uses for pruning). Per-cluster
+    // rank, no global sort; at 100 TB this is the k-means assignment
+    // plus one window over k partitions.
+    "sample_coreset" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      kmeansAssign(spark, sfDir)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 8)
+        .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"),
+          col("rank"))
+        .orderBy(col("cluster"), col("rank"))
+    }),
+
     // Incremental SemDeDup — the production arrival path: centroids are
     // learned on the EXISTING corpus only (vec_id % 5 <> 4; an
     // SF-proportional 80/20 split), then frozen; the new batch is
@@ -310,6 +328,18 @@ object Clustering {
       SELECT vec_a, vec_b, cluster, ROUND(cos, 6) AS cos
       FROM pairs WHERE cos >= $Tau
       ORDER BY vec_a, vec_b""",
+
+    // per-cluster top-8 by cosine to centroid over the same chain
+    "sample_coreset" -> s"""
+      WITH ${kmeansCtes(K, Iters)}
+      SELECT vec_id, CAST(cid AS INT) AS cluster, ROUND(cos, 6) AS cos, rank
+      FROM (
+        SELECT vec_id, cid, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cid
+                 ORDER BY cos DESC, vec_id) AS INT) AS rank
+        FROM af)
+      WHERE rank <= 8
+      ORDER BY cluster, rank""",
 
     // corpus-trained chain (qc = 80% split), batch assigned under the
     // frozen centroids, lowest-id corpus match per batch vector
