@@ -70,6 +70,22 @@ class MultimodalImageSpec extends AnyFunSuite with Matchers {
     d.meanLuma should (be >= 0.0 and be <= 255.0)
   }
 
+  test("BMP decodes losslessly; GIF decodes with exact dims") {
+    val img = raster(5, 7)
+    val bmp = new ByteArrayOutputStream()
+    ImageIO.write(img, "bmp", bmp)
+    val d = ImageCodec.decode(bmp.toByteArray).get
+    (d.width, d.height) shouldBe ((5, 7))
+    // BMP is uncompressed RGB: decode must reproduce source luma exactly
+    val expect = (for (y <- 0 until 7; x <- 0 until 5) yield luma(img, x, y)).sum / 35.0
+    d.meanLuma shouldBe expect
+    val gif = new ByteArrayOutputStream()
+    ImageIO.write(img, "gif", gif)
+    val g = ImageCodec.decode(gif.toByteArray).get
+    (g.width, g.height) shouldBe ((5, 7))  // GIF palettizes: dims only
+    g.meanLuma should (be >= 0.0 and be <= 255.0)
+  }
+
   test("magic sniff: text payloads never reach ImageIO") {
     ImageCodec.isImage("just some document text".getBytes) shouldBe false
     ImageCodec.decode("just some document text".getBytes) shouldBe None

@@ -90,6 +90,68 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("char_ngrams kernel equals the sliding-window reference on any text") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val cn = graft.functions.CharNGrams(
+      org.apache.spark.sql.catalyst.expressions.Literal(null), 3)
+    val textGen = Gen.listOf(Gen.oneOf("a", "Bc", "DEF", " ", "x1", "ü", "."))
+      .map(_.mkString)
+    check(Prop.forAll(textGen) { s =>
+      val got = cn.kernel(UTF8String.fromString(s))
+        .asInstanceOf[GenericArrayData].array.map(_.toString).toSeq
+      val low = s.toLowerCase
+      val ref = if (low.length < 3) Seq.empty[String]
+                else (0 to low.length - 3).map(i => low.substring(i, i + 3))
+      got == ref
+    })
+  }
+
+  test("lang_trigram_scores equals char_ngrams + set-membership reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val lts = graft.functions.LangTrigramScores(
+      org.apache.spark.sql.catalyst.expressions.Literal(null))
+    val textGen = Gen.listOf(Gen.oneOf(
+      "the ", "der ", "le ", "and ", "und ", "que ", "xyz", " ", "a"))
+      .map(_.mkString)
+    check(Prop.forAll(textGen) { s =>
+      val got = lts.kernel(UTF8String.fromString(s))
+      val low = s.toLowerCase
+      if (low.codePointCount(0, low.length) < 3) got == null
+      else {
+        val grams = (0 to low.length - 3).map(i => low.substring(i, i + 3))
+        val row = got.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        def ratio(p: Seq[String]) = grams.count(p.contains).toDouble / grams.size
+        row.getDouble(0) == ratio(graft.functions.LangProfiles.en) &&
+          row.getDouble(1) == ratio(graft.functions.LangProfiles.de) &&
+          row.getDouble(2) == ratio(graft.functions.LangProfiles.fr)
+      }
+    })
+  }
+
+  test("cosine_sim_d equals the float kernel on float-valued arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cd = graft.functions.CosineSimD(
+      org.apache.spark.sql.catalyst.expressions.Literal(null),
+      org.apache.spark.sql.catalyst.expressions.Literal(null))
+    val cf = graft.functions.CosineSim(
+      org.apache.spark.sql.catalyst.expressions.Literal(null),
+      org.apache.spark.sql.catalyst.expressions.Literal(null))
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 16.0f))
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      // float→double promotion is exact, and both kernels accumulate in
+      // the same index order → identical doubles (modulo the double
+      // kernel's -2.0-vs-null zero-norm convention)
+      val d = cd.nullSafeEval(
+        new GenericArrayData(a.map(_.toDouble).toArray),
+        new GenericArrayData(b.map(_.toDouble).toArray))
+      val f = cf.nullSafeEval(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      if (f == null) d == null || d == -2.0
+      else d.asInstanceOf[Double] == f.asInstanceOf[Double]
+    })
+  }
+
   test("prefix filter keeps every pair with jaccard >= t (theorem check)") {
     // mirror of the dedup_ngram_jaccard prefix: order grams by (df, gram),
     // keep n - ceil(t*n) + 1 per set; any pair at jaccard >= t must share
