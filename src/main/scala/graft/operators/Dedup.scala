@@ -231,20 +231,28 @@ object Dedup {
     // windows filters incidental collisions of common phrases. All
     // arithmetic is exact string hashing + integer counts — the oracle
     // replicates it verbatim.
-    "dedup_substring" -> gsql("""
-      WITH w AS (
+    "dedup_substring" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      GraftFunctions.register(spark)
+      // persist the (doc_id, window-hash) table: it feeds the hot-window
+      // aggregate AND both self-join sides — inlined (Spark CTEs don't
+      // materialize), the tokenize+shingle+MD5 kernel would run 3× over
+      // the corpus (same lesson as lshCandidatePairs)
+      val w = spark.sql("""
         SELECT doc_id, MD5(win) AS wh
         FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents)
-        LATERAL VIEW EXPLODE(SHINGLE_SET(text, 15)) s AS win
-      ), cool AS (
-        SELECT wh FROM w GROUP BY wh HAVING COUNT(*) <= 64
-      )
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM w a JOIN cool USING (wh) JOIN w b
-        ON a.wh = b.wh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-      HAVING COUNT(*) >= 3
-      ORDER BY doc_a, doc_b"""),
+        LATERAL VIEW EXPLODE(SHINGLE_SET(text, 15)) s AS win""").persist()
+      val cool = w.groupBy(col("wh")).agg(count(lit(1)).as("c"))
+        .where(col("c") <= 64).select(col("wh"))
+      w.select(col("doc_id").as("doc_a"), col("wh"))
+        .join(cool, "wh")
+        .join(w.select(col("doc_id").as("doc_b"), col("wh")), "wh")
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     "dedup_ngram_jaccard" -> gsql("""
       WITH sh AS (
