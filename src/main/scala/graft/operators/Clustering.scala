@@ -39,6 +39,13 @@ import graft.functions.GraftFunctions
   * Init is deterministic too: seeds are the k lowest vec_ids (the same
   * public-data convention as Similarity's IVF pivots). Fixed iteration
   * count, no RNG anywhere.
+  *
+  * Assignment is by cosine while the update is the plain (un-normalized)
+  * mean — this IS spherical k-means w.r.t. assignments: cosine to a
+  * centroid is invariant under scaling the centroid, and the normalized
+  * and un-normalized means point in the same direction, so normalizing
+  * after each update would change no assignment (only the reported
+  * magnitudes, which nothing consumes).
   */
 object Clustering {
 

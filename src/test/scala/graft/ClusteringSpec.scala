@@ -80,6 +80,14 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("kmeans fails loudly when the corpus has fewer than k vectors") {
+    val ex = intercept[IllegalArgumentException] {
+      Clustering.kmeansCentroids(spark, sf, k = 8, iters = 1,
+        corpusPred = org.apache.spark.sql.functions.col("vec_id") < 3)
+    }
+    assert(ex.getMessage.contains("expected 8 seed vectors"))
+  }
+
   test("dedup_incremental_semantic: batch-only rows, corpus dups verified, verdict consistent") {
     val out = Clustering.queries("dedup_incremental_semantic")(spark, sf).collect()
     out.length shouldBe 100                      // 20% of 500 ids (vec_id % 5 == 4)
