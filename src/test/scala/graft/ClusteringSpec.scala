@@ -80,6 +80,19 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("semantic pair graph CC converges in few rounds (O(log n) evidence)") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Clustering.queries("dedup_semantic")(spark, sf)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val (labels, rounds) = graft.operators.Dedup.connectedComponents(spark, pairs)
+    assert(labels.count() > 0)
+    // near-dup components are shallow; large-star/small-star must
+    // converge fast — the fixed cost that dominates
+    // dedup_semantic_prune's bench time is rounds × checkpoint, so a
+    // round-count regression is a wall-clock regression at any scale
+    assert(rounds <= 6, s"CC took $rounds rounds on the semantic pair graph")
+  }
+
   test("kmeans fails loudly when the corpus has fewer than k vectors") {
     val ex = intercept[IllegalArgumentException] {
       Clustering.kmeansCentroids(spark, sf, k = 8, iters = 1,
