@@ -176,6 +176,21 @@ object Clustering {
     // each component, singletons kept by definition. Every vector is a
     // row with its verdict — the auditable pruned-corpus form a
     // training pipeline actually consumes.
+    // The model itself, exported as data: (cluster, dimension, value)
+    // rows of the final centroids — what a production pipeline persists
+    // so later batches (dedup_incremental_semantic, the streaming twin)
+    // can assign under FROZEN centroids without re-clustering. k×dim
+    // rows, driver-built (the centroids are already driver state).
+    "cluster_centroids" -> ((spark, sfDir) => {
+      val cents = kmeansCentroids(spark, sfDir)
+      import spark.implicits._
+      cents.flatMap { case (cid, c) =>
+        c.iterator.zipWithIndex.map { case (v, i) => (cid, i + 1, v) }
+      }.toDF("cluster", "d", "value")
+        .select(col("cluster"), col("d"), round(col("value"), 9).as("value"))
+        .orderBy(col("cluster"), col("d"))
+    }),
+
     // Coreset sampling: the N vectors closest to their centroid per
     // cluster — the representative-subset primitive behind dataset
     // distillation / diversity-budgeted training mixes (cluster-then-
@@ -335,6 +350,14 @@ object Clustering {
       SELECT vec_a, vec_b, cluster, ROUND(cos, 6) AS cos
       FROM pairs WHERE cos >= $Tau
       ORDER BY vec_a, vec_b""",
+
+    // the final-centroid CTE (c$Iters) unrolled to (cluster, d, value)
+    "cluster_centroids" -> s"""
+      WITH ${kmeansCtes(K, Iters)}
+      SELECT CAST(cid AS INT) AS cluster, CAST(g.d AS INT) AS d,
+             ROUND(ce[g.d], 9) AS value
+      FROM c$Iters CROSS JOIN range(1, 65) g(d)
+      ORDER BY cluster, d""",
 
     // per-cluster top-8 by cosine to centroid over the same chain
     "sample_coreset" -> s"""
