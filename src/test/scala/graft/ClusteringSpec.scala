@@ -80,6 +80,31 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("model persistence round-trip: parquet-reloaded centroids reproduce the exact assignment") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cents = Clustering.kmeansCentroids(spark, sf)
+    // persist full-precision centroids (the queryable cluster_centroids
+    // export rounds to 9 dp for oracle hashing; a pipeline persists the
+    // raw doubles, which round-trip parquet bit-exactly)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cents").toString
+    cents.flatMap { case (cid, c) =>
+      c.iterator.zipWithIndex.map { case (v, i) => (cid, i, v) }
+    }.toDF("cluster", "d", "value").write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir).collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
+      }.toSeq.sortBy(_._1)
+    graft.Tables.register(spark, sf)
+    val emb = spark.table("embeddings")
+    val orig = Clustering.assignUnderCentroids(emb, cents)
+      .select(col("vec_id"), col("cluster"), col("cos")).collect()
+    val redo = Clustering.assignUnderCentroids(emb, reloaded)
+      .select(col("vec_id"), col("cluster"), col("cos")).collect()
+    orig.map(_.toString).toSeq shouldBe redo.map(_.toString).toSeq
+  }
+
   test("semantic pair graph CC converges in few rounds (O(log n) evidence)") {
     import org.apache.spark.sql.functions.col
     val pairs = Clustering.queries("dedup_semantic")(spark, sf)
