@@ -162,7 +162,14 @@ object Clustering {
     // SemDeDup: semantic near-dup pairs with the learned cluster as the
     // blocking key — the no-metadata-blocking-label form of
     // dedup_embedding_cosine that scales (cluster = bucket; candidate
-    // pairs are within-cluster only, never all-pairs).
+    // pairs are within-cluster only, never all-pairs). Blocking trades
+    // recall BY DESIGN: only co-clustered pairs are candidates.
+    // Measured on the testdata (ClusteringSpec): recall 0.33 at τ=0.35
+    // vs the 1/k=0.125 co-cluster chance — 2.6× above chance, but the
+    // synthetic embeddings contain no true near-dups (zero pairs at
+    // cos ≥ 0.5), which is exactly the regime SemDeDup is NOT for. For
+    // recall-1.0 requirements use dedup_embedding_cosine (labeled
+    // blocks) or dedup_embedding_lsh (multi-table LSH).
     "dedup_semantic" -> ((spark, sfDir) => {
       semanticPairs(spark, sfDir)
         .select(col("vec_a"), col("vec_b"), col("cluster"),
