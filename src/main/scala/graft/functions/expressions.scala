@@ -850,7 +850,8 @@ object GraftFunctions {
     "lsh_buckets" -> (es => LshBuckets(es(0), intArg(es(1)), intArg(es(2)))),
     "field" -> (es => FieldFn(es)),
     "parse_url_tuple" -> (es => ParseUrlTuple(es)),
-    "vec_sum" -> (es => VecSumAgg(es.head))
+    "vec_sum" -> (es => VecSumAgg(es.head)),
+    "approx_topk" -> (es => ApproxTopKAgg(es(0), intArg(es(1)), intArg(es(2))))
   )
 
   /** Make the functions usable from spark.sql text too. */

@@ -149,6 +149,22 @@ object Aggregates {
 
     // collect_set/collect_list (GenericUDAFMkCollectionEvaluator) —
     // compared as a sorted joined string (set semantics, stable text).
+    // Misra–Gries frequent items (graft.functions.ApproxTopKAgg): the
+    // oracle is valid because o_orderpriority has 5 distinct values ≤
+    // buf=32 — the sketch's exactness boundary (counts are exact iff
+    // distinct ≤ buf; PropertySpec pins the boundary and the n/(buf+1)
+    // error bound beyond it, histogram_numeric-style).
+    "agg_approx_topk" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      graft.functions.GraftFunctions.register(spark)
+      spark.sql("""
+        SELECT o_orderstatus, item, cnt
+        FROM (SELECT o_orderstatus, APPROX_TOPK(o_orderpriority, 3, 32) AS tops
+              FROM orders GROUP BY o_orderstatus)
+        LATERAL VIEW INLINE(tops) t AS item, cnt
+        ORDER BY o_orderstatus, cnt DESC, item""")
+    }),
+
     "agg_collect" -> Tables.sql("""
       SELECT c_nationkey,
              ARRAY_JOIN(SORT_ARRAY(COLLECT_SET(c_mktsegment)), ',') AS segments,
@@ -277,6 +293,20 @@ object Aggregates {
       FROM lineitem
       GROUP BY l_returnflag, l_linenumber
       ORDER BY l_returnflag, bin""",
+
+    // exact regime: 5 distinct priorities ≤ buf=32 ⇒ plain top-3 counts
+    "agg_approx_topk" -> """
+      WITH c AS (
+        SELECT o_orderstatus, o_orderpriority AS item, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+      ), r AS (
+        SELECT o_orderstatus, item, cnt,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY cnt DESC, item) AS rn
+        FROM c
+      )
+      SELECT o_orderstatus, item, cnt FROM r WHERE rn <= 3
+      ORDER BY o_orderstatus, cnt DESC, item""",
 
     "agg_collect" -> """
       SELECT c_nationkey,

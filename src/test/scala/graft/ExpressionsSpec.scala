@@ -41,6 +41,25 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_topk through the engine: multi-partition exact regime + ordering") {
+    GraftFunctions.register(spark)
+    // 16 partitions force partial buffers through serialize/merge
+    spark.createDataset((1 to 300).map(i => s"v${i % 7}")).repartition(16)
+      .toDF("s").createOrReplaceTempView("atk_in")
+    val got = spark.sql("SELECT INLINE(approx_topk(s, 7, 32)) FROM atk_in")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val expect = (1 to 300).map(i => s"v${i % 7}")
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.toMap == expect, s"counts drifted: ${got.toSeq}")
+    // output ordered by (cnt desc, item)
+    assert(got.toSeq == got.toSeq.sortBy { case (i, c) => (-c, i) })
+    // null rows skipped
+    val withNull = spark.sql(
+      "SELECT approx_topk(v, 1, 4)[0].cnt FROM VALUES ('a'), (CAST(NULL AS STRING)), ('a') t(v)")
+      .collect().head.getLong(0)
+    assert(withNull == 2L)
+  }
+
   test("cosine_sim_d: exact values, -2.0 zero-norm guard, loud null element") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT cosine_sim_d(array(3.0d, 4.0d), array(3.0d, 4.0d))")

@@ -180,6 +180,8 @@ class FunctionParitySpec extends AnyFunSuite {
         v => v == "h.example")),
       "vec_sum" -> (("SELECT vec_sum(v)[0] FROM VALUES (array(1.0d)), (array(2.5d)) t(v)",
         v => v.asInstanceOf[Double] == 3.5)),
+      "approx_topk" -> (("SELECT approx_topk(v, 1, 8)[0].item FROM VALUES ('a'),('b'),('a') t(v)",
+        v => v == "a")),
       "ngrams_topk" -> (("SELECT ngrams_topk(tokenize('a b a b'), 2, 5, 100)[0].ngram",
         v => v == "a b")),
       "context_ngrams" -> (("SELECT context_ngrams(tokenize('x y x z'), array('x', NULL), 5, 100)[0].ngram",

@@ -90,6 +90,55 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("approx_topk (Misra-Gries): exact when distinct <= buf, n/(buf+1) bound beyond, any split") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def mg(buf: Int) = graft.functions.ApproxTopKAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(null), k = buf, buf = buf)
+    // drive update/merge/serde directly, as the engine would
+    def run(buf: Int, parts: List[List[String]]): Map[String, Long] = {
+      val a = mg(buf)
+      val partials = parts.map { p =>
+        p.foldLeft(a.createAggregationBuffer()) { (m, v) =>
+          // updateWith inline: same path as update() minus child eval
+          m.get(v) match {
+            case Some(c) => m.update(v, c + 1)
+            case None if m.size < buf => m.update(v, 1L)
+            case None =>
+              val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+              m.mapValuesInPlace { (_, c) => c - 1 }
+              m.foreach { case (k2, c) => if (c == 0L) dead += k2 }
+              dead.foreach(m.remove)
+          }
+          m
+        }
+      }.map(p => a.deserialize(a.serialize(p))) // serde at the shuffle boundary
+      partials.reduceOption((x, y) => a.merge(x, y))
+        .map(_.toMap).getOrElse(Map.empty)
+    }
+    val streamGen = Gen.listOf(Gen.frequency(
+      (8, Gen.const("hot")), (4, Gen.oneOf("w1", "w2")),
+      (2, Gen.oneOf("x1", "x2", "x3", "x4")),
+      (1, Gen.oneOf("r1", "r2", "r3", "r4", "r5", "r6"))))
+    val splitGen = Gen.chooseNum(1, 5)
+    check(Prop.forAll(streamGen, splitGen) { (stream, nParts) =>
+      val parts = stream.grouped(math.max(1, (stream.size + nParts - 1) / nParts))
+        .toList match { case Nil => List(Nil); case ps => ps }
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // exact regime: buf >= all distinct (13 possible values)
+      val exact = run(16, parts)
+      val exactOk = exact == truth
+      // sketch regime: buf = 3; the PODS'12 merged bound
+      val est = run(3, parts)
+      val n = stream.size.toLong
+      val bound = n / 4 // n/(buf+1)
+      val sketchOk = truth.forall { case (v, t) =>
+        val e = est.getOrElse(v, 0L)
+        e <= t && (t - e) <= bound
+      } && est.keySet.forall(truth.contains)
+      exactOk && sketchOk
+    })
+  }
+
   test("char_ngrams kernel equals the sliding-window reference on any text") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
