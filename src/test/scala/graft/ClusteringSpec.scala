@@ -147,6 +147,21 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
     assert(rounds <= 6, s"CC took $rounds rounds on the semantic pair graph")
   }
 
+  test("kmeans parameterization: k=16/iters=1 is complete, bounded, deterministic") {
+    import org.apache.spark.sql.functions.col
+    graft.Tables.register(spark, sf)
+    val cents = Clustering.kmeansCentroids(spark, sf, k = 16, iters = 1)
+    cents.length should be <= 16           // empty clusters may drop out
+    cents.foreach(_._2.length shouldBe 64)
+    val a1 = Clustering.assignUnderCentroids(spark.table("embeddings"), cents)
+      .select(col("vec_id"), col("cluster")).collect()
+    a1.length shouldBe 500
+    a1.map(_.getInt(1)).distinct.length should be <= 16
+    val cents2 = Clustering.kmeansCentroids(spark, sf, k = 16, iters = 1)
+    cents.map { case (c, v) => (c, v.toSeq) } shouldBe
+      cents2.map { case (c, v) => (c, v.toSeq) }   // bit-deterministic re-run
+  }
+
   test("kmeans fails loudly when the corpus has fewer than k vectors") {
     val ex = intercept[IllegalArgumentException] {
       Clustering.kmeansCentroids(spark, sf, k = 8, iters = 1,
