@@ -8,20 +8,23 @@ import graft.functions.Hashing
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, decoded/feature-extracted per partition.
   *
-  * The IMAGE half is REAL as of round 5: payloads whose magic bytes
-  * identify a PNG/JPEG/GIF/BMP are decoded with `javax.imageio` (in the
-  * JDK — no external codec needed), producing true pixel dimensions,
-  * BT.601 mean luma, an 8-bin luma histogram as the feature vector, and
-  * nearest-neighbor resampling for the resize stage
-  * (MultimodalImageSpec pins exact pixel goldens through a lossless PNG
-  * round-trip). Non-image payloads (the documents testdata is text) and
-  * the VIDEO frame stage still go through `FakeCodec`, a clearly-marked
-  * DETERMINISTIC STUB — the JDK ships no video codec, so frame counts /
-  * per-frame features remain synthetic. Everything around the codecs —
-  * binary column handling, the typed Dataset schema, mapPartitions with
-  * per-partition codec init, bounded per-row state — is the production
-  * shape. At 100 TB this is a narrow map stage: no shuffle, codec init
-  * amortized per partition, output columnar.
+  * The IMAGE and AUDIO halves are REAL as of round 5: payloads whose
+  * magic bytes identify a PNG/JPEG/GIF/BMP are decoded with
+  * `javax.imageio` (true pixel dimensions, BT.601 mean luma, 8-bin luma
+  * histogram features, nearest-neighbor resize — MultimodalImageSpec
+  * pins exact pixel goldens through lossless PNG round-trips), and
+  * WAV/AIFF PCM payloads decode through `javax.sound.sampled` (true
+  * sample rate/channels/frames, exact RMS, amplitude histogram —
+  * MultimodalAudioSpec pins sample-exact goldens). Both are
+  * JDK-resident: no external codec needed. Non-media payloads (the
+  * documents testdata is text) and the VIDEO frame stage still go
+  * through `FakeCodec`, a clearly-marked DETERMINISTIC STUB — the JDK
+  * ships no video codec, so frame counts / per-frame features remain
+  * synthetic (the one remaining fake kernel). Everything around the
+  * codecs — binary column handling, the typed Dataset schema,
+  * mapPartitions with per-partition codec init, bounded per-row state —
+  * is the production shape. At 100 TB these are narrow map stages: no
+  * shuffle, codec init amortized per partition, output columnar.
   */
 object Multimodal {
 
@@ -119,9 +122,77 @@ object Multimodal {
       }
   }
 
-  /** STUB: stands in for the remaining codec-less paths (non-image
-    * payloads, video). Deterministic in the payload bytes so results
-    * are testable. */
+  /** Decoded audio facts: true format parameters + amplitude stats. */
+  final case class AudioFacts(sampleRate: Int, channels: Int, nFrames: Long,
+                              rms: Double, hist: Array[Float])
+
+  /** REAL audio codec over `javax.sound.sampled` (JDK-resident; WAV/
+    * AIFF/AU PCM). PCM is lossless, so every derived value is an exact
+    * function of the authored samples: 16-bit samples normalize to
+    * s/32768.0, RMS accumulates in stream order, and the feature vector
+    * is an 8-bin |amplitude| histogram. Same degrade-don't-crash
+    * contract as ImageCodec for sniffed-but-corrupt payloads. */
+  object AudioCodec {
+    def isAudio(p: Array[Byte]): Boolean =
+      (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+      (p.length >= 12 && p(0) == 'F' && p(1) == 'O' && p(2) == 'R' &&
+        p(3) == 'M' && p(8) == 'A' && p(9) == 'I' && p(10) == 'F')
+
+    def decode(p: Array[Byte]): Option[AudioFacts] =
+      if (!isAudio(p)) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) return None // PCM16 only
+          val bytes = in.readAllBytes()
+          val big = fmt.isBigEndian
+          val n = bytes.length / 2
+          var sumSq = 0.0
+          val hist = new Array[Float](8)
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+            val hi = bytes(2 * i + (if (big) 0 else 1))
+            val s = ((hi << 8) | lo).toShort / 32768.0
+            sumSq += s * s
+            hist(math.min(7, (math.abs(s) * 8).toInt)) += 1f
+            i += 1
+          }
+          if (n == 0) return None
+          var b = 0
+          while (b < 8) { hist(b) /= n; b += 1 }
+          Some(AudioFacts(fmt.getSampleRate.toInt, fmt.getChannels,
+            in.getFrameLength, math.sqrt(sumSq / n), hist))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Output of the audio stage: one row per decodable audio payload. */
+  case class AudioRow(doc_id: Long, fmt: String, sample_rate: Int,
+                      channels: Int, n_frames: Long, rms: Double,
+                      feat: Array[Float])
+
+  /** Audio core: decodable payloads become typed rows, the rest are
+    * dropped (a production pipeline routes by modality first). Narrow
+    * flatMap — same per-partition-init shape as decode/resize. */
+  def audioRows(ds: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.Dataset[AudioRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        AudioCodec.decode(r.payload).map(a =>
+          AudioRow(r.doc_id, r.fmt, a.sampleRate, a.channels, a.nFrames,
+            a.rms, a.hist))
+      }
+    }
+  }
+
+  /** STUB: stands in for the remaining codec-less paths (non-image,
+    * non-audio payloads, video). Deterministic in the payload bytes so
+    * results are testable. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int, Double) = {
       val w = 16 + (math.abs(payload.length * 31) % 64)
