@@ -35,7 +35,22 @@ object AsOfJoin {
     * tracks "latest right ROW", never "latest non-null payload". */
   def asofBackward(leftDf: DataFrame, rightDf: DataFrame,
                    key: String, leftTs: String, rightTs: String,
-                   rightPayload: String): DataFrame = {
+                   rightPayload: String): DataFrame =
+    asofImpl(leftDf, rightDf, key, leftTs, rightTs, rightPayload, forward = false)
+
+  /** The forward mirror: the EARLIEST right row with rightTs >= leftTs
+    * per key ("next action after the impression"). Same single-shuffle
+    * union+window plan; right rows tag-sort AFTER left rows at equal
+    * ts, so an equal-timestamp right row is visible in the left row's
+    * following frame — `<=` semantics, mirroring backward's `>=`. */
+  def asofForward(leftDf: DataFrame, rightDf: DataFrame,
+                  key: String, leftTs: String, rightTs: String,
+                  rightPayload: String): DataFrame =
+    asofImpl(leftDf, rightDf, key, leftTs, rightTs, rightPayload, forward = true)
+
+  private def asofImpl(leftDf: DataFrame, rightDf: DataFrame,
+                       key: String, leftTs: String, rightTs: String,
+                       rightPayload: String, forward: Boolean): DataFrame = {
     val leftCols = leftDf.columns.toSeq
     // the helper columns are plain names (withColumn would silently
     // REPLACE a caller column of the same name and mis-resolve the join);
@@ -43,29 +58,37 @@ object AsOfJoin {
     val reserved = Seq("__side", "__ts", "__payload", "__match")
     val clashes = leftCols.filter(c => reserved.contains(c) || c == s"asof_$rightPayload")
     require(clashes.isEmpty,
-      s"asofBackward: left input columns ${clashes.mkString(", ")} collide " +
+      s"asof join: left input columns ${clashes.mkString(", ")} collide " +
         s"with reserved helper names (${reserved.mkString(", ")}) or the " +
         s"asof_$rightPayload output — rename them first")
     require(!reserved.contains(key) && !reserved.contains(rightTs) &&
         !reserved.contains(rightPayload),
-      "asofBackward: key/ts/payload parameters must not use reserved __ names")
+      "asof join: key/ts/payload parameters must not use reserved __ names")
     val payloadType = new org.apache.spark.sql.types.StructType()
       .add(rightPayload, rightDf.schema(rightPayload).dataType)
+    // equal-ts visibility in BOTH directions: right sorts before left
+    // (side 0) for backward, after left (side 2) for forward
+    val rSide = if (forward) 2 else 0
     val l = leftDf.withColumn("__side", lit(1))
       .withColumn("__ts", col(leftTs))
       .withColumn("__payload", lit(null).cast(payloadType))
     val r = rightDf
       .where(col(key).isNotNull && col(rightTs).isNotNull)
-      .select(col(key), lit(0).as("__side"), col(rightTs).as("__ts"),
+      .select(col(key), lit(rSide).as("__side"), col(rightTs).as("__ts"),
         struct(col(rightPayload)).as("__payload"))
     val unioned = l.select(
       (leftCols.map(col) :+ col("__side") :+ col("__ts") :+ col("__payload")): _*)
       .unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w0 = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+    val matched =
+      if (forward)
+        first(col("__payload"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__payload"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     unioned
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__match", matched)
       .where(col("__side") === 1)
       .select((leftCols.map(col)
         :+ col("__match").getField(rightPayload).as(s"asof_$rightPayload")): _*)
@@ -88,6 +111,24 @@ object AsOfJoin {
         .select(col("event_id"), col("user_id"),
           col("asof_view_id").as("view_id"))
         .orderBy(col("event_id"))
+    }),
+
+    // the forward direction: each purchase matched to the EARLIEST
+    // following-or-simultaneous view of the same user (next-action
+    // attribution)
+    "events_asof_forward" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val purchases = spark.table("events")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = spark.table("events")
+        .where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      asofForward(purchases, views, "user_id", "ts", "ts", "view_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_view_id").as("view_id"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -105,6 +146,21 @@ object AsOfJoin {
       FROM purchases p
       ASOF LEFT JOIN views v
         ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY p.event_id""",
+
+    // DuckDB ASOF with the <= inequality — the forward direction
+    "events_asof_forward" -> """
+      WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      ), views AS (
+        SELECT user_id, ts, MAX(event_id) AS view_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+      )
+      SELECT p.event_id, p.user_id, v.view_id
+      FROM purchases p
+      ASOF LEFT JOIN views v
+        ON p.user_id = v.user_id AND p.ts <= v.ts
       ORDER BY p.event_id"""
   )
 }

@@ -30,6 +30,24 @@ class SemanticTrapsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 888L), (2L, 777L), (3L, -1L), (4L, 999L)))
   }
 
+  test("asofForward: equal-ts right row matches, no-following-row yields null, keys isolate") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // key 10: ts 100 — a right row AT 100 exists (tie)
+      (2L, 10L, 60L),  // key 10: ts 60 — the next row is at 100
+      (3L, 10L, 140L), // key 10: ts 140 — nothing at or after -> null
+      (4L, 20L, 0L)    // key 20: other key's rows must not leak
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, 50L, 777L), (10L, 100L, 888L), (20L, 1L, 999L)
+    ).toDF("k", "ts", "payload")
+    val got = graft.operators.AsOfJoin
+      .asofForward(left, right, "k", "ts", "ts", "payload")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 888L), (2L, 888L), (3L, -1L), (4L, 999L)))
+  }
+
   test("rangeJoin equals brute-force containment for random intervals incl. boundaries") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
