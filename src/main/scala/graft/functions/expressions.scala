@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
@@ -208,6 +209,93 @@ case class CosineSimD(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimD =
     copy(left = newLeft, right = newRight)
+}
+
+/** Driver-built k-means centroid set, shipped ONCE PER EXECUTOR via
+  * `SparkContext.broadcast` and consumed by ArgMaxCosineD. ids must be
+  * ascending (ties in the argmax then resolve to the lowest cluster id).
+  * The per-centroid norm accumulators are precomputed here in index
+  * order — the identical left fold CosineSimD performs per row — so
+  * `dot / (sqrt(na) * sqrtNb(c))` is bit-for-bit the value the pairwise
+  * kernel (and the DuckDB oracle's list_reduce replication) produces. */
+final class CentroidMatrix(val ids: Array[Int], val vecs: Array[Array[Double]])
+    extends Serializable {
+  require(vecs.nonEmpty, "CentroidMatrix: no centroids")
+  require(ids.length == vecs.length, "CentroidMatrix: ids/vecs length mismatch")
+  require(ids.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+    "CentroidMatrix: ids must be strictly ascending")
+  val dim: Int = vecs(0).length
+  require(vecs.forall(_.length == dim), "CentroidMatrix: ragged centroid dims")
+  val nb: Array[Double] = vecs.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+  val sqrtNb: Array[Double] = nb.map(math.sqrt)
+}
+
+/** argmax_cosine_d(Array[Double]) → struct(cluster INT, cos DOUBLE):
+  * the scale-safe k-means assignment kernel. The k centroids arrive as
+  * a broadcast matrix — NOT as k literal structs in the projection —
+  * so the Catalyst plan holds ONE expression node regardless of k. At
+  * the SemDeDup regime (k = 10⁴–10⁵, dim 64 ⇒ ~10⁶–10⁷ doubles) the
+  * literal spelling is a plan/codegen bomb (k·dim constants in one
+  * projection) and re-ships the matrix with every task; the broadcast
+  * ships it once per executor and the kernel is one tight k×dim loop
+  * per row. Values are bit-identical to per-centroid CosineSimD calls:
+  * same index-order folds for dot/na/nb (nb precomputed in
+  * CentroidMatrix with the same fold), same `na*nb == 0 → -2.0` guard,
+  * same division. Ties keep the LOWEST cluster id (strict `>` over
+  * ascending ids — mirrors ORDER BY cos DESC, cid). */
+case class ArgMaxCosineD(child: Expression, centroids: Broadcast[CentroidMatrix])
+    extends UnaryExpression with Bridge.GraftExpectsInputTypes {
+  override def prettyName: String = "argmax_cosine_d"
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+
+  def kernel(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = centroids.value
+    val n = a.numElements()
+    require(n == m.dim,
+      s"argmax_cosine_d: vector dim $n != centroid dim ${m.dim}")
+    val v = new Array[Double](n)
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      // fail loudly like cosine_sim_d: getDouble on a null slot reads 0.0
+      require(!a.isNullAt(i), s"argmax_cosine_d: null element at index $i")
+      val x = a.getDouble(i)
+      v(i) = x; na += x * x; i += 1
+    }
+    val sqrtNa = math.sqrt(na)
+    var bestId = m.ids(0)
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < m.vecs.length) {
+      val cv = m.vecs(c)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v(j) * cv(j); j += 1 }
+      val cos = if (na * m.nb(c) == 0.0) -2.0
+                else dot / (sqrtNa * m.sqrtNb(c))
+      if (cos > bestCos) { bestCos = cos; bestId = m.ids(c) }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestId, bestCos))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argmaxCos", this, classOf[ArgMaxCosineD].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.kernel($a);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxCosineD =
+    copy(child = newChild)
 }
 
 /** jaccard_sim(Array[String], Array[String]) → Double:
@@ -804,6 +892,8 @@ object GraftFunctions {
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
   def cosine_sim_d(a: Column, b: Column): Column =
     Bridge.column(CosineSimD(Bridge.expression(a), Bridge.expression(b)))
+  def argmax_cosine_d(v: Column, cents: Broadcast[CentroidMatrix]): Column =
+    Bridge.column(ArgMaxCosineD(Bridge.expression(v), cents))
   def jaccard_sim(a: Column, b: Column): Column =
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
   def simhash64(c: Column): Column =

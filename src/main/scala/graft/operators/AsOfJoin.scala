@@ -40,9 +40,11 @@ object AsOfJoin {
 
   /** The forward mirror: the EARLIEST right row with rightTs >= leftTs
     * per key ("next action after the impression"). Same single-shuffle
-    * union+window plan; right rows tag-sort AFTER left rows at equal
-    * ts, so an equal-timestamp right row is visible in the left row's
-    * following frame — `<=` semantics, mirroring backward's `>=`. */
+    * union+window plan, run over the REVERSED sort so the running frame
+    * stays incremental; right rows carry a higher side tag, so at equal
+    * ts they sort before left rows in the descending order and an
+    * equal-timestamp right row is visible — `<=` semantics, mirroring
+    * backward's `>=`. */
   def asofForward(leftDf: DataFrame, rightDf: DataFrame,
                   key: String, leftTs: String, rightTs: String,
                   rightPayload: String): DataFrame =
@@ -79,14 +81,20 @@ object AsOfJoin {
     val unioned = l.select(
       (leftCols.map(col) :+ col("__side") :+ col("__ts") :+ col("__payload")): _*)
       .unionByName(r, allowMissingColumns = true)
-    val w0 = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
-    val matched =
+    // BOTH directions use the incremental running frame
+    // (unboundedPreceding, currentRow) — Spark evaluates it in O(n) per
+    // key. The forward direction just reverses the sort (ts DESC, side
+    // DESC: right side=2 still precedes left side=1 at equal ts), so the
+    // running `last` right row is the EARLIEST rightTs >= leftTs. The
+    // mirror frame (currentRow, unboundedFollowing) re-scans to the
+    // partition end for EVERY row — O(n²) on a hot key.
+    val w0 =
       if (forward)
-        first(col("__payload"), ignoreNulls = true)
-          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        Window.partitionBy(col(key)).orderBy(col("__ts").desc, col("__side").desc)
       else
-        last(col("__payload"), ignoreNulls = true)
-          .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+    val matched = last(col("__payload"), ignoreNulls = true)
+      .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     unioned
       .withColumn("__match", matched)
       .where(col("__side") === 1)

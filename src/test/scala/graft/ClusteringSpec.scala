@@ -157,6 +157,9 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
       .select(col("vec_id"), col("cluster")).collect()
     a1.length shouldBe 500
     a1.map(_.getInt(1)).distinct.length should be <= 16
+    // drop the train-once memo so the second call actually retrains —
+    // otherwise this determinism check would compare a cached Seq to itself
+    Clustering.invalidateModels(spark)
     val cents2 = Clustering.kmeansCentroids(spark, sf, k = 16, iters = 1)
     cents.map { case (c, v) => (c, v.toSeq) } shouldBe
       cents2.map { case (c, v) => (c, v.toSeq) }   // bit-deterministic re-run

@@ -74,15 +74,45 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"semantic dedup must block on cluster:\n$p")
     assert(p.contains("cosinesimd"), s"pair scoring must use the codegen'd kernel:\n$p")
-    // the assignment stage carries centroids as literals — no join, no
-    // exchange between the embeddings scan and the argmax projection
+    // the assignment stage consumes a broadcast centroid matrix via one
+    // kernel expression — no join, no exchange between the embeddings
+    // scan and the argmax projection
     val ap = plan("cluster_kmeans_assign")
     assert("Exchange".r.findAllIn(ap).length == 1, // the output sort only
       s"assignment should add no exchange beyond the final ORDER BY:\n$ap")
+    assert(ap.contains("argmax_cosine_d"),
+      s"assignment must use the broadcast argmax kernel:\n$ap")
     // the incremental arrival path must stay cluster-blocked too
     val ip = plan("dedup_incremental_semantic")
     assert(!ip.contains("CartesianProduct") && !ip.contains("BroadcastNestedLoopJoin"),
       s"batch-vs-corpus matching must block on cluster:\n$ip")
+  }
+
+  test("kmeans assignment plan is O(1) in k — flat at k=256, no literal centroid structs") {
+    // the round-5 literal-centroid spelling put k·dim constants in one
+    // projection: invisible at k=8, a plan/codegen bomb at the
+    // k=10⁴–10⁵ SemDeDup regime the module documents. Gate: at k=256
+    // the executed plan stays the SAME SIZE as k=8 (one broadcast
+    // matrix + one kernel expression), and the assignment still runs.
+    Tables.register(spark, LocalSpark.sf)
+    def syntheticCents(k: Int) = (0 until k).map { i =>
+      (i, Array.tabulate(64)(d => ((i * 64 + d) % 97 + 1) / 97.0))
+    }
+    def planOf(k: Int): String = Clustering.assignUnderCentroids(
+      spark.table("embeddings"), syntheticCents(k))
+      .queryExecution.executedPlan.toString()
+    val p8 = planOf(8)
+    val p256 = planOf(256)
+    assert(p256.contains("argmax_cosine_d"), p256)
+    assert(!p256.contains("named_struct"),
+      s"literal centroid structs leaked back into the plan:\n$p256")
+    assert(p256.length <= p8.length + 64,  // identical shape, maybe id noise
+      s"plan grew with k: ${p8.length} chars at k=8, ${p256.length} at k=256")
+    val out = Clustering.assignUnderCentroids(
+      spark.table("embeddings"), syntheticCents(256))
+    val rows = out.select($"vec_id", $"cluster").collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 256))
   }
 
   test("ann_lsh_bucketed joins on (table,bucket) — no cartesian fallback") {

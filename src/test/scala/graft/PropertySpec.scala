@@ -98,22 +98,10 @@ class PropertySpec extends AnyFunSuite {
     def run(buf: Int, parts: List[List[String]]): Map[String, Long] = {
       val a = mg(buf)
       val partials = parts.map { p =>
-        p.foldLeft(a.createAggregationBuffer()) { (m, v) =>
-          // updateWith inline: same path as update() minus child eval
-          m.get(v) match {
-            case Some(c) => m.update(v, c + 1)
-            case None if m.size < buf => m.update(v, 1L)
-            case None =>
-              val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-              m.mapValuesInPlace { (_, c) => c - 1 }
-              m.foreach { case (k2, c) => if (c == 0L) dead += k2 }
-              dead.foreach(m.remove)
-          }
-          m
-        }
+        p.foldLeft(a.createAggregationBuffer())((b, v) => a.updateValue(b, v))
       }.map(p => a.deserialize(a.serialize(p))) // serde at the shuffle boundary
       partials.reduceOption((x, y) => a.merge(x, y))
-        .map(_.toMap).getOrElse(Map.empty)
+        .map(_.counts).getOrElse(Map.empty)
     }
     val streamGen = Gen.listOf(Gen.frequency(
       (8, Gen.const("hot")), (4, Gen.oneOf("w1", "w2")),
