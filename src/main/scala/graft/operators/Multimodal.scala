@@ -16,12 +16,14 @@ import graft.functions.Hashing
   * WAV/AIFF PCM payloads decode through `javax.sound.sampled` (true
   * sample rate/channels/frames, exact RMS, amplitude histogram —
   * MultimodalAudioSpec pins sample-exact goldens). Both are
-  * JDK-resident: no external codec needed. Non-media payloads (the
-  * documents testdata is text) and the VIDEO frame stage still go
-  * through `FakeCodec`, a clearly-marked DETERMINISTIC STUB — the JDK
-  * ships no video codec, so frame counts / per-frame features remain
-  * synthetic (the one remaining fake kernel). Everything around the
-  * codecs — binary column handling, the typed Dataset schema,
+  * JDK-resident: no external codec needed. The FRAME stage is real too
+  * as of round 6 for the one multi-frame format the JDK decodes:
+  * animated GIF via ImageIO's GIF reader (`FrameCodec`) — true frame
+  * counts and exact per-frame mean luma, with per-frame goldens in
+  * MultimodalImageSpec. Only payloads NO JDK codec can decode (true
+  * video containers like MP4/WebM, and the text testdata) go through
+  * `FakeCodec`, a clearly-marked DETERMINISTIC STUB. Everything around
+  * the codecs — binary column handling, the typed Dataset schema,
   * mapPartitions with per-partition codec init, bounded per-row state —
   * is the production shape. At 100 TB these are narrow map stages: no
   * shuffle, codec init amortized per partition, output columnar.
@@ -71,7 +73,7 @@ object Multimodal {
         catch { case scala.util.control.NonFatal(_) => None }
 
     /** Per-pixel luma grid in raster order (y-major), values in [0,256). */
-    private def lumaGrid(img: java.awt.image.BufferedImage): Array[Double] = {
+    private[operators] def lumaGrid(img: java.awt.image.BufferedImage): Array[Double] = {
       val w = img.getWidth; val h = img.getHeight
       val rgb = img.getRGB(0, 0, w, h, null, 0, w)
       val out = new Array[Double](w * h)
@@ -168,6 +170,57 @@ object Multimodal {
             in.getFrameLength, math.sqrt(sumSq / n), hist))
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL multi-frame decode for the one "video-shaped" format the JDK
+    * ships a codec for: animated GIF, via ImageIO's GIF ImageReader
+    * (`getNumImages(true)` scans the stream; `read(i)` decodes frame i).
+    * Each frame's dims and BT.601 mean luma are exact functions of the
+    * decoded raster (same lumaGrid as ImageCodec) —
+    * MultimodalImageSpec pins per-frame goldens through lossless
+    * grayscale-palette round-trips. Same degrade-don't-crash contract
+    * as the other codecs: sniffed-but-corrupt payloads return None and
+    * fall back to the deterministic stub. */
+  object FrameCodec {
+    final case class Frame(width: Int, height: Int, meanLuma: Double)
+
+    /** Covers GIF87a and GIF89a. */
+    def isGif(p: Array[Byte]): Boolean =
+      p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+
+    /** All frames in stream order; None when not a decodable GIF. */
+    def frames(p: Array[Byte]): Option[IndexedSeq[Frame]] =
+      if (!isGif(p)) None
+      else {
+        var iis: javax.imageio.stream.ImageInputStream = null
+        var reader: javax.imageio.ImageReader = null
+        try {
+          iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(p))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            reader = readers.next()
+            // allowSearch=false would make getNumImages return -1; the
+            // payload is in memory, so the full scan is cheap
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None
+            else Some((0 until n).map { i =>
+              val img = reader.read(i)
+              val lum = ImageCodec.lumaGrid(img)
+              var s = 0.0
+              var j = 0
+              while (j < lum.length) { s += lum(j); j += 1 }
+              Frame(img.getWidth, img.getHeight, s / lum.length)
+            })
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally {
+          if (reader != null) reader.dispose()
+          if (iis != null) iis.close()
+        }
+      }
   }
 
   /** Output of the audio stage: one row per decodable audio payload. */
@@ -321,23 +374,37 @@ object Multimodal {
                      targetW: Int, targetH: Int): DataFrame =
     resizeRows(mediaInput(spark, sfDir), targetW, targetH).toDF()
 
-  /** Frame-sample stage: every Nth frame of a "video" payload becomes a
-    * row — a flatMap, so output cardinality is data-dependent (the
-    * explode shape a real frame extractor produces). STILL STUB: the JDK
-    * has no video codec, so frame counts/features stay synthetic — the
-    * one remaining fake kernel in this module. */
-  def frameSamplePipeline(spark: SparkSession, sfDir: String,
-                          everyN: Int): DataFrame = {
+  /** Frame-sample core: every Nth frame of a multi-frame payload becomes
+    * a row — a flatMap, so output cardinality is data-dependent (the
+    * explode shape a real frame extractor produces). REAL for animated
+    * GIF (FrameCodec): true frame count, frame_feat = the frame's exact
+    * mean luma scaled to [0,1) (meanLuma/256 — the same range the stub
+    * feature spans, so the column's semantics hold across both paths).
+    * Payloads ImageIO cannot decode (the JDK has no MP4/WebM codec)
+    * fall back to the deterministic FakeCodec stub. */
+  def frameRows(ds: org.apache.spark.sql.Dataset[MediaRow], everyN: Int)
+      : org.apache.spark.sql.Dataset[FrameRow] = {
     require(everyN >= 1)
-    import spark.implicits._
-    mediaInput(spark, sfDir).mapPartitions { rows =>
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
-        val n = FakeCodec.frameCount(r.payload)
-        (0 until n by everyN).iterator.map(i =>
-          FrameRow(r.doc_id, i, n, FakeCodec.frameFeature(r.payload, i)))
+        FrameCodec.frames(r.payload) match {
+          case Some(fs) =>
+            (0 until fs.length by everyN).iterator.map(i =>
+              FrameRow(r.doc_id, i, fs.length, fs(i).meanLuma / 256.0))
+          case None =>
+            val n = FakeCodec.frameCount(r.payload)
+            (0 until n by everyN).iterator.map(i =>
+              FrameRow(r.doc_id, i, n, FakeCodec.frameFeature(r.payload, i)))
+        }
       }
-    }.toDF()
+    }
   }
+
+  def frameSamplePipeline(spark: SparkSession, sfDir: String,
+                          everyN: Int): DataFrame =
+    frameRows(mediaInput(spark, sfDir), everyN).toDF()
 
   private type Q = (SparkSession, String) => DataFrame
 
@@ -352,8 +419,9 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
-    // Resize + frame-sample stages (stub kernels, real plumbing) —
-    // rows-only like multimodal_decode; PipelineSpec pins invariants.
+    // Resize + frame-sample stages (real codecs for image/GIF payloads,
+    // deterministic stub for undecodable ones) — rows-only like
+    // multimodal_decode; PipelineSpec pins invariants.
     "multimodal_resize" -> ((spark, sfDir) => {
       resizePipeline(spark, sfDir, 32, 32)
         .select(col("doc_id"), col("width"), col("height"),

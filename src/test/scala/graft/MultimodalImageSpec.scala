@@ -11,8 +11,9 @@ import graft.operators.Multimodal.{ImageCodec, MediaRow}
 /** Pixel goldens for the REAL image half of Multimodal: programmatic
   * rasters round-tripped through PNG (lossless, so decode must
   * reproduce the source pixels exactly), driven both directly and
-  * through the Spark mapPartitions pipelines. The video/frames stage is
-  * deliberately NOT covered here — it remains the documented stub. */
+  * through the Spark mapPartitions pipelines. The frame stage gets the
+  * same treatment through animated GIF: grayscale palettes round-trip
+  * losslessly, so per-frame mean luma is pinned exactly. */
 class MultimodalImageSpec extends AnyFunSuite with Matchers {
   lazy val spark = LocalSpark.spark
 
@@ -84,6 +85,87 @@ class MultimodalImageSpec extends AnyFunSuite with Matchers {
     val g = ImageCodec.decode(gif.toByteArray).get
     (g.width, g.height) shouldBe ((5, 7))  // GIF palettizes: dims only
     g.meanLuma should (be >= 0.0 and be <= 255.0)
+  }
+
+  /** Grayscale frame over an EXPLICIT 256-gray IndexColorModel: the GIF
+    * writer keeps an indexed image's own palette verbatim (an RGB input
+    * would be quantized to the writer's fixed palette), so the
+    * round-trip is lossless and luma(v,v,v) = v by the integer BT.601
+    * weights (299+587+114=1000). Frames are SINGLE-ROW (h=1): the JDK
+    * writer's default metadata claims interlacing it does not perform,
+    * so readers de-interlace rows that were stored progressively —
+    * scrambling and even zero-dropping rows of taller rasters. One row
+    * has exactly one interlace position, so the authored bytes decode
+    * exactly while still exercising 16 distinct levels per frame. */
+  private def grayFrame(w: Int, seed: Int): BufferedImage = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new BufferedImage(w, 1, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (x <- 0 until w) {
+      val v = ((x * 5 + seed * 7) % 16) * 16 // 16 gray levels
+      img.setRGB(x, 0, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def animatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  test("animated GIF frames: exact count and per-frame mean luma goldens") {
+    val srcs = (0 until 5).map(i => grayFrame(6, i))
+    val gif = animatedGif(srcs)
+    val fs = Multimodal.FrameCodec.frames(gif).get
+    fs.length shouldBe 5
+    srcs.zip(fs).foreach { case (src, f) =>
+      (f.width, f.height) shouldBe ((6, 1))
+      val expect = (0 until 6).map(x => luma(src, x, 0)).sum / 6.0
+      f.meanLuma shouldBe expect // lossless gray palette: exact
+    }
+    // a single-frame GIF is a 1-frame sequence, not a fallback
+    Multimodal.FrameCodec.frames(animatedGif(srcs.take(1))).get.length shouldBe 1
+  }
+
+  test("frame pipeline: every-Nth sampling over real GIF frames, stub for text") {
+    import spark.implicits._
+    val srcs = (0 until 7).map(i => grayFrame(4, i))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "gif", animatedGif(srcs)),
+      Multimodal.MediaRow(2L, "txt", "not a video".getBytes("UTF-8")))
+    val out = Multimodal.frameRows(spark.createDataset(rows), everyN = 3)
+      .collect().sortBy(r => (r.doc_id, r.frame_idx))
+    // GIF: frames 0,3,6 of 7, feat = exact meanLuma/256
+    val gifRows = out.filter(_.doc_id == 1L)
+    gifRows.map(_.frame_idx).toSeq shouldBe Seq(0, 3, 6)
+    gifRows.foreach { r =>
+      r.n_frames shouldBe 7
+      val src = srcs(r.frame_idx)
+      val expect = (0 until 4).map(x => luma(src, x, 0)).sum / 4.0 / 256.0
+      r.frame_feat shouldBe expect
+    }
+    // text: documented deterministic stub path
+    val txtRows = out.filter(_.doc_id == 2L)
+    val n = Multimodal.FakeCodec.frameCount(rows(1).payload)
+    txtRows.map(_.frame_idx).toSeq shouldBe (0 until n by 3)
+    txtRows.foreach(r =>
+      r.frame_feat shouldBe Multimodal.FakeCodec.frameFeature(rows(1).payload, r.frame_idx))
+  }
+
+  test("corrupt GIF payloads degrade to the stub frame path, not a task failure") {
+    val truncated = animatedGif((0 until 3).map(i => grayFrame(8, i))).take(30)
+    Multimodal.FrameCodec.isGif(truncated) shouldBe true
+    Multimodal.FrameCodec.frames(truncated) shouldBe None
+    Multimodal.FrameCodec.frames("plain text".getBytes) shouldBe None
   }
 
   test("magic sniff: text payloads never reach ImageIO") {
