@@ -154,6 +154,27 @@ object Aggregates {
     // buf=32 — the sketch's exactness boundary (counts are exact iff
     // distinct ≤ buf; PropertySpec pins the boundary and the n/(buf+1)
     // error bound beyond it, histogram_numeric-style).
+    // Spark's built-in HLL++ sketch (approx_count_distinct) in its
+    // EXACT regime, the same honest-boundary treatment as
+    // histogram_numeric / approx_topk: with 2^14 registers the
+    // small-cardinality estimate comes from linear counting, which is
+    // exact only while no two values collide in a register —
+    // empirically already off at 50 distincts on this data (47; pinned
+    // in HistogramExactnessSpec), so the oracled columns stay at
+    // cardinality <= 7 where the estimate provably matched COUNT
+    // DISTINCT at both harness SFs. Both the sketch and the exact
+    // counts are in the output row, so the compare enforces ad == ed.
+    "agg_approx_distinct" -> Tables.sql("""
+      SELECT l_returnflag,
+             APPROX_COUNT_DISTINCT(l_linestatus) AS ad_status,
+             COUNT(DISTINCT l_linestatus) AS ed_status,
+             APPROX_COUNT_DISTINCT(l_linenumber) AS ad_lineno,
+             COUNT(DISTINCT l_linenumber) AS ed_lineno,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+
     "agg_approx_topk" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       graft.functions.GraftFunctions.register(spark)
@@ -269,6 +290,20 @@ object Aggregates {
              ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
              ROUND(COVAR_POP(l_quantity, l_discount), 6) AS covp_qty_disc,
              ROUND(COVAR_SAMP(l_quantity, l_tax), 6) AS covs_qty_tax
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    // exact regime: the sketch must equal COUNT(DISTINCT) at these
+    // cardinalities (<= 7), so the oracle simply substitutes the exact
+    // aggregate for the sketch
+    "agg_approx_distinct" -> """
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_linestatus) AS ad_status,
+             COUNT(DISTINCT l_linestatus) AS ed_status,
+             COUNT(DISTINCT l_linenumber) AS ad_lineno,
+             COUNT(DISTINCT l_linenumber) AS ed_lineno,
+             COUNT(*) AS n_rows
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",

@@ -316,8 +316,9 @@ object Clustering {
 
   // ---------------------------------------------------------------- oracle
 
-  /** DuckDB cosine replication: identical fold order as cosD. */
-  private def cosSql(a: String, b: String): String = {
+  /** DuckDB cosine replication: identical fold order as cosD. Shared
+    * with Similarity's quantized-ANN oracle (same CosineSimD kernel). */
+  private[operators] def cosSql(a: String, b: String): String = {
     def na(v: String) =
       s"list_reduce(list_prepend(0.0, list_transform($v, x -> x * x)), (x, y) -> x + y)"
     val dot = s"""list_reduce(list_prepend(0.0,

@@ -64,6 +64,41 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // ANN over the QUANTIZED store: the int8 codes from
+    // embed_quantize_int8 reconstructed (q·scale — one IEEE multiply
+    // per element, bit-deterministic) and scored with the codegen'd
+    // double-cosine kernel. This is how a production vector store
+    // actually serves: the 4×-smaller codes are what's resident, and
+    // search runs on reconstructions. Same brute-force top-3 shape as
+    // ann_cosine_topk so the recall cost of quantization is directly
+    // measurable (pinned >= 14/15 in PipelineSpec). DuckDB replicates
+    // the whole pipeline — quantize, reconstruct, fold-ordered cosine —
+    // so the compare is exact, no tolerance.
+    "ann_quantized_topk" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      GraftFunctions.register(spark)
+      // reconstruction: same per-element steps as embed_quantize_int8
+      // (scale as its own attribute — see the lateral-alias note there)
+      val rec = spark.table("embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("ed"))
+        .withColumn("sc_raw", array_max(transform(col("ed"), abs(_))) / lit(127.0))
+        .withColumn("q", transform(col("ed"), x =>
+          least(greatest(floor(x / col("sc_raw") + lit(0.5)), lit(-127L)), lit(127L))))
+        .select(col("vec_id"),
+          transform(col("q"), x => x.cast("double") * col("sc_raw")).as("rd"))
+      val qs = rec.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("rd").as("qrd"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      rec.select(col("vec_id").as("nid"), col("rd"))
+        .join(broadcast(qs))
+        .where(col("qid") =!= col("nid"))
+        .withColumn("cos", round(GraftFunctions.cosine_sim_d(col("qrd"), col("rd")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("qid"), col("nid"), col("cos"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // Exact cosine top-3 for 5 query vectors against the whole corpus.
     "ann_cosine_topk" -> gsql("""
       WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
@@ -252,6 +287,30 @@ object Similarity {
                ROUND(LIST_COSINE_SIMILARITY(pr.qemb, c.emb), 6) AS cos
         FROM probes pr JOIN cells c USING (cell)
         WHERE pr.qid <> c.vec_id
+      )
+      SELECT qid, nid, cos, rn FROM (
+        SELECT qid, nid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        FROM scored)
+      WHERE rn <= 3 ORDER BY qid, rn""",
+
+    // quantize + reconstruct exactly as embed_quantize_int8's oracle,
+    // then the Clustering.cosSql fold replication of CosineSimD —
+    // identical IEEE op order end to end, bit-exact compare
+    "ann_quantized_topk" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+      s AS (SELECT vec_id, ed,
+              list_max(list_transform(ed, x -> abs(x))) / 127.0 AS scale
+            FROM e),
+      r AS (SELECT vec_id,
+              list_transform(ed, x ->
+                CAST(LEAST(GREATEST(floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)
+                  * scale) AS rd
+            FROM s),
+      scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND(${Clustering.cosSql("a.rd", "b.rd")}, 6) AS cos
+        FROM r a JOIN r b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
       )
       SELECT qid, nid, cos, rn FROM (
         SELECT qid, nid, cos,

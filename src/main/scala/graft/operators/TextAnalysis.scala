@@ -184,8 +184,61 @@ object TextAnalysis {
              ARRAY_MIN(fp) AS min_fp
       FROM (SELECT doc_id, WINNOW_FINGERPRINT(text, 8, 4) AS fp
             FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents))
-      ORDER BY doc_id""")
+      ORDER BY doc_id"""),
+
+    // BM25 keyword retrieval (Robertson–Spärck Jones; k1=1.2, b=0.75) —
+    // the lexical half of hybrid search beside the ann_* operators:
+    // top-10 docs for a fixed 4-term query. 100 TB shape: one corpus
+    // scan computes per-doc (len, tf·terms); one aggregate reduces it
+    // to a single stats row (N, total_len, df·terms) that joins back as
+    // a broadcast; scoring is narrow; ORDER BY+LIMIT plans
+    // TakeOrderedAndProject, never a global sort (PlanQualitySpec).
+    // Determinism: tf/df/len/N are integers; each per-term score is one
+    // fixed IEEE op sequence (bm25Term — textually identical SQL on
+    // both engines); the 4 terms add in fixed order; LN may differ from
+    // DuckDB's by 1 ulp, so the score carries the same ROUND boundary
+    // as cluster_*'s cosines, and ranking orders by the ROUNDED value.
+    "text_bm25_topk" -> gsql(s"""
+      WITH t AS (
+        SELECT doc_id, TOKENIZE(text) AS toks FROM documents
+      ), d AS (
+        SELECT doc_id, SIZE(toks) AS len,
+               SIZE(FILTER(toks, w -> w = 'spark'))  AS tf1,
+               SIZE(FILTER(toks, w -> w = 'join'))   AS tf2,
+               SIZE(FILTER(toks, w -> w = 'window')) AS tf3,
+               SIZE(FILTER(toks, w -> w = 'query'))  AS tf4
+        FROM t
+      ), st AS (
+        SELECT COUNT(*) AS n, SUM(len) AS total_len,
+               SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+               SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
+               SUM(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4
+        FROM d
+      )
+      SELECT doc_id, len AS n_tokens,
+             ROUND(${bm25Sum()}, 6) AS score
+      FROM d CROSS JOIN st
+      ORDER BY score DESC, doc_id
+      LIMIT 10""")
   )
+
+  /** One BM25 term's contribution, as SQL that parses identically in
+    * Spark and DuckDB — every operand is cast to DOUBLE explicitly and
+    * the op order is fixed by the parenthesization, so both engines run
+    * the same IEEE sequence (LN aside — absorbed by the 6-dp ROUND). */
+  private def bm25Term(tf: String, df: String): String = s"""
+    LN(1.0 + (CAST(n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5)
+           / (CAST($df AS DOUBLE) + 0.5))
+    * (CAST($tf AS DOUBLE) * 2.2)
+    / (CAST($tf AS DOUBLE)
+       + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(len AS DOUBLE)
+                / (CAST(total_len AS DOUBLE) / CAST(n AS DOUBLE)))))"""
+
+  /** The 4 query terms summed in fixed (left-assoc) order. */
+  private def bm25Sum(): String =
+    Seq(bm25Term("tf1", "df1"), bm25Term("tf2", "df2"),
+        bm25Term("tf3", "df3"), bm25Term("tf4", "df4")).mkString(" + ")
 
   val oracle: Map[String, String] = Map(
     // FULL INDEPENDENT REPLICATION of the winnowing fingerprint
@@ -374,6 +427,35 @@ object TextAnalysis {
       FROM grams
       GROUP BY ngram
       ORDER BY freq DESC, ngram
-      LIMIT 20"""
+      LIMIT 20""",
+
+    // same tokenization replication as text_tokens, then textually the
+    // SAME bm25Term/bm25Sum arithmetic — only LN differs (1 ulp),
+    // absorbed by the shared ROUND(., 6) boundary
+    "text_bm25_topk" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), d AS (
+        SELECT doc_id, LEN(toks) AS len,
+               LEN(LIST_FILTER(toks, w -> w = 'spark'))  AS tf1,
+               LEN(LIST_FILTER(toks, w -> w = 'join'))   AS tf2,
+               LEN(LIST_FILTER(toks, w -> w = 'window')) AS tf3,
+               LEN(LIST_FILTER(toks, w -> w = 'query'))  AS tf4
+        FROM t
+      ), st AS (
+        SELECT COUNT(*) AS n, SUM(len) AS total_len,
+               SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+               SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
+               SUM(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4
+        FROM d
+      )
+      SELECT doc_id, CAST(len AS INT) AS n_tokens,
+             ROUND(${bm25Sum()}, 6) AS score
+      FROM d CROSS JOIN st
+      ORDER BY score DESC, doc_id
+      LIMIT 10"""
   )
 }

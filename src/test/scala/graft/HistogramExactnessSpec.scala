@@ -13,6 +13,29 @@ import org.scalatest.funsuite.AnyFunSuite
 class HistogramExactnessSpec extends AnyFunSuite {
   lazy val spark = LocalSpark.spark
 
+  test("approx_count_distinct exactness boundary: <=7 distinct exact, 50 already collides") {
+    // agg_approx_distinct's oracle substitutes COUNT(DISTINCT) for the
+    // HLL++ sketch, which is only valid while linear counting sees no
+    // register collisions. The boundary is MUCH tighter than the
+    // 2^14-register capacity suggests: on this data 50 distinct
+    // l_quantity values already hash into 47 registers. The oracled
+    // columns (l_linestatus: 2, l_linenumber: 7) sit safely inside.
+    val sf = "/root/testdata/sf0.01"
+    Tables.register(spark, sf)
+    val r = spark.sql("""
+      SELECT APPROX_COUNT_DISTINCT(l_linestatus), COUNT(DISTINCT l_linestatus),
+             APPROX_COUNT_DISTINCT(l_linenumber), COUNT(DISTINCT l_linenumber),
+             APPROX_COUNT_DISTINCT(l_quantity),   COUNT(DISTINCT l_quantity)
+      FROM lineitem""").collect()(0)
+    assert(r.getLong(0) == r.getLong(1), "linestatus sketch must be exact")
+    assert(r.getLong(2) == r.getLong(3), "linenumber sketch must be exact")
+    assert(r.getLong(4) < r.getLong(5),
+      s"l_quantity (${r.getLong(5)} distinct) was exact (${r.getLong(4)}) — " +
+        "if the sketch got better, agg_approx_distinct could safely widen")
+    Tables.invalidate(spark)
+    Tables.register(spark, LocalSpark.sf)
+  }
+
   test("one partial per group (REPARTITION(1)) is exact under any file layout") {
     import spark.implicits._
     val df = (1 to 7).flatMap(v => Seq.fill(100 + v)(v)).toDF("x")

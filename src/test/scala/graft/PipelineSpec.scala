@@ -79,6 +79,20 @@ class PipelineSpec extends AnyFunSuite {
     assertMinhashOracleValid("/root/testdata/sf0.1")
   }
 
+  test("ann_quantized_topk: int8 recall@3 vs the float path at the driver's sf0.01") {
+    val sf = "/root/testdata/sf0.01"
+    def pairs(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = pairs("ann_quantized_topk")
+    val float = pairs("ann_cosine_topk")
+    assert(float.size == 15 && quant.size == 15)
+    // int8 reconstruction perturbs cosines by ~1e-3; at most one of the
+    // 15 neighbors flips on this data — a drop below 14/15 means the
+    // quantize/reconstruct path regressed, not "the data changed"
+    val recall = (quant & float).size
+    assert(recall >= 14, s"quantized recall dropped: $recall/15 — $quant vs $float")
+  }
+
   test("dedup_clusters equals local union-find over the same pairs") {
     Tables.register(spark, LocalSpark.sf)
     val pairs = Dedup.queries("dedup_minhash_lsh")(spark, LocalSpark.sf)

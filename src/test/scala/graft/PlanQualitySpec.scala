@@ -237,6 +237,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected partial aggregation below the exchange:\n$p")
   }
 
+  test("text_bm25_topk: top-k via TakeOrderedAndProject, stats row broadcast") {
+    val p = plan("text_bm25_topk")
+    // ORDER BY score LIMIT 10 must not global-sort the corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the single (N, total_len, df*) stats row joins back as a broadcast
+    // (a 1-row BroadcastNestedLoopJoin is the scalar-subquery pattern,
+    // fine at any scale); a shuffled join here would move the corpus
+    assert(!p.contains("SortMergeJoin"), s"stats row must broadcast:\n$p")
+  }
+
   test("Hive MAPJOIN hint produces a broadcast join") {
     val p = plan("join_mapjoin_hint")
     assert(p.contains("BroadcastHashJoin"), p)
