@@ -137,6 +137,42 @@ object AsOfJoin {
         .select(col("event_id"), col("user_id"),
           col("asof_view_id").as("view_id"))
         .orderBy(col("event_id"))
+    }),
+
+    // NEAREST-event join: each purchase matched to the view of the same
+    // user with the smallest |Δt| in EITHER direction (ties prefer the
+    // earlier view) — the sensor-alignment flavor of as-of. Composed
+    // from both directional passes: the view's own timestamp rides in
+    // the payload struct, so the driver-side CASE compares the two
+    // candidate distances without another join. Still two key shuffles
+    // of |L|+|R| rows total, never a pairwise product (the ORACLE does
+    // the full |L|×|R|-per-user join — that is what being the oracle
+    // is for).
+    "events_asof_nearest" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val purchases = spark.table("events")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = spark.table("events")
+        .where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumn("vp", struct(col("ts").as("vts"), col("view_id")))
+        .select(col("user_id"), col("ts"), col("vp"))
+      val back = asofBackward(purchases, views, "user_id", "ts", "ts", "vp")
+        .withColumnRenamed("asof_vp", "bvp")
+      val both = asofForward(back, views, "user_id", "ts", "ts", "vp")
+        .withColumnRenamed("asof_vp", "fvp")
+      val db = unix_micros(col("ts")) - unix_micros(col("bvp.vts"))
+      val df = unix_micros(col("fvp.vts")) - unix_micros(col("ts"))
+      both
+        .withColumn("nvp",
+          when(col("bvp").isNotNull && (col("fvp").isNull || db <= df),
+            col("bvp")).otherwise(col("fvp")))
+        .select(col("event_id"), col("user_id"),
+          col("nvp.view_id").as("nearest_view_id"),
+          (unix_micros(col("nvp.vts")) - unix_micros(col("ts"))).as("dt_us"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -169,6 +205,33 @@ object AsOfJoin {
       FROM purchases p
       ASOF LEFT JOIN views v
         ON p.user_id = v.user_id AND p.ts <= v.ts
+      ORDER BY p.event_id""",
+
+    // independent formulation: full per-user candidate join ranked by
+    // (|Δt|, Δt) — the secondary Δt key realizes the earlier-view tie
+    // preference (negative sorts first); LEFT JOIN keeps purchases of
+    // users with no views at all
+    "events_asof_nearest" -> """
+      WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      ), views AS (
+        SELECT user_id, ts, MAX(event_id) AS view_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+      ), cand AS (
+        SELECT p.event_id, v.view_id,
+               epoch_us(v.ts) - epoch_us(p.ts) AS sdist
+        FROM purchases p JOIN views v USING (user_id)
+      ), best AS (
+        SELECT event_id, view_id, sdist,
+               ROW_NUMBER() OVER (PARTITION BY event_id
+                                  ORDER BY ABS(sdist), sdist) AS rn
+        FROM cand
+      )
+      SELECT p.event_id, p.user_id,
+             b.view_id AS nearest_view_id, b.sdist AS dt_us
+      FROM purchases p
+      LEFT JOIN best b ON b.event_id = p.event_id AND b.rn = 1
       ORDER BY p.event_id"""
   )
 }

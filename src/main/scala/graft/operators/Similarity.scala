@@ -99,6 +99,48 @@ object Similarity {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // Hybrid search: reciprocal-rank fusion (Cormack et al., SIGIR'09;
+    // k=60) of the dense ranking (cosine top-10 for the vec_id=0 query
+    // embedding) and the lexical ranking (the text_bm25_topk scorer) —
+    // the retrieval shape RAG pipelines actually deploy. A doc missing
+    // from one ranking contributes 0 from that side; at sf0.1 the
+    // corpus has MORE docs than embeddings, so partial dense coverage
+    // is exercised for real. Scale shape: each ranking is top-k'd via
+    // ORDER BY/LIMIT (TakeOrderedAndProject) BEFORE the rank window, so
+    // the unpartitioned ROW_NUMBER only ever sees k=10 rows; the fusion
+    // join is 10×10. Determinism: ranks are ints, 1/(60+rank) is one
+    // correctly-rounded IEEE division, and the two-term sum adds in
+    // fixed order — bit-exact, no tolerance.
+    "search_hybrid_rrf" -> gsql(s"""
+      WITH ${TextAnalysis.bm25Ctes(spark = true)},
+      lex10 AS (
+        SELECT doc_id, ROUND(${TextAnalysis.bm25Sum()}, 6) AS score
+        FROM d CROSS JOIN st
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+      ), lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rn
+        FROM lex10
+      ), dense10 AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(COSINE_SIM(q.embedding, e.embedding), 6) AS cos
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY cos DESC, doc_id
+        LIMIT 10
+      ), dense AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS dense_rn
+        FROM dense10
+      )
+      SELECT doc_id, dense_rn, lex_rn,
+             COALESCE(CAST(1.0 AS DOUBLE) / (60 + dense_rn), CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rn), CAST(0.0 AS DOUBLE)) AS rrf
+      FROM dense FULL OUTER JOIN lex USING (doc_id)
+      ORDER BY rrf DESC, doc_id"""),
+
     // Exact cosine top-3 for 5 query vectors against the whole corpus.
     "ann_cosine_topk" -> gsql("""
       WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
@@ -317,6 +359,39 @@ object Similarity {
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
         FROM scored)
       WHERE rn <= 3 ORDER BY qid, rn""",
+
+    // identical post-tokenization SQL to the Spark side; the dense leg
+    // reuses ann_cosine_topk's validated LIST_COSINE_SIMILARITY compare
+    "search_hybrid_rrf" -> s"""
+      WITH ${TextAnalysis.bm25Ctes(spark = false)},
+      lex10 AS (
+        SELECT doc_id, ROUND(${TextAnalysis.bm25Sum()}, 6) AS score
+        FROM d CROSS JOIN st
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+      ), lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rn
+        FROM lex10
+      ), dense10 AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY cos DESC, doc_id
+        LIMIT 10
+      ), dense AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS dense_rn
+        FROM dense10
+      )
+      SELECT doc_id, dense_rn, lex_rn,
+             COALESCE(CAST(1.0 AS DOUBLE) / (60 + dense_rn), CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rn), CAST(0.0 AS DOUBLE)) AS rrf
+      FROM dense FULL OUTER JOIN lex USING (doc_id)
+      ORDER BY rrf DESC, doc_id""",
 
     "ann_cosine_topk" -> """
       WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),

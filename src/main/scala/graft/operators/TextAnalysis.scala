@@ -199,23 +199,7 @@ object TextAnalysis {
     // DuckDB's by 1 ulp, so the score carries the same ROUND boundary
     // as cluster_*'s cosines, and ranking orders by the ROUNDED value.
     "text_bm25_topk" -> gsql(s"""
-      WITH t AS (
-        SELECT doc_id, TOKENIZE(text) AS toks FROM documents
-      ), d AS (
-        SELECT doc_id, SIZE(toks) AS len,
-               SIZE(FILTER(toks, w -> w = 'spark'))  AS tf1,
-               SIZE(FILTER(toks, w -> w = 'join'))   AS tf2,
-               SIZE(FILTER(toks, w -> w = 'window')) AS tf3,
-               SIZE(FILTER(toks, w -> w = 'query'))  AS tf4
-        FROM t
-      ), st AS (
-        SELECT COUNT(*) AS n, SUM(len) AS total_len,
-               SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-               SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
-               SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
-               SUM(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4
-        FROM d
-      )
+      WITH ${bm25Ctes(spark = true)}
       SELECT doc_id, len AS n_tokens,
              ROUND(${bm25Sum()}, 6) AS score
       FROM d CROSS JOIN st
@@ -235,10 +219,41 @@ object TextAnalysis {
        + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(len AS DOUBLE)
                 / (CAST(total_len AS DOUBLE) / CAST(n AS DOUBLE)))))"""
 
-  /** The 4 query terms summed in fixed (left-assoc) order. */
-  private def bm25Sum(): String =
+  /** The 4 query terms summed in fixed (left-assoc) order. Shared with
+    * Similarity's hybrid-search fusion (same lexical ranking). */
+  private[operators] def bm25Sum(): String =
     Seq(bm25Term("tf1", "df1"), bm25Term("tf2", "df2"),
         bm25Term("tf3", "df3"), bm25Term("tf4", "df4")).mkString(" + ")
+
+  /** The t/d/st CTE chain feeding bm25Sum — per-doc token/tf facts plus
+    * the one-row corpus stats — parameterized on the tokenizer spelling
+    * so the SPARK side uses the one-pass TOKENIZE kernel and the DUCKDB
+    * side its validated LIST_FILTER(STRING_SPLIT(...)) replication
+    * (everything after tokenization is textually identical SQL). */
+  private[operators] def bm25Ctes(spark: Boolean): String = {
+    val (toks, size, filt) =
+      if (spark) ("TOKENIZE(text)", "SIZE", "FILTER")
+      else ("LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')",
+            "LEN", "LIST_FILTER")
+    s"""
+      t AS (
+        SELECT doc_id, $toks AS toks FROM documents
+      ), d AS (
+        SELECT doc_id, $size(toks) AS len,
+               $size($filt(toks, w -> w = 'spark'))  AS tf1,
+               $size($filt(toks, w -> w = 'join'))   AS tf2,
+               $size($filt(toks, w -> w = 'window')) AS tf3,
+               $size($filt(toks, w -> w = 'query'))  AS tf4
+        FROM t
+      ), st AS (
+        SELECT COUNT(*) AS n, SUM(len) AS total_len,
+               SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+               SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
+               SUM(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4
+        FROM d
+      )"""
+  }
 
   val oracle: Map[String, String] = Map(
     // FULL INDEPENDENT REPLICATION of the winnowing fingerprint
@@ -433,25 +448,7 @@ object TextAnalysis {
     // SAME bm25Term/bm25Sum arithmetic — only LN differs (1 ulp),
     // absorbed by the shared ROUND(., 6) boundary
     "text_bm25_topk" -> s"""
-      WITH t AS (
-        SELECT doc_id,
-               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
-        FROM documents
-      ), d AS (
-        SELECT doc_id, LEN(toks) AS len,
-               LEN(LIST_FILTER(toks, w -> w = 'spark'))  AS tf1,
-               LEN(LIST_FILTER(toks, w -> w = 'join'))   AS tf2,
-               LEN(LIST_FILTER(toks, w -> w = 'window')) AS tf3,
-               LEN(LIST_FILTER(toks, w -> w = 'query'))  AS tf4
-        FROM t
-      ), st AS (
-        SELECT COUNT(*) AS n, SUM(len) AS total_len,
-               SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-               SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
-               SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
-               SUM(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS df4
-        FROM d
-      )
+      WITH ${bm25Ctes(spark = false)}
       SELECT doc_id, CAST(len AS INT) AS n_tokens,
              ROUND(${bm25Sum()}, 6) AS score
       FROM d CROSS JOIN st

@@ -237,6 +237,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected partial aggregation below the exchange:\n$p")
   }
 
+  test("events_asof_nearest composes two window passes — no pairwise join") {
+    val p = plan("events_asof_nearest")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nearest-asof must stay union+window, not a candidate product:\n$p")
+  }
+
+  test("search_hybrid_rrf: both rankings top-k before any rank window") {
+    val p = plan("search_hybrid_rrf")
+    // each leg must cut to 10 rows via TakeOrderedAndProject BEFORE its
+    // ROW_NUMBER — an unpartitioned window over the corpus would be the
+    // single-reducer bottleneck at scale
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      s"both ranking legs must TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("text_bm25_topk: top-k via TakeOrderedAndProject, stats row broadcast") {
     val p = plan("text_bm25_topk")
     // ORDER BY score LIMIT 10 must not global-sort the corpus
