@@ -287,6 +287,54 @@ object Dedup {
       WHERE j >= 0.5
       ORDER BY doc_a, doc_b"""),
 
+    // Asymmetric CONTAINMENT dedup: C(A→B) = |A∩B| / |A| over 3-gram
+    // shingle sets — catches "doc A is mostly inside doc B"
+    // (quotes, boilerplate wrappers, supersets) that symmetric Jaccard
+    // misses: a short doc fully quoted inside a long one has tiny
+    // Jaccard but containment 1.0. Candidates via the Bayardo prefix
+    // filter adapted to containment: only the CONTAINED side is
+    // prefix-trimmed (|A| − ⌈τ·|A|⌉ + 1 rarest grams), probing the FULL
+    // inverted index of potential containers — recall 1.0 for either
+    // direction ≥ τ, never all-pairs. Same source blocking + df-ranked
+    // prefix as dedup_ngram_jaccard.
+    "dedup_containment" -> gsql("""
+      WITH sh AS (
+        SELECT doc_id, source, SHINGLE_SET(text, 3) AS grams
+        FROM (SELECT /*+ REPARTITION(32) */ doc_id, source, text FROM documents)
+        WHERE SIZE(SHINGLE_SET(text, 3)) > 0
+      ), inv AS (
+        SELECT doc_id, source, SIZE(grams) AS n, gram
+        FROM sh LATERAL VIEW EXPLODE(grams) g AS gram
+      ), df AS (
+        SELECT source, gram, COUNT(*) AS df FROM inv GROUP BY source, gram
+      ), prefix AS (
+        SELECT doc_id, source, gram FROM (
+          SELECT i.doc_id, i.source, i.gram, i.n,
+                 ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                                    ORDER BY d.df, i.gram) AS rk
+          FROM inv i
+          JOIN df d ON i.gram = d.gram AND i.source = d.source
+        ) WHERE rk <= n - CEIL(0.8 * n) + 1
+      ), cand AS (
+        SELECT DISTINCT LEAST(p.doc_id, i.doc_id) AS doc_a,
+                        GREATEST(p.doc_id, i.doc_id) AS doc_b
+        FROM prefix p JOIN inv i
+          ON p.gram = i.gram AND p.source = i.source AND p.doc_id <> i.doc_id
+      )
+      SELECT doc_a, doc_b,
+             ROUND(inter / na, 6) AS cont_ab,
+             ROUND(inter / nb, 6) AS cont_ba
+      FROM (
+        SELECT doc_a, doc_b,
+               SIZE(ARRAY_INTERSECT(sa.grams, sb.grams)) AS inter,
+               SIZE(sa.grams) AS na, SIZE(sb.grams) AS nb
+        FROM cand
+        JOIN sh sa ON doc_a = sa.doc_id
+        JOIN sh sb ON doc_b = sb.doc_id
+      )
+      WHERE GREATEST(inter / na, inter / nb) >= 0.8
+      ORDER BY doc_a, doc_b"""),
+
     // Duplicate-cluster assignment: connected components over the
     // near-duplicate pair graph (pairs = the oracle-checked
     // dedup_minhash_lsh output), so each doc maps to one cluster and a
@@ -705,6 +753,31 @@ object Dedup {
              ROUND(LEN(LIST_INTERSECT(a.grams, b.grams)) / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))), 6) AS jaccard
       FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
       WHERE LEN(LIST_INTERSECT(a.grams, b.grams)) / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))) >= 0.5
+      ORDER BY doc_a, doc_b""",
+
+    // independent all-pairs-within-source formulation (recall 1.0 by
+    // construction) — validates the prefix-filtered candidate set
+    "dedup_containment" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, source,
+               LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
+                 i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))) AS grams
+        FROM t WHERE LEN(toks) >= 3
+      ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               LEN(LIST_INTERSECT(a.grams, b.grams)) AS inter,
+               LEN(a.grams) AS na, LEN(b.grams) AS nb
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      )
+      SELECT doc_a, doc_b,
+             ROUND(inter / na, 6) AS cont_ab,
+             ROUND(inter / nb, 6) AS cont_ba
+      FROM pairs
+      WHERE GREATEST(inter / na, inter / nb) >= 0.8
       ORDER BY doc_a, doc_b""",
 
     "dedup_embedding_cosine" -> """

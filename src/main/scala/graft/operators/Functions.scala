@@ -293,7 +293,28 @@ object Functions {
                  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS sample_rank
         FROM documents)
       WHERE sample_rank <= 30
-      ORDER BY lang, doc_id""")
+      ORDER BY lang, doc_id"""),
+
+    // Deterministic train/val/test split — the reproducibility
+    // primitive every training pipeline needs: assignment is a pure
+    // function of the KEY (first md5 byte-pair against hex thresholds:
+    // 0x00-0xcb train ≈ 79.7%, 0xcc-0xe5 val ≈ 10.2%, rest test), so
+    // re-runs, backfills, and late-arriving shards land identically
+    // with zero coordination. Two granularities in one pass:
+    // per-row (doc_id) and GROUP-level (source) — the leakage-safe
+    // variant that keeps all docs of one origin in one split so
+    // near-duplicates cannot straddle train/test. Narrow map at any
+    // scale; md5 renders identically in both engines.
+    "sample_split_hash" -> Tables.sql("""
+      SELECT doc_id, source,
+             CASE WHEN SUBSTR(MD5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 2) < 'cc' THEN 'train'
+                  WHEN SUBSTR(MD5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS row_split,
+             CASE WHEN SUBSTR(MD5(CAST(source AS BINARY)), 1, 2) < 'cc' THEN 'train'
+                  WHEN SUBSTR(MD5(CAST(source AS BINARY)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS group_split
+      FROM documents
+      ORDER BY doc_id""")
   )
 
   val oracle: Map[String, String] = Map(
@@ -313,6 +334,18 @@ object Functions {
         FROM documents)
       WHERE sample_rank <= 30
       ORDER BY lang, doc_id""",
+
+    // identical md5-hex thresholding (DuckDB md5 takes VARCHAR directly)
+    "sample_split_hash" -> """
+      SELECT doc_id, source,
+             CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS row_split,
+             CASE WHEN SUBSTR(MD5(source), 1, 2) < 'cc' THEN 'train'
+                  WHEN SUBSTR(MD5(source), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS group_split
+      FROM documents
+      ORDER BY doc_id""",
 
     "string_fns" -> """
       SELECT c_custkey,

@@ -84,7 +84,23 @@ object Windows {
       WHERE l_orderkey <= 400
       WINDOW w3 AS (PARTITION BY l_orderkey ORDER BY l_linenumber
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-      ORDER BY l_orderkey, l_linenumber""")
+      ORDER BY l_orderkey, l_linenumber"""),
+
+    // Running DISTINCT count per key ("how many distinct statuses has
+    // this customer's history shown so far") — neither Hive 1.2 nor
+    // Spark accepts COUNT(DISTINCT) over a window, so the capability is
+    // re-expressed as SIZE(COLLECT_SET() OVER w): the set is bounded by
+    // the domain (3 statuses), so the running state stays O(domain),
+    // not O(rows). DuckDB DOES accept the distinct-window form — an
+    // independent formulation, not a rewrite of the same expression.
+    "window_count_distinct" -> Tables.sql("""
+      SELECT o_custkey, o_orderkey,
+             SIZE(COLLECT_SET(o_orderstatus) OVER w) AS statuses_seen
+      FROM orders
+      WHERE o_custkey <= 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""")
   )
 
   val oracle: Map[String, String] = Map(
@@ -144,6 +160,17 @@ object Windows {
       WHERE l_orderkey <= 400
       WINDOW w3 AS (PARTITION BY l_orderkey ORDER BY l_linenumber
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-      ORDER BY l_orderkey, l_linenumber"""
+      ORDER BY l_orderkey, l_linenumber""",
+
+    // DuckDB's native COUNT(DISTINCT ...) OVER — independent of the
+    // Spark-side collect_set spelling
+    "window_count_distinct" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(COUNT(DISTINCT o_orderstatus) OVER w AS INT) AS statuses_seen
+      FROM orders
+      WHERE o_custkey <= 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""
   )
 }
