@@ -139,6 +139,34 @@ object AsOfJoin {
         .orderBy(col("event_id"))
     }),
 
+    // Tolerance-bounded as-of (the pandas merge_asof `tolerance` /
+    // QuestDB WITHIN form): the backward match counts only when the
+    // matched view is at most 10 minutes old — stale context is worse
+    // than no context for attribution. Same single-shuffle union+window
+    // plan; the tolerance is a post-window projection, so the bound
+    // adds zero shuffle.
+    "events_asof_tolerance" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val tolUs = 600000000L // 10 min
+      val purchases = spark.table("events")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = spark.table("events")
+        .where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumn("vp", struct(col("ts").as("vts"), col("view_id")))
+        .select(col("user_id"), col("ts"), col("vp"))
+      val back = asofBackward(purchases, views, "user_id", "ts", "ts", "vp")
+        .withColumnRenamed("asof_vp", "bvp")
+      val dt = unix_micros(col("ts")) - unix_micros(col("bvp.vts"))
+      val inTol = col("bvp").isNotNull && dt <= lit(tolUs)
+      back.select(col("event_id"), col("user_id"),
+          when(inTol, col("bvp.view_id")).as("view_id"),
+          when(inTol, dt).as("dt_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // NEAREST-event join: each purchase matched to the view of the same
     // user with the smallest |Δt| in EITHER direction (ties prefer the
     // earlier view) — the sensor-alignment flavor of as-of. Composed
@@ -205,6 +233,25 @@ object AsOfJoin {
       FROM purchases p
       ASOF LEFT JOIN views v
         ON p.user_id = v.user_id AND p.ts <= v.ts
+      ORDER BY p.event_id""",
+
+    // DuckDB ASOF (no native tolerance) + the same post-match bound
+    "events_asof_tolerance" -> """
+      WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      ), views AS (
+        SELECT user_id, ts, MAX(event_id) AS view_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+      )
+      SELECT p.event_id, p.user_id,
+             CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 600000000
+                  THEN v.view_id END AS view_id,
+             CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 600000000
+                  THEN epoch_us(p.ts) - epoch_us(v.ts) END AS dt_us
+      FROM purchases p
+      ASOF LEFT JOIN views v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
       ORDER BY p.event_id""",
 
     // independent formulation: full per-user candidate join ranked by

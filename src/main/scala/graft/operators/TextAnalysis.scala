@@ -186,6 +186,34 @@ object TextAnalysis {
             FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents))
       ORDER BY doc_id"""),
 
+    // Corpus diversity monitoring per source: token Shannon entropy +
+    // type-token ratio — the drift/diversity dashboard numbers a
+    // training-mix pipeline watches. The entropy sum runs as a fold
+    // over the (token, count) list SORTED BY TOKEN, purely so Spark and
+    // DuckDB accumulate the ln terms in the same order (bit-exact
+    // before the ROUND; a plain SUM is partition-order-dependent).
+    // Per-source vocab here is tiny; at unbounded vocab the at-scale
+    // spelling is the plain SUM with a tolerance compare instead.
+    "text_entropy" -> gsql("""
+      WITH t AS (
+        SELECT doc_id, source, TOKENIZE(text) AS toks FROM documents
+      ), wc AS (
+        SELECT source, tok, COUNT(*) AS cnt
+        FROM t LATERAL VIEW EXPLODE(toks) e AS tok
+        GROUP BY source, tok
+      ), g AS (
+        SELECT source, SUM(cnt) AS total, COUNT(*) AS vocab,
+               SORT_ARRAY(COLLECT_LIST(STRUCT(tok, cnt))) AS pairs
+        FROM wc GROUP BY source
+      )
+      SELECT source, total AS n_tokens, CAST(vocab AS INT) AS vocab,
+             ROUND(-AGGREGATE(pairs, CAST(0.0 AS DOUBLE), (acc, p) ->
+               acc + (CAST(p.cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                   * LN(CAST(p.cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS entropy,
+             ROUND(CAST(vocab AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ttr
+      FROM g
+      ORDER BY source"""),
+
     // BM25 keyword retrieval (Robertson–Spärck Jones; k1=1.2, b=0.75) —
     // the lexical half of hybrid search beside the ann_* operators:
     // top-10 docs for a fixed 4-term query. 100 TB shape: one corpus
@@ -443,6 +471,33 @@ object TextAnalysis {
       GROUP BY ngram
       ORDER BY freq DESC, ngram
       LIMIT 20""",
+
+    // same tokenization replication; LIST(... ORDER BY tok) +
+    // list_reduce replicate the sorted fold, so the ln-term
+    // accumulation order matches Spark's AGGREGATE exactly
+    "text_entropy" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), w AS (
+        SELECT source, UNNEST(toks) AS tok FROM t
+      ), wc AS (
+        SELECT source, tok, COUNT(*) AS cnt FROM w GROUP BY source, tok
+      ), g AS (
+        SELECT source, SUM(cnt) AS total, COUNT(*) AS vocab,
+               LIST(STRUCT_PACK(tok := tok, cnt := cnt) ORDER BY tok, cnt) AS pairs
+        FROM wc GROUP BY source
+      )
+      SELECT source, CAST(total AS BIGINT) AS n_tokens, CAST(vocab AS INT) AS vocab,
+             ROUND(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(pairs, p ->
+                 (CAST(p.cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                   * LN(CAST(p.cnt AS DOUBLE) / CAST(total AS DOUBLE)))),
+               (x, y) -> x + y), 6) AS entropy,
+             ROUND(CAST(vocab AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ttr
+      FROM g
+      ORDER BY source""",
 
     // same tokenization replication as text_tokens, then textually the
     // SAME bm25Term/bm25Sum arithmetic — only LN differs (1 ulp),
