@@ -23,7 +23,62 @@ object Relational {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  // TPC-H Q3/Q5/Q10 shapes (adapted to the synthetic schema/date range)
+  // — the canonical multi-join + money-aggregate benchmark slices every
+  // Hive deployment runs. One SQL text serves both engines: revenue
+  // sums go through DECIMAL per q1's discipline (double products are
+  // deterministic per row; the decimal SUM is exact and
+  // order-independent), so no tolerance anywhere. Plan shape at scale:
+  // dims broadcast, fact scans keep pushed filters, one agg shuffle.
+  private val Q3Sql = """
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             o_orderdate
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10"""
+
+  private val Q5Sql = """
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""
+
+  private val Q10Sql = """
+      SELECT c_custkey, c_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             c_acctbal, n_name
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20"""
+
   val queries: Map[String, Q] = Map(
+    "q3_shipping_priority" -> Tables.sql(Q3Sql),
+    "q5_local_supplier" -> Tables.sql(Q5Sql),
+    "q10_returned_items" -> Tables.sql(Q10Sql),
+
     // TPC-H Q1 shape — the flagship end-to-end slice (scan → filter →
     // partial/final hash agg → sort). Hive: GroupByOperator modes
     // HASH→MERGEPARTIAL (QL/exec/GroupByOperator.java:733).
@@ -318,6 +373,10 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q3_shipping_priority" -> Q3Sql,
+    "q5_local_supplier" -> Q5Sql,
+    "q10_returned_items" -> Q10Sql,
+
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -237,6 +237,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected partial aggregation below the exchange:\n$p")
   }
 
+  test("q5_local_supplier: 5-way join broadcasts the dims, no cartesian") {
+    val p = plan("q5_local_supplier")
+    assert(!p.contains("CartesianProduct"), p)
+    // region/nation/supplier/customer are all broadcast-sized next to
+    // the lineitem fact — at least the two geo dims must broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"dims must broadcast in the star join:\n$p")
+  }
+
   test("events_asof_nearest composes two window passes — no pairwise join") {
     val p = plan("events_asof_nearest")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
