@@ -74,10 +74,53 @@ object Relational {
       ORDER BY revenue DESC, c_custkey
       LIMIT 20"""
 
+  // Q18 (large-volume customer): the HAVING-subquery shape — the inner
+  // aggregate runs once, broadcasts its (small) qualifying key set into
+  // a semi join against the fact, and the outer aggregate reuses the
+  // same grouping.
+  private val Q18Sql = """
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+      GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+      ORDER BY total_qty DESC, o_orderkey
+      LIMIT 20"""
+
   val queries: Map[String, Q] = Map(
     "q3_shipping_priority" -> Tables.sql(Q3Sql),
     "q5_local_supplier" -> Tables.sql(Q5Sql),
     "q10_returned_items" -> Tables.sql(Q10Sql),
+    "q18_large_volume" -> Tables.sql(Q18Sql),
+
+    // The skew-salting JOIN pattern (brief: "salting for skew"): the
+    // fact side carries a deterministic salt (key-derived, 8 buckets),
+    // the dim side replicates ×8 via explode(sequence), and the join
+    // key becomes (s_suppkey, salt) — a hot supplier's rows spread
+    // over 8 reducers instead of one. The merge hint forces the
+    // shuffle plan the technique exists for (broadcast would make
+    // salting moot — at real scale the dim exceeds the broadcast
+    // threshold). Result is identical to the unsalted join by
+    // construction, which is exactly what the oracle checks.
+    "join_skew_salted" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val li = spark.table("lineitem")
+        .withColumn("salt", pmod(col("l_orderkey") * lit(31) + col("l_linenumber"), lit(8)))
+      val supp = spark.table("supplier")
+        .withColumn("salt", explode(sequence(lit(0), lit(7))))
+        .hint("merge")
+      li.join(supp, li("l_suppkey") === supp("s_suppkey") && li("salt") === supp("salt"))
+        .groupBy(col("s_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
+        .orderBy(col("s_name"))
+    }),
 
     // TPC-H Q1 shape — the flagship end-to-end slice (scan → filter →
     // partial/final hash agg → sort). Hive: GroupByOperator modes
@@ -376,6 +419,16 @@ object Relational {
     "q3_shipping_priority" -> Q3Sql,
     "q5_local_supplier" -> Q5Sql,
     "q10_returned_items" -> Q10Sql,
+    "q18_large_volume" -> Q18Sql,
+
+    // the UNSALTED join — salting must be result-invariant
+    "join_skew_salted" -> """
+      SELECT s_name,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name
+      ORDER BY s_name""",
 
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,

@@ -86,6 +86,20 @@ object Windows {
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       ORDER BY l_orderkey, l_linenumber"""),
 
+    // Running exact median per key — the EXACT percentile aggregate
+    // evaluated over a growing ROWS frame (Hive: GenericUDAFPercentile
+    // in windowing mode). Median of integer-valued quantities
+    // interpolates to .0/.5 halves — exactly representable doubles, so
+    // the compare needs no tolerance.
+    "window_running_median" -> Tables.sql("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(PERCENTILE(l_quantity, 0.5) OVER w AS DOUBLE) AS run_median
+      FROM lineitem
+      WHERE l_orderkey <= 200
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY l_orderkey, l_linenumber"""),
+
     // Running DISTINCT count per key ("how many distinct statuses has
     // this customer's history shown so far") — neither Hive 1.2 nor
     // Spark accepts COUNT(DISTINCT) over a window, so the capability is
@@ -160,6 +174,17 @@ object Windows {
       WHERE l_orderkey <= 400
       WINDOW w3 AS (PARTITION BY l_orderkey ORDER BY l_linenumber
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY l_orderkey, l_linenumber""",
+
+    // QUANTILE_CONT over the same frame — same linear-interpolation
+    // definition as Spark's exact PERCENTILE
+    "window_running_median" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(QUANTILE_CONT(l_quantity, 0.5) OVER w AS DOUBLE) AS run_median
+      FROM lineitem
+      WHERE l_orderkey <= 200
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY l_orderkey, l_linenumber""",
 
     // DuckDB's native COUNT(DISTINCT ...) OVER — independent of the

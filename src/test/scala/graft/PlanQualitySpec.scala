@@ -237,6 +237,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected partial aggregation below the exchange:\n$p")
   }
 
+  test("join_skew_salted: the shuffle key carries the salt") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val root =
+      try SparkEntry.queries("join_skew_salted")(spark, LocalSpark.sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val p = root.toString()
+    // the whole point: a hot supplier key spreads over the 8 salt
+    // buckets, so the pre-join exchange must partition on salt too
+    assert(p.contains("SortMergeJoin"), s"salting demo requires the shuffle plan:\n$p")
+    val saltedExchanges = root.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.outputPartitioning.toString.contains("salt"))
+    assert(saltedExchanges.nonEmpty, s"no exchange partitioned by salt:\n$p")
+  }
+
   test("q5_local_supplier: 5-way join broadcasts the dims, no cartesian") {
     val p = plan("q5_local_supplier")
     assert(!p.contains("CartesianProduct"), p)
