@@ -98,6 +98,19 @@ object Relational {
     "q10_returned_items" -> Tables.sql(Q10Sql),
     "q18_large_volume" -> Tables.sql(Q18Sql),
 
+    // Hive's null-safe equality join (`<=>`, GenericUDFOPEqualNS —
+    // §2.1#6): NULL keys MATCH null keys, where `=` silently drops
+    // them. Crucially still an EQUI join — Catalyst keeps
+    // SortMergeJoin/hash with null-aware key comparison, never a
+    // nested loop (gated). Keys are nullified in-query (region 2 →
+    // NULL) so the null-match block is actually exercised.
+    "join_null_safe" -> Tables.sql("""
+      SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key
+      FROM (SELECT n_nationkey, NULLIF(n_regionkey, 2) AS rk FROM nation) a
+      JOIN (SELECT n_nationkey, NULLIF(n_regionkey, 2) AS rk FROM nation) b
+        ON a.rk <=> b.rk
+      ORDER BY a_key, b_key"""),
+
     // The skew-salting JOIN pattern (brief: "salting for skew"): the
     // fact side carries a deterministic salt (key-derived, 8 buckets),
     // the dim side replicates ×8 via explode(sequence), and the join
@@ -420,6 +433,14 @@ object Relational {
     "q5_local_supplier" -> Q5Sql,
     "q10_returned_items" -> Q10Sql,
     "q18_large_volume" -> Q18Sql,
+
+    // ANSI spelling of null-safe equality
+    "join_null_safe" -> """
+      SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key
+      FROM (SELECT n_nationkey, NULLIF(n_regionkey, 2) AS rk FROM nation) a
+      JOIN (SELECT n_nationkey, NULLIF(n_regionkey, 2) AS rk FROM nation) b
+        ON a.rk IS NOT DISTINCT FROM b.rk
+      ORDER BY a_key, b_key""",
 
     // the UNSALTED join — salting must be result-invariant
     "join_skew_salted" -> """

@@ -44,6 +44,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming frequent items: approx_topk over a stream equals the batch sketch") {
+    // the bounded mergeable MG buffer is exactly what lets the same
+    // aggregate run under streaming complete mode — partials merge
+    // across micro-batches like they merge across partitions
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val input = MemoryStream[Ev]
+    val topk = input.toDF()
+      .selectExpr("CAST(user_id AS STRING) AS item")
+      .groupBy()
+      .agg(expr("approx_topk(item, 3, 16)").as("top"))
+    val q = topk.writeStream.format("memory").queryName("stream_topk")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val evs = (1 to 40).map(i => Ev(ts(i), (i % 5).toLong, 0.0)) ++
+        (1 to 10).map(i => Ev(ts(40 + i), 7L, 0.0))
+      input.addData(evs.take(25))
+      q.processAllAvailable()
+      input.addData(evs.drop(25))
+      q.processAllAvailable()
+      val streamed = spark.table("stream_topk").collect().head
+        .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
+      val batch = evs.toDF().selectExpr("CAST(user_id AS STRING) AS item")
+        .groupBy().agg(expr("approx_topk(item, 3, 16)").as("top"))
+        .collect().head
+        .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
+      // exact regime (6 distinct <= buf 16): both equal true counts
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed.head == ("7", 10L) || streamed.head._2 == 10L, streamed.toString)
+    } finally q.stop()
+  }
+
   test("file-source stream: events parquet dir as a micro-batch stream") {
     // the same batch expressions run over readStream; Trigger.AvailableNow
     // drains the existing files then stops — no always-on query in tests
