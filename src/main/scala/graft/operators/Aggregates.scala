@@ -154,6 +154,20 @@ object Aggregates {
     // buf=32 — the sketch's exactness boundary (counts are exact iff
     // distinct ≤ buf; PropertySpec pins the boundary and the n/(buf+1)
     // error bound beyond it, histogram_numeric-style).
+    // PIVOT: Spark has the first-class clause; Hive 1.2 users write the
+    // conditional-aggregation form by hand — which is exactly what the
+    // oracle does, so the compare proves the clause IS the manual
+    // spelling. Money through the q1 DECIMAL discipline.
+    "agg_pivot" -> Tables.sql("""
+      SELECT * FROM (
+        SELECT l_returnflag, l_linestatus, CAST(l_quantity AS DECIMAL(18,4)) AS qty
+        FROM lineitem
+      )
+      PIVOT (
+        CAST(SUM(qty) AS DOUBLE) FOR l_linestatus IN ('F' AS qty_f, 'O' AS qty_o)
+      )
+      ORDER BY l_returnflag"""),
+
     // Spark's built-in HLL++ sketch (approx_count_distinct) in its
     // EXACT regime, the same honest-boundary treatment as
     // histogram_numeric / approx_topk: with 2^14 registers the
@@ -290,6 +304,17 @@ object Aggregates {
              ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
              ROUND(COVAR_POP(l_quantity, l_discount), 6) AS covp_qty_disc,
              ROUND(COVAR_SAMP(l_quantity, l_tax), 6) AS covs_qty_tax
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    // the classic Hive manual pivot: conditional aggregation
+    "agg_pivot" -> """
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN l_linestatus = 'F'
+                  THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_f,
+             CAST(SUM(CASE WHEN l_linestatus = 'O'
+                  THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_o
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
