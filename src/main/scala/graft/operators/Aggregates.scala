@@ -147,13 +147,6 @@ object Aggregates {
       LATERAL VIEW POSEXPLODE(hist) t AS pos, b
       ORDER BY l_returnflag, bin"""),
 
-    // collect_set/collect_list (GenericUDAFMkCollectionEvaluator) —
-    // compared as a sorted joined string (set semantics, stable text).
-    // Misra–Gries frequent items (graft.functions.ApproxTopKAgg): the
-    // oracle is valid because o_orderpriority has 5 distinct values ≤
-    // buf=32 — the sketch's exactness boundary (counts are exact iff
-    // distinct ≤ buf; PropertySpec pins the boundary and the n/(buf+1)
-    // error bound beyond it, histogram_numeric-style).
     // PIVOT: Spark has the first-class clause; Hive 1.2 users write the
     // conditional-aggregation form by hand — which is exactly what the
     // oracle does, so the compare proves the clause IS the manual
@@ -189,6 +182,11 @@ object Aggregates {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
 
+    // Misra–Gries frequent items (graft.functions.ApproxTopKAgg): the
+    // oracle is valid because o_orderpriority has 5 distinct values ≤
+    // buf=32 — the sketch's exactness boundary (counts are exact iff
+    // distinct ≤ buf; PropertySpec pins the boundary and the n/(buf+1)
+    // error bound beyond it, histogram_numeric-style).
     "agg_approx_topk" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       graft.functions.GraftFunctions.register(spark)
@@ -200,6 +198,8 @@ object Aggregates {
         ORDER BY o_orderstatus, cnt DESC, item""")
     }),
 
+    // collect_set/collect_list (GenericUDAFMkCollectionEvaluator) —
+    // compared as a sorted joined string (set semantics, stable text).
     "agg_collect" -> Tables.sql("""
       SELECT c_nationkey,
              ARRAY_JOIN(SORT_ARRAY(COLLECT_SET(c_mktsegment)), ',') AS segments,

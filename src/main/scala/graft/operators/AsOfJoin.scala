@@ -102,19 +102,47 @@ object AsOfJoin {
         :+ col("__match").getField(rightPayload).as(s"asof_$rightPayload")): _*)
   }
 
+  /** The shared inputs of every events_asof_* query: purchases
+    * (event_id, user_id, ts) and views deduped to one per (user, ts) —
+    * the tie contract DuckDB ASOF assumes. ONE definition, four
+    * queries: a change here (e.g. the MAX view_id tie-break) lands in
+    * every direction at once. With `withPayloadStruct` the view's own
+    * timestamp rides in a `vp` struct so nearest/tolerance can compare
+    * distances after the window without another join. */
+  private def purchasesViews(spark: SparkSession, sfDir: String,
+                             withPayloadStruct: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    Tables.register(spark, sfDir)
+    val purchases = spark.table("events")
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v0 = spark.table("events")
+      .where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val views =
+      if (withPayloadStruct)
+        v0.withColumn("vp", struct(col("ts").as("vts"), col("view_id")))
+          .select(col("user_id"), col("ts"), col("vp"))
+      else v0
+    (purchases, views)
+  }
+
+  /** Oracle twin of purchasesViews — shared by all four oracles. */
+  private val PvCtes = """
+      purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      ), views AS (
+        SELECT user_id, ts, MAX(event_id) AS view_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+      )"""
+
   val queries: Map[String, Q] = Map(
     // purchases enriched with the latest prior-or-simultaneous view of
-    // the same user; views pre-aggregated to one per (user, ts) so the
-    // match is well-defined on ties (same contract DuckDB ASOF assumes)
+    // the same user
     "events_asof_join" -> ((spark, sfDir) => {
-      Tables.register(spark, sfDir)
-      val purchases = spark.table("events")
-        .where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val views = spark.table("events")
-        .where(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("view_id"))
+      val (purchases, views) = purchasesViews(spark, sfDir)
       asofBackward(purchases, views, "user_id", "ts", "ts", "view_id")
         .select(col("event_id"), col("user_id"),
           col("asof_view_id").as("view_id"))
@@ -125,14 +153,7 @@ object AsOfJoin {
     // following-or-simultaneous view of the same user (next-action
     // attribution)
     "events_asof_forward" -> ((spark, sfDir) => {
-      Tables.register(spark, sfDir)
-      val purchases = spark.table("events")
-        .where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val views = spark.table("events")
-        .where(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("view_id"))
+      val (purchases, views) = purchasesViews(spark, sfDir)
       asofForward(purchases, views, "user_id", "ts", "ts", "view_id")
         .select(col("event_id"), col("user_id"),
           col("asof_view_id").as("view_id"))
@@ -146,17 +167,8 @@ object AsOfJoin {
     // plan; the tolerance is a post-window projection, so the bound
     // adds zero shuffle.
     "events_asof_tolerance" -> ((spark, sfDir) => {
-      Tables.register(spark, sfDir)
       val tolUs = 600000000L // 10 min
-      val purchases = spark.table("events")
-        .where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val views = spark.table("events")
-        .where(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("view_id"))
-        .withColumn("vp", struct(col("ts").as("vts"), col("view_id")))
-        .select(col("user_id"), col("ts"), col("vp"))
+      val (purchases, views) = purchasesViews(spark, sfDir, withPayloadStruct = true)
       val back = asofBackward(purchases, views, "user_id", "ts", "ts", "vp")
         .withColumnRenamed("asof_vp", "bvp")
       val dt = unix_micros(col("ts")) - unix_micros(col("bvp.vts"))
@@ -177,16 +189,7 @@ object AsOfJoin {
     // the full |L|×|R|-per-user join — that is what being the oracle
     // is for).
     "events_asof_nearest" -> ((spark, sfDir) => {
-      Tables.register(spark, sfDir)
-      val purchases = spark.table("events")
-        .where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val views = spark.table("events")
-        .where(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("view_id"))
-        .withColumn("vp", struct(col("ts").as("vts"), col("view_id")))
-        .select(col("user_id"), col("ts"), col("vp"))
+      val (purchases, views) = purchasesViews(spark, sfDir, withPayloadStruct = true)
       val back = asofBackward(purchases, views, "user_id", "ts", "ts", "vp")
         .withColumnRenamed("asof_vp", "bvp")
       val both = asofForward(back, views, "user_id", "ts", "ts", "vp")
@@ -206,14 +209,8 @@ object AsOfJoin {
 
   val oracle: Map[String, String] = Map(
     // DuckDB's native ASOF LEFT JOIN as an independent implementation
-    "events_asof_join" -> """
-      WITH purchases AS (
-        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
-      ), views AS (
-        SELECT user_id, ts, MAX(event_id) AS view_id
-        FROM events WHERE event_type = 'view'
-        GROUP BY user_id, ts
-      )
+    "events_asof_join" -> s"""
+      WITH $PvCtes
       SELECT p.event_id, p.user_id, v.view_id
       FROM purchases p
       ASOF LEFT JOIN views v
@@ -221,14 +218,8 @@ object AsOfJoin {
       ORDER BY p.event_id""",
 
     // DuckDB ASOF with the <= inequality — the forward direction
-    "events_asof_forward" -> """
-      WITH purchases AS (
-        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
-      ), views AS (
-        SELECT user_id, ts, MAX(event_id) AS view_id
-        FROM events WHERE event_type = 'view'
-        GROUP BY user_id, ts
-      )
+    "events_asof_forward" -> s"""
+      WITH $PvCtes
       SELECT p.event_id, p.user_id, v.view_id
       FROM purchases p
       ASOF LEFT JOIN views v
@@ -236,14 +227,8 @@ object AsOfJoin {
       ORDER BY p.event_id""",
 
     // DuckDB ASOF (no native tolerance) + the same post-match bound
-    "events_asof_tolerance" -> """
-      WITH purchases AS (
-        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
-      ), views AS (
-        SELECT user_id, ts, MAX(event_id) AS view_id
-        FROM events WHERE event_type = 'view'
-        GROUP BY user_id, ts
-      )
+    "events_asof_tolerance" -> s"""
+      WITH $PvCtes
       SELECT p.event_id, p.user_id,
              CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 600000000
                   THEN v.view_id END AS view_id,
@@ -258,14 +243,8 @@ object AsOfJoin {
     // (|Δt|, Δt) — the secondary Δt key realizes the earlier-view tie
     // preference (negative sorts first); LEFT JOIN keeps purchases of
     // users with no views at all
-    "events_asof_nearest" -> """
-      WITH purchases AS (
-        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
-      ), views AS (
-        SELECT user_id, ts, MAX(event_id) AS view_id
-        FROM events WHERE event_type = 'view'
-        GROUP BY user_id, ts
-      ), cand AS (
+    "events_asof_nearest" -> s"""
+      WITH $PvCtes, cand AS (
         SELECT p.event_id, v.view_id,
                epoch_us(v.ts) - epoch_us(p.ts) AS sdist
         FROM purchases p JOIN views v USING (user_id)

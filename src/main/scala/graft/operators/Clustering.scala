@@ -90,14 +90,21 @@ object Clustering {
     * LOWEST cid (mirrors the oracle's ORDER BY cos DESC, cid). Narrow
     * stage; plan size is O(1) in k (a k-literal-structs spelling was a
     * plan/codegen bomb at large k — gated flat in PlanQualitySpec). */
-  private def assign(q: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+  private def broadcastCents(q: DataFrame, cents: Seq[(Int, Array[Double])])
+      : org.apache.spark.broadcast.Broadcast[CentroidMatrix] = {
     val sorted = cents.sortBy(_._1)
-    val bc = q.sparkSession.sparkContext.broadcast(
+    q.sparkSession.sparkContext.broadcast(
       new CentroidMatrix(sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+  }
+
+  private def assignBc(q: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[CentroidMatrix]): DataFrame =
     q.withColumn("best", GraftFunctions.argmax_cosine_d(col("ve"), bc))
       .select(col("vec_id"), col("qe"), col("ve"),
         col("best.cluster").as("cluster"), col("best.cos").as("cos"))
-  }
+
+  private def assign(q: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
+    assignBc(q, broadcastCents(q, cents))
 
   /** Update: one k-group shuffle (vec_sum partials merge map-side), k
     * rows to the driver. Exact integer sums ⇒ centroid = sum/n/1e6 is
@@ -163,7 +170,16 @@ object Clustering {
       require(seeds.size == k, s"k-means: expected $k seed vectors, got ${seeds.size}")
       var cents = seeds
       var i = 0
-      while (i < iters) { cents = update(assign(q, cents)); i += 1 }
+      while (i < iters) {
+        // update() collects eagerly, so the iteration's broadcast is
+        // dead the moment it returns — destroy it instead of letting
+        // a k×dim matrix per iteration pile up in the BlockManager
+        // (tens of MB each at the documented SemDeDup k regime)
+        val bc = broadcastCents(q, cents)
+        try cents = update(assignBc(q, bc))
+        finally bc.destroy()
+        i += 1
+      }
       cents
     } finally q.unpersist()
   }

@@ -28,6 +28,31 @@ object Similarity {
     spark.sql(q)
   }
 
+  /** The shared int8 quantize pipeline (vec_id, ed, sc_raw, q) —
+    * ONE definition serves embed_quantize_int8 and ann_quantized_topk
+    * so the latter's "same per-element steps" claim is structural, not
+    * a comment. Each step is its own attribute: embedding a `sc_raw`
+    * expression TREE inside the transform lambdas would recompute the
+    * array_max per ELEMENT (64× per row — benched 2.3 s vs 0.4 s).
+    * The internal attribute must NOT share an output alias (lateral-
+    * column-alias trap, SURVEY §7.3.7; pinned in PipelineSpec). */
+  private def quantized8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("ed"))
+      .withColumn("sc_raw", array_max(transform(col("ed"), abs(_))) / lit(127.0))
+      // round-half-up via floor(v+0.5): identical in DuckDB; clamp after
+      .withColumn("q", transform(col("ed"), x =>
+        least(greatest(floor(x / col("sc_raw") + lit(0.5)), lit(-127L)), lit(127L))))
+
+  /** DuckDB twin of quantized8's e/s CTEs and the q-element kernel —
+    * the same single-definition rule for the oracle side. */
+  private val QuantBaseCtes = """
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+      s AS (SELECT vec_id, ed,
+              list_max(list_transform(ed, x -> abs(x))) / 127.0 AS scale
+            FROM e)"""
+  private def qElemSql(x: String): String =
+    s"CAST(LEAST(GREATEST(floor($x / scale + 0.5), -127.0), 127.0) AS BIGINT)"
+
   val queries: Map[String, Q] = Map(
     // Per-vector symmetric int8 quantization — the storage-prep step
     // before a vector store ships 4×-smaller embeddings: scale =
@@ -39,25 +64,12 @@ object Similarity {
     // exact. Narrow map work at any scale.
     "embed_quantize_int8" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
-      // each step is its own attribute: embedding a `sc_raw` expression
-      // TREE inside the transform lambdas would recompute the
-      // array_max per ELEMENT (64× per row — benched 2.3 s vs 0.4 s).
-      // The internal attribute must NOT share the output alias "scale":
-      // Spark 4 lateral-column-alias resolution rebinds col("scale")
-      // inside sibling select expressions to the ROUNDED alias,
-      // silently perturbing mse (SURVEY §7.3 trap 7; pinned in
-      // PipelineSpec).
       val mse = aggregate(
         zip_with(col("ed"), col("q"), (x, qi) => {
           val e = x - qi.cast("double") * col("sc_raw"); e * e
         }),
         lit(0.0), (s, v) => s + v) / lit(64.0)
-      spark.table("embeddings")
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("ed"))
-        .withColumn("sc_raw", array_max(transform(col("ed"), abs(_))) / lit(127.0))
-        // round-half-up via floor(v+0.5): identical in DuckDB; clamp after
-        .withColumn("q", transform(col("ed"), x =>
-          least(greatest(floor(x / col("sc_raw") + lit(0.5)), lit(-127L)), lit(127L))))
+      quantized8(spark.table("embeddings"))
         .select(col("vec_id"), round(col("sc_raw"), 9).as("scale"),
           aggregate(col("q"), lit(0L), (s, v) => s + v).as("q_sum"),
           round(mse, 12).as("mse"))
@@ -77,13 +89,8 @@ object Similarity {
     "ann_quantized_topk" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       GraftFunctions.register(spark)
-      // reconstruction: same per-element steps as embed_quantize_int8
-      // (scale as its own attribute — see the lateral-alias note there)
-      val rec = spark.table("embeddings")
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("ed"))
-        .withColumn("sc_raw", array_max(transform(col("ed"), abs(_))) / lit(127.0))
-        .withColumn("q", transform(col("ed"), x =>
-          least(greatest(floor(x / col("sc_raw") + lit(0.5)), lit(-127L)), lit(127L))))
+      // reconstruction over the SHARED quantize pipeline (quantized8)
+      val rec = quantized8(spark.table("embeddings"))
         .select(col("vec_id"),
           transform(col("q"), x => x.cast("double") * col("sc_raw")).as("rd"))
       val qs = rec.where(col("vec_id") < 5)
@@ -270,14 +277,10 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     // same per-element ops (max, divide, floor-half-up, clamp) and the
     // same index-order MSE fold — bit-identical, no tolerance
-    "embed_quantize_int8" -> """
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
-      s AS (SELECT vec_id, ed,
-              list_max(list_transform(ed, x -> abs(x))) / 127.0 AS scale
-            FROM e),
+    "embed_quantize_int8" -> s"""
+      WITH $QuantBaseCtes,
       qv AS (SELECT vec_id, ed, scale,
-              list_transform(ed, x ->
-                CAST(LEAST(GREATEST(floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) AS q
+              list_transform(ed, x -> ${qElemSql("x")}) AS q
              FROM s)
       SELECT vec_id, ROUND(scale, 9) AS scale,
              CAST(list_sum(q) AS BIGINT) AS q_sum,
@@ -340,14 +343,9 @@ object Similarity {
     // then the Clustering.cosSql fold replication of CosineSimD —
     // identical IEEE op order end to end, bit-exact compare
     "ann_quantized_topk" -> s"""
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
-      s AS (SELECT vec_id, ed,
-              list_max(list_transform(ed, x -> abs(x))) / 127.0 AS scale
-            FROM e),
+      WITH $QuantBaseCtes,
       r AS (SELECT vec_id,
-              list_transform(ed, x ->
-                CAST(LEAST(GREATEST(floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)
-                  * scale) AS rd
+              list_transform(ed, x -> ${qElemSql("x")} * scale) AS rd
             FROM s),
       scored AS (
         SELECT a.vec_id AS qid, b.vec_id AS nid,

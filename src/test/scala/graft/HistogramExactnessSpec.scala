@@ -22,18 +22,22 @@ class HistogramExactnessSpec extends AnyFunSuite {
     // columns (l_linestatus: 2, l_linenumber: 7) sit safely inside.
     val sf = "/root/testdata/sf0.01"
     Tables.register(spark, sf)
-    val r = spark.sql("""
-      SELECT APPROX_COUNT_DISTINCT(l_linestatus), COUNT(DISTINCT l_linestatus),
-             APPROX_COUNT_DISTINCT(l_linenumber), COUNT(DISTINCT l_linenumber),
-             APPROX_COUNT_DISTINCT(l_quantity),   COUNT(DISTINCT l_quantity)
-      FROM lineitem""").collect()(0)
-    assert(r.getLong(0) == r.getLong(1), "linestatus sketch must be exact")
-    assert(r.getLong(2) == r.getLong(3), "linenumber sketch must be exact")
-    assert(r.getLong(4) < r.getLong(5),
-      s"l_quantity (${r.getLong(5)} distinct) was exact (${r.getLong(4)}) — " +
-        "if the sketch got better, agg_approx_distinct could safely widen")
-    Tables.invalidate(spark)
-    Tables.register(spark, LocalSpark.sf)
+    try {
+      val r = spark.sql("""
+        SELECT APPROX_COUNT_DISTINCT(l_linestatus), COUNT(DISTINCT l_linestatus),
+               APPROX_COUNT_DISTINCT(l_linenumber), COUNT(DISTINCT l_linenumber),
+               APPROX_COUNT_DISTINCT(l_quantity),   COUNT(DISTINCT l_quantity)
+        FROM lineitem""").collect()(0)
+      assert(r.getLong(0) == r.getLong(1), "linestatus sketch must be exact")
+      assert(r.getLong(2) == r.getLong(3), "linenumber sketch must be exact")
+      assert(r.getLong(4) < r.getLong(5),
+        s"l_quantity (${r.getLong(5)} distinct) was exact (${r.getLong(4)}) — " +
+          "if the sketch got better, agg_approx_distinct could safely widen")
+    } finally {
+      // restore even on failure: later suites share this session's views
+      Tables.invalidate(spark)
+      Tables.register(spark, LocalSpark.sf)
+    }
   }
 
   test("one partial per group (REPARTITION(1)) is exact under any file layout") {
