@@ -165,6 +165,34 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
       cents2.map { case (c, v) => (c, v.toSeq) }   // bit-deterministic re-run
   }
 
+  test("argmax kernel at k=256 equals brute-force per-centroid cosines") {
+    // the flat-plan gate (PlanQualitySpec) proves the plan shape; this
+    // proves the VALUES: for a sample of vectors the broadcast-kernel
+    // assignment must pick exactly the centroid a driver-side
+    // per-centroid cosine scan picks, ties to the lowest id
+    import org.apache.spark.sql.functions.col
+    graft.Tables.register(spark, sf)
+    val cents = (0 until 256).map { i =>
+      (i, Array.tabulate(64)(d => ((i * 64 + d) % 97 + 1) / 97.0))
+    }
+    val out = Clustering.assignUnderCentroids(spark.table("embeddings"), cents)
+      .select(col("vec_id"), col("ve"), col("cluster"), col("cos"))
+      .where(col("vec_id") < 20).collect()
+    out.length shouldBe 20
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      if (na * nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val scored = cents.map { case (cid, c) => (cid, cos(v, c)) }
+      val best = scored.maxBy { case (cid, s) => (s, -cid) }
+      r.getInt(2) shouldBe best._1
+      r.getDouble(3) shouldBe best._2 // bit-exact: same fold order
+    }
+  }
+
   test("kmeans fails loudly when the corpus has fewer than k vectors") {
     val ex = intercept[IllegalArgumentException] {
       Clustering.kmeansCentroids(spark, sf, k = 8, iters = 1,
