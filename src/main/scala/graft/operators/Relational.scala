@@ -74,6 +74,115 @@ object Relational {
       ORDER BY revenue DESC, c_custkey
       LIMIT 20"""
 
+  // Q2 shape (min-cost supplier): correlated scalar MIN subquery in the
+  // WHERE clause. Catalyst de-correlates it into an aggregate + join on
+  // l_partkey, so at scale the "per-part minimum" is one shuffle over
+  // the same key as the outer join — no nested-loop re-execution. The
+  // unit-cost division is per-row IEEE double (deterministic), and MIN
+  // over doubles is order-independent, so equality against the
+  // subquery result is bit-stable in both engines. DISTINCT collapses
+  // tied lineitems of the same (part, supplier), leaving
+  // (unit_cost, p_partkey, s_suppkey) a unique sort key → LIMIT stable.
+  private val Q2Sql = """
+      SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name,
+             l_extendedprice / l_quantity AS unit_cost
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+      WHERE p_size <= 3
+        AND l_extendedprice / l_quantity = (
+          SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      ORDER BY unit_cost, p_partkey, s_suppkey
+      LIMIT 50"""
+
+  // Q4 shape (order-priority checking): correlated EXISTS against the
+  // fact with an inequality on a date offset (late shipment proxy for
+  // commitdate < receiptdate). Catalyst plans a left-semi join on
+  // l_orderkey with the date predicate as a join condition.
+  private val Q4Sql = """
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
+
+  // Q12 shape (shipping-mode class counts, adapted to o_orderpriority):
+  // conditional COUNT(CASE ...) — COUNT not SUM so both engines emit
+  // BIGINT (DuckDB SUM(int) widens to HUGEINT, which the compare
+  // would flag as a dtype mismatch).
+  private val Q12Sql = """
+      SELECT l_returnflag,
+             COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+             COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""
+
+  // Q14 shape (promo revenue ratio): two exact DECIMAL sums (the CASE
+  // branch types must match — ELSE is cast to the same DECIMAL(18,6))
+  // divided once at the DOUBLE boundary. Single global aggregate; at
+  // scale this is a map-side partial + 1-row final, no data motion
+  // beyond the part join (broadcast-able dim).
+  private val Q14Sql = """
+      SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'"""
+
+  // Q16 shape (supplier count by part attributes): NOT IN subquery
+  // (null-free key side) + COUNT(DISTINCT) per group. The distinct
+  // count expands to a two-phase aggregate; the anti-join side is a
+  // 100-row broadcast.
+  private val Q16Sql = """
+      SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size IN (1, 14, 23, 45)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+      GROUP BY p_brand, p_type
+      ORDER BY supplier_cnt DESC, p_brand, p_type"""
+
+  // Q19 shape (discounted revenue): disjunction of conjunctive
+  // brand/size/quantity ranges. The OR-of-ANDs must still push the
+  // common join key through; Catalyst extracts p_partkey = l_partkey
+  // as the equi-condition and evaluates the disjunction post-join —
+  // never a nested loop (gated in PlanQualitySpec).
+  private val Q19Sql = """
+      SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""
+
+  // Q22 shape (global sales opportunity): scalar aggregate CTE joined
+  // cross (1 row — broadcast), anti-join against recent orders, group
+  // by a substring-derived code. The average goes through an exact
+  // DECIMAL sum / COUNT at the double boundary so the threshold is
+  // bit-identical in both engines.
+  private val Q22Sql = """
+      WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS ab
+        FROM customer WHERE c_acctbal > 0)
+      SELECT SUBSTR(c_name, 18, 1) AS cgroup,
+             COUNT(*) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      FROM customer, avg_bal
+      WHERE c_acctbal > ab
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      GROUP BY SUBSTR(c_name, 18, 1)
+      ORDER BY cgroup"""
+
   // Q18 (large-volume customer): the HAVING-subquery shape — the inner
   // aggregate runs once, broadcasts its (small) qualifying key set into
   // a semi join against the fact, and the outer aggregate reuses the
@@ -97,6 +206,13 @@ object Relational {
     "q5_local_supplier" -> Tables.sql(Q5Sql),
     "q10_returned_items" -> Tables.sql(Q10Sql),
     "q18_large_volume" -> Tables.sql(Q18Sql),
+    "q2_min_cost_supplier" -> Tables.sql(Q2Sql),
+    "q4_order_priority" -> Tables.sql(Q4Sql),
+    "q12_priority_class" -> Tables.sql(Q12Sql),
+    "q14_promo_revenue" -> Tables.sql(Q14Sql),
+    "q16_supplier_cnt" -> Tables.sql(Q16Sql),
+    "q19_disjunct_revenue" -> Tables.sql(Q19Sql),
+    "q22_inactive_customers" -> Tables.sql(Q22Sql),
 
     // Hive's null-safe equality join (`<=>`, GenericUDFOPEqualNS —
     // §2.1#6): NULL keys MATCH null keys, where `=` silently drops
@@ -433,6 +549,13 @@ object Relational {
     "q5_local_supplier" -> Q5Sql,
     "q10_returned_items" -> Q10Sql,
     "q18_large_volume" -> Q18Sql,
+    "q2_min_cost_supplier" -> Q2Sql,
+    "q4_order_priority" -> Q4Sql,
+    "q12_priority_class" -> Q12Sql,
+    "q14_promo_revenue" -> Q14Sql,
+    "q16_supplier_cnt" -> Q16Sql,
+    "q19_disjunct_revenue" -> Q19Sql,
+    "q22_inactive_customers" -> Q22Sql,
 
     // ANSI spelling of null-safe equality
     "join_null_safe" -> """

@@ -36,11 +36,13 @@ def cell_equal(x, y):
         return False  # int-vs-float dtype drift leaking through object cols
     return str(x) == str(y)
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:  # dev subset run (mirrors Verify's optional third arg)
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -105,6 +107,8 @@ def main(sfdir, outdir):
     # verify the parquet loads and row-sorts (driver records rows even here)
     declared = {p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if not p.endswith(".json")}
     no_oracle = declared - set(oracle)
+    if only:
+        no_oracle &= set(only)
     for name in sorted(no_oracle):
         try:
             sdf = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
@@ -118,4 +122,5 @@ def main(sfdir, outdir):
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None)
