@@ -232,8 +232,72 @@ object TextAnalysis {
              ROUND(${bm25Sum()}, 6) AS score
       FROM d CROSS JOIN st
       ORDER BY score DESC, doc_id
-      LIMIT 10""")
+      LIMIT 10"""),
+
+    // Bigram-LM perplexity scoring (the CCNet filtering signal, Wenzek
+    // et al. LREC'20 — low-perplexity-under-a-reference-LM ≈ fluent
+    // text): an add-0.5-smoothed bigram model is fit on the corpus
+    // itself and every document is scored by its average bigram
+    // log-probability and perplexity exp(-avg). 100 TB shape: the
+    // bigram explode is narrow map work; c(w1,w2)/c(w1·) are two
+    // standard hash aggregates on token keys; the count lookup joins
+    // are equi-joins co-partitioned with the counts; V is a 1-row
+    // broadcast. Determinism: counts are integers, each bigram's LN is
+    // one fixed IEEE sequence absorbed at the 6-dp ROUND, and the
+    // per-doc mean goes through an exact DECIMAL(18,6) sum so the
+    // reduction order cannot leak (same discipline as cluster_*).
+    "text_perplexity" -> gsql(s"""
+      WITH ${pplCtes(spark = true)}
+      SELECT doc_id,
+             COUNT(*) AS n_bigrams,
+             ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logp,
+             ROUND(EXP(-(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))), 6) AS ppl
+      FROM sc
+      GROUP BY doc_id
+      ORDER BY doc_id""")
   )
+
+  /** The bigram/count/score CTE chain feeding text_perplexity —
+    * parameterized on tokenizer + bigram-explode spelling (Spark:
+    * TOKENIZE kernel + ZIP_WITH of two SLICEs; DuckDB: validated
+    * STRING_SPLIT replication + 1-based UNNEST(RANGE) indexing); the
+    * count/vocab/scoring SQL after the b CTE is textually identical. */
+  private[operators] def pplCtes(spark: Boolean): String = {
+    val head =
+      if (spark) """
+      t AS (
+        SELECT doc_id, TOKENIZE(text) AS toks FROM documents
+      ), b AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+        FROM t
+        LATERAL VIEW EXPLODE(ZIP_WITH(SLICE(toks, 1, SIZE(toks) - 1),
+                                      SLICE(toks, 2, SIZE(toks) - 1),
+                                      (x, y) -> NAMED_STRUCT('w1', x, 'w2', y))) bgv AS bg
+        WHERE SIZE(toks) >= 2
+      )"""
+      else """
+      t AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), b AS (
+        SELECT doc_id, toks[p] AS w1, toks[p + 1] AS w2
+        FROM t, UNNEST(RANGE(1, LEN(toks))) AS r(p)
+        WHERE LEN(toks) >= 2
+      )"""
+    head + """
+      , cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2)
+      , cw AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY w1)
+      , vv AS (SELECT COUNT(DISTINCT w) AS v
+               FROM (SELECT w1 AS w FROM b UNION SELECT w2 AS w FROM b) u)
+      , sc AS (
+          SELECT b.doc_id,
+                 ROUND(LN((CAST(cb.c12 AS DOUBLE) + 0.5)
+                        / (CAST(cw.c1 AS DOUBLE) + 0.5 * CAST(vv.v AS DOUBLE))), 6) AS lp
+          FROM b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+                 JOIN cw ON b.w1 = cw.w1
+                 CROSS JOIN vv
+      )"""
+  }
 
   /** One BM25 term's contribution, as SQL that parses identically in
     * Spark and DuckDB — every operand is cast to DOUBLE explicitly and
@@ -508,6 +572,20 @@ object TextAnalysis {
              ROUND(${bm25Sum()}, 6) AS score
       FROM d CROSS JOIN st
       ORDER BY score DESC, doc_id
-      LIMIT 10"""
+      LIMIT 10""",
+
+    // same tokenization replication, DuckDB 1-based list indexing for
+    // the bigram explode, then textually identical count/LN/DECIMAL-sum
+    // arithmetic (LN's 1 ulp absorbed at the shared ROUND boundary, the
+    // per-doc mean exact via DECIMAL so reduction order cannot leak)
+    "text_perplexity" -> s"""
+      WITH ${pplCtes(spark = false)}
+      SELECT doc_id,
+             COUNT(*) AS n_bigrams,
+             ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logp,
+             ROUND(EXP(-(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))), 6) AS ppl
+      FROM sc
+      GROUP BY doc_id
+      ORDER BY doc_id"""
   )
 }
