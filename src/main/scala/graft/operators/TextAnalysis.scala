@@ -254,17 +254,51 @@ object TextAnalysis {
              ROUND(EXP(-(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))), 6) AS ppl
       FROM sc
       GROUP BY doc_id
-      ORDER BY doc_id""")
+      ORDER BY doc_id"""),
+
+    // PMI collocation mining (Church & Hanks, CL'90): pointwise mutual
+    // information ln(p(w1,w2) / (p(w1)·p(w2))) over corpus bigrams,
+    // top-30 pairs above a min-count support floor — the standard
+    // phrase/collocation signal for tokenizer and phrase-vocab
+    // construction. 100 TB shape: three hash aggregates on token keys
+    // (pair, left-marginal, right-marginal), the marginals join back on
+    // the pair table's own keys, N is a 1-row broadcast, and the top-k
+    // is TakeOrderedAndProject. Determinism: all counts are integers,
+    // one LN per surviving pair absorbed at the 6-dp ROUND, and
+    // (pmi DESC, w1, w2) is a unique sort key.
+    "text_pmi_bigrams" -> gsql(pmiSql(spark = true))
   )
+
+  /** Whole text_pmi_bigrams statement — everything after the bigram
+    * explode is textually identical SQL in both engines. */
+  private def pmiSql(spark: Boolean): String = s"""
+      WITH ${bigramCtes(spark)}
+      , cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2)
+      , c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM b GROUP BY w1)
+      , c2 AS (SELECT w2, COUNT(*) AS cnt2 FROM b GROUP BY w2)
+      , n AS (SELECT COUNT(*) AS nb FROM b)
+      SELECT cb.w1 AS w1, cb.w2 AS w2, cb.c12 AS c12,
+             ROUND(LN(CAST(cb.c12 AS DOUBLE) * CAST(nb AS DOUBLE)
+                    / (CAST(cnt1 AS DOUBLE) * CAST(cnt2 AS DOUBLE))), 6) AS pmi
+      FROM cb JOIN c1 ON cb.w1 = c1.w1
+              JOIN c2 ON cb.w2 = c2.w2
+              CROSS JOIN n
+      WHERE cb.c12 >= 10
+      ORDER BY pmi DESC, w1, w2
+      LIMIT 30"""
 
   /** The bigram/count/score CTE chain feeding text_perplexity —
     * parameterized on tokenizer + bigram-explode spelling (Spark:
     * TOKENIZE kernel + ZIP_WITH of two SLICEs; DuckDB: validated
     * STRING_SPLIT replication + 1-based UNNEST(RANGE) indexing); the
     * count/vocab/scoring SQL after the b CTE is textually identical. */
-  private[operators] def pplCtes(spark: Boolean): String = {
-    val head =
-      if (spark) """
+  /** The doc→bigram explode (t, b CTEs), parameterized on tokenizer +
+    * list-indexing spelling (Spark: TOKENIZE kernel + ZIP_WITH of two
+    * SLICEs; DuckDB: validated STRING_SPLIT replication + 1-based
+    * UNNEST(RANGE) indexing). Shared by text_perplexity and
+    * text_pmi_bigrams. */
+  private[operators] def bigramCtes(spark: Boolean): String =
+    if (spark) """
       t AS (
         SELECT doc_id, TOKENIZE(text) AS toks FROM documents
       ), b AS (
@@ -275,7 +309,7 @@ object TextAnalysis {
                                       (x, y) -> NAMED_STRUCT('w1', x, 'w2', y))) bgv AS bg
         WHERE SIZE(toks) >= 2
       )"""
-      else """
+    else """
       t AS (
         SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
         FROM documents
@@ -284,7 +318,9 @@ object TextAnalysis {
         FROM t, UNNEST(RANGE(1, LEN(toks))) AS r(p)
         WHERE LEN(toks) >= 2
       )"""
-    head + """
+
+  private[operators] def pplCtes(spark: Boolean): String = {
+    bigramCtes(spark) + """
       , cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2)
       , cw AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY w1)
       , vv AS (SELECT COUNT(DISTINCT w) AS v
@@ -586,6 +622,9 @@ object TextAnalysis {
              ROUND(EXP(-(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))), 6) AS ppl
       FROM sc
       GROUP BY doc_id
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // identical statement modulo the DuckDB bigram-explode spelling
+    "text_pmi_bigrams" -> pmiSql(spark = false)
   )
 }
