@@ -25,7 +25,8 @@ object SparkEntry {
     QueryModule(AsOfJoin.queries, AsOfJoin.oracle),
     QueryModule(RangeJoin.queries, RangeJoin.oracle),
     QueryModule(Multimodal.queries, Multimodal.oracle),
-    QueryModule(MatchPath.queries, MatchPath.oracle)
+    QueryModule(MatchPath.queries, MatchPath.oracle),
+    QueryModule(Graph.queries, Graph.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
