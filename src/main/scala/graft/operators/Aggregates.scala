@@ -22,7 +22,32 @@ object Aggregates {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  // z-score + min-max feature scaling: the whole-corpus moments reduce
+  // to ONE broadcast row (exact DECIMAL sums for mean and sum-of-
+  // squares — the per-row square is deterministic double work, its
+  // 8-dp DECIMAL quantization makes the reduction order-independent),
+  // then scaling is narrow per-row arithmetic. The textbook
+  // E[x²]−E[x]² variance is fine here because the DECIMAL boundary
+  // fixes both operands bit-exactly in both engines. One SQL text
+  // serves both.
+  private val FeatureScaleSql = """
+      WITH st AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mu,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS musq,
+               MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+        FROM lineitem
+      )
+      SELECT l_orderkey, l_linenumber,
+             ROUND((l_quantity - mu) / SQRT(musq - mu * mu), 6) AS qty_z,
+             ROUND((l_extendedprice - mn) / (mx - mn), 6) AS price_minmax
+      FROM lineitem CROSS JOIN st
+      WHERE l_orderkey < 2000
+      ORDER BY l_orderkey, l_linenumber"""
+
   val queries: Map[String, Q] = Map(
+    "feature_scale" -> Tables.sql(FeatureScaleSql),
+
     "agg_basic" -> Tables.sql("""
       SELECT o_orderstatus,
              COUNT(*) AS n,
@@ -246,6 +271,8 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "feature_scale" -> FeatureScaleSql,
+
     "agg_basic" -> """
       SELECT o_orderstatus,
              COUNT(*) AS n,

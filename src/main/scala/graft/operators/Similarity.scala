@@ -238,6 +238,37 @@ object Similarity {
         .where(col("rn") <= 3)
         .select(col("qid"), col("nid"), col("cos"), col("rn"))
         .orderBy(col("qid"), col("rn"))
+    }),
+
+    // Per-dimension winsorization audit — the outlier-clipping feature
+    // prep run before quantization or whitening: exact p05/p95 per
+    // coordinate, how many values each side clips, and the post-clip
+    // mean. 100 TB shape: the explode is narrow map work, then two
+    // hash aggregates on the 64 dim keys (percentile state is per-dim,
+    // bounded); the percentile table re-joins on the same key.
+    // Determinism: thresholds are ROUNDed before use so both engines
+    // clip on the identical boundary, and the post-clip mean goes
+    // through floor-quantized integer-valued sums (the Clustering
+    // discipline) so reduction order cannot leak.
+    "embed_winsorize" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      spark.sql("""
+        WITH x AS (
+          SELECT vec_id, CAST(pos + 1 AS INT) AS dim, CAST(v AS DOUBLE) AS x
+          FROM embeddings LATERAL VIEW POSEXPLODE(embedding) pe AS pos, v
+        ), p AS (
+          SELECT dim, ROUND(PERCENTILE(x, 0.05), 6) AS p05,
+                 ROUND(PERCENTILE(x, 0.95), 6) AS p95
+          FROM x GROUP BY dim
+        )
+        SELECT x.dim AS dim, p.p05 AS p05, p.p95 AS p95,
+               COUNT(CASE WHEN x.x < p.p05 THEN 1 END) AS n_lo,
+               COUNT(CASE WHEN x.x > p.p95 THEN 1 END) AS n_hi,
+               ROUND(CAST(SUM(FLOOR(GREATEST(p.p05, LEAST(p.p95, x.x)) * 1000000)) AS DOUBLE)
+                     / (COUNT(*) * 1000000.0), 6) AS mean_clip
+        FROM x JOIN p ON x.dim = p.dim
+        GROUP BY x.dim, p.p05, p.p95
+        ORDER BY dim""")
     })
   )
 
@@ -404,6 +435,27 @@ object Similarity {
       )
       SELECT qid, nid, cos, rn FROM ranked
       WHERE rn <= 3
-      ORDER BY qid, rn"""
+      ORDER BY qid, rn""",
+
+    // same statement with DuckDB spellings: 1-based UNNEST(RANGE)
+    // explode and QUANTILE_CONT for the exact percentile (linear
+    // interpolation in both engines, agg_percentile precedent)
+    "embed_winsorize" -> """
+      WITH x AS (
+        SELECT vec_id, CAST(r.i AS INT) AS dim, CAST(embedding[r.i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(RANGE(1, 65)) AS r(i)
+      ), p AS (
+        SELECT dim, ROUND(QUANTILE_CONT(x, 0.05), 6) AS p05,
+               ROUND(QUANTILE_CONT(x, 0.95), 6) AS p95
+        FROM x GROUP BY dim
+      )
+      SELECT x.dim AS dim, p.p05 AS p05, p.p95 AS p95,
+             COUNT(CASE WHEN x.x < p.p05 THEN 1 END) AS n_lo,
+             COUNT(CASE WHEN x.x > p.p95 THEN 1 END) AS n_hi,
+             ROUND(CAST(SUM(FLOOR(GREATEST(p.p05, LEAST(p.p95, x.x)) * 1000000)) AS DOUBLE)
+                   / (COUNT(*) * 1000000.0), 6) AS mean_clip
+      FROM x JOIN p ON x.dim = p.dim
+      GROUP BY x.dim, p.p05, p.p95
+      ORDER BY dim"""
   )
 }
