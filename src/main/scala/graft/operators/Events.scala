@@ -81,8 +81,87 @@ object Events {
              COUNT(*) AS n_events
       FROM events
       GROUP BY SESSION_WINDOW(ts, '30 minutes'), user_id
-      ORDER BY user_id, sess_start""")
+      ORDER BY user_id, sess_start"""),
+
+    // Ordered conversion funnel (view → click → purchase): each stage
+    // keeps users whose first stage-k event precedes a later stage-k+1
+    // event. Three per-user MIN aggregates chained by semi-ish joins —
+    // at scale each stage is one shuffle on user_id and the stage
+    // tables shrink monotonically; conversion ratios are exact-integer
+    // divisions at the double boundary. All counts integers → one SQL
+    // text serves both engines.
+    "events_funnel" -> Tables.sql(FunnelSql),
+
+    // Weekly cohort retention: users bucketed by first-activity week,
+    // counted in each later week they return. The µs-epoch week bucket
+    // is exact integer arithmetic (engine-specific epoch spelling,
+    // otherwise identical SQL); the DISTINCT activity set and both
+    // aggregates shuffle on user_id / (cohort, offset) keys only.
+    "events_cohort_retention" -> Tables.sql(cohortSql(spark = true)),
+
+    // Exponential-decay feature over each user's event stream: a fixed
+    // 4-term LAG chain (1, 1/2, 1/4, 1/8) — the window-function
+    // spelling of an EWMA tap. Arithmetic is one fixed IEEE sequence
+    // per row (deterministic), the frame never re-scans (4 LAGs, O(1)
+    // per row — the ADVICE.md lesson from asofForward's quadratic
+    // frame), and the user_id predicate pushes below the window
+    // because it is the partition key.
+    "events_decay_feature" -> Tables.sql(DecaySql)
   )
+
+  // one SQL text, both engines
+  private lazy val FunnelSql = """
+      WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id AS user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id AS user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            GROUP BY e.user_id)
+      SELECT (SELECT COUNT(*) FROM v) AS n_view,
+             (SELECT COUNT(*) FROM c) AS n_view_click,
+             (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
+             ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6) AS conv_click,
+             ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6) AS conv_purchase"""
+
+  /** Cohort SQL parameterized on the µs-epoch spelling (Spark
+    * UNIX_MICROS ↔ DuckDB EPOCH_US — the events_sessionize pairing);
+    * everything else is textually identical. */
+  private def cohortSql(spark: Boolean): String = {
+    val epochUs = if (spark) "UNIX_MICROS(ts)" else "EPOCH_US(ts)"
+    s"""
+      WITH wkv AS (SELECT user_id,
+                     CAST(FLOOR($epochUs / 604800000000.0) AS BIGINT) AS wk
+                   FROM events),
+      f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wkv GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id, wk FROM wkv)
+      SELECT f.cohort_wk AS cohort_wk, a.wk - f.cohort_wk AS week_offset,
+             COUNT(*) AS n_users
+      FROM a JOIN f ON a.user_id = f.user_id
+      GROUP BY f.cohort_wk, a.wk - f.cohort_wk
+      ORDER BY cohort_wk, week_offset"""
+  }
+
+  // one SQL text, both engines
+  private lazy val DecaySql = """
+      SELECT user_id, event_id,
+             ROUND(value + 0.5 * COALESCE(l1, 0.0) + 0.25 * COALESCE(l2, 0.0)
+                         + 0.125 * COALESCE(l3, 0.0), 6) AS decay_feat
+      FROM (
+        SELECT user_id, event_id, value,
+               LAG(value, 1) OVER w AS l1,
+               LAG(value, 2) OVER w AS l2,
+               LAG(value, 3) OVER w AS l3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ) t
+      WHERE user_id <= 30
+      ORDER BY user_id, event_id"""
 
   val oracle: Map[String, String] = Map(
     "events_tumbling_window" -> """
@@ -153,6 +232,10 @@ object Events {
              COUNT(*) AS n_events
       FROM numbered
       GROUP BY user_id, sess_id
-      ORDER BY user_id, sess_start"""
+      ORDER BY user_id, sess_start""",
+
+    "events_funnel" -> FunnelSql,
+    "events_cohort_retention" -> cohortSql(spark = false),
+    "events_decay_feature" -> DecaySql
   )
 }
