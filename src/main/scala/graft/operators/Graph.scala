@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Graph analytics over a co-occurrence graph — the link-analysis
@@ -14,9 +15,18 @@ import graft.Tables
   * a clique and no triangle algorithm survives that at any scale).
   * Edges are stored once in (src < dst) orientation.
   *
+  * The Spark side builds the edge list ONCE and persists it — a
+  * SQL-CTE spelling re-runs the (incidence self-join + aggregate)
+  * edge build at every reference because Catalyst inlines CTEs
+  * (triangles reference e three times; three unrolled PageRank
+  * iterations reference it transitively ~7×). The DuckDB oracle keeps
+  * the pure-CTE spelling (DuckDB materializes CTEs) — same values.
+  *
   * 100 TB design:
   *  - Edge build: one DISTINCT + one self-equi-join on the order key +
-  *    a hash aggregate — all standard shuffles on (order, part) keys.
+  *    a hash aggregate — all standard shuffles on (order, part) keys;
+  *    materialized once per analysis session, exactly like a
+  *    production pipeline would checkpoint it.
   *  - Triangles: the (src < dst) orientation makes each triangle count
   *    exactly once via two hash joins (e1.dst=e2.src, then closing
   *    edge lookup); the classic degree-ordered orientation (direct
@@ -35,8 +45,25 @@ object Graph {
 
   private type Q = (SparkSession, String) => DataFrame
 
-  // shared edge-build CTE: distinct (order, part) incidence, self-join
-  // in (src < dst) orientation, support floor at 2 co-occurrences
+  /** The support-filtered co-occurrence edge list in (src < dst)
+    * orientation. Callers persist it for the duration of their query
+    * (the harness clears the cache afterwards). */
+  private def edges(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val io = spark.table("lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val a = io.select(col("o"), col("p").as("src"))
+    val b = io.select(col("o"), col("p").as("dst"))
+    a.join(b, Seq("o")).where(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("src"), col("dst"))
+  }
+
+  // ---- shared DuckDB-oracle CTE text ----
+
   private val EdgeCte = """
       WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       e AS (
@@ -60,41 +87,83 @@ object Graph {
           FROM sym s JOIN pr${k - 1} p ON s.src = p.node JOIN deg d ON s.src = d.node
           GROUP BY s.dst) c ON d2.node = c.node)"""
 
-  private val TriSql = EdgeCte + """
-      SELECT (SELECT COUNT(*) FROM (SELECT src AS node FROM e UNION SELECT dst AS node FROM e) n) AS n_nodes,
-             (SELECT COUNT(*) FROM e) AS n_edges,
-             (SELECT COUNT(*) FROM e e1 JOIN e e2 ON e1.dst = e2.src
-                               JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst) AS n_triangles"""
-
-  private val DegSql = EdgeCte + """
-      , d AS (SELECT node, COUNT(*) AS degree
-              FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) n
-              GROUP BY node)
-      SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY degree ORDER BY degree"""
-
-  private val PrSql = EdgeCte + """
-      , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
-      , deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src)
-      , pr0 AS (SELECT node, CAST(1000000 AS DOUBLE) AS q FROM deg)""" +
-    prIter(1) + prIter(2) + prIter(3) + """
-      SELECT node, CAST(q AS BIGINT) AS pr_q, ROUND(CAST(q AS DOUBLE) / 1000000.0, 6) AS pr
-      FROM pr3 ORDER BY pr_q DESC, node LIMIT 20"""
-
   val queries: Map[String, Q] = Map(
     // global triangle census (+ node/edge counts): two-hash-join wedge
-    // closure on the once-stored (src < dst) orientation
-    "graph_triangles" -> Tables.sql(TriSql),
+    // closure on the once-stored (src < dst) orientation. The three
+    // counts are driver-side scalars over the persisted edge list
+    // (1-row result — not a row-scale collect).
+    "graph_triangles" -> ((spark, sfDir) => {
+      val e = edges(spark, sfDir).persist()
+      val nNodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().count()
+      val nEdges = e.count()
+      val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+      val e2 = e.select(col("src").as("b"), col("dst").as("c"))
+      val e3 = e.select(col("src").as("a"), col("dst").as("c"))
+      val nTri = e1.join(e2, Seq("b")).join(e3, Seq("a", "c")).count()
+      import spark.implicits._
+      Seq((nNodes, nEdges, nTri)).toDF("n_nodes", "n_edges", "n_triangles")
+    }),
+
     // degree histogram — the shape-of-the-graph diagnostic run before
     // any join-heavy graph op (skew detection for the salting decision)
-    "graph_degree_stats" -> Tables.sql(DegSql),
+    "graph_degree_stats" -> ((spark, sfDir) => {
+      val e = edges(spark, sfDir).persist()
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
     // 3 unrolled quantized-PageRank iterations, top-20 nodes; the
     // oracle replays the identical iteration, so values match exactly
-    "graph_pagerank" -> Tables.sql(PrSql)
+    "graph_pagerank" -> ((spark, sfDir) => {
+      val e = edges(spark, sfDir).persist()
+      val sym = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree")).persist()
+      var pr = deg.select(col("node"), lit(1000000.0).as("q"))
+      for (_ <- 1 to 3) {
+        val contrib = sym
+          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .join(deg.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("cnode"))
+          .agg(sum(floor(col("q") / col("degree"))).cast("double").as("s"))
+        pr = deg.select(col("node"))
+          .join(contrib, col("node") === col("cnode"), "left")
+          .select(col("node"),
+            (lit(150000.0) +
+              floor(lit(17.0) * coalesce(col("s"), lit(0.0)) / lit(20.0))).as("q"))
+      }
+      pr.select(col("node"), col("q").cast("bigint").as("pr_q"),
+          round(col("q").cast("double") / lit(1000000.0), 6).as("pr"))
+        .orderBy(col("pr_q").desc, col("node"))
+        .limit(20)
+    })
   )
 
   val oracle: Map[String, String] = Map(
-    "graph_triangles" -> TriSql,
-    "graph_degree_stats" -> DegSql,
-    "graph_pagerank" -> PrSql
+    "graph_triangles" -> (EdgeCte + """
+      SELECT (SELECT COUNT(*) FROM (SELECT src AS node FROM e UNION SELECT dst AS node FROM e) n) AS n_nodes,
+             (SELECT COUNT(*) FROM e) AS n_edges,
+             (SELECT COUNT(*) FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                               JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst) AS n_triangles"""),
+
+    "graph_degree_stats" -> (EdgeCte + """
+      , d AS (SELECT node, COUNT(*) AS degree
+              FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) n
+              GROUP BY node)
+      SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY degree ORDER BY degree"""),
+
+    "graph_pagerank" -> (EdgeCte + """
+      , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+      , deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src)
+      , pr0 AS (SELECT node, CAST(1000000 AS DOUBLE) AS q FROM deg)""" +
+      prIter(1) + prIter(2) + prIter(3) + """
+      SELECT node, CAST(q AS BIGINT) AS pr_q, ROUND(CAST(q AS DOUBLE) / 1000000.0, 6) AS pr
+      FROM pr3 ORDER BY pr_q DESC, node LIMIT 20""")
   )
 }
