@@ -305,4 +305,52 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("subquery_in")
     assert(p.contains("SemiJoin") || p.contains("LeftSemi"), p)
   }
+
+  test("q19 OR-of-ANDs keeps the equi-join key, never a nested loop") {
+    val p = plan("q19_disjunct_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the partkey equi-condition must be extracted from the disjunction:\n$p")
+  }
+
+  test("q2 correlated MIN subquery de-correlates to aggregate + equi-join") {
+    val p = plan("q2_min_cost_supplier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the per-part minimum must join on l_partkey, not re-execute per row:\n$p")
+  }
+
+  test("text_perplexity: count-lookup joins stay equi, no all-pairs product") {
+    val p = plan("text_perplexity")
+    // the single-row vocab size joins back as a 1-row broadcast (the
+    // scalar-subquery pattern); the c(w1,w2)/c(w1) lookups must be
+    // equi-joins on token keys — a cartesian anywhere means the corpus
+    // is being crossed with itself
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_decay_feature pushes the partition-key filter below the window") {
+    val p = plan("events_decay_feature")
+    // user_id is the window partition key, so the predicate must reach
+    // the parquet scan instead of filtering after the window exec
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), LessThanOrEqual(user_id"),
+      s"user_id filter must reach the scan:\n$p")
+  }
+
+  test("graph queries never degrade to a cartesian product") {
+    for (q <- Seq("graph_triangles", "graph_degree_stats", "graph_pagerank")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay on equi-joins:\n$p")
+    }
+  }
+
+  test("graph_pagerank iterations read the persisted edge list, not the fact table") {
+    val df = SparkEntry.queries("graph_pagerank")(spark, LocalSpark.sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // the lineitem incidence self-join must be materialized once: the
+    // iteration plan reads InMemoryTableScan and the raw lineitem scan
+    // appears only under it (cache build), not once per iteration
+    assert(p.contains("InMemoryTableScan"),
+      s"edge list must come from the persisted cache:\n$p")
+    spark.catalog.clearCache()
+  }
 }
