@@ -45,8 +45,29 @@ object Aggregates {
       WHERE l_orderkey < 2000
       ORDER BY l_orderkey, l_linenumber"""
 
+  // Deterministic MODE (most-frequent value per group): the engines'
+  // native mode() functions break ties arbitrarily, so the operator is
+  // spelled as count + ROW_NUMBER with an explicit (cnt DESC, value)
+  // tie-break — same result bit-for-bit in both engines, and the
+  // window runs over the tiny per-group count table, not the fact.
+  private val ModeSql = """
+      WITH c AS (
+        SELECT o_orderpriority, l_returnflag, COUNT(*) AS cnt
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority, l_returnflag
+      ), r AS (
+        SELECT o_orderpriority, l_returnflag, cnt,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                 ORDER BY cnt DESC, l_returnflag) AS rn
+        FROM c
+      )
+      SELECT o_orderpriority, l_returnflag AS mode_flag, cnt
+      FROM r WHERE rn = 1
+      ORDER BY o_orderpriority"""
+
   val queries: Map[String, Q] = Map(
     "feature_scale" -> Tables.sql(FeatureScaleSql),
+    "agg_mode" -> Tables.sql(ModeSql),
 
     "agg_basic" -> Tables.sql("""
       SELECT o_orderstatus,
@@ -272,6 +293,7 @@ object Aggregates {
 
   val oracle: Map[String, String] = Map(
     "feature_scale" -> FeatureScaleSql,
+    "agg_mode" -> ModeSql,
 
     "agg_basic" -> """
       SELECT o_orderstatus,

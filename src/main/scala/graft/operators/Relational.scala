@@ -382,6 +382,23 @@ object Relational {
         SELECT s_nationkey AS nk FROM supplier
       ) u ORDER BY nk"""),
 
+    // INTERSECT / EXCEPT (Hive 2.3 set-operation surface, rewritten by
+    // both engines to distinct semi/anti joins — never a sort-based
+    // set-difference pass; same shuffle key as the UNION DISTINCT).
+    "set_intersect" -> Tables.sql("""
+      SELECT nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nk FROM supplier
+      ) t ORDER BY nk"""),
+
+    "set_except" -> Tables.sql("""
+      SELECT ck FROM (
+        SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 400000
+        EXCEPT
+        SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'BUILDING'
+      ) t ORDER BY ck"""),
+
     // Uncorrelated IN subquery (Hive TOK_SUBQUERY_EXPR → semi-join
     // rewrite, SemanticAnalyzer.genPlanForSubQueryPredicate).
     "subquery_in" -> Tables.sql("""
@@ -681,6 +698,20 @@ object Relational {
         UNION
         SELECT s_nationkey AS nk FROM supplier
       ) u ORDER BY nk""",
+
+    "set_intersect" -> """
+      SELECT nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nk FROM supplier
+      ) t ORDER BY nk""",
+
+    "set_except" -> """
+      SELECT ck FROM (
+        SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 400000
+        EXCEPT
+        SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'BUILDING'
+      ) t ORDER BY ck""",
 
     "subquery_in" -> """
       SELECT o_orderkey, o_totalprice

@@ -21,7 +21,41 @@ object Windows {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** RFM segmentation — the classic customer-analytics windowing
+    * workload: per-customer recency (µs-epoch day arithmetic, exact
+    * integers — engine-specific epoch spelling), frequency, exact
+    * DECIMAL monetary, then NTILE(4) quartiles per dimension. Every
+    * NTILE order is made total with the customer key so bucket
+    * boundaries are deterministic; the three windows share one
+    * unpartitioned pass over the 1-row-per-customer aggregate (not
+    * the fact table), which is the scale-safe place for a global
+    * NTILE. */
+  private def rfmSql(spark: Boolean): String = {
+    // orders timestamps surface as TIMESTAMP_NTZ in Spark; the session
+    // zone is pinned UTC so the cast is an identity on the instant
+    def epochUs(c: String) =
+      if (spark) s"UNIX_MICROS(CAST($c AS TIMESTAMP))" else s"EPOCH_US($c)"
+    s"""
+      WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+      base AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(FLOOR((${epochUs("mx.maxd")} - ${epochUs("MAX(o_orderdate)")}) / 86400000000.0) AS BIGINT) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        FROM orders, mx
+        GROUP BY o_custkey, mx.maxd
+      )
+      SELECT c_custkey, recency_days, frequency, monetary,
+             NTILE(4) OVER (ORDER BY recency_days, c_custkey) AS r_quartile,
+             NTILE(4) OVER (ORDER BY frequency DESC, c_custkey) AS f_quartile,
+             NTILE(4) OVER (ORDER BY monetary DESC, c_custkey) AS m_quartile
+      FROM base
+      ORDER BY c_custkey"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "window_rfm_segmentation" -> Tables.sql(rfmSql(spark = true)),
+
     // Ranking family + running sum over ROWS frame.
     "window_rank_rows_frame" -> Tables.sql("""
       SELECT c_custkey, c_nationkey,
@@ -118,6 +152,8 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "window_rfm_segmentation" -> rfmSql(spark = false),
+
     "window_rank_rows_frame" -> """
       SELECT c_custkey, c_nationkey,
              ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
