@@ -99,6 +99,16 @@ object Events {
     // aggregates shuffle on user_id / (cohort, offset) keys only.
     "events_cohort_retention" -> Tables.sql(cohortSql(spark = true)),
 
+    // Per-user event-rate anomaly detection: hourly activity counts
+    // z-scored against the user's own baseline, flagging hours >= 3σ.
+    // The hour bucket is exact µs-epoch integer arithmetic; per-user
+    // moments come from exact integer sums (counts are small ints, so
+    // SUM(n·n) cannot overflow and is order-independent); the z and σ
+    // arithmetic is one fixed IEEE sequence. Two hash aggregates on
+    // (user, hour)/user keys + one co-partitioned join — linear at
+    // 100 TB.
+    "events_rate_anomaly" -> Tables.sql(anomalySql(spark = true)),
+
     // Exponential-decay feature over each user's event stream: a fixed
     // 4-term LAG chain (1, 1/2, 1/4, 1/8) — the window-function
     // spelling of an EWMA tap. Arithmetic is one fixed IEEE sequence
@@ -128,6 +138,32 @@ object Events {
                    / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6) AS conv_click,
              ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
                    / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6) AS conv_purchase"""
+
+  /** Anomaly SQL parameterized on the µs-epoch spelling; everything
+    * else is textually identical. The n_hours >= 10 floor keeps the
+    * baseline meaningful and the variance guard drops constant-rate
+    * users (σ = 0 would divide by zero in both engines). */
+  private def anomalySql(spark: Boolean): String = {
+    val epochUs = if (spark) "UNIX_MICROS(ts)" else "EPOCH_US(ts)"
+    s"""
+      WITH hr AS (
+        SELECT user_id, CAST(FLOOR($epochUs / 3600000000.0) AS BIGINT) AS hour_id,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY user_id, CAST(FLOOR($epochUs / 3600000000.0) AS BIGINT)
+      ), st AS (
+        SELECT user_id AS su, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+               CAST(SUM(n * n) AS DOUBLE) / COUNT(*) AS musq,
+               COUNT(*) AS n_hours
+        FROM hr GROUP BY user_id
+      )
+      SELECT hr.user_id AS user_id, hr.hour_id AS hour_id, hr.n AS n,
+             ROUND((CAST(hr.n AS DOUBLE) - st.mu) / SQRT(st.musq - st.mu * st.mu), 6) AS z
+      FROM hr JOIN st ON hr.user_id = st.su
+      WHERE st.n_hours >= 10 AND st.musq - st.mu * st.mu > 0
+        AND (CAST(hr.n AS DOUBLE) - st.mu) / SQRT(st.musq - st.mu * st.mu) >= 3.0
+      ORDER BY user_id, hour_id"""
+  }
 
   /** Cohort SQL parameterized on the µs-epoch spelling (Spark
     * UNIX_MICROS ↔ DuckDB EPOCH_US — the events_sessionize pairing);
@@ -236,6 +272,7 @@ object Events {
 
     "events_funnel" -> FunnelSql,
     "events_cohort_retention" -> cohortSql(spark = false),
-    "events_decay_feature" -> DecaySql
+    "events_decay_feature" -> DecaySql,
+    "events_rate_anomaly" -> anomalySql(spark = false)
   )
 }

@@ -256,6 +256,16 @@ object TextAnalysis {
       GROUP BY doc_id
       ORDER BY doc_id"""),
 
+    // TF-IDF keyword extraction: per-document top-3 terms by
+    // tf·ln(N/df) — the classic salient-term signal (summaries, index
+    // keys, weak labels). 100 TB shape: tf and df are hash aggregates
+    // on (doc, term)/term keys, N is a 1-row broadcast, and the
+    // per-doc top-3 is a window over each doc's OWN terms (partitioned
+    // by doc_id — no global sort). Determinism: tf/df/N are integers,
+    // one LN per (doc, term) absorbed at the 6-dp ROUND, and
+    // (tfidf DESC, term) is a total order within each doc.
+    "text_tfidf_keywords" -> gsql(tfidfSql(spark = true)),
+
     // PMI collocation mining (Church & Hanks, CL'90): pointwise mutual
     // information ln(p(w1,w2) / (p(w1)·p(w2))) over corpus bigrams,
     // top-30 pairs above a min-count support floor — the standard
@@ -268,6 +278,44 @@ object TextAnalysis {
     // (pmi DESC, w1, w2) is a unique sort key.
     "text_pmi_bigrams" -> gsql(pmiSql(spark = true))
   )
+
+  /** Whole text_tfidf_keywords statement — parameterized on the
+    * tokenizer spelling only; counts/LN/ranking SQL is textually
+    * identical in both engines. */
+  private def tfidfSql(spark: Boolean): String = {
+    val toksCte =
+      if (spark) """
+      t AS (
+        SELECT doc_id, TOKENIZE(text) AS toks FROM documents
+      ), tf AS (
+        SELECT doc_id, term FROM t LATERAL VIEW EXPLODE(toks) e AS term
+      )"""
+      else """
+      t AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, UNNEST(toks) AS term FROM t
+      )"""
+    s"""
+      WITH $toksCte
+      , tfc AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+      ), dfc AS (
+        SELECT term, COUNT(*) AS df FROM tfc GROUP BY term
+      ), n AS (SELECT COUNT(*) AS nd FROM t),
+      scored AS (
+        SELECT tfc.doc_id AS doc_id, tfc.term AS term,
+               ROUND(CAST(tfc.tf AS DOUBLE) * LN(CAST(nd AS DOUBLE) / CAST(dfc.df AS DOUBLE)), 6) AS tfidf
+        FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
+      ), ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+      )
+      SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3 AND doc_id < 50
+      ORDER BY doc_id, rk"""
+  }
 
   /** Whole text_pmi_bigrams statement — everything after the bigram
     * explode is textually identical SQL in both engines. */
@@ -625,6 +673,9 @@ object TextAnalysis {
       ORDER BY doc_id""",
 
     // identical statement modulo the DuckDB bigram-explode spelling
-    "text_pmi_bigrams" -> pmiSql(spark = false)
+    "text_pmi_bigrams" -> pmiSql(spark = false),
+
+    // identical statement modulo the DuckDB tokenizer spelling
+    "text_tfidf_keywords" -> tfidfSql(spark = false)
   )
 }
