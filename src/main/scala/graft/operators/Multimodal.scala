@@ -102,6 +102,32 @@ object Multimodal {
       Decoded(img.getWidth, img.getHeight, sum / lum.length, hist)
     }
 
+    /** dHash perceptual fingerprint (difference hash — the standard
+      * cheap image near-dup signature): nearest-neighbor resample of
+      * the luma grid to 9×8, then bit (r·8+c) is set iff the right
+      * neighbor is strictly brighter. Robust to rescaling and mild
+      * recompression; near-dup frames land within a small Hamming
+      * radius. Deterministic in the decoded raster. */
+    def dHash(p: Array[Byte]): Option[Long] = read(p).map { img =>
+      val w0 = img.getWidth; val h0 = img.getHeight
+      val lum = lumaGrid(img)
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        val sj = (r.toLong * h0 / 8).toInt
+        var c = 0
+        var prev = lum(sj * w0 + 0)
+        while (c < 8) {
+          val next = lum(sj * w0 + ((c + 1).toLong * w0 / 9).toInt)
+          if (next > prev) h |= 1L << (r * 8 + c)
+          prev = next
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+
     /** Nearest-neighbor resample of the luma grid to (w1 × h1); returns
       * (srcW, srcH, mean of the resampled grid). Resizing to the source
       * dims is exactly the full-grid mean (pinned in the spec). */
@@ -297,6 +323,15 @@ object Multimodal {
       }
       sum.toDouble / (w1.toLong * h1)
     }
+    /** STUB perceptual hash for undecodable payloads: the seeded
+      * payload hash (seed 42). Avalanche ⇒ only byte-identical
+      * payloads collide within any small Hamming radius, so the stub
+      * path degrades to exact dedup — and because it is the repo's
+      * standard FNV-1a+fmix64, the DuckDB oracle replicates it
+      * bit-for-bit (the text_fingerprint treatment). */
+    def dHash(payload: Array[Byte]): Long =
+      Hashing.hash64(payload, 0, payload.length, 42L)
+
     /** STUB frame count for "video" payloads: 8..31 frames. */
     def frameCount(payload: Array[Byte]): Int =
       8 + java.lang.Math.floorMod(
@@ -406,6 +441,26 @@ object Multimodal {
                           everyN: Int): DataFrame =
     frameRows(mediaInput(spark, sfDir), everyN).toDF()
 
+  /** Per-payload perceptual hash row. */
+  case class PhashRow(doc_id: Long, dhash: Long)
+
+  /** Perceptual-hash core: real dHash for image payloads, the seeded
+    * stub hash otherwise. Narrow map stage like decode. */
+  def phashRows(ds: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.Dataset[PhashRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        PhashRow(r.doc_id,
+          ImageCodec.dHash(r.payload).getOrElse(FakeCodec.dHash(r.payload)))
+      }
+    }
+  }
+
+  def phashPipeline(spark: SparkSession, sfDir: String): DataFrame =
+    phashRows(mediaInput(spark, sfDir)).toDF()
+
   private type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -436,6 +491,48 @@ object Multimodal {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Perceptual-hash image dedup (dHash + banded Hamming join — the
+    // image counterpart of dedup_simhash): 64-bit signatures banded
+    // into 4×16 bits, candidates share >= 1 band (pigeonhole: any pair
+    // within Hamming <= 3 MUST collide on a band; <= 10 keeps recall
+    // high for near-dups while the avalanche tail filters out), then
+    // exact popcount-of-XOR verification. At 100 TB: hashing is a
+    // narrow map; the band join shuffles (doc_id, band, 16-bit key)
+    // only; verification joins hashes back by id. On the text testdata
+    // every payload takes the stub-hash path, which the DuckDB oracle
+    // replicates exactly (FNV-1a+fmix64 in HUGEINT arithmetic), so the
+    // whole band-join pipeline is value-verified; the REAL image path
+    // has pixel-exact dHash goldens in MultimodalImageSpec.
+    "multimodal_phash_pairs" -> ((spark, sfDir) => {
+      val h = phashPipeline(spark, sfDir).persist()
+      val bands = h.select(col("doc_id"), col("dhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bandkey", expr("shiftright(dhash, band * 16) & 65535"))
+        .select("doc_id", "band", "bandkey")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.bandkey") === col("b.bandkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val pairs = cand
+        .join(h.select(col("doc_id").as("doc_a"), col("dhash").as("ha")), "doc_a")
+        .join(h.select(col("doc_id").as("doc_b"), col("dhash").as("hb")), "doc_b")
+        .where(expr("bit_count(ha ^ hb)") <= 10)
+      // per-doc view: every signature (value-verified against the
+      // oracle's independent hash replication) + its near-dup degree —
+      // the text corpus has no byte-identical payloads, so degrees are
+      // 0 here; the REAL image path's nonzero-radius behavior is
+      // pinned in MultimodalImageSpec
+      val deg = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      h.join(deg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dhash"),
+          coalesce(col("n"), lit(0L)).as("n_neardups"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The metadata side IS oracle-checkable: byte lengths + digests of
     // the binary payload.
     "multimodal_meta" -> Tables.sql("""
@@ -447,7 +544,63 @@ object Multimodal {
       ORDER BY doc_id""")
   )
 
+  /** FNV-1a init of the seed-42 stub hash (FnvOffset ^ fmix64(42·φ)) —
+    * a compile-time constant spliced into the oracle as unsigned
+    * decimal so the DuckDB fold starts from the identical state. */
+  private val StubHashInit: String = java.lang.Long.toUnsignedString(
+    Hashing.FnvOffset ^ Hashing.fmix64(42L * 0x9e3779b97f4a7c15L))
+
   val oracle: Map[String, String] = Map(
+    // FULL INDEPENDENT REPLICATION of the stub-hash + band-join
+    // pipeline (every testdata payload is text, so every row takes the
+    // stub path): FNV-1a over the utf8 bytes (ASCII corpus ⇒
+    // unicode(char) == byte, the text_fingerprint argument) from the
+    // seeded init, fmix64 in HUGEINT mod-2^64 arithmetic, two's
+    // complement back to signed, then the same 4×16-bit banding,
+    // candidate join, and popcount-of-XOR verification.
+    "multimodal_phash_pairs" -> s"""
+      WITH docs AS (
+        SELECT doc_id, text, LENGTH(text) AS tl FROM documents
+      ), h0 AS (
+        SELECT doc_id, list_reduce(
+          list_prepend($StubHashInit::UBIGINT,
+            list_transform(range(1, tl + 1), c -> unicode(text[c:c])::UBIGINT)),
+          (h, b) -> ${DuckHash.mulmod("xor(h, b)", "1099511628211")}) AS v0
+        FROM docs
+      ), ${DuckHash.fmix64Ctes(from = "h0", carry = "doc_id", in = "v0",
+                               prefix = "ph", out = "hh", outCol = "hu")},
+      hv AS (
+        SELECT doc_id, hu,
+               CAST(CASE WHEN hu < 9223372036854775808::UBIGINT
+                         THEN CAST(hu AS HUGEINT)
+                         ELSE CAST(hu AS HUGEINT) - 18446744073709551616::HUGEINT
+                    END AS BIGINT) AS g
+        FROM hh
+      ), bands AS (
+        SELECT doc_id, CAST(u.b AS INT) AS band,
+               CAST((hu >> (u.b * 16)) & 65535 AS BIGINT) AS bandkey
+        FROM hv, UNNEST([0, 1, 2, 3]) AS u(b)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
+      ), pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c JOIN hv ha ON c.doc_a = ha.doc_id
+                    JOIN hv hb ON c.doc_b = hb.doc_id
+        WHERE bit_count(xor(ha.g, hb.g)) <= 10
+      ), deg AS (
+        SELECT doc_id, COUNT(*) AS n FROM (
+          SELECT doc_a AS doc_id FROM pairs
+          UNION ALL
+          SELECT doc_b AS doc_id FROM pairs
+        ) u GROUP BY doc_id
+      )
+      SELECT hv.doc_id AS doc_id, hv.g AS dhash,
+             COALESCE(deg.n, 0) AS n_neardups
+      FROM hv LEFT JOIN deg ON hv.doc_id = deg.doc_id
+      ORDER BY doc_id""",
+
     "multimodal_meta" -> """
       SELECT doc_id,
              OCTET_LENGTH(ENCODE(text)) AS n_bytes,

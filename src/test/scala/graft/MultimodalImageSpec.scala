@@ -221,4 +221,59 @@ class MultimodalImageSpec extends AnyFunSuite with Matchers {
       yield luma(img, i * 8 / 4, j * 8 / 4)).sum / 16.0
     out.mean_resized shouldBe nn
   }
+
+  /** Reference dHash recomputed from source pixels: 9×8 NN grid, bit
+    * (r·8+c) set iff grid[r][c+1] > grid[r][c]. */
+  private def refDHash(img: BufferedImage): Long = {
+    val w0 = img.getWidth; val h0 = img.getHeight
+    var h = 0L
+    for (r <- 0 until 8; c <- 0 until 8) {
+      val sj = r * h0 / 8
+      val a = luma(img, c * w0 / 9, sj)
+      val b = luma(img, (c + 1) * w0 / 9, sj)
+      if (b > a) h |= 1L << (r * 8 + c)
+    }
+    h
+  }
+
+  test("dHash golden: exact bits from source pixels; scale-invariant on NN-upscaled copy") {
+    val img = raster(18, 16)
+    ImageCodec.dHash(png(img)).get shouldBe refDHash(img)
+    // dHash's point: a clean 2x nearest-neighbor upscale preserves the
+    // 9x8 comparison grid exactly, so the hash is IDENTICAL
+    val up = new BufferedImage(36, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 36)
+      up.setRGB(x, y, img.getRGB(x / 2, y / 2))
+    ImageCodec.dHash(png(up)).get shouldBe ImageCodec.dHash(png(img)).get
+  }
+
+  test("dHash near-dup: small local edit stays within Hamming 10; different raster is far") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val img = raster(18, 16)
+    val h0 = ImageCodec.dHash(png(img)).get
+    // flip one 2x2 block to white — at most a couple of comparison
+    // cells change
+    val edited = raster(18, 16)
+    for (y <- 0 until 2; x <- 0 until 2) edited.setRGB(x, y, 0xffffff)
+    val h1 = ImageCodec.dHash(png(edited)).get
+    assert(hamming(h0, h1) <= 10, s"local edit moved ${hamming(h0, h1)} bits")
+    // an unrelated raster lands far away
+    val other = new BufferedImage(18, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 18)
+      other.setRGB(x, y, ((x * 211 + y * 17) % 256 << 16) |
+        ((x * 3 + y * 97) % 256 << 8) | ((x * 131 + y * 41) % 256))
+    val h2 = ImageCodec.dHash(png(other)).get
+    assert(hamming(h0, h2) > 10, s"unrelated raster too close: ${hamming(h0, h2)}")
+  }
+
+  test("Spark phash pipeline: real dHash for images, replicable stub for text") {
+    import spark.implicits._
+    val img = raster(18, 16)
+    val txt = "plain text payload".getBytes("UTF-8")
+    val rows = Seq(MediaRow(1L, "png", png(img)), MediaRow(2L, "txt", txt))
+    val out = Multimodal.phashRows(spark.createDataset(rows).repartition(2))
+      .collect().sortBy(_.doc_id)
+    out(0).dhash shouldBe refDHash(img)
+    out(1).dhash shouldBe Multimodal.FakeCodec.dHash(txt)
+  }
 }
