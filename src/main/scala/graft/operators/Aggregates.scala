@@ -65,9 +65,24 @@ object Aggregates {
       FROM r WHERE rn = 1
       ORDER BY o_orderpriority"""
 
+  // Boolean aggregate family (Hive's count(CASE...) idioms as the
+  // modern first-class spellings): COUNT_IF / BOOL_AND / BOOL_OR —
+  // same names in both engines; COUNT_IF is cast to BIGINT because
+  // DuckDB widens its count to HUGEINT (surfacing as float64 in the
+  // compare) while Spark emits BIGINT.
+  private val BoolAggSql = """
+      SELECT o_orderstatus,
+             CAST(COUNT_IF(o_totalprice > 300000) AS BIGINT) AS n_big,
+             BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+             BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
     "feature_scale" -> Tables.sql(FeatureScaleSql),
     "agg_mode" -> Tables.sql(ModeSql),
+    "agg_bool" -> Tables.sql(BoolAggSql),
 
     "agg_basic" -> Tables.sql("""
       SELECT o_orderstatus,
@@ -294,6 +309,7 @@ object Aggregates {
   val oracle: Map[String, String] = Map(
     "feature_scale" -> FeatureScaleSql,
     "agg_mode" -> ModeSql,
+    "agg_bool" -> BoolAggSql,
 
     "agg_basic" -> """
       SELECT o_orderstatus,

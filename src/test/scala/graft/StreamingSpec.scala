@@ -16,6 +16,8 @@ case class Ev(ts: Timestamp, user_id: Long, value: Double)
 case class Sess(user_id: Long, n: Long)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
 case class Vec(vec_id: Long, embedding: Array[Float])
+case class EvS(ts: Timestamp, user_id: Long, event_type: String)
+case class FunnelSt(t1: Option[Long], t2: Option[Long], t3: Option[Long])
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = LocalSpark.spark
@@ -211,6 +213,54 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).max).toMap
       assert(byUser(7L) == 3L, byUser.toString)
       assert(byUser(8L) == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming funnel: per-user stage state across micro-batches matches batch semantics") {
+    // the events_funnel operator's streaming twin: a monotone
+    // view→click→purchase state machine in mapGroupsWithState — the
+    // first click must follow the first view, the first purchase the
+    // first click, exactly the batch query's chained-MIN semantics when
+    // events arrive in event-time order
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EvS]
+    def stage(s: FunnelSt): Int =
+      if (s.t3.nonEmpty) 3 else if (s.t2.nonEmpty) 2 else if (s.t1.nonEmpty) 1 else 0
+    val staged = input.toDS()
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[EvS], st: GroupState[FunnelSt]) =>
+          var s = st.getOption.getOrElse(FunnelSt(None, None, None))
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if s.t1.isEmpty => s = s.copy(t1 = Some(t))
+              case "click" if s.t1.nonEmpty && s.t2.isEmpty && t > s.t1.get =>
+                s = s.copy(t2 = Some(t))
+              case "purchase" if s.t2.nonEmpty && s.t3.isEmpty && t > s.t2.get =>
+                s = s.copy(t3 = Some(t))
+              case _ =>
+            }
+          }
+          st.update(s)
+          Sess(uid, stage(s).toLong)
+      }
+    val q = staged.writeStream.format("memory").queryName("ev_funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // user 1 converts fully; user 2 clicks with no prior view (stage
+      // 0 — order matters, not mere presence); user 3 views only
+      input.addData(
+        EvS(ts(1), 1, "view"), EvS(ts(2), 2, "click"), EvS(ts(3), 3, "view"))
+      q.processAllAvailable()
+      input.addData(
+        EvS(ts(4), 1, "click"), EvS(ts(5), 2, "view"), EvS(ts(6), 1, "purchase"))
+      q.processAllAvailable()
+      val st = spark.table("ev_funnel").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).max).toMap
+      assert(st(1L) == 3L, st.toString) // view → click → purchase
+      assert(st(2L) == 1L, st.toString) // click preceded the view: only stage 1
+      assert(st(3L) == 1L, st.toString)
     } finally q.stop()
   }
 }
