@@ -552,6 +552,37 @@ object Relational {
         ORDER BY status""")
     }),
 
+    // Skyline / Pareto frontier (Börzsönyi et al. ICDE'01): orders not
+    // dominated on (totalprice, orderdate) — "no other order is both
+    // pricier and more recent". Spelled as the scale-safe two-level
+    // prefix-max reduction: per-x maxima (hash agg), within-bucket
+    // prefix max (window PARTITIONED by price bucket — parallel),
+    // bucket-level prefix max (a ~12-row window), survivors join back
+    // by (x, ymax). No window ever sees the unpartitioned fact table,
+    // and nothing is O(n²) — the NOT EXISTS spelling would plan a
+    // nested loop. Strict dominance: exact (x, y) duplicates both
+    // survive. Oracle = the flat single-prefix formulation (different
+    // decomposition, same math); brute-force NOT EXISTS pinned in
+    // SemanticTrapsSpec at test scale.
+    "skyline_orders" -> Tables.sql("""
+      WITH pts AS (SELECT o_orderkey, o_totalprice AS x, o_orderdate AS y FROM orders),
+      xm AS (SELECT x, CAST(FLOOR(x / 50000) AS BIGINT) AS b, MAX(y) AS ymax
+             FROM pts GROUP BY x),
+      wr AS (SELECT x, b, ymax,
+               MAX(ymax) OVER (PARTITION BY b ORDER BY x DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS w_right
+             FROM xm),
+      bm AS (SELECT b, MAX(ymax) AS bymax FROM xm GROUP BY b),
+      br AS (SELECT b, MAX(bymax) OVER (ORDER BY b DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_right
+             FROM bm),
+      sv AS (SELECT wr.x AS x, wr.ymax AS ymax FROM wr JOIN br ON wr.b = br.b
+             WHERE (wr.w_right IS NULL OR wr.ymax > wr.w_right)
+               AND (br.b_right IS NULL OR wr.ymax > br.b_right))
+      SELECT p.o_orderkey, p.x AS o_totalprice, p.y AS o_orderdate
+      FROM pts p JOIN sv ON p.x = sv.x AND p.y = sv.ymax
+      ORDER BY o_totalprice DESC, o_orderkey"""),
+
     // Multi-column global sort with explicit null placement (Spark's
     // default NULLS FIRST on ASC differs from DuckDB's NULLS LAST —
     // always explicit; SURVEY.md §7.3).
@@ -770,6 +801,20 @@ object Relational {
       SELECT s_suppkey, NULLIF(s_acctbal, 0) AS bal
       FROM supplier
       ORDER BY bal DESC NULLS LAST, s_suppkey""",
+
+    // flat single-prefix-max formulation — a different decomposition of
+    // the same dominance math than the Spark side's bucketed two-level
+    "skyline_orders" -> """
+      WITH xmax AS (SELECT o_totalprice AS x, MAX(o_orderdate) AS ymax
+                    FROM orders GROUP BY 1),
+      x2 AS (SELECT x, ymax,
+               MAX(ymax) OVER (ORDER BY x DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS yright
+             FROM xmax)
+      SELECT p.o_orderkey, p.o_totalprice, p.o_orderdate
+      FROM orders p JOIN x2 ON p.o_totalprice = x2.x
+      WHERE p.o_orderdate = x2.ymax AND (yright IS NULL OR p.o_orderdate > yright)
+      ORDER BY o_totalprice DESC, o_orderkey""",
 
     "sort_distribute_sql" -> """
       SELECT l_suppkey, l_orderkey, l_quantity

@@ -208,4 +208,22 @@ class SemanticTrapsSpec extends AnyFunSuite {
       .agg(sum($"l_extendedprice".cast("decimal(18,4)"))).collect()(0).getDecimal(0)
     assert(a == b)
   }
+
+  test("skyline_orders equals brute-force NOT EXISTS dominance") {
+    // the bucketed two-level prefix-max reduction must produce exactly
+    // the quadratic definition's point set (strict dominance — exact
+    // duplicates survive); quadratic is affordable at test scale only
+    Tables.register(spark, LocalSpark.sf)
+    val fast = SparkEntry.queries("skyline_orders")(spark, LocalSpark.sf)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val brute = spark.sql("""
+      SELECT p.o_orderkey FROM orders p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders q
+        WHERE q.o_totalprice >= p.o_totalprice AND q.o_orderdate >= p.o_orderdate
+          AND (q.o_totalprice > p.o_totalprice OR q.o_orderdate > p.o_orderdate))
+      """).collect().map(_.getLong(0)).sorted.toSeq
+    assert(fast == brute, s"fast=$fast brute=$brute")
+    assert(fast.nonEmpty)
+  }
 }
