@@ -315,9 +315,45 @@ object Functions {
                   ELSE 'test' END AS group_split
       FROM documents
       ORDER BY doc_id""")
+  ,
+    // Weighted sampling without replacement (Efraimidis–Spirakis, IPL
+    // 2006 A-ES): priority = ln(u)/w with u a deterministic
+    // md5-derived uniform in (0,1) — the top-k by priority IS a
+    // weighted sample, reproducible across runs/backfills like
+    // sample_split_hash. Here w = n_chars: longer documents
+    // proportionally likelier — the corpus-mixture subsampling shape.
+    // TakeOrderedAndProject top-k, narrow map otherwise; ranking
+    // orders by the ROUNDed priority (LN's 1 ulp absorbed, the bm25
+    // discipline).
+    "sample_weighted_aes" -> Tables.sql(aesSql(spark = true))
   )
 
+  /** A-ES statement parameterized on the hex→int spelling (Spark CONV
+    * ↔ DuckDB 0x-prefix cast); md5 of the decimal id string renders
+    * identically in both engines. */
+  private def aesSql(spark: Boolean): String = {
+    val hex8 =
+      if (spark)
+        "CAST(CONV(SUBSTR(MD5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+      else
+        "CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    s"""
+      WITH u AS (
+        SELECT doc_id, n_chars,
+               ($hex8 + 1.0) / 4294967297.0 AS uni
+        FROM documents WHERE n_chars > 0
+      ), pr AS (
+        SELECT doc_id, n_chars,
+               ROUND(LN(uni) / CAST(n_chars AS DOUBLE), 9) AS priority
+        FROM u
+      )
+      SELECT doc_id, n_chars, priority FROM pr
+      ORDER BY priority DESC, doc_id
+      LIMIT 20"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "sample_weighted_aes" -> aesSql(spark = false),
     // identical integer arithmetic — the bucket predicate is engine-independent
     "sample_bucket_on" -> """
       SELECT o_orderkey, o_custkey, o_totalprice

@@ -53,8 +53,39 @@ object Windows {
       ORDER BY c_custkey"""
   }
 
+  // ABC / cumulative-share analysis (the Pareto-80/20 classification):
+  // customers ranked by revenue, running share of total, classed
+  // A (first 50% of revenue) / B (to 80%) / C (tail). The running sum
+  // runs over the PRE-AGGREGATED 1-row-per-customer table (never the
+  // fact), in exact DECIMAL so the cumulative values are
+  // order-independent; the share division and class cuts are one fixed
+  // IEEE sequence. One SQL text serves both engines.
+  private val AbcSql = """
+      WITH c AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        FROM orders GROUP BY o_custkey
+      ), tot AS (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS t FROM orders
+      ), r AS (
+        SELECT ck, rev,
+               SUM(CAST(CAST(rev AS DECIMAL(18,4)) AS DECIMAL(28,4)))
+                 OVER (ORDER BY rev DESC, ck
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM c
+      )
+      SELECT ck, rev,
+             ROUND(CAST(cum AS DOUBLE) / t, 6) AS cum_share,
+             CASE WHEN CAST(cum AS DOUBLE) / t <= 0.5 THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / t <= 0.8 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM r CROSS JOIN tot
+      ORDER BY rev DESC, ck
+      LIMIT 100"""
+
   val queries: Map[String, Q] = Map(
     "window_rfm_segmentation" -> Tables.sql(rfmSql(spark = true)),
+    "window_abc_analysis" -> Tables.sql(AbcSql),
 
     // Ranking family + running sum over ROWS frame.
     "window_rank_rows_frame" -> Tables.sql("""
@@ -153,6 +184,7 @@ object Windows {
 
   val oracle: Map[String, String] = Map(
     "window_rfm_segmentation" -> rfmSql(spark = false),
+    "window_abc_analysis" -> AbcSql,
 
     "window_rank_rows_frame" -> """
       SELECT c_custkey, c_nationkey,
