@@ -94,6 +94,42 @@ object Acid {
     }
   }
 
+  /** Hive ACID `MERGE INTO target USING source ON keys` (Hive 2.2
+    * surface, QL MergeSemanticAnalyzer shape) in its dominant SCD-upsert
+    * form: WHEN MATCHED [AND deleteCond] THEN DELETE, WHEN MATCHED THEN
+    * UPDATE SET * (row replaced by the source row), WHEN NOT MATCHED
+    * THEN INSERT *. Spark-first rewrite — three equi-joins on the merge
+    * key (kept targets via anti join, surviving matches via semi join,
+    * inserts via anti join), one staged overwrite; at scale all three
+    * joins shuffle on the same key and AQE plans the small-source case
+    * as broadcasts. Hive's cardinality rule is enforced (a source with
+    * duplicate keys fails loudly instead of silently duplicating
+    * target rows). `deleteCond` is evaluated over the SOURCE row, the
+    * common change-data-capture spelling (e.g. an is_deleted flag). */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            keyCols: Seq[String],
+            deleteCond: Option[Column] = None): Unit = {
+    require(keyCols.nonEmpty, "MERGE requires at least one key column")
+    val target = spark.table(table)
+    val src = source.select(target.columns.map(col).toIndexedSeq: _*)
+    val dupKeys = src.groupBy(keyCols.map(col): _*)
+      .count().where(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"MERGE cardinality violation: source has duplicate keys ${dupKeys.mkString}")
+    val targetKeys = target.select(keyCols.map(col).toIndexedSeq: _*)
+    val kept = target.join(src.select(keyCols.map(col).toIndexedSeq: _*),
+      keyCols, "left_anti")
+    val matched = src.join(targetKeys, keyCols, "left_semi")
+    val surviving = deleteCond match {
+      case Some(c) => matched.where(!coalesce(c, lit(false)))
+      case None => matched
+    }
+    val inserts = src.join(targetKeys, keyCols, "left_anti")
+    overwrite(spark, table,
+      kept.unionByName(surviving).unionByName(inserts),
+      dynamicPartitions = false)
+  }
+
   /** Hive `ALTER TABLE ... [PARTITION ...] CONCATENATE`
     * (QL/parse/DDLSemanticAnalyzer, merge task — SURVEY.md §2.1 #19):
     * merge small files without changing data. Spark-first form: a

@@ -39,6 +39,28 @@ class AcidAndMatchPathSpec extends AnyFunSuite {
     assert(spark.table("graft_db.acid_d").where($"o_totalprice" > 400000).count() == 0)
   }
 
+  test("MERGE: upsert with delete condition, cardinality rule enforced") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.acid_m")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v").write.saveAsTable("graft_db.acid_m")
+    // source: id=2 updated, id=3 flagged deleted (v < 0), id=4 inserted
+    val src = Seq((2L, "b2", 22.0), (3L, "c", -1.0), (4L, "d", 40.0))
+      .toDF("id", "name", "v")
+    Acid.merge(spark, "graft_db.acid_m", src, Seq("id"),
+      deleteCond = Some(col("v") < 0))
+    val rows = spark.table("graft_db.acid_m").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "a", 10.0), (2L, "b2", 22.0), (4L, "d", 40.0)), rows)
+    // Hive's cardinality rule: duplicate source keys must fail loudly
+    val dup = Seq((5L, "x", 1.0), (5L, "y", 2.0)).toDF("id", "name", "v")
+    intercept[IllegalArgumentException] {
+      Acid.merge(spark, "graft_db.acid_m", dup, Seq("id"))
+    }
+    // the failed merge must not have altered the table
+    assert(spark.table("graft_db.acid_m").count() == 3)
+  }
+
   test("partition-scoped UPDATE rewrites only the targeted partitions") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
     spark.sql("DROP TABLE IF EXISTS graft_db.acid_p")
