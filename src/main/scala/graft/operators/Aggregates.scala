@@ -79,10 +79,41 @@ object Aggregates {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""
 
+  /** Equi-depth histogram — the complement of Hive's equi-width
+    * `histogram_numeric`: exact quartile boundaries (one bounded-state
+    * aggregate, ROUNDed so both engines cut identically), then a
+    * broadcast CASE bucketing pass + per-bucket count/min/max.
+    * Parameterized on the percentile spelling (Spark PERCENTILE ↔
+    * DuckDB QUANTILE_CONT — the agg_percentile pairing). */
+  private def equidepthSql(spark: Boolean): String = {
+    def pct(q: String) =
+      if (spark) s"ROUND(PERCENTILE(l_extendedprice, $q), 6)"
+      else s"ROUND(QUANTILE_CONT(l_extendedprice, $q), 6)"
+    s"""
+      WITH b AS (
+        SELECT ${pct("0.25")} AS p1, ${pct("0.50")} AS p2, ${pct("0.75")} AS p3
+        FROM lineitem
+      )
+      SELECT CASE WHEN l_extendedprice <= p1 THEN 1
+                  WHEN l_extendedprice <= p2 THEN 2
+                  WHEN l_extendedprice <= p3 THEN 3
+                  ELSE 4 END AS bucket,
+             COUNT(*) AS n,
+             MIN(l_extendedprice) AS lo,
+             MAX(l_extendedprice) AS hi
+      FROM lineitem CROSS JOIN b
+      GROUP BY CASE WHEN l_extendedprice <= p1 THEN 1
+                    WHEN l_extendedprice <= p2 THEN 2
+                    WHEN l_extendedprice <= p3 THEN 3
+                    ELSE 4 END
+      ORDER BY bucket"""
+  }
+
   val queries: Map[String, Q] = Map(
     "feature_scale" -> Tables.sql(FeatureScaleSql),
     "agg_mode" -> Tables.sql(ModeSql),
     "agg_bool" -> Tables.sql(BoolAggSql),
+    "agg_equidepth_hist" -> Tables.sql(equidepthSql(spark = true)),
 
     "agg_basic" -> Tables.sql("""
       SELECT o_orderstatus,
@@ -310,6 +341,7 @@ object Aggregates {
     "feature_scale" -> FeatureScaleSql,
     "agg_mode" -> ModeSql,
     "agg_bool" -> BoolAggSql,
+    "agg_equidepth_hist" -> equidepthSql(spark = false),
 
     "agg_basic" -> """
       SELECT o_orderstatus,

@@ -83,9 +83,28 @@ object Windows {
       ORDER BY rev DESC, ck
       LIMIT 100"""
 
+  // NTH_VALUE + FIRST_VALUE over a running frame (the remaining §2.6
+  // positional window function) — sampled to every 100th key so the
+  // output stays compact; the sample filter applies AFTER the window
+  // (subquery spelling — Spark has no QUALIFY). One SQL text.
+  private val NthValueSql = """
+      SELECT o_orderstatus, o_orderkey, o_totalprice, third_price, top_key
+      FROM (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               NTH_VALUE(o_totalprice, 3) OVER w AS third_price,
+               FIRST_VALUE(o_orderkey) OVER w AS top_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ) t
+      WHERE o_orderkey % 100 = 0
+      ORDER BY o_orderstatus, o_orderkey"""
+
   val queries: Map[String, Q] = Map(
     "window_rfm_segmentation" -> Tables.sql(rfmSql(spark = true)),
     "window_abc_analysis" -> Tables.sql(AbcSql),
+    "window_nth_value" -> Tables.sql(NthValueSql),
 
     // Ranking family + running sum over ROWS frame.
     "window_rank_rows_frame" -> Tables.sql("""
@@ -185,6 +204,7 @@ object Windows {
   val oracle: Map[String, String] = Map(
     "window_rfm_segmentation" -> rfmSql(spark = false),
     "window_abc_analysis" -> AbcSql,
+    "window_nth_value" -> NthValueSql,
 
     "window_rank_rows_frame" -> """
       SELECT c_custkey, c_nationkey,
