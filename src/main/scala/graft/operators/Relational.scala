@@ -183,6 +183,165 @@ object Relational {
       GROUP BY SUBSTR(c_name, 18, 1)
       ORDER BY cgroup"""
 
+  // Q6 (forecast revenue change): the pure scan-filter-aggregate —
+  // pushdown carries all three predicates to the parquet scan.
+  private val Q6Sql = """
+      SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24"""
+
+  // Q7 (volume shipping between nation pairs): double nation join
+  // (supplier's and customer's), symmetric pair disjunction, per-year
+  // grouping. YEAR() parses identically in both engines.
+  private val Q7Sql = """
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               YEAR(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                      JOIN orders ON o_orderkey = l_orderkey
+                      JOIN customer ON c_custkey = o_custkey
+                      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+            OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+      ) shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""
+
+  // Q8 (market share): conditional share of a ratio per year — both
+  // sums exact DECIMAL, one double division at the boundary.
+  private val Q8Sql = """
+      SELECT o_year,
+             CAST(CAST(SUM(CASE WHEN nation = 'NATION_2'
+                       THEN CAST(volume AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE) AS mkt_share
+      FROM (
+        SELECT YEAR(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                  JOIN region ON n1.n_regionkey = r_regionkey
+                  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      ) all_nations
+      GROUP BY o_year
+      ORDER BY o_year"""
+
+  // Q9 (product-type profit, p_retailprice·qty·0.5 standing in for the
+  // absent ps_supplycost): per-row profit is one fixed IEEE sequence,
+  // the sum exact DECIMAL.
+  private val Q9Sql = """
+      SELECT nation, o_year,
+             CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+      FROM (
+        SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.5 AS amount
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%anvil%'
+      ) profit
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC"""
+
+  // Q11 (important stock, lineitem value standing in for partsupp):
+  // HAVING against a scalar-subquery fraction of the global total.
+  private val Q11Sql = """
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) >
+             (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * 0.0007
+              FROM lineitem)
+      ORDER BY part_value DESC, l_partkey"""
+
+  // Q13 (customer order-count distribution): LEFT JOIN with an extra
+  // join-side predicate, two stacked aggregations.
+  private val Q13Sql = """
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+      ) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""
+
+  // Q15 (top supplier): CTE reused by the body and by the MAX scalar
+  // subquery — revenue values are exact-DECIMAL-derived doubles, so
+  // the = comparison is safe cross-engine.
+  private val Q15Sql = """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-10-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+      )
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      ORDER BY s_suppkey"""
+
+  // Q17 (small-quantity revenue): correlated scalar AVG per part — the
+  // average goes through an exact DECIMAL sum / COUNT so the 0.5×avg
+  // threshold is bit-identical in both engines.
+  private val Q17Sql = """
+      SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+             COUNT(*) AS n_items
+      FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#23'
+        AND l_quantity < (
+          SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"""
+
+  // Q20 (excess stock): IN against a grouped-HAVING subquery.
+  private val Q20Sql = """
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%anvil%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 400)
+      ORDER BY s_suppkey"""
+
+  // Q21 (suppliers who kept orders waiting): the EXISTS + NOT EXISTS
+  // double correlation on the same fact — the only-late-supplier-on-a
+  // -multi-supplier-order shape (late = shipped > 80 days after the
+  // order date, the Q4 proxy).
+  private val Q21Sql = """
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                    JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 80 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 80 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20"""
+
   // Q18 (large-volume customer): the HAVING-subquery shape — the inner
   // aggregate runs once, broadcasts its (small) qualifying key set into
   // a semi join against the fact, and the outer aggregate reuses the
@@ -213,6 +372,16 @@ object Relational {
     "q16_supplier_cnt" -> Tables.sql(Q16Sql),
     "q19_disjunct_revenue" -> Tables.sql(Q19Sql),
     "q22_inactive_customers" -> Tables.sql(Q22Sql),
+    "q6_forecast_revenue" -> Tables.sql(Q6Sql),
+    "q7_nation_volume" -> Tables.sql(Q7Sql),
+    "q8_market_share" -> Tables.sql(Q8Sql),
+    "q9_product_profit" -> Tables.sql(Q9Sql),
+    "q11_important_stock" -> Tables.sql(Q11Sql),
+    "q13_order_distribution" -> Tables.sql(Q13Sql),
+    "q15_top_supplier" -> Tables.sql(Q15Sql),
+    "q17_small_qty_revenue" -> Tables.sql(Q17Sql),
+    "q20_excess_stock" -> Tables.sql(Q20Sql),
+    "q21_waiting_suppliers" -> Tables.sql(Q21Sql),
 
     // Hive's null-safe equality join (`<=>`, GenericUDFOPEqualNS —
     // §2.1#6): NULL keys MATCH null keys, where `=` silently drops
@@ -604,6 +773,16 @@ object Relational {
     "q16_supplier_cnt" -> Q16Sql,
     "q19_disjunct_revenue" -> Q19Sql,
     "q22_inactive_customers" -> Q22Sql,
+    "q6_forecast_revenue" -> Q6Sql,
+    "q7_nation_volume" -> Q7Sql,
+    "q8_market_share" -> Q8Sql,
+    "q9_product_profit" -> Q9Sql,
+    "q11_important_stock" -> Q11Sql,
+    "q13_order_distribution" -> Q13Sql,
+    "q15_top_supplier" -> Q15Sql,
+    "q17_small_qty_revenue" -> Q17Sql,
+    "q20_excess_stock" -> Q20Sql,
+    "q21_waiting_suppliers" -> Q21Sql,
 
     // ANSI spelling of null-safe equality
     "join_null_safe" -> """
