@@ -86,13 +86,18 @@ object Aggregates {
     * Parameterized on the percentile spelling (Spark PERCENTILE ↔
     * DuckDB QUANTILE_CONT — the agg_percentile pairing). */
   private def equidepthSql(spark: Boolean): String = {
-    def pct(q: String) =
-      if (spark) s"ROUND(PERCENTILE(l_extendedprice, $q), 6)"
-      else s"ROUND(QUANTILE_CONT(l_extendedprice, $q), 6)"
+    // ONE array-percentile aggregate, not three scalar ones — each
+    // scalar PERCENTILE buffers the whole column separately (3× the
+    // state and 5.2 s at sf0.1; the array form is one pass)
+    val (pcts, i1, i2, i3) =
+      if (spark) ("PERCENTILE(l_extendedprice, ARRAY(0.25D, 0.5D, 0.75D))", 0, 1, 2)
+      else ("QUANTILE_CONT(l_extendedprice, [0.25, 0.5, 0.75])", 1, 2, 3)
     s"""
-      WITH b AS (
-        SELECT ${pct("0.25")} AS p1, ${pct("0.50")} AS p2, ${pct("0.75")} AS p3
-        FROM lineitem
+      WITH ps AS (
+        SELECT $pcts AS p FROM lineitem
+      ), b AS (
+        SELECT ROUND(p[$i1], 6) AS p1, ROUND(p[$i2], 6) AS p2, ROUND(p[$i3], 6) AS p3
+        FROM ps
       )
       SELECT CASE WHEN l_extendedprice <= p1 THEN 1
                   WHEN l_extendedprice <= p2 THEN 2
