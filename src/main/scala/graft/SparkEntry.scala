@@ -26,7 +26,8 @@ object SparkEntry {
     QueryModule(RangeJoin.queries, RangeJoin.oracle),
     QueryModule(Multimodal.queries, Multimodal.oracle),
     QueryModule(MatchPath.queries, MatchPath.oracle),
-    QueryModule(Graph.queries, Graph.oracle)
+    QueryModule(Graph.queries, Graph.oracle),
+    QueryModule(Profiling.queries, Profiling.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

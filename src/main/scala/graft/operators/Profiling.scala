@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Data-quality profiling and constraint validation — the pre-training
+  * gate every production pipeline runs before a corpus or fact table is
+  * allowed downstream (the Deequ/expectations pattern re-expressed as
+  * plain aggregates; Hive users run exactly these as hand-written SQL).
+  *
+  * Both operators are single-scan shapes at 100 TB: every metric is a
+  * hash/sort-free aggregate with bounded state (counts, min/max,
+  * distincts expand to the standard two-phase distinct aggregate), and
+  * the UNION ALL of rule rows evaluates each branch over its own scan —
+  * Catalyst shares the cached relation when the table is hot, and a
+  * production deployment would fuse the branches into one pass with
+  * conditional aggregates (the spelling used inside each branch here).
+  * One SQL text serves both engines.
+  */
+object Profiling {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // typed profile: numeric min/max stay DOUBLE (casting doubles to
+  // strings formats differently across engines), string min/max ride
+  // in their own columns
+  private val ProfileSql = """
+      SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+             COUNT(o_custkey) AS n_nonnull,
+             COUNT(DISTINCT o_custkey) AS n_distinct,
+             CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+             CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+             CAST(NULL AS STRING) AS min_str, CAST(NULL AS STRING) AS max_str
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+             COUNT(DISTINCT o_totalprice),
+             MIN(o_totalprice), MAX(o_totalprice),
+             CAST(NULL AS STRING), CAST(NULL AS STRING)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+             COUNT(DISTINCT o_orderstatus),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             MIN(o_orderstatus), MAX(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             MIN(o_orderpriority), MAX(o_orderpriority)
+      FROM orders
+      ORDER BY col"""
+
+  // each rule emits (rule, violations) — 0 everywhere on clean data,
+  // and the rules are real (key uniqueness, referential integrity,
+  // value range, enum domain, cross-field ordering)
+  private val ValidateSql = """
+      SELECT 'orderkey_unique' AS rule,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'custkey_fk', COUNT(*)
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'price_positive', COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END)
+      FROM orders
+      UNION ALL
+      SELECT 'priority_domain', COUNT(CASE WHEN o_orderpriority NOT IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 END)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_fk', COUNT(*)
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'ship_after_order', COUNT(*)
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate < o.o_orderdate
+      ORDER BY rule"""
+
+  val queries: Map[String, Q] = Map(
+    "profile_columns" -> Tables.sql(ProfileSql),
+    "validate_constraints" -> Tables.sql(ValidateSql)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "profile_columns" -> ProfileSql,
+    "validate_constraints" -> ValidateSql
+  )
+}
