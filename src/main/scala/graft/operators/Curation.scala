@@ -45,7 +45,45 @@ object Curation {
     spark.sql(q)
   }
 
+  /** PSI drift monitoring (population stability index — the standard
+    * ML-monitoring distribution-shift score): each source's document-
+    * length distribution against the corpus-wide baseline over fixed
+    * 100-char buckets, Laplace-smoothed so empty buckets stay defined.
+    * PSI < 0.1 ≈ stable, 0.1–0.25 ≈ moderate shift, > 0.25 ≈ drifted.
+    * 100 TB shape: two hash aggregates on (source, bucket)/bucket +
+    * one tiny grid join; per-term LN is absorbed at a 9-dp ROUND and
+    * the per-source sum goes through an exact DECIMAL(18,9) so
+    * reduction order cannot leak (the text_perplexity discipline).
+    * One SQL text serves both engines. */
+  private val DriftPsiSql = """
+      WITH b AS (
+        SELECT source, LEAST(9, CAST(FLOOR(n_chars / 100.0) AS INT)) AS bucket
+        FROM documents
+      ), c AS (
+        SELECT source, bucket, COUNT(*) AS n FROM b GROUP BY source, bucket
+      ), t AS (SELECT source AS ts, SUM(n) AS tot FROM c GROUP BY source),
+      base AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
+      baset AS (SELECT SUM(n) AS tot FROM base),
+      grid AS (
+        SELECT t.ts AS source, base.bucket AS bucket,
+               COALESCE(c.n, 0) AS na, base.n AS nb, t.tot AS ta, baset.tot AS tb
+        FROM t CROSS JOIN base CROSS JOIN baset
+        LEFT JOIN c ON c.source = t.ts AND c.bucket = base.bucket
+      ), terms AS (
+        SELECT source, bucket,
+               (CAST(na + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)) AS pa,
+               (CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)) AS pb
+        FROM grid
+      )
+      SELECT source,
+             COUNT(*) AS n_buckets,
+             ROUND(CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi
+      FROM terms
+      GROUP BY source
+      ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
+    "text_drift_psi" -> gsql(DriftPsiSql),
     // Fixed-size token chunking with overlap: 64-token chunks on a
     // 48-token stride (16-token overlap), the standard context-window
     // split for RAG indexing / training-sequence preparation. Pure
@@ -254,6 +292,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_drift_psi" -> DriftPsiSql,
     "text_chunks" -> """
       WITH t AS (
         SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
