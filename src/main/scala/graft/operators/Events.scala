@@ -99,6 +99,15 @@ object Events {
     // aggregates shuffle on user_id / (cohort, offset) keys only.
     "events_cohort_retention" -> Tables.sql(cohortSql(spark = true)),
 
+    // First-order Markov transition matrix over each user's event
+    // stream: P(next | current) from LEAD pairs — the sequence
+    // statistic behind funnel design and matchpath pattern choice.
+    // One window pass per user (key-partitioned), two hash aggregates;
+    // counts are integers and each probability is one exact integer
+    // division at the double boundary. One SQL text serves both
+    // engines.
+    "events_markov_transitions" -> Tables.sql(MarkovSql),
+
     // Per-user event-rate anomaly detection: hourly activity counts
     // z-scored against the user's own baseline, flagging hours >= 3σ.
     // The hour bucket is exact µs-epoch integer arithmetic; per-user
@@ -138,6 +147,20 @@ object Events {
                    / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6) AS conv_click,
              ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
                    / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6) AS conv_purchase"""
+
+  // one SQL text, both engines
+  private lazy val MarkovSql = """
+      WITH s AS (
+        SELECT user_id, event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+      ), c AS (
+        SELECT cur, nxt, COUNT(*) AS n FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt
+      ), t AS (SELECT cur AS tc, SUM(n) AS tot FROM c GROUP BY cur)
+      SELECT c.cur AS cur, c.nxt AS nxt, c.n AS n,
+             ROUND(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+      FROM c JOIN t ON c.cur = t.tc
+      ORDER BY cur, nxt"""
 
   /** Anomaly SQL parameterized on the µs-epoch spelling; everything
     * else is textually identical. The n_hours >= 10 floor keeps the
@@ -273,6 +296,7 @@ object Events {
     "events_funnel" -> FunnelSql,
     "events_cohort_retention" -> cohortSql(spark = false),
     "events_decay_feature" -> DecaySql,
-    "events_rate_anomaly" -> anomalySql(spark = false)
+    "events_rate_anomaly" -> anomalySql(spark = false),
+    "events_markov_transitions" -> MarkovSql
   )
 }
