@@ -114,11 +114,48 @@ object Aggregates {
       ORDER BY bucket"""
   }
 
+  /** Ordered string aggregation — Hive's concat_ws(collect_list())
+    * idiom as the first-class spelling (Spark 4 LISTAGG ... WITHIN
+    * GROUP ↔ DuckDB STRING_AGG ... ORDER BY). The explicit total
+    * order inside the aggregate is what makes the concatenation
+    * deterministic — without it both engines concatenate in partition
+    * arrival order. */
+  private def listaggSql(spark: Boolean): String = {
+    val agg =
+      if (spark) "LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+      else "STRING_AGG(n_name, ',' ORDER BY n_name)"
+    s"""
+      SELECT n_regionkey, $agg AS names, COUNT(*) AS n
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey"""
+  }
+
+  // UNPIVOT — the inverse of agg_pivot: Spark's first-class clause on
+  // the Spark side, oracled against the manual UNION ALL spelling the
+  // Hive 1.2 user writes (the compare proves the clause IS the manual
+  // form, the agg_pivot treatment).
+  private val UnpivotSparkSql = """
+      SELECT o_orderkey, metric, val
+      FROM (SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS o_custkey_d
+            FROM orders WHERE o_orderkey < 100)
+      UNPIVOT (val FOR metric IN (o_totalprice, o_custkey_d))
+      ORDER BY o_orderkey, metric"""
+  private val UnpivotOracleSql = """
+      SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val
+      FROM orders WHERE o_orderkey < 100
+      UNION ALL
+      SELECT o_orderkey, 'o_custkey_d' AS metric, CAST(o_custkey AS DOUBLE) AS val
+      FROM orders WHERE o_orderkey < 100
+      ORDER BY o_orderkey, metric"""
+
   val queries: Map[String, Q] = Map(
     "feature_scale" -> Tables.sql(FeatureScaleSql),
     "agg_mode" -> Tables.sql(ModeSql),
     "agg_bool" -> Tables.sql(BoolAggSql),
     "agg_equidepth_hist" -> Tables.sql(equidepthSql(spark = true)),
+    "agg_listagg" -> Tables.sql(listaggSql(spark = true)),
+    "agg_unpivot" -> Tables.sql(UnpivotSparkSql),
 
     "agg_basic" -> Tables.sql("""
       SELECT o_orderstatus,
@@ -347,6 +384,8 @@ object Aggregates {
     "agg_mode" -> ModeSql,
     "agg_bool" -> BoolAggSql,
     "agg_equidepth_hist" -> equidepthSql(spark = false),
+    "agg_listagg" -> listaggSql(spark = false),
+    "agg_unpivot" -> UnpivotOracleSql,
 
     "agg_basic" -> """
       SELECT o_orderstatus,
