@@ -266,6 +266,15 @@ object TextAnalysis {
     // (tfidf DESC, term) is a total order within each doc.
     "text_tfidf_keywords" -> gsql(tfidfSql(spark = true)),
 
+    // Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over
+    // the corpus vocabulary — natural language sits near -1, so the
+    // slope is a one-number corpus-quality/distribution signal (the
+    // synthetic word-soup here fits ~-0.18, itself the point: the
+    // metric DISCRIMINATES). All OLS moments go through 9-dp-ROUNDed
+    // logs and exact DECIMAL sums (reduction-order-free); the rank
+    // window runs over the vocabulary table, not the corpus.
+    "text_zipf_slope" -> gsql(zipfSql(spark = true)),
+
     // PMI collocation mining (Church & Hanks, CL'90): pointwise mutual
     // information ln(p(w1,w2) / (p(w1)·p(w2))) over corpus bigrams,
     // top-30 pairs above a min-count support floor — the standard
@@ -315,6 +324,38 @@ object TextAnalysis {
       )
       SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3 AND doc_id < 50
       ORDER BY doc_id, rk"""
+  }
+
+  /** Whole text_zipf_slope statement — parameterized on the tokenizer
+    * spelling; the rank/OLS SQL is textually identical. */
+  private def zipfSql(spark: Boolean): String = {
+    val wCte =
+      if (spark) """
+      t AS (SELECT TOKENIZE(text) AS toks FROM documents),
+      w AS (SELECT tok FROM t LATERAL VIEW EXPLODE(toks) e AS tok)"""
+      else """
+      t AS (SELECT LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+            FROM documents),
+      w AS (SELECT UNNEST(toks) AS tok FROM t)"""
+    s"""
+      WITH $wCte
+      , f AS (SELECT tok, COUNT(*) AS freq FROM w GROUP BY tok)
+      , r AS (SELECT tok, freq,
+                ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+              FROM f)
+      , xy AS (SELECT ROUND(LN(CAST(rank AS DOUBLE)), 9) AS x,
+                      ROUND(LN(CAST(freq AS DOUBLE)), 9) AS y
+               FROM r)
+      , s AS (SELECT COUNT(*) AS n,
+                CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+              FROM xy)
+      SELECT n AS vocab,
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+             ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+      FROM s"""
   }
 
   /** Whole text_pmi_bigrams statement — everything after the bigram
@@ -676,6 +717,9 @@ object TextAnalysis {
     "text_pmi_bigrams" -> pmiSql(spark = false),
 
     // identical statement modulo the DuckDB tokenizer spelling
-    "text_tfidf_keywords" -> tfidfSql(spark = false)
+    "text_tfidf_keywords" -> tfidfSql(spark = false),
+
+    // identical statement modulo the DuckDB tokenizer spelling
+    "text_zipf_slope" -> zipfSql(spark = false)
   )
 }
