@@ -343,6 +343,12 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("skyline_orders never plans the quadratic dominance join") {
+    val p = plan("skyline_orders")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline must stay on the prefix-max reduction, not NOT-EXISTS:\n$p")
+  }
+
   test("graph_pagerank iterations read the persisted edge list, not the fact table") {
     val df = SparkEntry.queries("graph_pagerank")(spark, LocalSpark.sf)
     val p = df.queryExecution.executedPlan.toString()

@@ -263,4 +263,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(st(3L) == 1L, st.toString)
     } finally q.stop()
   }
+
+  test("streaming rate anomaly: hourly windowed counts flag the burst hour") {
+    // the events_rate_anomaly shape under a stream: watermarked hourly
+    // counts per user; the burst hour surfaces with a count far above
+    // the user's other hours (the batch query's z-score numerator)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val counts = input.toDF()
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("h"), $"user_id", $"n")
+    val q = counts.writeStream.format("memory").queryName("ev_rate")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // user 5: one event per hour for 4 hours, then a 6-event burst
+      val calm = (0 until 4).map(h => Ev(ts(h * 60), 5, 1.0))
+      val burst = (0 until 6).map(i => Ev(ts(4 * 60 + i), 5, 1.0))
+      input.addData(calm ++ burst: _*)
+      q.processAllAvailable()
+      val byHour = spark.table("ev_rate").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(2))).toMap
+      assert(byHour(ts(240)) == 6L, byHour.toString)
+      assert(byHour.count(_._2 == 1L) == 4, byHour.toString)
+      // the burst is separable exactly the way the batch z-score
+      // separates it: max count >> every calm hour
+      assert(byHour.values.max >= 3 * byHour.values.filter(_ != 6L).max)
+    } finally q.stop()
+  }
 }
