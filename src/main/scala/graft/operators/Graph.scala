@@ -87,7 +87,29 @@ object Graph {
           FROM sym s JOIN pr${k - 1} p ON s.src = p.node JOIN deg d ON s.src = d.node
           GROUP BY s.dst) c ON d2.node = c.node)"""
 
+  // Directed association rules (support / confidence / lift — the
+  // market-basket complement of text_pmi_bigrams' symmetric score):
+  // rule a→b over order baskets, support floor 3, top-20 by lift.
+  // All counts integer-exact; confidence and lift are single IEEE
+  // divisions ROUNDed before the rank; (lift DESC, a, b) is total.
+  // Same co-occurrence shuffle shape as the edge build.
+  private val AssocSql = """
+      WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      n AS (SELECT COUNT(DISTINCT o) AS nb FROM io),
+      ic AS (SELECT p, COUNT(*) AS c FROM io GROUP BY p),
+      pc AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cab
+             FROM io a JOIN io b ON a.o = b.o AND a.p <> b.p
+             GROUP BY a.p, b.p HAVING COUNT(*) >= 3)
+      SELECT pc.pa AS antecedent, pc.pb AS consequent, pc.cab AS support_cnt,
+             ROUND(CAST(pc.cab AS DOUBLE) / CAST(ca.c AS DOUBLE), 6) AS confidence,
+             ROUND(CAST(pc.cab AS DOUBLE) * CAST(nb AS DOUBLE)
+                   / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+      FROM pc JOIN ic ca ON pc.pa = ca.p JOIN ic cb ON pc.pb = cb.p CROSS JOIN n
+      ORDER BY lift DESC, antecedent, consequent
+      LIMIT 20"""
+
   val queries: Map[String, Q] = Map(
+    "graph_assoc_rules" -> Tables.sql(AssocSql),
     // global triangle census (+ node/edge counts): two-hash-join wedge
     // closure on the once-stored (src < dst) orientation. The three
     // counts are driver-side scalars over the persisted edge list
@@ -146,6 +168,7 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    "graph_assoc_rules" -> AssocSql,
     "graph_triangles" -> (EdgeCte + """
       SELECT (SELECT COUNT(*) FROM (SELECT src AS node FROM e UNION SELECT dst AS node FROM e) n) AS n_nodes,
              (SELECT COUNT(*) FROM e) AS n_edges,
