@@ -438,6 +438,38 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // pipeline_curate + the CCNet perplexity gate (the curation stack a
+    // modern LLM-data run actually ships): quality gate → exact-dedup
+    // representative → near-dup cluster representative → bigram-LM
+    // perplexity <= 30 (fluency cut). Pins that the perplexity operator
+    // COMPOSES with the dedup stack; the oracle chains the independent
+    // DuckDB formulations of all four stages (recursive-CTE components,
+    // prefixed perplexity CTEs) into one statement.
+    "pipeline_curate_ppl" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      GraftFunctions.register(spark)
+      val pairs = gsql(MinhashPairsSql)(spark, sfDir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val nonRep = connectedComponents(spark, pairs)._1
+        .where(col("node") =!= col("comp"))
+        .select(col("node").as("drop_id"))
+      val base = spark.sql("""
+        SELECT doc_id, lang, TOKENIZE(text) AS toks,
+               MD5(CAST(text AS BINARY)) AS digest
+        FROM (SELECT /*+ REPARTITION(32) */ * FROM documents)""")
+        .where(size(col("toks")) >= 10 &&
+          size(array_distinct(col("toks"))).cast("double") / size(col("toks")) >= 0.2)
+      val reps = base.groupBy(col("digest")).agg(min(col("doc_id")).as("keep_id"))
+      val ppl = TextAnalysis.queries("text_perplexity")(spark, sfDir)
+        .select(col("doc_id"), col("ppl"))
+      base.join(reps, base("doc_id") === reps("keep_id"))
+        .join(nonRep, base("doc_id") === nonRep("drop_id"), "left_anti")
+        .join(ppl, "doc_id")
+        .where(col("ppl") <= 30.0)
+        .select(col("doc_id"), col("lang"), size(col("toks")).as("n_tok"), col("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding near-dup: cosine ≥ 0.35 within label blocks (label is
     // the blocking key; LSH buckets replace it at scale — see
     // dedup_embedding_lsh below for exactly that form).
@@ -710,6 +742,41 @@ object Dedup {
       SELECT q2.doc_id, q2.lang, q2.n_tok
       FROM q2 JOIN reps ON q2.doc_id = reps.keep_id
       WHERE q2.doc_id NOT IN (SELECT doc_id FROM nonrep)
+      ORDER BY q2.doc_id""",
+
+    // pipeline_curate's oracle + the prefixed perplexity CTE chain and
+    // the same <= 30 fluency cut
+    "pipeline_curate_ppl" -> s"""
+      WITH RECURSIVE $OraclePairsCte, edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM good
+        UNION ALL SELECT doc_b, doc_a FROM good
+      ), cc AS (
+        SELECT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
+      ), lab AS (
+        SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
+      ), ${graft.operators.TextAnalysis.pplCtes(spark = false, px = "pp")},
+      pdoc AS (
+        SELECT doc_id,
+               ROUND(EXP(-(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))), 6) AS ppl
+        FROM ppsc GROUP BY doc_id
+      ), q2 AS (
+        SELECT doc_id, lang, LEN(toks) AS n_tok, MD5(text) AS digest
+        FROM (SELECT doc_id, lang, text,
+                     LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+              FROM documents)
+        WHERE LEN(toks) >= 10 AND LEN(LIST_DISTINCT(toks)) / LEN(toks) >= 0.2
+      ), reps AS (
+        SELECT MIN(doc_id) AS keep_id FROM q2 GROUP BY digest
+      ), nonrep AS (
+        SELECT node AS doc_id FROM lab WHERE node <> comp
+      )
+      SELECT q2.doc_id, q2.lang, q2.n_tok, pdoc.ppl
+      FROM q2 JOIN reps ON q2.doc_id = reps.keep_id
+              JOIN pdoc ON q2.doc_id = pdoc.doc_id
+      WHERE q2.doc_id NOT IN (SELECT doc_id FROM nonrep)
+        AND pdoc.ppl <= 30.0
       ORDER BY q2.doc_id""",
 
     // FULL INDEPENDENT REPLICATION of simhash, then the SAME 7-band

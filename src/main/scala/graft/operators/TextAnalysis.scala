@@ -386,41 +386,43 @@ object TextAnalysis {
     * SLICEs; DuckDB: validated STRING_SPLIT replication + 1-based
     * UNNEST(RANGE) indexing). Shared by text_perplexity and
     * text_pmi_bigrams. */
-  private[operators] def bigramCtes(spark: Boolean): String =
-    if (spark) """
-      t AS (
+  private[operators] def bigramCtes(spark: Boolean, px: String = ""): String =
+    if (spark) s"""
+      ${px}t AS (
         SELECT doc_id, TOKENIZE(text) AS toks FROM documents
-      ), b AS (
+      ), ${px}b AS (
         SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
-        FROM t
+        FROM ${px}t
         LATERAL VIEW EXPLODE(ZIP_WITH(SLICE(toks, 1, SIZE(toks) - 1),
                                       SLICE(toks, 2, SIZE(toks) - 1),
                                       (x, y) -> NAMED_STRUCT('w1', x, 'w2', y))) bgv AS bg
         WHERE SIZE(toks) >= 2
       )"""
-    else """
-      t AS (
+    else s"""
+      ${px}t AS (
         SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
         FROM documents
-      ), b AS (
+      ), ${px}b AS (
         SELECT doc_id, toks[p] AS w1, toks[p + 1] AS w2
-        FROM t, UNNEST(RANGE(1, LEN(toks))) AS r(p)
+        FROM ${px}t, UNNEST(RANGE(1, LEN(toks))) AS r(p)
         WHERE LEN(toks) >= 2
       )"""
 
-  private[operators] def pplCtes(spark: Boolean): String = {
-    bigramCtes(spark) + """
-      , cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2)
-      , cw AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY w1)
-      , vv AS (SELECT COUNT(DISTINCT w) AS v
-               FROM (SELECT w1 AS w FROM b UNION SELECT w2 AS w FROM b) u)
-      , sc AS (
+  /** `px` prefixes every CTE name so the chain can nest inside a host
+    * query that already uses the bare names (pipeline_curate_ppl). */
+  private[operators] def pplCtes(spark: Boolean, px: String = ""): String = {
+    bigramCtes(spark, px) + s"""
+      , ${px}cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM ${px}b GROUP BY w1, w2)
+      , ${px}cw AS (SELECT w1, COUNT(*) AS c1 FROM ${px}b GROUP BY w1)
+      , ${px}vv AS (SELECT COUNT(DISTINCT w) AS v
+               FROM (SELECT w1 AS w FROM ${px}b UNION SELECT w2 AS w FROM ${px}b) u)
+      , ${px}sc AS (
           SELECT b.doc_id,
                  ROUND(LN((CAST(cb.c12 AS DOUBLE) + 0.5)
                         / (CAST(cw.c1 AS DOUBLE) + 0.5 * CAST(vv.v AS DOUBLE))), 6) AS lp
-          FROM b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
-                 JOIN cw ON b.w1 = cw.w1
-                 CROSS JOIN vv
+          FROM ${px}b b JOIN ${px}cb cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+                 JOIN ${px}cw cw ON b.w1 = cw.w1
+                 CROSS JOIN ${px}vv vv
       )"""
   }
 
