@@ -99,6 +99,21 @@ object Events {
     // aggregates shuffle on user_id / (cohort, offset) keys only.
     "events_cohort_retention" -> Tables.sql(cohortSql(spark = true)),
 
+    // Path mining: top event-type trigrams across user sequences (two
+    // LEADs per row — pattern DISCOVERY, where matchpath is pattern
+    // MATCHING against a given regex). Key-partitioned window + one
+    // hash aggregate; counts integer-exact.
+    "events_top_paths" -> Tables.sql(TopPathsSql),
+
+    // Time-series gap filling: hourly per-user grid between each
+    // user's first and last active hour, missing hours forward-filled
+    // with the last observed value (LAST_VALUE IGNORE NULLS over the
+    // running frame — incremental, O(1)/row). Grid explode and the
+    // IGNORE NULLS spelling are engine-specific; everything else is
+    // identical SQL. The grid is per-user bounded (span × users), the
+    // fill window key-partitioned — linear at scale.
+    "events_gap_fill" -> Tables.sql(gapFillSql(spark = true)),
+
     // First-order Markov transition matrix over each user's event
     // stream: P(next | current) from LEAD pairs — the sequence
     // statistic behind funnel design and matchpath pattern choice.
@@ -147,6 +162,56 @@ object Events {
                    / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6) AS conv_click,
              ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
                    / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6) AS conv_purchase"""
+
+  // one SQL text, both engines
+  private lazy val TopPathsSql = """
+      WITH s AS (
+        SELECT user_id, event_type AS e1,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        FROM events
+      )
+      SELECT e1, e2, e3, COUNT(*) AS n
+      FROM s WHERE e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+      ORDER BY n DESC, e1, e2, e3
+      LIMIT 10"""
+
+  /** Gap-fill SQL parameterized on the µs-epoch, grid-explode, and
+    * IGNORE NULLS spellings (Spark: UNIX_MICROS + EXPLODE(SEQUENCE) +
+    * postfix IGNORE NULLS; DuckDB: EPOCH_US + UNNEST(RANGE) + in-paren
+    * IGNORE NULLS); the span/join/fill SQL is otherwise identical. */
+  private def gapFillSql(spark: Boolean): String = {
+    val epochUs = if (spark) "UNIX_MICROS(ts)" else "EPOCH_US(ts)"
+    val grid =
+      if (spark) """
+        SELECT su AS user_id, h
+        FROM span LATERAL VIEW EXPLODE(SEQUENCE(h0, h1)) g AS h"""
+      else """
+        SELECT su AS user_id, h0 + r.i AS h
+        FROM span, UNNEST(RANGE(0, h1 - h0 + 1)) AS r(i)"""
+    val fill =
+      if (spark) """LAST_VALUE(v) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+      else """LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+    s"""
+      WITH hr AS (
+        SELECT user_id, CAST(FLOOR($epochUs / 3600000000.0) AS BIGINT) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        FROM events WHERE user_id <= 5
+        GROUP BY user_id, CAST(FLOOR($epochUs / 3600000000.0) AS BIGINT)
+      ), span AS (
+        SELECT user_id AS su, MIN(h) AS h0, MAX(h) AS h1 FROM hr GROUP BY user_id
+      ), grid AS ($grid
+      ), joined AS (
+        SELECT g.user_id AS user_id, g.h AS h, hr.v AS v
+        FROM grid g LEFT JOIN hr ON hr.user_id = g.user_id AND hr.h = g.h
+      )
+      SELECT user_id, h, v, $fill AS v_filled
+      FROM joined
+      ORDER BY user_id, h"""
+  }
 
   // one SQL text, both engines
   private lazy val MarkovSql = """
@@ -297,6 +362,8 @@ object Events {
     "events_cohort_retention" -> cohortSql(spark = false),
     "events_decay_feature" -> DecaySql,
     "events_rate_anomaly" -> anomalySql(spark = false),
-    "events_markov_transitions" -> MarkovSql
+    "events_markov_transitions" -> MarkovSql,
+    "events_top_paths" -> TopPathsSql,
+    "events_gap_fill" -> gapFillSql(spark = false)
   )
 }
