@@ -149,6 +149,20 @@ object Aggregates {
       FROM orders WHERE o_orderkey < 100
       ORDER BY o_orderkey, metric"""
 
+  // MAX_BY / MIN_BY (Hive's max-of-struct idiom as the first-class
+  // argmax aggregate): the ordering key is the UNIQUE customer key, so
+  // the result is deterministic — on tied keys both engines pick
+  // arbitrarily, which is exactly why agg_mode spells its tie-break
+  // explicitly.
+  private val MinMaxBySql = """
+      SELECT c_mktsegment,
+             MAX_BY(c_name, c_custkey) AS last_customer,
+             MIN_BY(c_name, c_custkey) AS first_customer,
+             MAX(c_custkey) AS max_key
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""
+
   val queries: Map[String, Q] = Map(
     "feature_scale" -> Tables.sql(FeatureScaleSql),
     "agg_mode" -> Tables.sql(ModeSql),
@@ -156,6 +170,7 @@ object Aggregates {
     "agg_equidepth_hist" -> Tables.sql(equidepthSql(spark = true)),
     "agg_listagg" -> Tables.sql(listaggSql(spark = true)),
     "agg_unpivot" -> Tables.sql(UnpivotSparkSql),
+    "agg_minmax_by" -> Tables.sql(MinMaxBySql),
 
     "agg_basic" -> Tables.sql("""
       SELECT o_orderstatus,
@@ -386,6 +401,7 @@ object Aggregates {
     "agg_equidepth_hist" -> equidepthSql(spark = false),
     "agg_listagg" -> listaggSql(spark = false),
     "agg_unpivot" -> UnpivotOracleSql,
+    "agg_minmax_by" -> MinMaxBySql,
 
     "agg_basic" -> """
       SELECT o_orderstatus,

@@ -101,10 +101,27 @@ object Windows {
       WHERE o_orderkey % 100 = 0
       ORDER BY o_orderstatus, o_orderkey"""
 
+  // Month-over-month trend — the reporting staple: DATE_TRUNC month
+  // buckets (identical in both engines), exact DECIMAL revenue, LAG
+  // growth ratio rounded at the boundary. The window runs over the
+  // ~80-row monthly aggregate.
+  private val MonthlyTrendSql = """
+      WITH m AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY DATE_TRUNC('month', o_orderdate)
+      )
+      SELECT month, revenue, n_orders,
+             ROUND(revenue / LAG(revenue) OVER (ORDER BY month) - 1.0, 6) AS mom_growth
+      FROM m
+      ORDER BY month"""
+
   val queries: Map[String, Q] = Map(
     "window_rfm_segmentation" -> Tables.sql(rfmSql(spark = true)),
     "window_abc_analysis" -> Tables.sql(AbcSql),
     "window_nth_value" -> Tables.sql(NthValueSql),
+    "window_monthly_trend" -> Tables.sql(MonthlyTrendSql),
 
     // Ranking family + running sum over ROWS frame.
     "window_rank_rows_frame" -> Tables.sql("""
@@ -205,6 +222,7 @@ object Windows {
     "window_rfm_segmentation" -> rfmSql(spark = false),
     "window_abc_analysis" -> AbcSql,
     "window_nth_value" -> NthValueSql,
+    "window_monthly_trend" -> MonthlyTrendSql,
 
     "window_rank_rows_frame" -> """
       SELECT c_custkey, c_nationkey,
