@@ -120,6 +120,24 @@ object Functions {
       WHERE p_partkey < 300
       ORDER BY p_partkey"""),
 
+    // Null-semantics pinning in one oracled row: aggregate null
+    // skipping (COUNT(expr)/SUM with NULL branches), MAX over a
+    // null-bearing column, an all-null group collapsing to NULL then
+    // COALESCE'd, and a predicate that can never be NULL — the 3VL
+    // corners a Hive-1.2 user depends on, value-compared cross-engine
+    // (SURVEY §7.3 trap family; the NOT IN null trap has its own row).
+    "semantics_nulls" -> Tables.sql("""
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             COUNT(NULLIF(o_orderpriority, '5-LOW')) AS cnt_skips_null,
+             CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE 1 END) AS BIGINT) AS sum_skips_null,
+             MAX(NULLIF(o_orderpriority, '5-LOW')) AS max_skips_null,
+             COALESCE(MIN(NULLIF(o_orderpriority, o_orderpriority)), 'all-null') AS min_of_allnull,
+             CAST(COUNT(CASE WHEN (o_totalprice > 200000) IS NULL THEN 1 END) AS BIGINT) AS never_null_pred
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+
     "conditional_fns" -> Tables.sql("""
       SELECT s_suppkey,
              CASE WHEN s_acctbal < 0 THEN 'neg'
@@ -472,6 +490,18 @@ object Functions {
       FROM part
       WHERE p_partkey < 300
       ORDER BY p_partkey""",
+
+    "semantics_nulls" -> """
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             COUNT(NULLIF(o_orderpriority, '5-LOW')) AS cnt_skips_null,
+             CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE 1 END) AS BIGINT) AS sum_skips_null,
+             MAX(NULLIF(o_orderpriority, '5-LOW')) AS max_skips_null,
+             COALESCE(MIN(NULLIF(o_orderpriority, o_orderpriority)), 'all-null') AS min_of_allnull,
+             CAST(COUNT(CASE WHEN (o_totalprice > 200000) IS NULL THEN 1 END) AS BIGINT) AS never_null_pred
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
 
     "conditional_fns" -> """
       SELECT s_suppkey,
