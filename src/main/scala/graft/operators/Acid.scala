@@ -119,12 +119,16 @@ object Acid {
     val targetKeys = target.select(keyCols.map(col).toIndexedSeq: _*)
     val kept = target.join(src.select(keyCols.map(col).toIndexedSeq: _*),
       keyCols, "left_anti")
-    val matched = src.join(targetKeys, keyCols, "left_semi")
-    val surviving = deleteCond match {
-      case Some(c) => matched.where(!coalesce(c, lit(false)))
-      case None => matched
+    // the delete condition voids a source row EVERYWHERE — a matched
+    // row deletes its target, and a NOT-matched delete event (re-
+    // delivered or upstream-compacted CDC) must be a no-op, never an
+    // insert of the ghost row
+    val live = deleteCond match {
+      case Some(c) => src.where(!coalesce(c, lit(false)))
+      case None => src
     }
-    val inserts = src.join(targetKeys, keyCols, "left_anti")
+    val surviving = live.join(targetKeys, keyCols, "left_semi")
+    val inserts = live.join(targetKeys, keyCols, "left_anti")
     overwrite(spark, table,
       kept.unionByName(surviving).unionByName(inserts),
       dynamicPartitions = false)

@@ -134,12 +134,15 @@ object Aggregates {
   // UNPIVOT — the inverse of agg_pivot: Spark's first-class clause on
   // the Spark side, oracled against the manual UNION ALL spelling the
   // Hive 1.2 user writes (the compare proves the clause IS the manual
-  // form, the agg_pivot treatment).
+  // form, the agg_pivot treatment). INCLUDE NULLS is what makes the
+  // equivalence actually hold: the default EXCLUDE NULLS drops rows
+  // whose unpivoted value is NULL while the UNION ALL keeps them, so
+  // without it the claim is only true on null-free data.
   private val UnpivotSparkSql = """
       SELECT o_orderkey, metric, val
       FROM (SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS o_custkey_d
             FROM orders WHERE o_orderkey < 100)
-      UNPIVOT (val FOR metric IN (o_totalprice, o_custkey_d))
+      UNPIVOT INCLUDE NULLS (val FOR metric IN (o_totalprice, o_custkey_d))
       ORDER BY o_orderkey, metric"""
   private val UnpivotOracleSql = """
       SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val

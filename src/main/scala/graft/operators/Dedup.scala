@@ -113,6 +113,64 @@ object Dedup {
       )
       WHERE j >= 0.8"""
 
+  /** Prefix-filtered n-gram candidate chain + exact-jaccard scoring at
+    * τ=0.5, ending in CTE `jpairs(doc_a, doc_b, jaccard)` — ONE
+    * definition consumed by dedup_ngram_jaccard and dedup_edit_verify
+    * so the Bayardo prefix bound and threshold cannot drift between
+    * them (the DuckHash.fmix64Ctes single-spelling rule). */
+  private val NgramJpairsCtes = """
+      sh AS (
+        SELECT doc_id, source, SHINGLE_SET(text, 3) AS grams
+        FROM (SELECT /*+ REPARTITION(32) */ doc_id, source, text FROM documents)
+        WHERE SIZE(SHINGLE_SET(text, 3)) > 0
+      ), inv AS (
+        SELECT doc_id, source, SIZE(grams) AS n, gram
+        FROM sh LATERAL VIEW EXPLODE(grams) g AS gram
+      ), df AS (
+        SELECT source, gram, COUNT(*) AS df FROM inv GROUP BY source, gram
+      ), prefix AS (
+        SELECT doc_id, source, gram FROM (
+          SELECT i.doc_id, i.source, i.gram, i.n,
+                 ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                                    ORDER BY d.df, i.gram) AS rk
+          FROM inv i
+          JOIN df d ON i.gram = d.gram AND i.source = d.source
+        ) WHERE rk <= n - CEIL(0.5 * n) + 1
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b
+          ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+      ), jpairs AS (
+        SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
+        FROM (
+          SELECT doc_a, doc_b, JACCARD_SIM(sa.grams, sb.grams) AS j
+          FROM cand
+          JOIN sh sa ON doc_a = sa.doc_id
+          JOIN sh sb ON doc_b = sb.doc_id
+        )
+        WHERE j >= 0.5
+      )"""
+
+  /** DuckDB twin of `jpairs`: all-pairs-within-source exact jaccard at
+    * the same τ=0.5 (recall 1.0 by construction vs the prefix filter) —
+    * one constant shared by both oracles. */
+  private val OracleJpairsCtes = """
+      t AS (
+        SELECT doc_id, source,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, source,
+               LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
+                 i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))) AS grams
+        FROM t WHERE LEN(toks) >= 3
+      ), jpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(LEN(LIST_INTERSECT(a.grams, b.grams)) / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE LEN(LIST_INTERSECT(a.grams, b.grams)) / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))) >= 0.5
+      )"""
+
   /** DuckDB spelling of the same pair set (exact all-pairs via inverted
     * index) — one constant, so the dedup_minhash_lsh and dedup_clusters
     * oracles can never drift onto different pair graphs. */
@@ -254,37 +312,9 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    "dedup_ngram_jaccard" -> gsql("""
-      WITH sh AS (
-        SELECT doc_id, source, SHINGLE_SET(text, 3) AS grams
-        FROM (SELECT /*+ REPARTITION(32) */ doc_id, source, text FROM documents)
-        WHERE SIZE(SHINGLE_SET(text, 3)) > 0
-      ), inv AS (
-        SELECT doc_id, source, SIZE(grams) AS n, gram
-        FROM sh LATERAL VIEW EXPLODE(grams) g AS gram
-      ), df AS (
-        SELECT source, gram, COUNT(*) AS df FROM inv GROUP BY source, gram
-      ), prefix AS (
-        SELECT doc_id, source, gram FROM (
-          SELECT i.doc_id, i.source, i.gram, i.n,
-                 ROW_NUMBER() OVER (PARTITION BY i.doc_id
-                                    ORDER BY d.df, i.gram) AS rk
-          FROM inv i
-          JOIN df d ON i.gram = d.gram AND i.source = d.source
-        ) WHERE rk <= n - CEIL(0.5 * n) + 1
-      ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM prefix a JOIN prefix b
-          ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
-      )
-      SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
-      FROM (
-        SELECT doc_a, doc_b, JACCARD_SIM(sa.grams, sb.grams) AS j
-        FROM cand
-        JOIN sh sa ON doc_a = sa.doc_id
-        JOIN sh sb ON doc_b = sb.doc_id
-      )
-      WHERE j >= 0.5
+    "dedup_ngram_jaccard" -> gsql(s"""
+      WITH $NgramJpairsCtes
+      SELECT doc_a, doc_b, jaccard FROM jpairs
       ORDER BY doc_a, doc_b"""),
 
     // Block–verify fuzzy dedup (the classic entity-resolution split,
@@ -297,44 +327,14 @@ object Dedup {
     // At 100 TB the quadratic-in-length DP runs only on the tiny
     // verified-candidate set, each pair independent (narrow map work
     // after one ids-only join back to the texts).
-    "dedup_edit_verify" -> gsql("""
-      WITH sh AS (
-        SELECT doc_id, source, SHINGLE_SET(text, 3) AS grams
-        FROM (SELECT /*+ REPARTITION(32) */ doc_id, source, text FROM documents)
-        WHERE SIZE(SHINGLE_SET(text, 3)) > 0
-      ), inv AS (
-        SELECT doc_id, source, SIZE(grams) AS n, gram
-        FROM sh LATERAL VIEW EXPLODE(grams) g AS gram
-      ), df AS (
-        SELECT source, gram, COUNT(*) AS df FROM inv GROUP BY source, gram
-      ), prefix AS (
-        SELECT doc_id, source, gram FROM (
-          SELECT i.doc_id, i.source, i.gram, i.n,
-                 ROW_NUMBER() OVER (PARTITION BY i.doc_id
-                                    ORDER BY d.df, i.gram) AS rk
-          FROM inv i
-          JOIN df d ON i.gram = d.gram AND i.source = d.source
-        ) WHERE rk <= n - CEIL(0.5 * n) + 1
-      ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM prefix a JOIN prefix b
-          ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
-      ), pairs AS (
-        SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
-        FROM (
-          SELECT doc_a, doc_b, JACCARD_SIM(sa.grams, sb.grams) AS j
-          FROM cand
-          JOIN sh sa ON doc_a = sa.doc_id
-          JOIN sh sb ON doc_b = sb.doc_id
-        )
-        WHERE j >= 0.5
-      )
+    "dedup_edit_verify" -> gsql(s"""
+      WITH $NgramJpairsCtes
       SELECT p.doc_a, p.doc_b, p.jaccard,
              LEVENSHTEIN(da.text, db.text) AS edit_dist,
              ROUND(1.0 - CAST(LEVENSHTEIN(da.text, db.text) AS DOUBLE)
                    / CAST(GREATEST(LENGTH(da.text), LENGTH(db.text)) AS DOUBLE), 6) AS edit_sim
-      FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
-                   JOIN documents db ON p.doc_b = db.doc_id
+      FROM jpairs p JOIN documents da ON p.doc_a = da.doc_id
+                    JOIN documents db ON p.doc_b = db.doc_id
       ORDER BY doc_a, doc_b"""),
 
     // Asymmetric CONTAINMENT dedup: C(A→B) = |A∩B| / |A| over 3-gram
@@ -855,49 +855,23 @@ object Dedup {
       HAVING COUNT(*) >= 3
       ORDER BY doc_a, doc_b""",
 
-    "dedup_ngram_jaccard" -> """
-      WITH t AS (
-        SELECT doc_id, source,
-               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
-        FROM documents
-      ), sh AS (
-        SELECT doc_id, source,
-               LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
-                 i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))) AS grams
-        FROM t WHERE LEN(toks) >= 3
-      )
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             ROUND(LEN(LIST_INTERSECT(a.grams, b.grams)) / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))), 6) AS jaccard
-      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE LEN(LIST_INTERSECT(a.grams, b.grams)) / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))) >= 0.5
+    "dedup_ngram_jaccard" -> s"""
+      WITH $OracleJpairsCtes
+      SELECT doc_a, doc_b, jaccard FROM jpairs
       ORDER BY doc_a, doc_b""",
 
     // same all-pairs-within-source pair set (recall 1.0 vs the prefix
     // filter, the dedup_ngram_jaccard argument), then the identical
     // LEVENSHTEIN verifier — DuckDB's unit-cost edit distance matches
     // Spark's integer-for-integer
-    "dedup_edit_verify" -> """
-      WITH t AS (
-        SELECT doc_id, source,
-               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
-        FROM documents
-      ), sh AS (
-        SELECT doc_id, source,
-               LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
-                 i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))) AS grams
-        FROM t WHERE LEN(toks) >= 3
-      ), pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               ROUND(LEN(LIST_INTERSECT(a.grams, b.grams)) / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))), 6) AS jaccard
-        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE LEN(LIST_INTERSECT(a.grams, b.grams)) / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))) >= 0.5
-      )
+    "dedup_edit_verify" -> s"""
+      WITH $OracleJpairsCtes
       SELECT p.doc_a, p.doc_b, p.jaccard,
              LEVENSHTEIN(da.text, db.text) AS edit_dist,
              ROUND(1.0 - CAST(LEVENSHTEIN(da.text, db.text) AS DOUBLE)
                    / CAST(GREATEST(LENGTH(da.text), LENGTH(db.text)) AS DOUBLE), 6) AS edit_sim
-      FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
-                   JOIN documents db ON p.doc_b = db.doc_id
+      FROM jpairs p JOIN documents da ON p.doc_a = da.doc_id
+                    JOIN documents db ON p.doc_b = db.doc_id
       ORDER BY doc_a, doc_b""",
 
     // independent all-pairs-within-source formulation (recall 1.0 by

@@ -376,11 +376,6 @@ object TextAnalysis {
       ORDER BY pmi DESC, w1, w2
       LIMIT 30"""
 
-  /** The bigram/count/score CTE chain feeding text_perplexity —
-    * parameterized on tokenizer + bigram-explode spelling (Spark:
-    * TOKENIZE kernel + ZIP_WITH of two SLICEs; DuckDB: validated
-    * STRING_SPLIT replication + 1-based UNNEST(RANGE) indexing); the
-    * count/vocab/scoring SQL after the b CTE is textually identical. */
   /** The doc→bigram explode (t, b CTEs), parameterized on tokenizer +
     * list-indexing spelling (Spark: TOKENIZE kernel + ZIP_WITH of two
     * SLICEs; DuckDB: validated STRING_SPLIT replication + 1-based

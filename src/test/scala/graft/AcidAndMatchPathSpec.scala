@@ -44,9 +44,11 @@ class AcidAndMatchPathSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_db.acid_m")
     Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "name", "v").write.saveAsTable("graft_db.acid_m")
-    // source: id=2 updated, id=3 flagged deleted (v < 0), id=4 inserted
-    val src = Seq((2L, "b2", 22.0), (3L, "c", -1.0), (4L, "d", 40.0))
-      .toDF("id", "name", "v")
+    // source: id=2 updated, id=3 flagged deleted (v < 0), id=4
+    // inserted, id=9 a delete event for a key ABSENT from the target
+    // (re-delivered CDC delete) — must be a no-op, not a ghost insert
+    val src = Seq((2L, "b2", 22.0), (3L, "c", -1.0), (4L, "d", 40.0),
+      (9L, "ghost", -5.0)).toDF("id", "name", "v")
     Acid.merge(spark, "graft_db.acid_m", src, Seq("id"),
       deleteCond = Some(col("v") < 0))
     val rows = spark.table("graft_db.acid_m").orderBy("id")

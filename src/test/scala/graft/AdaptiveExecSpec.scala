@@ -79,9 +79,9 @@ class AdaptiveExecSpec extends AnyFunSuite {
     // the 100 TB runtime-filter story: a selective dim predicate
     // injects a bloom filter (might_contain) on the fact's join key so
     // fact rows drop BEFORE the join shuffle. Production thresholds
-    // (10 MB creation side / 10 GB application side) are sized for
-    // real tables, so they are lowered to demonstrate the mechanism at
-    // test scale.
+    // are sized for real tables, so both gates are opened for test
+    // scale: the application-side scan-size floor drops to 0 and the
+    // creation-side cap is RAISED to 10GB so the tiny dim qualifies.
     Tables.register(spark, LocalSpark.sf)
     withConf(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",

@@ -336,7 +336,11 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("graph queries never degrade to a cartesian product") {
-    for (q <- Seq("graph_triangles", "graph_degree_stats", "graph_pagerank")) {
+    // graph_triangles is excluded: its query function executes the
+    // counts eagerly and returns a LocalRelation, so its plan string
+    // contains no joins and the assertion would be vacuous there —
+    // the triangle join shape is covered by the oracle compare instead
+    for (q <- Seq("graph_degree_stats", "graph_pagerank")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q must stay on equi-joins:\n$p")
