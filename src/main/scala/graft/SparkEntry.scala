@@ -27,7 +27,8 @@ object SparkEntry {
     QueryModule(Multimodal.queries, Multimodal.oracle),
     QueryModule(MatchPath.queries, MatchPath.oracle),
     QueryModule(Graph.queries, Graph.oracle),
-    QueryModule(Profiling.queries, Profiling.oracle)
+    QueryModule(Profiling.queries, Profiling.oracle),
+    QueryModule(Statistics.queries, Statistics.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

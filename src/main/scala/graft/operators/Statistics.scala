@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Statistical analysis operators — the hypothesis-testing / model-fit
+  * layer analysts run directly in SQL (Hive exposes the raw material
+  * via its stats UDAFs, GenericUDAFVariance & friends; SURVEY.md §2.5):
+  * per-group OLS regression, a chi-square independence test, and Gini
+  * concentration. Each is a plain aggregate pipeline — no UDFs — so
+  * Catalyst plans partial/final hash aggregates with map-side combine.
+  *
+  * Determinism discipline (the Clustering.scala rule): every SUM feeds
+  * on exact integers (quantities rounded to units, prices to cents),
+  * so the reduction is order-independent regardless of shuffle merge
+  * order; the floating-point formula is then evaluated ONCE per group
+  * on identical exact inputs, and IEEE-754 makes both engines produce
+  * the same double bit-for-bit (ROUND 6dp is belt-and-braces). Sums
+  * accumulate as BIGINT (Spark) / HUGEINT (DuckDB) — both exact — and
+  * are cast to DOUBLE only at formula time, where correct rounding is
+  * identical on both sides.
+  *
+  * 100 TB design: all three are single-shuffle shapes. Regression and
+  * chi-square aggregate to O(groups)/O(cells) rows with bounded state
+  * (five sums, a count). Gini needs a per-segment sort for ranks —
+  * one range-partitioned window, the same cost class as any ranked
+  * report, then collapses to O(segments) rows. No collect, no
+  * cross-join, no per-row driver work.
+  */
+object Statistics {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Per-nation OLS of extended price (whole dollars) on quantity over
+    * the supplier's lineitems: slope/intercept/r² from the five exact
+    * sufficient sums (n, Σx, Σy, Σx², Σy², Σxy). The sums stay within
+    * BIGINT up to sf≫0.1 (x ≤ 50, y ≤ ~6e5 ⇒ Σy² ~ 1e16 at sf0.1);
+    * the normal-equation products run in DOUBLE on both engines. */
+  private val RegressionSql = """
+      WITH pts AS (
+        SELECT s_nationkey AS nk,
+               CAST(ROUND(l_quantity) AS BIGINT)      AS x,
+               CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      ),
+      s AS (
+        SELECT nk, COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE)     AS sx,
+               CAST(SUM(y) AS DOUBLE)     AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM pts GROUP BY nk
+      )
+      SELECT CAST(nk AS BIGINT) AS nation, n,
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept,
+             ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      FROM s ORDER BY nation"""
+
+  /** Chi-square test of independence between order priority and order
+    * status: the contingency table with expected counts and per-cell
+    * contributions, plus the statistic itself. Marginals are window
+    * sums of integer-valued doubles (exact); the total chi² uses the
+    * quantized-sum trick — each contribution rounds to an exact 1e-6
+    * integer before the window SUM, so the reduction is
+    * order-independent and both engines agree to the last bit. */
+  private val ChisqSql = """
+      WITH cell AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               CAST(COUNT(*) AS DOUBLE) AS obs
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+      ),
+      marg AS (
+        SELECT pri, st, obs,
+               SUM(obs) OVER (PARTITION BY pri) AS rt,
+               SUM(obs) OVER (PARTITION BY st)  AS ct,
+               SUM(obs) OVER ()                 AS nt
+        FROM cell
+      ),
+      c AS (
+        SELECT pri, st, obs, rt * ct / nt AS e,
+               (obs - rt * ct / nt) * (obs - rt * ct / nt) / (rt * ct / nt) AS chi
+        FROM marg
+      )
+      SELECT pri, st, CAST(obs AS BIGINT) AS obs,
+             ROUND(e, 6) AS expected, ROUND(chi, 6) AS contrib,
+             ROUND(CAST(SUM(CAST(ROUND(chi * 1000000) AS BIGINT)) OVER ()
+                        AS DOUBLE) / 1000000, 6) AS chi2_total
+      FROM c ORDER BY pri, st"""
+
+  /** Gini concentration of customer revenue within each market
+    * segment, via the rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ)
+    * over revenues sorted ascending (ties broken by custkey so the
+    * rank assignment is total and both engines agree). Revenue is in
+    * exact cents; i·xᵢ stays within BIGINT far past sf0.1. */
+  private val GiniSql = """
+      WITH rev AS (
+        SELECT c_custkey AS ck, c_mktsegment AS seg,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS r
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_mktsegment
+      ),
+      ranked AS (
+        SELECT seg, r,
+               CAST(ROW_NUMBER() OVER (PARTITION BY seg ORDER BY r, ck)
+                    AS BIGINT) AS i
+        FROM rev
+      ),
+      s AS (
+        SELECT seg, COUNT(*) AS n,
+               CAST(SUM(r) AS DOUBLE)     AS t,
+               CAST(SUM(i * r) AS DOUBLE) AS wi
+        FROM ranked GROUP BY seg
+      )
+      SELECT seg, n, ROUND((2.0 * wi - (n + 1) * t) / (n * t), 6) AS gini
+      FROM s ORDER BY seg"""
+
+  val queries: Map[String, Q] = Map(
+    "stats_regression" -> Tables.sql(RegressionSql),
+    "stats_chisq"      -> Tables.sql(ChisqSql),
+    "stats_gini"       -> Tables.sql(GiniSql)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stats_regression" -> RegressionSql,
+    "stats_chisq"      -> ChisqSql,
+    "stats_gini"       -> GiniSql
+  )
+}
