@@ -140,8 +140,90 @@ object Events {
     // per row — the ADVICE.md lesson from asofForward's quadratic
     // frame), and the user_id predicate pushes below the window
     // because it is the partition key.
-    "events_decay_feature" -> Tables.sql(DecaySql)
+    "events_decay_feature" -> Tables.sql(DecaySql),
+
+    // Lag-k autocorrelation (k = 1..7) of the daily event count — the
+    // seasonality probe behind rate-anomaly thresholds. Daily counts
+    // are exact integers; each lag's cross-products reduce via exact
+    // BIGINT sums, and the ACF formula runs once per lag on identical
+    // inputs, so both engines agree bit-for-bit. 100 TB shape: the
+    // raw scan collapses to O(days) rows first; everything after is
+    // days-scale (a 7×days lag join is trivial).
+    "events_autocorr" -> Tables.sql(autocorrSql(spark = true)),
+
+    // Linear multi-touch attribution: each purchase's value splits
+    // evenly across the user's click/view touches in the prior 7
+    // days (the positional counterpart of events_asof_prior_view's
+    // last-touch). One user-keyed equi-join with a time-band filter,
+    // then per-purchase shares quantize to exact cents before the
+    // channel rollup — the quantized-sum discipline keeps the final
+    // SUM order-independent. Scales: the join shuffles on user_id
+    // only and the 7-day band bounds per-user pair counts.
+    "events_attribution" -> Tables.sql(attributionSql(spark = true))
   )
+
+  /** Dialect-split ACF text: day numbering and inline-VALUES syntax
+    * differ; the arithmetic is byte-identical. */
+  private def autocorrSql(spark: Boolean): String = {
+    val day =
+      if (spark) "DATEDIFF(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT)"
+    val lags =
+      if (spark) "VALUES (1),(2),(3),(4),(5),(6),(7) AS lags(k)"
+      else "(VALUES (1),(2),(3),(4),(5),(6),(7)) AS lags(k)"
+    s"""
+      WITH daily AS (
+        SELECT $day AS d, COUNT(*) AS x FROM events GROUP BY 1
+      ),
+      s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM daily
+      ),
+      lagged AS (
+        SELECT k, COUNT(*) AS m,
+               CAST(SUM(a.x * b.x) AS DOUBLE) AS sab,
+               CAST(SUM(a.x) AS DOUBLE) AS sa,
+               CAST(SUM(b.x) AS DOUBLE) AS sb
+        FROM $lags CROSS JOIN daily a JOIN daily b ON b.d = a.d + lags.k
+        GROUP BY k
+      )
+      SELECT k, m,
+             ROUND((sab - (sx / n) * (sa + sb) + m * (sx / n) * (sx / n))
+                   / (sxx - n * (sx / n) * (sx / n)), 6) AS acf
+      FROM lagged CROSS JOIN s
+      ORDER BY k"""
+  }
+
+  /** Dialect-split linear-attribution text (interval literal only). */
+  private def attributionSql(spark: Boolean): String = {
+    val win = if (spark) "INTERVAL 7 DAYS" else "INTERVAL 7 DAY"
+    s"""
+      WITH purch AS (
+        SELECT event_id, user_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+        FROM events WHERE event_type = 'purchase'
+      ),
+      touch AS (
+        SELECT user_id, event_type AS channel, ts FROM events
+        WHERE event_type IN ('click', 'view')
+      ),
+      joined AS (
+        SELECT p.event_id, p.v_cents, t.channel
+        FROM purch p JOIN touch t
+          ON p.user_id = t.user_id
+         AND t.ts < p.ts AND t.ts >= p.ts - $win
+      ),
+      per AS (
+        SELECT event_id, v_cents, channel, COUNT(*) AS c,
+               SUM(COUNT(*)) OVER (PARTITION BY event_id) AS n
+        FROM joined GROUP BY event_id, v_cents, channel
+      )
+      SELECT channel, CAST(SUM(c) AS BIGINT) AS touches,
+             ROUND(CAST(SUM(CAST(ROUND(CAST(v_cents AS DOUBLE) * c / n)
+                                 AS BIGINT)) AS DOUBLE) / 100, 2) AS credit
+      FROM per GROUP BY channel ORDER BY channel"""
+  }
 
   // one SQL text, both engines
   private lazy val FunnelSql = """
@@ -364,6 +446,8 @@ object Events {
     "events_rate_anomaly" -> anomalySql(spark = false),
     "events_markov_transitions" -> MarkovSql,
     "events_top_paths" -> TopPathsSql,
-    "events_gap_fill" -> gapFillSql(spark = false)
+    "events_gap_fill" -> gapFillSql(spark = false),
+    "events_autocorr" -> autocorrSql(spark = false),
+    "events_attribution" -> attributionSql(spark = false)
   )
 }

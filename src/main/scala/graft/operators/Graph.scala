@@ -138,6 +138,29 @@ object Graph {
         .orderBy(col("degree"))
     }),
 
+    // Bounded-depth BFS (friend-of-friend counts): 1-hop and ≤2-hop
+    // neighborhood sizes for the 10 lowest-id nodes, via two hash
+    // joins over the symmetric edge list. The seed set broadcasts, the
+    // frontier shuffles are (seed, node) id pairs only, and depth is
+    // fixed — the plan holds at any graph size (iterated-join BFS, the
+    // same shape each extra hop adds one join to).
+    "graph_khop" -> ((spark, sfDir) => {
+      val e = edges(spark, sfDir).persist()
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      val seeds = sym.select(col("src").as("seed")).distinct()
+        .orderBy(col("seed")).limit(10)
+      val h1 = seeds.join(sym, col("seed") === col("src"))
+        .select(col("seed"), col("dst").as("nb")).distinct().persist()
+      val h2 = h1.select(col("seed"), col("nb").as("mid"))
+        .join(sym.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .select(col("seed"), col("dst").as("nb"))
+      val reach = h1.union(h2).where(col("nb") =!= col("seed")).distinct()
+      val d1 = h1.groupBy(col("seed")).agg(count(lit(1)).as("n_1hop"))
+      val d2 = reach.groupBy(col("seed")).agg(count(lit(1)).as("n_2hop"))
+      d1.join(d2, Seq("seed")).orderBy(col("seed"))
+    }),
+
     // 3 unrolled quantized-PageRank iterations, top-20 nodes; the
     // oracle replays the identical iteration, so values match exactly
     "graph_pagerank" -> ((spark, sfDir) => {
@@ -180,6 +203,20 @@ object Graph {
               FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) n
               GROUP BY node)
       SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY degree ORDER BY degree"""),
+
+    "graph_khop" -> (EdgeCte + """
+      , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+      , seeds AS (SELECT DISTINCT src AS seed FROM sym ORDER BY seed LIMIT 10)
+      , h1 AS (SELECT DISTINCT s.seed, y.dst AS nb FROM seeds s JOIN sym y ON y.src = s.seed)
+      , h2 AS (SELECT h1.seed, y.dst AS nb FROM h1 JOIN sym y ON y.src = h1.nb)
+      , reach AS (SELECT DISTINCT seed, nb
+                  FROM (SELECT seed, nb FROM h1 UNION ALL SELECT seed, nb FROM h2) u
+                  WHERE nb <> seed)
+      SELECT d1.seed, d1.n_1hop, d2.n_2hop
+      FROM (SELECT seed, COUNT(*) AS n_1hop FROM h1 GROUP BY seed) d1
+      JOIN (SELECT seed, COUNT(*) AS n_2hop FROM reach GROUP BY seed) d2
+        ON d1.seed = d2.seed
+      ORDER BY d1.seed"""),
 
     "graph_pagerank" -> (EdgeCte + """
       , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -637,6 +637,36 @@ object Relational {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Z-order (Morton) clustering key — the layout operator behind
+    // multidimensional data-skipping (Hive users approximate with
+    // DISTRIBUTE BY on one key; Delta/Iceberg OPTIMIZE ZORDER BY is the
+    // modern form). Two 16-bit dimensions (customer, order day) bit-
+    // interleave via the magic-number spread — pure integer bitwise
+    // expressions, whole-stage codegen, exact on both engines. The
+    // head of the layout order comes back as TakeOrderedAndProject (no
+    // global sort); a production write would repartitionByRange(zkey)
+    // and sortWithinPartitions before the sink (gated in the spec).
+    "sort_zorder" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      def spread(c: Column): Column = {
+        val a = c.bitwiseAND(lit(65535L))
+        val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(16711935L))
+        val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(252645135L))
+        val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(858993459L))
+        e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(1431655765L))
+      }
+      spark.table("orders")
+        .withColumn("zx", col("o_custkey").bitwiseAND(lit(65535L)))
+        .withColumn("zy",
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+            .bitwiseAND(lit(65535L)))
+        .withColumn("zkey",
+          spread(col("zx")).bitwiseOR(shiftleft(spread(col("zy")), 1)))
+        .select(col("o_orderkey"), col("zx"), col("zy"), col("zkey"))
+        .orderBy(col("zkey"), col("o_orderkey"))
+        .limit(200)
+    }),
+
     // Custom physical operator (graft.plans.TopKPerKey): first-3 rows
     // per supplier by price — partial per-partition heaps cut the
     // shuffle to ≤3 rows per (partition, key); the window-function
@@ -1004,6 +1034,32 @@ object Relational {
     "sort_cluster_by_sql" -> """
       SELECT s_nationkey, s_suppkey FROM supplier
       ORDER BY s_nationkey, s_suppkey""",
+
+    // staged CTE spelling of the same magic-number Morton spread
+    "sort_zorder" -> """
+      WITH base AS (
+        SELECT o_orderkey,
+               CAST(o_custkey & 65535 AS BIGINT) AS zx,
+               CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') & 65535
+                    AS BIGINT) AS zy
+        FROM orders
+      ),
+      s1 AS (SELECT o_orderkey, zx, zy,
+               (zx | (zx << 8)) & 16711935 AS x1,
+               (zy | (zy << 8)) & 16711935 AS y1 FROM base),
+      s2 AS (SELECT o_orderkey, zx, zy,
+               (x1 | (x1 << 4)) & 252645135 AS x2,
+               (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+      s3 AS (SELECT o_orderkey, zx, zy,
+               (x2 | (x2 << 2)) & 858993459 AS x3,
+               (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+      s4 AS (SELECT o_orderkey, zx, zy,
+               (x3 | (x3 << 1)) & 1431655765 AS x4,
+               (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+      SELECT o_orderkey, zx, zy, x4 | (y4 << 1) AS zkey
+      FROM s4
+      ORDER BY zkey, o_orderkey
+      LIMIT 200""",
 
     "join_mapjoin_hint" -> """
       SELECT n_name, COUNT(*) AS n_supp

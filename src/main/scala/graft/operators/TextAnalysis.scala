@@ -194,6 +194,28 @@ object TextAnalysis {
     // before the ROUND; a plain SUM is partition-order-dependent).
     // Per-source vocab here is tiny; at unbounded vocab the at-scale
     // spelling is the plain SUM with a tolerance compare instead.
+    // Flesch reading-ease readability — the classic corpus-quality
+    // signal beside gopher repetition and the stopword gate. Counts
+    // are exact integers from regexp_extract_all (words, [.!?]+
+    // sentence ends, [aeiouy]+ vowel groups as the standard syllable
+    // heuristic); the score formula runs once per doc on exact inputs
+    // so both engines agree bit-for-bit. Single narrow scan, codegen'd
+    // regex kernels, no shuffle at all.
+    "text_readability" -> gsql("""
+      SELECT doc_id, words, sentences, syllables,
+             ROUND(206.835
+                   - 1.015 * (CAST(words AS DOUBLE) / GREATEST(sentences, 1))
+                   - 84.6 * (CAST(syllables AS DOUBLE) / GREATEST(words, 1)),
+                   4) AS flesch
+      FROM (
+        SELECT doc_id,
+               CAST(SIZE(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+', 0)) AS BIGINT) AS words,
+               CAST(SIZE(REGEXP_EXTRACT_ALL(text, '[.!?]+', 0)) AS BIGINT) AS sentences,
+               CAST(SIZE(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+', 0)) AS BIGINT) AS syllables
+        FROM documents WHERE lang = 'en'
+      ) c
+      ORDER BY doc_id"""),
+
     "text_entropy" -> gsql("""
       WITH t AS (
         SELECT doc_id, source, TOKENIZE(text) AS toks FROM documents
@@ -661,6 +683,21 @@ object TextAnalysis {
     // same tokenization replication; LIST(... ORDER BY tok) +
     // list_reduce replicate the sorted fold, so the ln-term
     // accumulation order matches Spark's AGGREGATE exactly
+    "text_readability" -> """
+      SELECT doc_id, words, sentences, syllables,
+             ROUND(206.835
+                   - 1.015 * (CAST(words AS DOUBLE) / GREATEST(sentences, 1))
+                   - 84.6 * (CAST(syllables AS DOUBLE) / GREATEST(words, 1)),
+                   4) AS flesch
+      FROM (
+        SELECT doc_id,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+')) AS BIGINT) AS words,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')) AS BIGINT) AS sentences,
+               CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+')) AS BIGINT) AS syllables
+        FROM documents WHERE lang = 'en'
+      ) c
+      ORDER BY doc_id""",
+
     "text_entropy" -> """
       WITH t AS (
         SELECT doc_id, source,

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, Graph, Relational, TextAnalysis}
+
+/** Round-6 analytics wave: Z-order layout, readability, ACF,
+  * attribution, k-hop — each checked against an independent in-test
+  * recomputation, not just its DuckDB oracle. */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  test("sort_zorder: interleave is exact and the head is TakeOrderedAndProject") {
+    def spreadRef(v: Long): Long =
+      (0 until 16).map(i => ((v >> i) & 1L) << (2 * i)).sum
+    val df = Relational.queries("sort_zorder")(spark, LocalSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (zx, zy, z) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(z == (spreadRef(zx) | (spreadRef(zy) << 1)),
+        s"zx=$zx zy=$zy zkey=$z")
+    }
+    // layout order is ascending in the interleaved key
+    val ks = rows.map(_.getLong(3)).toSeq
+    assert(ks == ks.sorted)
+  }
+
+  test("text_readability: formula reproduces from the counts") {
+    val rows = TextAnalysis.queries("text_readability")(spark, LocalSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s, y, f) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val expect = 206.835 - 1.015 * (w.toDouble / math.max(s, 1)) -
+        84.6 * (y.toDouble / math.max(w, 1))
+      assert(math.abs(f - expect) < 5e-5, s"doc ${r.getLong(0)}: $f vs $expect")
+      assert(y >= w || w == 0, s"every word has >=1 vowel group: w=$w y=$y")
+    }
+  }
+
+  test("events_autocorr: matches a driver-side ACF on the daily counts") {
+    val out = Events.queries("events_autocorr")(spark, LocalSpark.sf)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == (1 to 7).toSet)
+    Tables.register(spark, LocalSpark.sf)
+    val xs = spark.table("events")
+      .groupBy(to_date($"ts").as("d")).count()
+      .orderBy("d").select("count").as[Long].collect().map(_.toDouble)
+    val mu = xs.sum / xs.length
+    val den = xs.map(x => (x - mu) * (x - mu)).sum
+    (1 to 7).foreach { k =>
+      val num = (0 until xs.length - k)
+        .map(t => (xs(t) - mu) * (xs(t + k) - mu)).sum
+      assert(math.abs(out(k) - num / den) < 1e-5, s"lag $k")
+      assert(out(k).abs <= 1.0 + 1e-9)
+    }
+  }
+
+  test("events_attribution: credit conserves purchase value over attributed purchases") {
+    val rows = Events.queries("events_attribution")(spark, LocalSpark.sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet == Set("click", "view"))
+    val credited = rows.map(_.getDouble(2)).sum
+    Tables.register(spark, LocalSpark.sf)
+    // purchases with >=1 click/view touch in the prior 7 days get fully
+    // attributed (cent-rounding slack: one cent per (purchase, channel))
+    val p = spark.table("events").where($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pts"), $"value")
+    val t = spark.table("events")
+      .where($"event_type".isin("click", "view"))
+      .select($"user_id", $"ts".as("tts"))
+    val attrPurch = p.join(t, Seq("user_id"))
+      .where($"tts" < $"pts" && $"tts" >= $"pts" - expr("INTERVAL 7 DAYS"))
+      .select($"user_id", $"pts", $"value").distinct()
+    val nAttr = attrPurch.count()
+    val attributed = attrPurch
+      .agg(sum(round($"value" * 100).cast("long"))).as[Long].head() / 100.0
+    // each (purchase, channel) share rounds to a cent: ±0.5 cent × 2
+    // channels per purchase bounds the drift
+    assert(math.abs(credited - attributed) <= 0.01 * nAttr + 1e-6,
+      s"$credited vs $attributed over $nAttr purchases")
+  }
+
+  test("graph_khop: agrees with a driver-side BFS; 2-hop dominates 1-hop") {
+    val out = Graph.queries("graph_khop")(spark, LocalSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, (d1, d2)) => assert(d2 >= d1) }
+    // independent BFS over the collected (tiny at sf0.001) edge list
+    Tables.register(spark, LocalSpark.sf)
+    val io = spark.table("lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val adj = io.as("a").join(io.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("s"), $"b.p".as("d")).count()
+      .where($"count" >= 2).select("s", "d").collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (seed, (d1, d2)) =>
+      val n1 = adj(seed)
+      val n2 = (n1.flatMap(adj) ++ n1) - seed
+      assert(d1 == n1.size, s"seed $seed 1-hop")
+      assert(d2 == n2.size, s"seed $seed 2-hop")
+    }
+  }
+}
