@@ -159,8 +159,133 @@ object Events {
     // channel rollup — the quantized-sum discipline keeps the final
     // SUM order-independent. Scales: the join shuffles on user_id
     // only and the 7-day band bounds per-user pair counts.
-    "events_attribution" -> Tables.sql(attributionSql(spark = true))
+    "events_attribution" -> Tables.sql(attributionSql(spark = true)),
+
+    // CUSUM mean-shift changepoint over the daily count series: the
+    // cumulative deviation S_t = Σ(xᵢ − μ) in n-scaled integer units
+    // (n·S_t = n·cumsum − t·total stays an exact BIGINT), the flagged
+    // day is argmax |n·S_t|. Day-scale data after the first reduce.
+    "events_changepoint" -> Tables.sql(cusumSql(spark = true)),
+
+    // Interval-overlap join (the two-sided generalization of the
+    // binned point-in-interval RangeJoin): each user's click sessions
+    // against their view sessions, pairs that overlap in time with
+    // the overlap duration. The join is a user-keyed equi-join with
+    // the overlap band as a residual filter — per-user session counts
+    // bound the pair fan-out, so the shape holds at any user count.
+    "events_session_overlap" -> Tables.sql(overlapSql(spark = true)),
+
+    // Robust outlier days via median/MAD (the rate-anomaly twin with
+    // breakdown-resistant statistics): doubled/quadrupled integer
+    // medians (2·median and 4·MAD are integral for an integer series)
+    // keep every comparison exact; the robust z = 0.6745·(x−med)/MAD
+    // is one double formula per day.
+    "events_outliers_mad" -> Tables.sql(madSql(spark = true))
   )
+
+  /** CUSUM text (dialect split on day numbering only). */
+  private def cusumSql(spark: Boolean): String = {
+    val day =
+      if (spark) "DATEDIFF(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT)"
+    s"""
+      WITH daily AS (
+        SELECT $day AS d, COUNT(*) AS x FROM events GROUP BY 1
+      ),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM daily
+      ),
+      c AS (
+        SELECT d, x,
+               CAST(SUM(x) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t, n, s
+        FROM daily CROSS JOIN tot
+      ),
+      k AS (SELECT d, x, n, n * cx - t * s AS sc FROM c)
+      SELECT d, x, ROUND(CAST(sc AS DOUBLE) / n, 2) AS cusum,
+             CASE WHEN ABS(sc) = MAX(ABS(sc)) OVER () THEN 1 ELSE 0 END
+               AS is_changepoint
+      FROM k ORDER BY d"""
+  }
+
+  /** Interval-overlap text (dialect split on the epoch-µs function). */
+  private def overlapSql(spark: Boolean): String = {
+    val us = if (spark) "UNIX_MICROS" else "EPOCH_US"
+    s"""
+      WITH flagged AS (
+        SELECT user_id, event_type, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts > LAG(ts) OVER w + INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WHERE event_type IN ('click', 'view')
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      ),
+      numbered AS (
+        SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        FROM flagged
+      ),
+      sess AS (
+        SELECT user_id, event_type, sess_id, MIN(ts) AS s, MAX(ts) AS e
+        FROM numbered GROUP BY user_id, event_type, sess_id
+      )
+      SELECT c.user_id, c.sess_id AS click_sess, v.sess_id AS view_sess,
+             ($us(LEAST(c.e, v.e)) - $us(GREATEST(c.s, v.s))) AS overlap_us
+      FROM sess c JOIN sess v
+        ON c.user_id = v.user_id
+       AND c.event_type = 'click' AND v.event_type = 'view'
+       AND c.s <= v.e AND v.s <= c.e
+      ORDER BY c.user_id, click_sess, view_sess"""
+  }
+
+  /** Median/MAD outlier text. Doubled mid-ranks make the medians exact
+    * integers; ties in the deviation order break by day so the rank
+    * assignment is total on both engines. */
+  private def madSql(spark: Boolean): String = {
+    val day =
+      if (spark) "DATEDIFF(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT)"
+    s"""
+      WITH daily AS (
+        SELECT $day AS d, COUNT(*) AS x FROM events GROUP BY 1
+      ),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+      rk AS (
+        SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, d) AS BIGINT) AS i
+        FROM daily
+      ),
+      med AS (
+        SELECT CASE WHEN n % 2 = 1
+                 THEN 2 * SUM(CASE WHEN i = (n + 1) / 2 THEN x ELSE 0 END)
+                 ELSE SUM(CASE WHEN i IN (n / 2, n / 2 + 1) THEN x ELSE 0 END)
+               END AS med2
+        FROM rk CROSS JOIN nn GROUP BY n
+      ),
+      dev AS (
+        SELECT d, x, ABS(2 * x - med2) AS e2 FROM daily CROSS JOIN med
+      ),
+      drk AS (
+        SELECT e2, CAST(ROW_NUMBER() OVER (ORDER BY e2, d) AS BIGINT) AS i
+        FROM dev
+      ),
+      mad AS (
+        SELECT CASE WHEN n % 2 = 1
+                 THEN 2 * SUM(CASE WHEN i = (n + 1) / 2 THEN e2 ELSE 0 END)
+                 ELSE SUM(CASE WHEN i IN (n / 2, n / 2 + 1) THEN e2 ELSE 0 END)
+               END AS mad4
+        FROM drk CROSS JOIN nn GROUP BY n
+      )
+      SELECT d, x,
+             ROUND(CAST(med2 AS DOUBLE) / 2, 1) AS median,
+             ROUND(CAST(mad4 AS DOUBLE) / 4, 2) AS mad,
+             ROUND(1.349E0 * (2 * x - med2) / mad4, 6) AS robust_z,
+             CASE WHEN ABS(1.349E0 * (2 * x - med2) / mad4) > 3.5 THEN 1 ELSE 0 END
+               AS is_outlier
+      FROM daily CROSS JOIN med CROSS JOIN mad
+      ORDER BY d"""
+  }
 
   /** Dialect-split ACF text: day numbering and inline-VALUES syntax
     * differ; the arithmetic is byte-identical. */
@@ -448,6 +573,9 @@ object Events {
     "events_top_paths" -> TopPathsSql,
     "events_gap_fill" -> gapFillSql(spark = false),
     "events_autocorr" -> autocorrSql(spark = false),
-    "events_attribution" -> attributionSql(spark = false)
+    "events_attribution" -> attributionSql(spark = false),
+    "events_changepoint" -> cusumSql(spark = false),
+    "events_outliers_mad" -> madSql(spark = false),
+    "events_session_overlap" -> overlapSql(spark = false)
   )
 }

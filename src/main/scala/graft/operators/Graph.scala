@@ -108,8 +108,31 @@ object Graph {
       ORDER BY lift DESC, antecedent, consequent
       LIMIT 20"""
 
+  // Item-item collaborative-filtering similarity (the normalized
+  // counterpart of AssocSql's directed confidence/lift): cosine
+  // cab/√(ca·cb) and Jaccard cab/(ca+cb−cab) per co-occurring pair,
+  // top-20 by cosine. Counts are exact; each score is one IEEE
+  // division ROUNDed before the (cosine DESC, a, b) total order, so
+  // the LIMIT cut is deterministic. Same bounded basket self-join as
+  // the edge build — never all-pairs over the catalog.
+  private val ItemSimSql = """
+      WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      ic AS (SELECT p, COUNT(*) AS c FROM io GROUP BY p),
+      pc AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cab
+             FROM io a JOIN io b ON a.o = b.o AND a.p < b.p
+             GROUP BY a.p, b.p HAVING COUNT(*) >= 3)
+      SELECT pc.pa AS item_a, pc.pb AS item_b, pc.cab AS n_both,
+             ROUND(CAST(pc.cab AS DOUBLE)
+                   / SQRT(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS cosine,
+             ROUND(CAST(pc.cab AS DOUBLE)
+                   / CAST(ca.c + cb.c - pc.cab AS DOUBLE), 6) AS jaccard
+      FROM pc JOIN ic ca ON pc.pa = ca.p JOIN ic cb ON pc.pb = cb.p
+      ORDER BY cosine DESC, item_a, item_b
+      LIMIT 20"""
+
   val queries: Map[String, Q] = Map(
     "graph_assoc_rules" -> Tables.sql(AssocSql),
+    "recsys_item_sim" -> Tables.sql(ItemSimSql),
     // global triangle census (+ node/edge counts): two-hash-join wedge
     // closure on the once-stored (src < dst) orientation. The three
     // counts are driver-side scalars over the persisted edge list
@@ -192,6 +215,7 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "graph_assoc_rules" -> AssocSql,
+    "recsys_item_sim" -> ItemSimSql,
     "graph_triangles" -> (EdgeCte + """
       SELECT (SELECT COUNT(*) FROM (SELECT src AS node FROM e UNION SELECT dst AS node FROM e) n) AS n_nodes,
              (SELECT COUNT(*) FROM e) AS n_edges,

@@ -117,15 +117,81 @@ object Statistics {
       SELECT seg, n, ROUND((2.0 * wi - (n + 1) * t) / (n * t), 6) AS gini
       FROM s ORDER BY seg"""
 
+  /** Welch's unequal-variance t-test between every pair of order
+    * priorities on order value (cents-exact sums; 5 groups → 10
+    * pairs). Group moments reduce once (n, Σx, Σx² per priority); the
+    * t statistic and Welch–Satterthwaite df are per-pair double
+    * formulas on exact inputs. The pair join is 5×5 driver-scale. */
+  private val TTestSql = """
+      WITH g AS (
+        SELECT o_orderpriority AS pri, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS s,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS ss
+        FROM orders GROUP BY o_orderpriority
+      ),
+      v AS (
+        SELECT pri, n, s / n AS m, (ss - s * s / n) / (n - 1) AS var
+        FROM g
+      )
+      SELECT a.pri AS pri_a, b.pri AS pri_b, a.n AS n_a, b.n AS n_b,
+             ROUND((a.m - b.m) / 100, 2) AS mean_diff,
+             ROUND((a.m - b.m) / SQRT(a.var / a.n + b.var / b.n), 6) AS t_stat,
+             ROUND((a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)
+                   / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+                      + (b.var / b.n) * (b.var / b.n) / (b.n - 1)), 6) AS df
+      FROM v a JOIN v b ON a.pri < b.pri
+      ORDER BY pri_a, pri_b"""
+
+  /** Mann–Whitney U (urgent vs low priority, order value): rank-based,
+    * so it needs one global sort of the combined sample — the same
+    * cost class as any ranked report. Tie handling is exact: doubled
+    * mid-ranks (2·rank + ties − 1) stay integral, so the rank sum
+    * reduces exactly and the normal-approximation z (with the tie
+    * correction) is a single double formula. */
+  private val MannWhitneySql = """
+      WITH x AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      ),
+      r AS (
+        SELECT grp, v,
+               CAST(2 * RANK() OVER (ORDER BY v)
+                    + COUNT(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS dr
+        FROM x
+      ),
+      t AS (
+        SELECT CAST(SUM(CASE WHEN grp = 1 THEN dr ELSE 0 END) AS DOUBLE) / 2 AS r1,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+               CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+        FROM r
+      ),
+      ties AS (
+        SELECT CAST(SUM(c * c * c - c) AS DOUBLE) AS tc
+        FROM (SELECT COUNT(*) AS c FROM x GROUP BY v) tg
+      )
+      SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
+             ROUND(r1 - n1 * (n1 + 1) / 2, 1) AS u_stat,
+             ROUND((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+                   / SQRT(n1 * n2 / 12
+                          * ((n1 + n2 + 1)
+                             - tc / ((n1 + n2) * (n1 + n2 - 1)))), 6) AS z
+      FROM t CROSS JOIN ties"""
+
   val queries: Map[String, Q] = Map(
-    "stats_regression" -> Tables.sql(RegressionSql),
-    "stats_chisq"      -> Tables.sql(ChisqSql),
-    "stats_gini"       -> Tables.sql(GiniSql)
+    "stats_regression"  -> Tables.sql(RegressionSql),
+    "stats_chisq"       -> Tables.sql(ChisqSql),
+    "stats_gini"        -> Tables.sql(GiniSql),
+    "stats_ttest"       -> Tables.sql(TTestSql),
+    "stats_mannwhitney" -> Tables.sql(MannWhitneySql)
   )
 
   val oracle: Map[String, String] = Map(
-    "stats_regression" -> RegressionSql,
-    "stats_chisq"      -> ChisqSql,
-    "stats_gini"       -> GiniSql
+    "stats_regression"  -> RegressionSql,
+    "stats_chisq"       -> ChisqSql,
+    "stats_gini"        -> GiniSql,
+    "stats_ttest"       -> TTestSql,
+    "stats_mannwhitney" -> MannWhitneySql
   )
 }

@@ -86,6 +86,56 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"$credited vs $attributed over $nAttr purchases")
   }
 
+  test("events_changepoint: cusum telescopes to zero and flags the max") {
+    val rows = Events.queries("events_changepoint")(spark, LocalSpark.sf)
+      .orderBy("d").collect()
+    assert(rows.nonEmpty)
+    // S_n = Σ(x−μ) telescopes to ~0 at the last day
+    assert(math.abs(rows.last.getDouble(2)) < 0.5)
+    val maxAbs = rows.map(r => math.abs(r.getDouble(2))).max
+    val flagged = rows.filter(_.getInt(3) == 1)
+    assert(flagged.nonEmpty)
+    flagged.foreach(r => assert(math.abs(math.abs(r.getDouble(2)) - maxAbs) < 0.02))
+  }
+
+  test("events_outliers_mad: median/MAD reproduce from the series") {
+    val rows = Events.queries("events_outliers_mad")(spark, LocalSpark.sf)
+      .collect()
+    val xs = rows.map(_.getLong(1).toDouble).sorted
+    def med(v: Array[Double]) =
+      if (v.length % 2 == 1) v(v.length / 2)
+      else (v(v.length / 2 - 1) + v(v.length / 2)) / 2
+    val m = med(xs)
+    val madRef = med(rows.map(r => math.abs(r.getLong(1) - m)).sorted)
+    rows.foreach { r =>
+      assert(r.getDouble(2) == m, s"median ${r.getDouble(2)} vs $m")
+      assert(r.getDouble(3) == madRef, s"mad ${r.getDouble(3)} vs $madRef")
+      val z = 0.6745 * (r.getLong(1) - m) / madRef
+      assert(math.abs(r.getDouble(4) - z) < 5e-3, s"z ${r.getDouble(4)} vs $z")
+      assert((math.abs(z) > 3.5) == (r.getInt(5) == 1))
+    }
+  }
+
+  test("events_session_overlap: pairs genuinely overlap and are click×view") {
+    val rows = Events.queries("events_session_overlap")(spark, LocalSpark.sf)
+      .collect()
+    assert(rows.nonEmpty) // 1-day gap sessions overlap even at sf0.001
+    rows.foreach(r => assert(r.getLong(3) >= 0, s"negative overlap: $r"))
+  }
+
+  test("recsys_item_sim: scores bounded and consistent with counts") {
+    Tables.register(spark, LocalSpark.sf)
+    val rows = Graph.queries("recsys_item_sim")(spark, LocalSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val cos = rows.map(_.getDouble(3))
+    assert(cos.sameElements(cos.sorted.reverse)) // ranked by cosine desc
+    rows.foreach { r =>
+      val (c, j) = (r.getDouble(3), r.getDouble(4))
+      assert(c > 0 && c <= 1.0 && j > 0 && j <= 1.0)
+      assert(j <= c + 1e-9) // Jaccard never exceeds cosine
+    }
+  }
+
   test("graph_khop: agrees with a driver-side BFS; 2-hop dominates 1-hop") {
     val out = Graph.queries("graph_khop")(spark, LocalSpark.sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))

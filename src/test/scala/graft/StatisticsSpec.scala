@@ -46,6 +46,37 @@ class StatisticsSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_ttest: antisymmetric in the pair and df within Welch bounds") {
+    val rows = Statistics.queries("stats_ttest")(spark, LocalSpark.sf).collect()
+    assert(rows.length == 10) // C(5,2) priority pairs
+    rows.foreach { r =>
+      val (na, nb, diff, t, df) = (r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(math.signum(t) == math.signum(diff) || t == 0.0)
+      // Welch df lies between min(na,nb)-1 and na+nb-2
+      assert(df >= math.min(na, nb) - 1.0 && df <= na + nb - 2.0,
+        s"df $df outside [${math.min(na, nb) - 1}, ${na + nb - 2}]")
+    }
+  }
+
+  test("stats_mannwhitney: U agrees with a driver-side pairwise count") {
+    val row = Statistics.queries("stats_mannwhitney")(spark, LocalSpark.sf)
+      .collect().head
+    val (n1, n2, u) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val xs = spark.table("orders")
+      .where($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select($"o_orderpriority" === "1-URGENT",
+        round($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val g1 = xs.filter(_._1).map(_._2)
+    val g2 = xs.filterNot(_._1).map(_._2)
+    assert(n1 == g1.length && n2 == g2.length)
+    // U = #{(a,b): a>b} + #{ties}/2, the direct definition
+    val uRef = (for (a <- g1; b <- g2)
+      yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+    assert(math.abs(u - uRef) < 1e-6, s"$u vs $uRef")
+  }
+
   test("stats_gini: agrees with the mean-absolute-difference formula") {
     val out = Statistics.queries("stats_gini")(spark, LocalSpark.sf).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
