@@ -166,7 +166,38 @@ object Aggregates {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""
 
+  /** Weighted percentiles (quantity-weighted price quartiles): the
+    * smallest value whose cumulative weight reaches q·total, via one
+    * ordered window over the per-value weight rollup. Every
+    * comparison is integer (4·cw ≥ q·4·tw spellings), so the cut
+    * points are exact on both engines — no interpolation, no floats
+    * until the display division. */
+  private val WeightedPctSql = """
+      WITH w AS (
+        SELECT l_returnflag AS rf,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+               CAST(ROUND(l_quantity) AS BIGINT) AS wt
+        FROM lineitem
+      ),
+      g AS (SELECT rf, v, SUM(wt) AS wt FROM w GROUP BY rf, v),
+      c AS (
+        SELECT rf, v, wt,
+               SUM(wt) OVER (PARTITION BY rf ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wt) OVER (PARTITION BY rf) AS tw
+        FROM g
+      )
+      SELECT rf,
+             ROUND(CAST(MIN(CASE WHEN 4 * cw >= tw THEN v END) AS DOUBLE)
+                   / 100, 2) AS p25_w,
+             ROUND(CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS DOUBLE)
+                   / 100, 2) AS p50_w,
+             ROUND(CAST(MIN(CASE WHEN 4 * cw >= 3 * tw THEN v END) AS DOUBLE)
+                   / 100, 2) AS p75_w
+      FROM c GROUP BY rf ORDER BY rf"""
+
   val queries: Map[String, Q] = Map(
+    "agg_weighted_percentile" -> Tables.sql(WeightedPctSql),
     "feature_scale" -> Tables.sql(FeatureScaleSql),
     "agg_mode" -> Tables.sql(ModeSql),
     "agg_bool" -> Tables.sql(BoolAggSql),
@@ -398,6 +429,7 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_weighted_percentile" -> WeightedPctSql,
     "feature_scale" -> FeatureScaleSql,
     "agg_mode" -> ModeSql,
     "agg_bool" -> BoolAggSql,

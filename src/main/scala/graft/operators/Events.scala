@@ -175,6 +175,13 @@ object Events {
     // bound the pair fan-out, so the shape holds at any user count.
     "events_session_overlap" -> Tables.sql(overlapSql(spark = true)),
 
+    // Inter-arrival-time distribution: per-user gaps from one LAG
+    // pass (key-partitioned, O(1)/row), bucketed to hours by exact
+    // integer division, reduced to a histogram with fractions as the
+    // one double division per bucket. The workload-characterization
+    // probe behind the sessionize gap choice.
+    "events_interarrival" -> Tables.sql(interarrivalSql(spark = true)),
+
     // Robust outlier days via median/MAD (the rate-anomaly twin with
     // breakdown-resistant statistics): doubled/quadrupled integer
     // medians (2·median and 4·MAD are integral for an integer series)
@@ -238,6 +245,26 @@ object Events {
        AND c.event_type = 'click' AND v.event_type = 'view'
        AND c.s <= v.e AND v.s <= c.e
       ORDER BY c.user_id, click_sess, view_sess"""
+  }
+
+  /** Inter-arrival histogram text (dialect split on epoch-µs and
+    * integer-division spellings). */
+  private def interarrivalSql(spark: Boolean): String = {
+    val us = if (spark) "UNIX_MICROS" else "EPOCH_US"
+    val idiv = if (spark) "DIV" else "//"
+    s"""
+      WITH g AS (
+        SELECT ($us(ts) - $us(LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id))) AS dus
+        FROM events
+      ),
+      h AS (
+        SELECT CAST(dus $idiv 3600000000 AS BIGINT) AS gap_hours, COUNT(*) AS n
+        FROM g WHERE dus IS NOT NULL GROUP BY 1
+      ),
+      t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM h)
+      SELECT gap_hours, n, ROUND(n / tot, 6) AS frac
+      FROM h CROSS JOIN t ORDER BY gap_hours"""
   }
 
   /** Median/MAD outlier text. Doubled mid-ranks make the medians exact
@@ -576,6 +603,7 @@ object Events {
     "events_attribution" -> attributionSql(spark = false),
     "events_changepoint" -> cusumSql(spark = false),
     "events_outliers_mad" -> madSql(spark = false),
-    "events_session_overlap" -> overlapSql(spark = false)
+    "events_session_overlap" -> overlapSql(spark = false),
+    "events_interarrival" -> interarrivalSql(spark = false)
   )
 }

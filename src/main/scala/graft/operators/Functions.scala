@@ -295,6 +295,17 @@ object Functions {
       WHERE (o_orderkey % 2147483648) * 2654435761 % 4294967296 % 8 = 0
       ORDER BY o_orderkey"""),
 
+    // Systematic (every k-th) sampling by key stride — the zero-shuffle
+    // sampling form: the predicate evaluates at the scan, pushes into
+    // parquet row-group filtering where stats allow, and needs no
+    // window or ordering at any scale. TABLESAMPLE's deterministic
+    // cousin for evenly-spaced key spaces.
+    "sample_systematic" -> Tables.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_orderkey % 25 = 0
+      ORDER BY o_orderkey"""),
+
     // Stratified exact-count sampling — the training-data form of
     // sampling (k docs per language/source/quality stratum, reproducible
     // across runs): rank rows inside each stratum by a deterministic
@@ -373,6 +384,12 @@ object Functions {
   val oracle: Map[String, String] = Map(
     "sample_weighted_aes" -> aesSql(spark = false),
     // identical integer arithmetic — the bucket predicate is engine-independent
+    "sample_systematic" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_orderkey % 25 = 0
+      ORDER BY o_orderkey""",
+
     "sample_bucket_on" -> """
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders

@@ -80,13 +80,36 @@ object Profiling {
       WHERE l.l_shipdate < o.o_orderdate
       ORDER BY rule"""
 
+  /** Benford first-digit screening — the classic fabricated-data probe
+    * over a value column. Digit extraction is exact string arithmetic
+    * on the cents-integer; expected frequencies log10(1+1/d) and the
+    * deviations are per-digit double formulas on exact counts. Single
+    * aggregate to 9 rows. Dialect split on the string type name only. */
+  private def benfordSql(spark: Boolean): String = {
+    val str = if (spark) "STRING" else "VARCHAR"
+    s"""
+      WITH d AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                   AS $str), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0
+      ),
+      c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c)
+      SELECT digit, n, ROUND(n / tot, 6) AS observed,
+             ROUND(LOG10(1 + 1.0E0 / digit), 6) AS benford_expected,
+             ROUND(n / tot - LOG10(1 + 1.0E0 / digit), 6) AS deviation
+      FROM c CROSS JOIN t ORDER BY digit"""
+  }
+
   val queries: Map[String, Q] = Map(
     "profile_columns" -> Tables.sql(ProfileSql),
-    "validate_constraints" -> Tables.sql(ValidateSql)
+    "validate_constraints" -> Tables.sql(ValidateSql),
+    "profile_benford" -> Tables.sql(benfordSql(spark = true))
   )
 
   val oracle: Map[String, String] = Map(
     "profile_columns" -> ProfileSql,
-    "validate_constraints" -> ValidateSql
+    "validate_constraints" -> ValidateSql,
+    "profile_benford" -> benfordSql(spark = false)
   )
 }

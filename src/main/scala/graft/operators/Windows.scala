@@ -117,7 +117,63 @@ object Windows {
       FROM m
       ORDER BY month"""
 
+  /** Peak-to-trough drawdown over the daily revenue series: running
+    * MAX (incremental unbounded-preceding frame, O(1)/row) against the
+    * current level. Cents-exact integers end to end; the one double
+    * division per row is deterministic. Dialect split on day
+    * numbering only. */
+  private def drawdownSql(spark: Boolean): String = {
+    val day =
+      if (spark) "DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+      else "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)"
+    s"""
+      WITH d AS (
+        SELECT $day AS d,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+      ),
+      m AS (
+        SELECT d, rev,
+               MAX(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS peak
+        FROM d
+      )
+      SELECT d, ROUND(CAST(rev AS DOUBLE) / 100, 2) AS revenue,
+             ROUND(CAST(peak AS DOUBLE) / 100, 2) AS peak,
+             ROUND(CAST(peak - rev AS DOUBLE) / peak, 6) AS drawdown
+      FROM m ORDER BY d"""
+  }
+
+  /** Rolling 7-day mean/std of daily revenue from exact windowed sums
+    * (Σx, Σx² as BIGINT over a bounded ROWS frame — incremental, never
+    * re-scans); the moment formulas are per-row double arithmetic on
+    * exact inputs. */
+  private def rollingSql(spark: Boolean): String = {
+    val day =
+      if (spark) "DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+      else "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)"
+    s"""
+      WITH d AS (
+        SELECT $day AS d,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+      ),
+      r AS (
+        SELECT d, rev,
+               CAST(COUNT(*) OVER f AS BIGINT) AS n,
+               CAST(SUM(rev) OVER f AS BIGINT) AS s,
+               CAST(SUM(rev * rev) OVER f AS BIGINT) AS ss
+        FROM d
+        WINDOW f AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      )
+      SELECT d, ROUND(CAST(rev AS DOUBLE) / 100, 2) AS revenue,
+             ROUND(CAST(s AS DOUBLE) / n / 100, 2) AS roll_mean,
+             ROUND(SQRT((ss - CAST(s AS DOUBLE) * s / n) / n) / 100, 4) AS roll_std
+      FROM r ORDER BY d"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "window_drawdown" -> Tables.sql(drawdownSql(spark = true)),
+    "window_rolling_stats" -> Tables.sql(rollingSql(spark = true)),
     "window_rfm_segmentation" -> Tables.sql(rfmSql(spark = true)),
     "window_abc_analysis" -> Tables.sql(AbcSql),
     "window_nth_value" -> Tables.sql(NthValueSql),
@@ -219,6 +275,8 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "window_drawdown" -> drawdownSql(spark = false),
+    "window_rolling_stats" -> rollingSql(spark = false),
     "window_rfm_segmentation" -> rfmSql(spark = false),
     "window_abc_analysis" -> AbcSql,
     "window_nth_value" -> NthValueSql,

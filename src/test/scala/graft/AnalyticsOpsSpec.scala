@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Events, Graph, Relational, TextAnalysis}
+import graft.operators.{Aggregates, Events, Graph, Profiling, Relational, TextAnalysis, Windows}
 
 /** Round-6 analytics wave: Z-order layout, readability, ACF,
   * attribution, k-hop — each checked against an independent in-test
@@ -134,6 +134,89 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(c > 0 && c <= 1.0 && j > 0 && j <= 1.0)
       assert(j <= c + 1e-9) // Jaccard never exceeds cosine
     }
+  }
+
+  test("profile_benford: fractions sum to 1 and expectations follow log10(1+1/d)") {
+    val rows = Profiling.queries("profile_benford")(spark, LocalSpark.sf)
+      .collect()
+    assert(rows.map(_.getInt(0)).forall(d => d >= 1 && d <= 9))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val exp = math.log10(1.0 + 1.0 / r.getInt(0))
+      assert(math.abs(r.getDouble(3) - exp) < 1e-6)
+      assert(math.abs(r.getDouble(4) - (r.getDouble(2) - exp)) < 2e-6)
+    }
+  }
+
+  test("window_drawdown: peak is the running max and drawdown is consistent") {
+    val rows = Windows.queries("window_drawdown")(spark, LocalSpark.sf)
+      .orderBy("d").collect()
+    var peak = Double.MinValue
+    rows.foreach { r =>
+      peak = math.max(peak, r.getDouble(1))
+      assert(r.getDouble(2) == peak)
+      val dd = (peak - r.getDouble(1)) / peak
+      assert(math.abs(r.getDouble(3) - dd) < 1e-4)
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
+  test("window_rolling_stats: windowed moments reproduce from the series") {
+    val rows = Windows.queries("window_rolling_stats")(spark, LocalSpark.sf)
+      .orderBy("d").collect()
+    val rev = rows.map(_.getDouble(1))
+    rows.indices.foreach { i =>
+      val w = rev.slice(math.max(0, i - 6), i + 1)
+      val mean = w.sum / w.length
+      val variance = w.map(x => (x - mean) * (x - mean)).sum / w.length
+      assert(math.abs(rows(i).getDouble(2) - mean) < 5e-2)
+      assert(math.abs(rows(i).getDouble(3) - math.sqrt(variance)) < 5e-2)
+    }
+  }
+
+  test("agg_weighted_percentile: quartiles ordered and median correct") {
+    Tables.register(spark, LocalSpark.sf)
+    val rows = Aggregates.queries("agg_weighted_percentile")(spark, LocalSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+      // weighted median: smallest v with cumweight >= half of total
+      val pts = spark.table("lineitem")
+        .where($"l_returnflag" === r.getString(0))
+        .select(round($"l_extendedprice" * 100).cast("long"),
+          round($"l_quantity").cast("long"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+      val tot = pts.map(_._2).sum
+      var cum = 0L
+      val med = pts.find { case (_, w) => cum += w; 2 * cum >= tot }.get._1
+      assert(r.getDouble(2) == med / 100.0, s"${r.getString(0)}")
+    }
+  }
+
+  test("sample_systematic: exact stride membership") {
+    val rows = Relational.queries.get("sample_systematic")
+      .orElse(graft.operators.Functions.queries.get("sample_systematic")).get
+      .apply(spark, LocalSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) % 25 == 0))
+    Tables.register(spark, LocalSpark.sf)
+    val expect = spark.table("orders").where($"o_orderkey" % 25 === 0).count()
+    assert(rows.length == expect)
+  }
+
+  test("events_interarrival: fractions sum to 1 over nonnegative buckets") {
+    val rows = Events.queries("events_interarrival")(spark, LocalSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).forall(_ >= 0))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    val total = rows.map(_.getLong(1)).sum
+    // gaps = events - one first-event per (user, having-events) group
+    Tables.register(spark, LocalSpark.sf)
+    val nEvents = spark.table("events").count()
+    val nUsers = spark.table("events").select("user_id").distinct().count()
+    assert(total == nEvents - nUsers)
   }
 
   test("graph_khop: agrees with a driver-side BFS; 2-hop dominates 1-hop") {
