@@ -179,12 +179,87 @@ object Statistics {
                              - tc / ((n1 + n2) * (n1 + n2 - 1)))), 6) AS z
       FROM t CROSS JOIN ties"""
 
+  /** Spearman rank correlation per return flag (quantity vs price):
+    * the Pearson formula over doubled mid-ranks (2·rank + ties − 1
+    * stays integral under ties — the Mann–Whitney discipline), so the
+    * rank sums reduce exactly and the rho formula is one double
+    * expression per group. Two window ranks + one aggregate; scales
+    * as any ranked report does. */
+  private val SpearmanSql = """
+      WITH x AS (
+        SELECT l_returnflag AS rf,
+               CAST(ROUND(l_quantity) AS BIGINT) AS a,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS b
+        FROM lineitem
+      ),
+      r AS (
+        SELECT rf,
+               CAST(2 * RANK() OVER (PARTITION BY rf ORDER BY a)
+                    + COUNT(*) OVER (PARTITION BY rf, a) - 1 AS BIGINT) AS ra,
+               CAST(2 * RANK() OVER (PARTITION BY rf ORDER BY b)
+                    + COUNT(*) OVER (PARTITION BY rf, b) - 1 AS BIGINT) AS rb
+        FROM x
+      ),
+      s AS (
+        SELECT rf, COUNT(*) AS n,
+               CAST(SUM(ra) AS DOUBLE) AS sa, CAST(SUM(rb) AS DOUBLE) AS sb,
+               CAST(SUM(ra * ra) AS DOUBLE) AS saa,
+               CAST(SUM(rb * rb) AS DOUBLE) AS sbb,
+               CAST(SUM(ra * rb) AS DOUBLE) AS sab
+        FROM r GROUP BY rf
+      )
+      SELECT rf, n,
+             ROUND((n * sab - sa * sb)
+                   / (SQRT(n * saa - sa * sa) * SQRT(n * sbb - sb * sb)),
+                   6) AS spearman_rho
+      FROM s ORDER BY rf"""
+
+  /** Theil–Sen robust trend of one year's daily revenue: the median of
+    * all pairwise slopes. Quadratic in SERIES length by construction
+    * (the estimator itself is O(n²) pairs) — correct for day/month
+    * scale series after the first reduce, never for row-scale input;
+    * the one-year filter keeps that contract explicit. Slopes are
+    * single IEEE divisions ROUNDed before ranking; the median picks
+    * positions 2·rn ∈ {m, m+1, m+2} (parity selects the right rows)
+    * so the result is a two-value MIN/MAX average — deterministic. */
+  private def theilSenSql(spark: Boolean): String = {
+    val day =
+      if (spark) "DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+      else "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)"
+    s"""
+      WITH d AS (
+        SELECT $day AS d,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders
+        WHERE YEAR(o_orderdate) = 1995
+        GROUP BY 1
+      ),
+      p AS (
+        SELECT ROUND(CAST(b.rev - a.rev AS DOUBLE) / (b.d - a.d), 9) AS slope,
+               a.d AS i, b.d AS j
+        FROM d a JOIN d b ON b.d > a.d
+      ),
+      rk AS (
+        SELECT slope,
+               CAST(ROW_NUMBER() OVER (ORDER BY slope, i, j) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM p
+      )
+      SELECT MAX(m) AS n_pairs,
+             ROUND((MIN(CASE WHEN 2 * rn IN (m, m + 1, m + 2) THEN slope END)
+                    + MAX(CASE WHEN 2 * rn IN (m, m + 1, m + 2) THEN slope END))
+                   / 2 / 100, 4) AS ts_slope_per_day
+      FROM rk"""
+  }
+
   val queries: Map[String, Q] = Map(
     "stats_regression"  -> Tables.sql(RegressionSql),
     "stats_chisq"       -> Tables.sql(ChisqSql),
     "stats_gini"        -> Tables.sql(GiniSql),
     "stats_ttest"       -> Tables.sql(TTestSql),
-    "stats_mannwhitney" -> Tables.sql(MannWhitneySql)
+    "stats_mannwhitney" -> Tables.sql(MannWhitneySql),
+    "stats_spearman"    -> Tables.sql(SpearmanSql),
+    "stats_theilsen"    -> Tables.sql(theilSenSql(spark = true))
   )
 
   val oracle: Map[String, String] = Map(
@@ -192,6 +267,8 @@ object Statistics {
     "stats_chisq"       -> ChisqSql,
     "stats_gini"        -> GiniSql,
     "stats_ttest"       -> TTestSql,
-    "stats_mannwhitney" -> MannWhitneySql
+    "stats_mannwhitney" -> MannWhitneySql,
+    "stats_spearman"    -> SpearmanSql,
+    "stats_theilsen"    -> theilSenSql(spark = false)
   )
 }

@@ -77,6 +77,44 @@ class StatisticsSpec extends AnyFunSuite {
     assert(math.abs(u - uRef) < 1e-6, s"$u vs $uRef")
   }
 
+  test("stats_spearman: agrees with Pearson-on-ranks via Spark builtins") {
+    val out = Statistics.queries("stats_spearman")(spark, LocalSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.values.forall(v => v >= -1.0 && v <= 1.0))
+    // independent spelling: rank with Window + built-in corr
+    import org.apache.spark.sql.expressions.Window
+    val x = spark.table("lineitem").select($"l_returnflag".as("rf"),
+      round($"l_quantity").as("a"), round($"l_extendedprice" * 100).as("b"))
+    val ranked = x
+      .withColumn("ra", rank().over(Window.partitionBy("rf").orderBy("a")) * 2
+        + count(lit(1)).over(Window.partitionBy("rf", "a")) - 1)
+      .withColumn("rb", rank().over(Window.partitionBy("rf").orderBy("b")) * 2
+        + count(lit(1)).over(Window.partitionBy("rf", "b")) - 1)
+    val ref = ranked.groupBy("rf").agg(corr("ra", "rb")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.foreach { case (rf, rho) =>
+      assert(math.abs(rho - ref(rf)) < 1e-5, s"$rf: $rho vs ${ref(rf)}")
+    }
+  }
+
+  test("stats_theilsen: matches a driver-side pairwise-slope median") {
+    val row = Statistics.queries("stats_theilsen")(spark, LocalSpark.sf)
+      .collect().head
+    val (m, slope) = (row.getLong(0), row.getDouble(1))
+    val days = spark.table("orders").where(year($"o_orderdate") === 1995)
+      .groupBy(datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val slopes = (for {
+      i <- days.indices; j <- (i + 1) until days.length
+    } yield (days(j)._2 - days(i)._2).toDouble / (days(j)._1 - days(i)._1)).sorted
+    assert(m == slopes.length)
+    val medRef =
+      if (m % 2 == 1) slopes(slopes.length / 2)
+      else (slopes(slopes.length / 2 - 1) + slopes(slopes.length / 2)) / 2
+    assert(math.abs(slope - medRef / 100) < 1e-3, s"$slope vs ${medRef / 100}")
+  }
+
   test("stats_gini: agrees with the mean-absolute-difference formula") {
     val out = Statistics.queries("stats_gini")(spark, LocalSpark.sf).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap

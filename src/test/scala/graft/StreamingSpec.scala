@@ -292,4 +292,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(byHour.values.max >= 3 * byHour.values.filter(_ != 6L).max)
     } finally q.stop()
   }
+
+  test("stream-stream interval join: purchases attribute to touches within the band") {
+    // the events_attribution join under two live streams: Structured
+    // Streaming's watermarked interval join — each side buffers only
+    // the band the watermark still allows, so state is bounded
+    implicit val sqlCtx = spark.sqlContext
+    val touches = MemoryStream[EvS]
+    val purchases = MemoryStream[Ev]
+    val t = touches.toDF().withWatermark("ts", "1 hour").as("t")
+    val p = purchases.toDF().withWatermark("ts", "1 hour").as("p")
+    val joined = p.join(t,
+      expr("""t.user_id = p.user_id
+              AND t.ts < p.ts
+              AND t.ts >= p.ts - INTERVAL 2 HOURS"""))
+      .select($"p.user_id".as("uid"), $"t.event_type".as("channel"),
+        $"p.value".as("v"))
+    val q = joined.writeStream.format("memory").queryName("attr_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      touches.addData(EvS(ts(0), 1, "click"), EvS(ts(30), 1, "view"),
+        EvS(ts(0), 2, "click"),   // user 2 never purchases
+        EvS(ts(90), 1, "click"))  // AFTER user 1's purchase — excluded
+      purchases.addData(Ev(ts(60), 1, 10.0))
+      q.processAllAvailable()
+      // advance both watermarks so the join region closes
+      touches.addData(EvS(ts(600), 9, "click"))
+      purchases.addData(Ev(ts(600), 9, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("attr_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(out.count(_._1 == 1L) == 2, out.mkString(","))
+      assert(out.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq("click", "view"))
+      assert(!out.exists(_._1 == 2L))
+    } finally q.stop()
+  }
 }
