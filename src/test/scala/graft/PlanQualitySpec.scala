@@ -353,6 +353,44 @@ class PlanQualitySpec extends AnyFunSuite {
       s"skyline must stay on the prefix-max reduction, not NOT-EXISTS:\n$p")
   }
 
+  test("events_attribution joins hash-partitioned on user_id, never nested-loop") {
+    val p = plan("events_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the time band must ride as a residual filter on the user equi-join:\n$p")
+  }
+
+  test("events_session_overlap plans the overlap band as an equi-join residual") {
+    val p = plan("events_session_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap must not degenerate to all-pairs:\n$p")
+  }
+
+  test("graph_khop broadcasts the seed frontier into the edge joins") {
+    val df = SparkEntry.queries("graph_khop")(spark, LocalSpark.sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 10-seed frontier must broadcast, not shuffle the edge list:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("agg_weighted_percentile aggregates partially before its exchange") {
+    val p = plan("agg_weighted_percentile")
+    // plan prints top-down: the final-mode aggregate sits above the
+    // exchange, the partial-mode one below it
+    val aggIdx = p.indexOf("HashAggregate")
+    val exIdx = p.indexOf("Exchange")
+    assert(aggIdx >= 0 && exIdx >= 0 && p.lastIndexOf("HashAggregate") > exIdx,
+      s"per-value weight rollup must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("stats_spearman plans windows plus one aggregate, no join at all") {
+    val p = plan("stats_spearman")
+    assert(!p.contains("Join"), s"rank correlation needs no join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("graph_pagerank iterations read the persisted edge list, not the fact table") {
     val df = SparkEntry.queries("graph_pagerank")(spark, LocalSpark.sf)
     val p = df.queryExecution.executedPlan.toString()
