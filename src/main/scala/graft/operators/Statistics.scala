@@ -252,6 +252,75 @@ object Statistics {
       FROM rk"""
   }
 
+  /** One-way ANOVA across order priorities (the omnibus companion of
+    * the pairwise t-tests): within/between sums of squares from exact
+    * whole-dollar BIGINT sums (dollars keep Σx² within int64 far past
+    * sf0.1 where cents would overflow). The only cross-group float
+    * reduction, Σsᵢ²/nᵢ, quantizes each term to an integer unit first
+    * (absolute error < k on a ~1e12 quantity — invisible at ROUND 6)
+    * so the 5-term sum is order-independent. */
+  private val AnovaSql = """
+      WITH x AS (
+        SELECT o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice) AS BIGINT) AS v
+        FROM orders
+      ),
+      g AS (
+        SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s,
+               CAST(SUM(v * v) AS BIGINT) AS ss
+        FROM x GROUP BY pri
+      ),
+      t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(s) AS DOUBLE) AS st,
+               CAST(SUM(ss) AS BIGINT) AS sst,
+               CAST(SUM(CAST(ROUND(s * s / n) AS BIGINT)) AS BIGINT) AS sq
+      FROM g
+      )
+      SELECT k, nt,
+             ROUND(sq - st * st / nt, 2) AS ss_between,
+             ROUND(CAST(sst - sq AS DOUBLE), 2) AS ss_within,
+             ROUND(((sq - st * st / nt) / (k - 1))
+                   / (CAST(sst - sq AS DOUBLE) / (nt - k)), 6) AS f_stat
+      FROM t"""
+
+  /** Two-sample Kolmogorov–Smirnov (urgent vs low priority, order
+    * value in whole dollars): the ECDF gap maximizes over exact cross-
+    * multiplied integers |ca·n2 − cb·n1| — no float enters until the
+    * final D and z formulas — and the scan reduces to distinct values
+    * before the one ordered window. */
+  private val KsSql = """
+      WITH x AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+               CAST(ROUND(o_totalprice) AS BIGINT) AS v
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      ),
+      g AS (
+        SELECT v,
+               SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS a,
+               SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS b
+        FROM x GROUP BY v
+      ),
+      c AS (
+        SELECT SUM(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+               SUM(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+        FROM g
+      ),
+      n AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2
+        FROM g
+      )
+      SELECT n1, n2,
+             ROUND(CAST(MAX(ABS(ca * n2 - cb * n1)) AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d,
+             ROUND(CAST(MAX(ABS(ca * n2 - cb * n1)) AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * n2)
+                   * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6) AS ks_z
+      FROM c CROSS JOIN n
+      GROUP BY n1, n2"""
+
   val queries: Map[String, Q] = Map(
     "stats_regression"  -> Tables.sql(RegressionSql),
     "stats_chisq"       -> Tables.sql(ChisqSql),
@@ -259,7 +328,9 @@ object Statistics {
     "stats_ttest"       -> Tables.sql(TTestSql),
     "stats_mannwhitney" -> Tables.sql(MannWhitneySql),
     "stats_spearman"    -> Tables.sql(SpearmanSql),
-    "stats_theilsen"    -> Tables.sql(theilSenSql(spark = true))
+    "stats_theilsen"    -> Tables.sql(theilSenSql(spark = true)),
+    "stats_anova"       -> Tables.sql(AnovaSql),
+    "stats_ks"          -> Tables.sql(KsSql)
   )
 
   val oracle: Map[String, String] = Map(
@@ -269,6 +340,8 @@ object Statistics {
     "stats_ttest"       -> TTestSql,
     "stats_mannwhitney" -> MannWhitneySql,
     "stats_spearman"    -> SpearmanSql,
-    "stats_theilsen"    -> theilSenSql(spark = false)
+    "stats_theilsen"    -> theilSenSql(spark = false),
+    "stats_anova"       -> AnovaSql,
+    "stats_ks"          -> KsSql
   )
 }

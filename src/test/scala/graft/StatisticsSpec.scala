@@ -115,6 +115,47 @@ class StatisticsSpec extends AnyFunSuite {
     assert(math.abs(slope - medRef / 100) < 1e-3, s"$slope vs ${medRef / 100}")
   }
 
+  test("stats_anova: F and sums of squares reproduce from group moments") {
+    val row = Statistics.queries("stats_anova")(spark, LocalSpark.sf)
+      .collect().head
+    val (k, n, ssb, ssw, f) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    val vs = spark.table("orders")
+      .select($"o_orderpriority", round($"o_totalprice").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(k == vs.map(_._1).distinct.length && n == vs.length)
+    val grand = vs.map(_._2.toDouble).sum / n
+    val ssbRef = vs.groupBy(_._1).values.map { g =>
+      val m = g.map(_._2.toDouble).sum / g.length
+      g.length * (m - grand) * (m - grand)
+    }.sum
+    val sswRef = vs.groupBy(_._1).values.flatMap { g =>
+      val m = g.map(_._2.toDouble).sum / g.length
+      g.map(x => (x._2 - m) * (x._2 - m))
+    }.sum
+    assert(math.abs(ssb - ssbRef) < 1e-2 * ssbRef + 10, s"$ssb vs $ssbRef")
+    assert(math.abs(ssw - sswRef) < 1e-6 * sswRef + 10, s"$ssw vs $sswRef")
+    val fRef = (ssbRef / (k - 1)) / (sswRef / (n - k))
+    assert(math.abs(f - fRef) < 1e-3 * math.max(1.0, fRef.abs), s"$f vs $fRef")
+  }
+
+  test("stats_ks: D equals the max ECDF gap computed driver-side") {
+    val row = Statistics.queries("stats_ks")(spark, LocalSpark.sf)
+      .collect().head
+    val (n1, n2, d) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val vs = spark.table("orders")
+      .where($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select($"o_orderpriority" === "1-URGENT", round($"o_totalprice").cast("long"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val g1 = vs.filter(_._1).map(_._2).sorted
+    val g2 = vs.filterNot(_._1).map(_._2).sorted
+    assert(n1 == g1.length && n2 == g2.length)
+    val dRef = (g1 ++ g2).distinct.map { v =>
+      math.abs(g1.count(_ <= v).toDouble / n1 - g2.count(_ <= v).toDouble / n2)
+    }.max
+    assert(math.abs(d - dRef) < 1e-6, s"$d vs $dRef")
+  }
+
   test("stats_gini: agrees with the mean-absolute-difference formula") {
     val out = Statistics.queries("stats_gini")(spark, LocalSpark.sf).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
