@@ -196,7 +196,26 @@ object Aggregates {
                    / 100, 2) AS p75_w
       FROM c GROUP BY rf ORDER BY rf"""
 
+  /** Geometric and harmonic means per return flag — the multiplicative
+    * and rate-average companions of AVG that Hive never shipped as
+    * UDAFs. Both reduce through quantized integers so the shuffle
+    * merge stays order-independent: log-space nano-units for the
+    * geomean (the text_entropy LN-agreement precedent), reciprocal
+    * pico-units for the harmonic mean (no libm at all). */
+  private val GeoHarmonicSql = """
+      SELECT l_returnflag AS rf, COUNT(*) AS n,
+             ROUND(EXP(CAST(SUM(CAST(ROUND(LN(l_quantity) * 1000000000)
+                                     AS BIGINT)) AS DOUBLE)
+                       / 1000000000 / COUNT(*)), 6) AS geomean_qty,
+             ROUND(COUNT(*) * 1.0E12
+                   / CAST(SUM(CAST(ROUND(1.0E12 / l_quantity) AS BIGINT))
+                          AS DOUBLE), 6) AS harmonic_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY rf"""
+
   val queries: Map[String, Q] = Map(
+    "agg_geomean" -> Tables.sql(GeoHarmonicSql),
     "agg_weighted_percentile" -> Tables.sql(WeightedPctSql),
     "feature_scale" -> Tables.sql(FeatureScaleSql),
     "agg_mode" -> Tables.sql(ModeSql),
@@ -429,6 +448,7 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_geomean" -> GeoHarmonicSql,
     "agg_weighted_percentile" -> WeightedPctSql,
     "feature_scale" -> FeatureScaleSql,
     "agg_mode" -> ModeSql,

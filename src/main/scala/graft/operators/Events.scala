@@ -175,6 +175,14 @@ object Events {
     // bound the pair fan-out, so the shape holds at any user count.
     "events_session_overlap" -> Tables.sql(overlapSql(spark = true)),
 
+    // Burst detection via gaps-and-islands: hours whose event count
+    // clears 1.5× the mean hourly rate (the 2·n·nh ≥ 3·tot integer
+    // cross-multiply keeps the threshold exact), grouped into maximal
+    // consecutive runs by the h − ROW_NUMBER() island key. Everything
+    // after the first reduce is hour-scale; per-burst stats are one
+    // more hash aggregate.
+    "events_bursts" -> Tables.sql(burstSql(spark = true)),
+
     // Inter-arrival-time distribution: per-user gaps from one LAG
     // pass (key-partitioned, O(1)/row), bucketed to hours by exact
     // integer division, reduced to a histogram with fractions as the
@@ -245,6 +253,30 @@ object Events {
        AND c.event_type = 'click' AND v.event_type = 'view'
        AND c.s <= v.e AND v.s <= c.e
       ORDER BY c.user_id, click_sess, view_sess"""
+  }
+
+  /** Burst (gaps-and-islands) text. */
+  private def burstSql(spark: Boolean): String = {
+    val us = if (spark) "UNIX_MICROS" else "EPOCH_US"
+    val idiv = if (spark) "DIV" else "//"
+    s"""
+      WITH hourly AS (
+        SELECT CAST($us(ts) $idiv 3600000000 AS BIGINT) AS h, COUNT(*) AS n
+        FROM events GROUP BY 1
+      ),
+      t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nh, CAST(SUM(n) AS BIGINT) AS tot
+        FROM hourly
+      ),
+      f AS (
+        SELECT h, n FROM hourly CROSS JOIN t WHERE 2 * n * nh >= 3 * tot
+      ),
+      isl AS (
+        SELECT h, n, h - ROW_NUMBER() OVER (ORDER BY h) AS grp FROM f
+      )
+      SELECT MIN(h) AS start_h, MAX(h) AS end_h, COUNT(*) AS n_hours,
+             MAX(n) AS peak, CAST(SUM(n) AS BIGINT) AS n_events
+      FROM isl GROUP BY grp ORDER BY start_h"""
   }
 
   /** Inter-arrival histogram text (dialect split on epoch-µs and
@@ -604,6 +636,7 @@ object Events {
     "events_changepoint" -> cusumSql(spark = false),
     "events_outliers_mad" -> madSql(spark = false),
     "events_session_overlap" -> overlapSql(spark = false),
-    "events_interarrival" -> interarrivalSql(spark = false)
+    "events_interarrival" -> interarrivalSql(spark = false),
+    "events_bursts" -> burstSql(spark = false)
   )
 }

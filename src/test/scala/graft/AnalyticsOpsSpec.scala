@@ -219,6 +219,44 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(total == nEvents - nUsers)
   }
 
+  test("events_bursts: islands are maximal runs above the 1.5x threshold") {
+    val bursts = Events.queries("events_bursts")(spark, LocalSpark.sf)
+      .orderBy("start_h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bursts.nonEmpty)
+    Tables.register(spark, LocalSpark.sf)
+    val hourly = spark.table("events")
+      .groupBy((unix_micros($"ts") / lit(3600000000L)).cast("long").as("h"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nh = hourly.size
+    val tot = hourly.values.sum
+    val hot = hourly.filter { case (_, n) => 2 * n * nh >= 3 * tot }.keySet
+    bursts.foreach { case (s, e, nHours, peak) =>
+      assert(e - s + 1 == nHours) // consecutive run
+      (s to e).foreach(h => assert(hot(h), s"hour $h inside burst not hot"))
+      assert(!hot(s - 1) && !hot(e + 1), "burst must be maximal")
+      assert(peak == (s to e).map(hourly).max)
+    }
+    assert(bursts.map(b => b._3).sum == hot.size)
+  }
+
+  test("agg_geomean: AM >= GM >= HM and values reproduce driver-side") {
+    Tables.register(spark, LocalSpark.sf)
+    val rows = Aggregates.queries("agg_geomean")(spark, LocalSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qs = spark.table("lineitem")
+        .where($"l_returnflag" === r.getString(0))
+        .select($"l_quantity").as[Double].collect()
+      val am = qs.sum / qs.length
+      val gm = math.exp(qs.map(math.log).sum / qs.length)
+      val hm = qs.length / qs.map(1.0 / _).sum
+      assert(math.abs(r.getDouble(2) - gm) < 1e-4, s"geomean ${r.getDouble(2)} vs $gm")
+      assert(math.abs(r.getDouble(3) - hm) < 1e-4, s"harmonic ${r.getDouble(3)} vs $hm")
+      assert(am >= r.getDouble(2) && r.getDouble(2) >= r.getDouble(3))
+    }
+  }
+
   test("graph_khop: agrees with a driver-side BFS; 2-hop dominates 1-hop") {
     val out = Graph.queries("graph_khop")(spark, LocalSpark.sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
