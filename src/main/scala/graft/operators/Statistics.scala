@@ -118,16 +118,17 @@ object Statistics {
       FROM s ORDER BY seg"""
 
   /** Welch's unequal-variance t-test between every pair of order
-    * priorities on order value (cents-exact sums; 5 groups → 10
+    * priorities on order value (whole-dollar exact sums keep Σx²
+    * within int64 past sf0.1 where cents overflow; 5 groups → 10
     * pairs). Group moments reduce once (n, Σx, Σx² per priority); the
     * t statistic and Welch–Satterthwaite df are per-pair double
     * formulas on exact inputs. The pair join is 5×5 driver-scale. */
   private val TTestSql = """
       WITH g AS (
         SELECT o_orderpriority AS pri, COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS s,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                        * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS ss
+               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS DOUBLE) AS s,
+               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)
+                        * CAST(ROUND(o_totalprice) AS BIGINT)) AS DOUBLE) AS ss
         FROM orders GROUP BY o_orderpriority
       ),
       v AS (
@@ -135,7 +136,7 @@ object Statistics {
         FROM g
       )
       SELECT a.pri AS pri_a, b.pri AS pri_b, a.n AS n_a, b.n AS n_b,
-             ROUND((a.m - b.m) / 100, 2) AS mean_diff,
+             ROUND(a.m - b.m, 2) AS mean_diff,
              ROUND((a.m - b.m) / SQRT(a.var / a.n + b.var / b.n), 6) AS t_stat,
              ROUND((a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)
                    / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)

@@ -146,7 +146,8 @@ object Windows {
   /** Rolling 7-day mean/std of daily revenue from exact windowed sums
     * (Σx, Σx² as BIGINT over a bounded ROWS frame — incremental, never
     * re-scans); the moment formulas are per-row double arithmetic on
-    * exact inputs. */
+    * exact inputs. Whole-dollar units: daily Σx² in cents overflows
+    * int64 at sf0.1 (found by the sf0.1 cross-check). */
   private def rollingSql(spark: Boolean): String = {
     val day =
       if (spark) "DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
@@ -154,7 +155,7 @@ object Windows {
     s"""
       WITH d AS (
         SELECT $day AS d,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+               SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS rev
         FROM orders GROUP BY 1
       ),
       r AS (
@@ -165,9 +166,9 @@ object Windows {
         FROM d
         WINDOW f AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       )
-      SELECT d, ROUND(CAST(rev AS DOUBLE) / 100, 2) AS revenue,
-             ROUND(CAST(s AS DOUBLE) / n / 100, 2) AS roll_mean,
-             ROUND(SQRT((ss - CAST(s AS DOUBLE) * s / n) / n) / 100, 4) AS roll_std
+      SELECT d, CAST(rev AS DOUBLE) AS revenue,
+             ROUND(CAST(s AS DOUBLE) / n, 2) AS roll_mean,
+             ROUND(SQRT((ss - CAST(s AS DOUBLE) * s / n) / n), 4) AS roll_std
       FROM r ORDER BY d"""
   }
 
