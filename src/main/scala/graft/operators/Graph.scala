@@ -184,6 +184,31 @@ object Graph {
       d1.join(d2, Seq("seed")).orderBy(col("seed"))
     }),
 
+    // Synchronous label propagation (Raghavan et al. 2007), 3 unrolled
+    // iterations with the deterministic (count DESC, label ASC) vote —
+    // community detection as pure joins+aggregates. Each iteration is
+    // one edge⋈label join (node-keyed shuffle of id pairs) plus a
+    // per-node argmax window; the oracle replays the identical
+    // iteration so communities match exactly. Top-20 communities.
+    "graph_label_prop" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = edges(spark, sfDir).persist()
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      var lp = sym.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to 3) {
+        val nl = sym.join(lp.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("node").orderBy(col("c").desc, col("lbl"))
+        lp = nl.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).select("node", "lbl")
+      }
+      lp.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("community")).limit(20)
+    }),
+
     // 3 unrolled quantized-PageRank iterations, top-20 nodes; the
     // oracle replays the identical iteration, so values match exactly
     "graph_pagerank" -> ((spark, sfDir) => {
@@ -213,9 +238,31 @@ object Graph {
     })
   )
 
+  // one synchronous LPA iteration (vote = count DESC, label ASC)
+  private def lpIter(k: Int): String = s"""
+      , nl$k AS (
+        SELECT s.dst AS node, p.lbl AS lbl, COUNT(*) AS c
+        FROM sym s JOIN lp${k - 1} p ON s.src = p.node
+        GROUP BY s.dst, p.lbl
+      ), lp$k AS (
+        SELECT node, lbl FROM (
+          SELECT node, lbl,
+                 ROW_NUMBER() OVER (PARTITION BY node
+                                    ORDER BY c DESC, lbl) AS rn
+          FROM nl$k) x
+        WHERE rn = 1
+      )"""
+
   val oracle: Map[String, String] = Map(
     "graph_assoc_rules" -> AssocSql,
     "recsys_item_sim" -> ItemSimSql,
+    "graph_label_prop" -> (EdgeCte + """
+      , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+      , lp0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym)""" +
+      lpIter(1) + lpIter(2) + lpIter(3) + """
+      SELECT lbl AS community, COUNT(*) AS size
+      FROM lp3 GROUP BY lbl
+      ORDER BY size DESC, community LIMIT 20"""),
     "graph_triangles" -> (EdgeCte + """
       SELECT (SELECT COUNT(*) FROM (SELECT src AS node FROM e UNION SELECT dst AS node FROM e) n) AS n_nodes,
              (SELECT COUNT(*) FROM e) AS n_edges,

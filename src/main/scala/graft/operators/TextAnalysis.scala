@@ -216,6 +216,16 @@ object TextAnalysis {
       ) c
       ORDER BY doc_id"""),
 
+    // RAKE phrase-keyword extraction (Rose et al. 2010) — the phrase
+    // complement of text_tfidf_keywords' unigrams: candidate phrases
+    // are maximal stopword-free runs (split on the langid stopword
+    // list), words score degree/frequency over phrase occurrences,
+    // phrases sum their words' scores. All counts exact; word scores
+    // quantize to 1e-6 integers before the phrase sum (order-
+    // independent), so both engines cut the top-20 identically. Two
+    // explodes + three hash aggregates — embarrassingly parallel.
+    "text_rake" -> Tables.sql(rakeSql(spark = true)),
+
     "text_entropy" -> gsql("""
       WITH t AS (
         SELECT doc_id, source, TOKENIZE(text) AS toks FROM documents
@@ -491,7 +501,70 @@ object TextAnalysis {
       )"""
   }
 
+  /** RAKE text — dialect split on the regex-split spelling, the
+    * explode syntax, and string-literal escaping (Spark SQL treats
+    * backslash as an escape inside literals; DuckDB does not). */
+  private def rakeSql(spark: Boolean): String = {
+    val stop = "(?:the|a|of|and|to|in|is|that|it|for)"
+    val phCte =
+      if (spark) s"""
+      ph0 AS (SELECT TRIM(p) AS phrase
+              FROM en LATERAL VIEW EXPLODE(
+                SPLIT(LOWER(text), '\\\\b$stop\\\\b')) t AS p)"""
+      else s"""
+      ph0 AS (SELECT TRIM(p) AS phrase FROM (
+                SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(text),
+                  '\\b$stop\\b')) AS p
+                FROM en) u)"""
+    val pwCte =
+      if (spark) """
+      pw AS (SELECT phrase, SIZE(SPLIT(phrase, ' ')) AS wlen, w
+             FROM ph LATERAL VIEW EXPLODE(SPLIT(phrase, ' ')) t AS w
+             WHERE w <> '')"""
+      else """
+      pw AS (SELECT * FROM (
+               SELECT phrase, LEN(STRING_SPLIT(phrase, ' ')) AS wlen,
+                      UNNEST(STRING_SPLIT(phrase, ' ')) AS w
+               FROM ph) u WHERE w <> '')"""
+    val dpwCte =
+      if (spark) """
+      dpw AS (SELECT phrase, w
+              FROM dp LATERAL VIEW EXPLODE(SPLIT(phrase, ' ')) t AS w
+              WHERE w <> '')"""
+      else """
+      dpw AS (SELECT * FROM (
+                SELECT phrase, UNNEST(STRING_SPLIT(phrase, ' ')) AS w
+                FROM dp) u WHERE w <> '')"""
+    s"""
+      WITH en AS (SELECT text FROM documents WHERE lang = 'en'),
+      $phCte,
+      ph AS (SELECT phrase FROM ph0 WHERE phrase <> ''),
+      $pwCte,
+      wstat AS (
+        SELECT w, COUNT(*) AS freq, CAST(SUM(wlen) AS BIGINT) AS degree
+        FROM pw GROUP BY w
+      ),
+      wscore AS (
+        SELECT w, CAST(ROUND(degree * 1000000.0E0 / freq) AS BIGINT) AS score_q
+        FROM wstat
+      ),
+      pcnt AS (SELECT phrase, COUNT(*) AS n_occ FROM ph GROUP BY phrase),
+      dp AS (SELECT phrase FROM pcnt),
+      $dpwCte,
+      ps AS (
+        SELECT dpw.phrase, CAST(SUM(score_q) AS BIGINT) AS pscore_q
+        FROM dpw JOIN wscore ON dpw.w = wscore.w
+        GROUP BY dpw.phrase
+      )
+      SELECT ps.phrase AS phrase, pcnt.n_occ,
+             ROUND(CAST(pscore_q AS DOUBLE) / 1000000, 4) AS rake_score
+      FROM ps JOIN pcnt ON ps.phrase = pcnt.phrase
+      ORDER BY rake_score DESC, ps.phrase
+      LIMIT 20"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_rake" -> rakeSql(spark = false),
     // FULL INDEPENDENT REPLICATION of the winnowing fingerprint
     // (Schleimer et al., SIGMOD'03): the k-gram FNV-1a/fmix64 hashes are
     // recomputed with HUGEINT mod-2^64 arithmetic (ASCII corpus ⇒

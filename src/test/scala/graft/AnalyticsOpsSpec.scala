@@ -257,6 +257,64 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_rake: reproduces a full driver-side RAKE on the corpus") {
+    val out = TextAnalysis.queries("text_rake")(spark, LocalSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    Tables.register(spark, LocalSpark.sf)
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+    val texts = spark.table("documents").where($"lang" === "en")
+      .select("text").as[String].collect()
+    val phrases = texts.flatMap { t =>
+      val words = t.toLowerCase.split(" ")
+      val sb = scala.collection.mutable.Buffer[List[String]]()
+      var cur = List.empty[String]
+      words.foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) sb += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) sb += cur.reverse
+      sb
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.length).toMap
+    val degree = phrases.flatMap(p => p.map(_ -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def wscore(w: String) =
+      math.round(degree(w) * 1e6 / freq(w)) / 1e6
+    out.foreach { case (phrase, nOcc, score) =>
+      val ws = phrase.split(" ").toList
+      val ref = math.round(ws.map(w => math.round(degree(w) * 1e6 / freq(w))).sum / 100.0) / 1e4
+      assert(math.abs(score - ref) < 1e-3, s"'$phrase': $score vs $ref")
+      assert(nOcc == phrases.count(_.mkString(" ") == phrase))
+    }
+  }
+
+  test("graph_label_prop: matches a driver-side synchronous LPA replay") {
+    val out = Graph.queries("graph_label_prop")(spark, LocalSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    Tables.register(spark, LocalSpark.sf)
+    val io = spark.table("lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val edges = io.as("a").join(io.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("s"), $"b.p".as("d")).count()
+      .where($"count" >= 2).select("s", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges ++ edges.map { case (s, d) => (d, s) }
+    var lbl = sym.map(_._1).distinct.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      lbl = sym.groupBy(_._2).map { case (node, in) =>
+        val votes = in.map(e => lbl(e._1)).groupBy(identity)
+          .view.mapValues(_.length).toSeq
+        node -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (c, s) => (c, s) }
+      .sortBy { case (c, s) => (-s, c) }.take(20)
+    assert(out.toSeq == sizes, s"\n$out\nvs\n$sizes")
+  }
+
   test("graph_khop: agrees with a driver-side BFS; 2-hop dominates 1-hop") {
     val out = Graph.queries("graph_khop")(spark, LocalSpark.sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
