@@ -175,6 +175,13 @@ object Events {
     // bound the pair fan-out, so the shape holds at any user count.
     "events_session_overlap" -> Tables.sql(overlapSql(spark = true)),
 
+    // DAU/WAU/MAU active-user rollup with the DAU/MAU stickiness
+    // ratio — the product-analytics staple. The raw scan compacts to
+    // DISTINCT (day, user) first; the trailing 7-/30-day distinct
+    // counts are band joins against that compaction (day-keyed, the
+    // distinct set bounds the fan-out), never against raw events.
+    "events_active_users" -> Tables.sql(activeUsersSql(spark = true)),
+
     // Burst detection via gaps-and-islands: hours whose event count
     // clears 1.5× the mean hourly rate (the 2·n·nh ≥ 3·tot integer
     // cross-multiply keeps the threshold exact), grouped into maximal
@@ -253,6 +260,31 @@ object Events {
        AND c.event_type = 'click' AND v.event_type = 'view'
        AND c.s <= v.e AND v.s <= c.e
       ORDER BY c.user_id, click_sess, view_sess"""
+  }
+
+  /** DAU/WAU/MAU text (dialect split on day numbering only). */
+  private def activeUsersSql(spark: Boolean): String = {
+    val day =
+      if (spark) "DATEDIFF(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT)"
+    s"""
+      WITH du AS (SELECT DISTINCT $day AS d, user_id FROM events),
+      days AS (SELECT DISTINCT d FROM du),
+      dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d),
+      wau AS (
+        SELECT days.d AS d, COUNT(DISTINCT du.user_id) AS wau
+        FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+        GROUP BY days.d
+      ),
+      mau AS (
+        SELECT days.d AS d, COUNT(DISTINCT du.user_id) AS mau
+        FROM days JOIN du ON du.d BETWEEN days.d - 29 AND days.d
+        GROUP BY days.d
+      )
+      SELECT dau.d AS d, dau.dau, wau.wau, mau.mau,
+             ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+      FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+      ORDER BY d"""
   }
 
   /** Burst (gaps-and-islands) text. */
@@ -637,6 +669,7 @@ object Events {
     "events_outliers_mad" -> madSql(spark = false),
     "events_session_overlap" -> overlapSql(spark = false),
     "events_interarrival" -> interarrivalSql(spark = false),
-    "events_bursts" -> burstSql(spark = false)
+    "events_bursts" -> burstSql(spark = false),
+    "events_active_users" -> activeUsersSql(spark = false)
   )
 }

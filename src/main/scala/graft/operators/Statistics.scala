@@ -322,6 +322,43 @@ object Statistics {
       FROM c CROSS JOIN n
       GROUP BY n1, n2"""
 
+  /** Kruskal–Wallis rank-based one-way test across all five order
+    * priorities (the nonparametric companion of stats_anova, built on
+    * the Mann–Whitney doubled-mid-rank discipline): H from exact
+    * integer rank sums with the tie correction, one global rank
+    * window + two aggregates. */
+  private val KruskalSql = """
+      WITH x AS (
+        SELECT o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice) AS BIGINT) AS v
+        FROM orders
+      ),
+      r AS (
+        SELECT pri, v,
+               CAST(2 * RANK() OVER (ORDER BY v)
+                    + COUNT(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS dr
+        FROM x
+      ),
+      g AS (
+        SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dr) AS DOUBLE) / 2 AS rs
+        FROM r GROUP BY pri
+      ),
+      t AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(CAST(ROUND(rs * rs / n) AS BIGINT)) AS BIGINT) AS rq
+        FROM g
+      ),
+      ties AS (
+        SELECT CAST(SUM(c * c * c - c) AS DOUBLE) AS tc
+        FROM (SELECT COUNT(*) AS c FROM x GROUP BY v) tg
+      )
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS k, nt,
+             ROUND((12.0E0 * rq / (CAST(nt AS DOUBLE) * (nt + 1))
+                    - 3.0E0 * (nt + 1))
+                   / (1 - tc / (CAST(nt AS DOUBLE) * nt * nt - nt)), 6) AS h_stat
+      FROM t CROSS JOIN ties"""
+
   val queries: Map[String, Q] = Map(
     "stats_regression"  -> Tables.sql(RegressionSql),
     "stats_chisq"       -> Tables.sql(ChisqSql),
@@ -331,7 +368,8 @@ object Statistics {
     "stats_spearman"    -> Tables.sql(SpearmanSql),
     "stats_theilsen"    -> Tables.sql(theilSenSql(spark = true)),
     "stats_anova"       -> Tables.sql(AnovaSql),
-    "stats_ks"          -> Tables.sql(KsSql)
+    "stats_ks"          -> Tables.sql(KsSql),
+    "stats_kruskal"     -> Tables.sql(KruskalSql)
   )
 
   val oracle: Map[String, String] = Map(
@@ -343,6 +381,7 @@ object Statistics {
     "stats_spearman"    -> SpearmanSql,
     "stats_theilsen"    -> theilSenSql(spark = false),
     "stats_anova"       -> AnovaSql,
-    "stats_ks"          -> KsSql
+    "stats_ks"          -> KsSql,
+    "stats_kruskal"     -> KruskalSql
   )
 }

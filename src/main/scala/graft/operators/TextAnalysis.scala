@@ -216,6 +216,14 @@ object TextAnalysis {
       ) c
       ORDER BY doc_id"""),
 
+    // Cross-source vocabulary similarity: Jaccard overlap of distinct
+    // token sets between every source pair — the mix-design diagnostic
+    // (which corpus slices duplicate each other's vocabulary). The
+    // pair counts come from an inverted-index equi-join on the token
+    // (the Bayardo shape, never all-pairs-of-docs); top-30 by
+    // (jaccard DESC, pair) total order.
+    "text_source_similarity" -> gsql(sourceSimSql(spark = true)),
+
     // RAKE phrase-keyword extraction (Rose et al. 2010) — the phrase
     // complement of text_tfidf_keywords' unigrams: candidate phrases
     // are maximal stopword-free runs (split on the langid stopword
@@ -501,6 +509,34 @@ object TextAnalysis {
       )"""
   }
 
+  /** Source-pair vocabulary Jaccard (dialect split on tokenize +
+    * explode spellings, mirroring zipfSql). */
+  private def sourceSimSql(spark: Boolean): String = {
+    val stCte =
+      if (spark) """
+      t AS (SELECT source, TOKENIZE(text) AS toks FROM documents),
+      st AS (SELECT DISTINCT source, tok
+             FROM t LATERAL VIEW EXPLODE(toks) e AS tok)"""
+      else """
+      t AS (SELECT source,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+            FROM documents),
+      st AS (SELECT DISTINCT source, UNNEST(toks) AS tok FROM t)"""
+    s"""
+      WITH $stCte,
+      sc AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+      pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+      )
+      SELECT src_a, src_b, inter,
+             ROUND(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+      FROM pairs JOIN sc ca ON src_a = ca.source JOIN sc cb ON src_b = cb.source
+      ORDER BY jaccard DESC, src_a, src_b
+      LIMIT 30"""
+  }
+
   /** RAKE text — dialect split on the regex-split spelling, the
     * explode syntax, and string-literal escaping (Spark SQL treats
     * backslash as an escape inside literals; DuckDB does not). */
@@ -565,6 +601,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "text_rake" -> rakeSql(spark = false),
+    "text_source_similarity" -> sourceSimSql(spark = false),
     // FULL INDEPENDENT REPLICATION of the winnowing fingerprint
     // (Schleimer et al., SIGMOD'03): the k-gram FNV-1a/fmix64 hashes are
     // recomputed with HUGEINT mod-2^64 arithmetic (ASCII corpus ⇒

@@ -315,6 +315,41 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == sizes, s"\n$out\nvs\n$sizes")
   }
 
+  test("events_active_users: DAU <= WAU <= MAU and windows match recounts") {
+    val rows = Events.queries("events_active_users")(spark, LocalSpark.sf)
+      .orderBy("d").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    Tables.register(spark, LocalSpark.sf)
+    val du = spark.table("events")
+      .select(datediff(to_date($"ts"), lit("1970-01-01")).as("d"), $"user_id")
+      .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
+    rows.foreach { case (d, dau, wau, mau) =>
+      assert(dau <= wau && wau <= mau)
+      assert(dau == du.count(_._1 == d))
+      assert(wau == du.filter(x => x._1 >= d - 6 && x._1 <= d).map(_._2).distinct.length)
+      assert(mau == du.filter(x => x._1 >= d - 29 && x._1 <= d).map(_._2).distinct.length)
+    }
+  }
+
+  test("text_source_similarity: Jaccard matches driver-side vocab overlap") {
+    val rows = TextAnalysis.queries("text_source_similarity")(spark, LocalSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 30)
+    Tables.register(spark, LocalSpark.sf)
+    val vocab = spark.table("documents").select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSet)
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ ++ _)).toMap
+    rows.foreach { case (a, b, inter, j) =>
+      val i = (vocab(a) & vocab(b)).size
+      assert(inter == i, s"$a/$b inter $inter vs $i")
+      val jRef = i.toDouble / (vocab(a) ++ vocab(b)).size
+      assert(math.abs(j - jRef) < 1e-6)
+    }
+    val js = rows.map(_._4)
+    assert(js.sameElements(js.sorted.reverse))
+  }
+
   test("graph_khop: agrees with a driver-side BFS; 2-hop dominates 1-hop") {
     val out = Graph.queries("graph_khop")(spark, LocalSpark.sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))

@@ -156,6 +156,29 @@ class StatisticsSpec extends AnyFunSuite {
     assert(math.abs(d - dRef) < 1e-6, s"$d vs $dRef")
   }
 
+  test("stats_kruskal: H reproduces from driver-side mid-ranks") {
+    val row = Statistics.queries("stats_kruskal")(spark, LocalSpark.sf)
+      .collect().head
+    val (k, nt, h) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val vs = spark.table("orders")
+      .select($"o_orderpriority", round($"o_totalprice").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(k == vs.map(_._1).distinct.length && nt == vs.length)
+    // mid-ranks over the pooled sample
+    val sorted = vs.map(_._2).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .view.mapValues(g => g.map(_._2 + 1).sum.toDouble / g.length).toMap
+    val rq = vs.groupBy(_._1).values.map { g =>
+      val rs = g.map(x => rankOf(x._2)).sum
+      math.round(rs * rs / g.length).toDouble
+    }.sum
+    val ties = vs.map(_._2).groupBy(identity).values
+      .map(g => math.pow(g.length, 3) - g.length).sum
+    val hRef = (12.0 * rq / (nt * (nt + 1.0)) - 3.0 * (nt + 1)) /
+      (1 - ties / (nt.toDouble * nt * nt - nt))
+    assert(math.abs(h - hRef) < 1e-4, s"$h vs $hRef")
+  }
+
   test("stats_gini: agrees with the mean-absolute-difference formula") {
     val out = Statistics.queries("stats_gini")(spark, LocalSpark.sf).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
