@@ -941,7 +941,9 @@ object GraftFunctions {
     "field" -> (es => FieldFn(es)),
     "parse_url_tuple" -> (es => ParseUrlTuple(es)),
     "vec_sum" -> (es => VecSumAgg(es.head)),
-    "approx_topk" -> (es => ApproxTopKAgg(es(0), intArg(es(1)), intArg(es(2))))
+    "approx_topk" -> (es => ApproxTopKAgg(es(0), intArg(es(1)), intArg(es(2)))),
+    "countmin" -> (es => CountMinAgg(es(0), intArg(es(1)), intArg(es(2)))),
+    "cm_query" -> (es => CmQuery(es(0), es(1)))
   )
 
   /** Make the functions usable from spark.sql text too. */

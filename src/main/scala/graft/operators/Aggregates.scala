@@ -400,6 +400,25 @@ object Aggregates {
         ORDER BY o_orderstatus, cnt DESC, item""")
     }),
 
+    // Count-Min frequency estimation (graft.functions.CountMinAgg +
+    // CmQuery): the sketch builds once, broadcasts as a single row,
+    // and every key's estimate is a MIN over depth cells. The oracle
+    // (plain exact counts) is valid because this (depth=4, width=64)
+    // configuration gives every event_type a collision-free row —
+    // collisions depend only on (key, depth, width), never on data
+    // size, so exactness verified here holds at every SF (the
+    // approx_topk exactness-boundary treatment; CountMinSpec pins the
+    // never-undercount bound beyond it).
+    "agg_countmin" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      graft.functions.GraftFunctions.register(spark)
+      spark.sql("""
+        SELECT event_type, CM_QUERY(s, event_type) AS est
+        FROM (SELECT DISTINCT event_type FROM events)
+        CROSS JOIN (SELECT COUNTMIN(event_type, 4, 64) AS s FROM events)
+        ORDER BY event_type""")
+    }),
+
     // collect_set/collect_list (GenericUDAFMkCollectionEvaluator) —
     // compared as a sorted joined string (set semantics, stable text).
     "agg_collect" -> Tables.sql("""
@@ -565,6 +584,12 @@ object Aggregates {
       FROM lineitem
       GROUP BY l_returnflag, l_linenumber
       ORDER BY l_returnflag, bin""",
+
+    // exact regime: every event_type has a collision-free sketch row
+    "agg_countmin" -> """
+      SELECT event_type, COUNT(*) AS est
+      FROM events GROUP BY event_type
+      ORDER BY event_type""",
 
     // exact regime: 5 distinct priorities ≤ buf=32 ⇒ plain top-3 counts
     "agg_approx_topk" -> """

@@ -182,6 +182,10 @@ class FunctionParitySpec extends AnyFunSuite {
         v => v.asInstanceOf[Double] == 3.5)),
       "approx_topk" -> (("SELECT approx_topk(v, 1, 8)[0].item FROM VALUES ('a'),('b'),('a') t(v)",
         v => v == "a")),
+      "countmin" -> (("SELECT size(countmin(v, 3, 16)) FROM VALUES ('a'),('b') t(v)",
+        v => v == 3)),
+      "cm_query" -> (("SELECT cm_query(countmin(v, 3, 16), 'a') FROM VALUES ('a'),('b'),('a') t(v)",
+        v => v.asInstanceOf[Long] == 2L)),
       "ngrams_topk" -> (("SELECT ngrams_topk(tokenize('a b a b'), 2, 5, 100)[0].ngram",
         v => v == "a b")),
       "context_ngrams" -> (("SELECT context_ngrams(tokenize('x y x z'), array('x', NULL), 5, 100)[0].ngram",
