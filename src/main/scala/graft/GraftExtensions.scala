@@ -25,6 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein", "damerau_levenshtein(a, b) - true Damerau-Levenshtein edit distance"),
+      (es: Seq[Expression]) => DamerauLevenshtein(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit simhash fingerprint"),
       (es: Seq[Expression]) => SimHash64(es.head)))

@@ -53,6 +53,57 @@ object Similarity {
   private def qElemSql(x: String): String =
     s"CAST(LEAST(GREATEST(floor($x / scale + 0.5), -127.0), 127.0) AS BIGINT)"
 
+  /** Record linkage, the shared shape: a deterministically-corrupted
+    * "dirty" side (built IN SQL so both engines derive byte-identical
+    * inputs) fuzzy-joined back to the clean catalog through a blocking
+    * key. Blocking = equi-join on (name prefix, length bucket) — the
+    * prefix survives the corruption by construction and the length
+    * relation is known exactly (swap preserves it, drop shifts by 1) —
+    * so the plan is a hash join over small blocks, NEVER an all-pairs
+    * cross: at 100 TB the scorer kernel only ever runs inside a block.
+    * Both statements are dialect-shared; `jwFn` abstracts the one name
+    * difference (graft `jaro_winkler` vs DuckDB's
+    * `jaro_winkler_similarity` — kernels validated bit-identical, see
+    * expressions.scala). */
+  private def linkFuzzySql: String = """
+      WITH dirty AS (
+        SELECT p_partkey AS did,
+               CONCAT(SUBSTR(p_name, 1, 3), SUBSTR(p_name, 5, 1),
+                      SUBSTR(p_name, 4, 1), SUBSTR(p_name, 6)) AS dname,
+               SUBSTR(p_name, 1, 3) AS blk, LENGTH(p_name) AS len
+        FROM part WHERE p_partkey % 5 = 0
+      ), cand AS (
+        SELECT d.did, p.p_partkey AS pid,
+               damerau_levenshtein(d.dname, p.p_name) AS dist
+        FROM dirty d JOIN part p
+          ON SUBSTR(p.p_name, 1, 3) = d.blk AND LENGTH(p.p_name) = d.len
+      ), best AS (
+        SELECT did, pid, dist,
+               ROW_NUMBER() OVER (PARTITION BY did ORDER BY dist, pid) AS rn
+        FROM cand WHERE dist <= 2
+      )
+      SELECT did, pid, CAST(dist AS INT) AS dist,
+             CASE WHEN pid = did THEN 1 ELSE 0 END AS self_hit
+      FROM best WHERE rn = 1 ORDER BY did"""
+
+  private def linkJaroSql(jwFn: String): String = s"""
+      WITH dirty AS (
+        SELECT p_partkey AS did,
+               CONCAT(SUBSTR(p_name, 1, 4), SUBSTR(p_name, 6)) AS dname,
+               SUBSTR(p_name, 1, 4) AS blk, LENGTH(p_name) - 1 AS len
+        FROM part WHERE p_partkey % 7 = 0
+      ), cand AS (
+        SELECT d.did, p.p_partkey AS pid,
+               ROUND($jwFn(d.dname, p.p_name), 6) AS jw
+        FROM dirty d JOIN part p
+          ON SUBSTR(p.p_name, 1, 4) = d.blk AND LENGTH(p.p_name) = d.len + 1
+      ), best AS (
+        SELECT did, pid, jw,
+               ROW_NUMBER() OVER (PARTITION BY did ORDER BY jw DESC, pid) AS rn
+        FROM cand WHERE jw >= 0.88
+      )
+      SELECT did, pid, jw FROM best WHERE rn = 1 ORDER BY did"""
+
   val queries: Map[String, Q] = Map(
     // Per-vector symmetric int8 quantization — the storage-prep step
     // before a vector store ships 4×-smaller embeddings: scale =
@@ -250,6 +301,21 @@ object Similarity {
     // clip on the identical boundary, and the post-clip mean goes
     // through floor-quantized integer-valued sums (the Clustering
     // discipline) so reduction order cannot leak.
+    // Record linkage by TRUE Damerau-Levenshtein (adjacent-char-swap
+    // corruption — the typo class DL prices at 1 edit where plain
+    // Levenshtein needs 2): blocked candidates scored by the codegen'd
+    // kernel, best match per dirty record by (dist, pid). Integer
+    // distances -> exact oracle against DuckDB's same-recurrence
+    // builtin. self_hit separates true recoveries from exact-name
+    // doppelgangers (TPC-H part names repeat), deterministically.
+    "link_fuzzy_match" -> gsql(linkFuzzySql),
+
+    // Record linkage by Jaro-Winkler (dropped-char corruption): same
+    // blocked shape with the length bucket shifted by one; ranking runs
+    // on the ROUNDED score so tie-breaks are engine-independent even in
+    // principle (the kernels are bit-identical anyway).
+    "link_jaro_winkler" -> gsql(linkJaroSql("jaro_winkler")),
+
     "embed_winsorize" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       spark.sql("""
@@ -421,6 +487,11 @@ object Similarity {
                + COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rn), CAST(0.0 AS DOUBLE)) AS rrf
       FROM dense FULL OUTER JOIN lex USING (doc_id)
       ORDER BY rrf DESC, doc_id""",
+
+    // dialect-shared statements; DuckDB's builtins implement the same
+    // true-DL recurrence / floored-transposition JW (validated pairwise)
+    "link_fuzzy_match" -> linkFuzzySql,
+    "link_jaro_winkler" -> linkJaroSql("jaro_winkler_similarity"),
 
     "ann_cosine_topk" -> """
       WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),

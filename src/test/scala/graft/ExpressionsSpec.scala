@@ -316,6 +316,49 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("damerau_levenshtein: true-DL recurrence, edges, null safety") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT damerau_levenshtein('kitten', 'sitting'),
+                damerau_levenshtein('ca', 'abc'),
+                damerau_levenshtein('ab', 'ba'),
+                damerau_levenshtein('', 'abc'),
+                damerau_levenshtein('abc', ''),
+                damerau_levenshtein('same', 'same'),
+                damerau_levenshtein(CAST(NULL AS STRING), 'x')""").collect().head
+    assert(rows.getInt(0) == 3)
+    // the sentinel separating true DL from optimal-string-alignment:
+    // ca -> ac (transpose) -> abc (insert) = 2; OSA forbids the post-
+    // transposition edit and returns 3
+    assert(rows.getInt(1) == 2)
+    assert(rows.getInt(2) == 1)   // one transposition, not two edits
+    assert(rows.getInt(3) == 3 && rows.getInt(4) == 3)
+    assert(rows.getInt(5) == 0)
+    assert(rows.isNullAt(6))
+  }
+
+  test("jaro_winkler: textbook values, boost gate, DuckDB edge semantics") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT jaro_winkler('martha', 'marhta'),
+                jaro_winkler('dwayne', 'duane'),
+                jaro_winkler('dixon', 'dicksonx'),
+                jaro_winkler('a', 'a'),
+                jaro_winkler('', ''),
+                jaro_winkler('a', 'ab'),
+                jaro_winkler('abcdefghij', 'abzzzzzzzzzzzzzzz')""").collect().head
+    assert(r.getDouble(0) == 0.9611111111111111)
+    assert(r.getDouble(1) == 0.8400000000000001)
+    assert(r.getDouble(2) == 0.8133333333333332)
+    // 1-char equal strings need the clamped (>=0) match window
+    assert(r.getDouble(3) == 1.0)
+    // DuckDB defines empty-vs-empty as 0.0, not 1.0 — mirrored
+    assert(r.getDouble(4) == 0.0)
+    assert(r.getDouble(5) == 0.8500000000000001)
+    // jaro <= 0.7 -> NO prefix boost despite the common 'ab' prefix
+    assert(r.getDouble(6) == 0.4392156862745098)
+  }
+
   test("context_ngrams: top fillers for a wildcard slot") {
     ContextNGramsAgg.register(spark)
     Seq(

@@ -154,6 +154,12 @@ class FunctionParitySpec extends AnyFunSuite {
         v => v.asInstanceOf[Double] == 1.0)),
       "jaccard_sim" -> (("SELECT jaccard_sim(array('a','b','c'), array('b','c','d'))",
         v => v.asInstanceOf[Double] == 0.5)),
+      // DL("ca","abc")=2 is the true-DL-vs-OSA sentinel (OSA would say 3)
+      "damerau_levenshtein" -> (("SELECT damerau_levenshtein('ca', 'abc')",
+        v => v == 2)),
+      // the textbook Winkler pair: jaro=17/18, prefix 3 -> 0.9611...
+      "jaro_winkler" -> (("SELECT jaro_winkler('martha', 'marhta')",
+        v => v.asInstanceOf[Double] == 0.9611111111111111)),
       "simhash64" -> (("SELECT simhash64(array('alpha','beta'))",
         v => v.isInstanceOf[Long])),
       "minhash_sig" -> (("SELECT size(minhash_sig(array('alpha','beta'), 16))",

@@ -67,6 +67,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"jaccard must stay an equi-join:\n$p")
   }
 
+  test("record linkage blocks on (prefix, length) — equi-join, kernel scorer in the plan") {
+    for (q <- Seq("link_fuzzy_match", "link_jaro_winkler")) {
+      val p = plan(q)
+      // the whole point of blocking: the DL/JW kernel only ever runs
+      // inside a (prefix, length-bucket) hash join, never all-pairs
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay a blocked equi-join:\n$p")
+      val kernel = if (q == "link_fuzzy_match") "damerau_levenshtein" else "jaro_winkler"
+      assert(p.toLowerCase.contains(kernel), s"$q must score via the codegen'd kernel:\n$p")
+    }
+  }
+
   test("dedup_semantic pairs via a cluster equi-join; kmeans assignment is a narrow map") {
     val p = plan("dedup_semantic")
     // SemDeDup's whole point: candidate pairs come from an equi-join on
