@@ -384,6 +384,38 @@ object Aggregates {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
 
+    // Re-aggregatable distinct-count rollup — the datacube pattern HLL
+    // sketches exist for: per-DAY DataSketches HLL sketches of the
+    // clerk id (HLL_SKETCH_AGG), merged to months with HLL_UNION_AGG
+    // and only then estimated. COUNT(DISTINCT) cannot roll up (daily
+    // counts don't sum); sketches merge associatively, so at 100 TB the
+    // daily cube is k bytes per group and every coarser granularity is
+    // a cheap re-merge, never a re-scan of the fact table. The sketched
+    // key is the buying customer's nation (via the customer dim join):
+    // 25 distinct at EVERY SF, far inside the sketch's coupon
+    // (LIST/SET) phase where the estimate is exact — and the output
+    // carries the exact distinct beside the estimate so the compare
+    // enforces est == exact at both harness SFs, the
+    // agg_approx_distinct discipline.
+    "agg_hll_union" -> Tables.sql("""
+      WITH oc AS (
+        SELECT CAST(DATE_TRUNC('month', o.o_orderdate) AS DATE) AS m,
+               o.o_orderdate AS d, c.c_nationkey AS nk
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      ), daily AS (
+        SELECT m, d, HLL_SKETCH_AGG(nk, 12) AS sk
+        FROM oc GROUP BY m, d
+      ), monthly AS (
+        SELECT m, COUNT(*) AS n_days,
+               CAST(HLL_SKETCH_ESTIMATE(HLL_UNION_AGG(sk)) AS BIGINT) AS uniq_est
+        FROM daily GROUP BY m
+      ), exact AS (
+        SELECT m, COUNT(DISTINCT nk) AS uniq_exact FROM oc GROUP BY m
+      )
+      SELECT monthly.m AS m, n_days, uniq_est, uniq_exact
+      FROM monthly JOIN exact ON monthly.m = exact.m
+      ORDER BY m"""),
+
     // Misra–Gries frequent items (graft.functions.ApproxTopKAgg): the
     // oracle is valid because o_orderpriority has 5 distinct values ≤
     // buf=32 — the sketch's exactness boundary (counts are exact iff
@@ -549,6 +581,19 @@ object Aggregates {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // exact regime (clerks = SF·1000 << coupon capacity): the unioned
+    // estimate must equal the exact distinct, so the oracle substitutes
+    // COUNT(DISTINCT) for the whole sketch-merge-estimate chain and
+    // derives n_days as the distinct order dates in the month
+    "agg_hll_union" -> """
+      SELECT m, n_days, uniq_exact AS uniq_est, uniq_exact FROM (
+        SELECT CAST(DATE_TRUNC('month', o.o_orderdate) AS DATE) AS m,
+               COUNT(DISTINCT o.o_orderdate) AS n_days,
+               COUNT(DISTINCT c.c_nationkey) AS uniq_exact
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1)
+      ORDER BY m""",
 
     // exact regime: the sketch must equal COUNT(DISTINCT) at these
     // cardinalities (<= 7), so the oracle simply substitutes the exact
