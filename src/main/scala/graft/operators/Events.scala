@@ -197,6 +197,11 @@ object Events {
     // probe behind the sessionize gap choice.
     "events_interarrival" -> Tables.sql(interarrivalSql(spark = true)),
 
+    // Time-weighted average (TWAP) per (event_type, day): the
+    // interval-weighted mean of the value stream read as a step
+    // function — exact integer arithmetic end to end (see twapSql).
+    "events_twap" -> Tables.sql(twapSql(spark = true)),
+
     // Robust outlier days via median/MAD (the rate-anomaly twin with
     // breakdown-resistant statistics): doubled/quadrupled integer
     // medians (2·median and 4·MAD are integral for an integer series)
@@ -204,6 +209,39 @@ object Events {
     // is one double formula per day.
     "events_outliers_mad" -> Tables.sql(madSql(spark = true))
   )
+
+  /** TWAP text (dialect split on the µs extractor only). Each event's
+    * value holds until the next event of the same (type, day) — the
+    * step-function reading of a metric stream — so the day's average
+    * weights each value by its holding interval in µs, not by row
+    * count (the mean a burst of cheap ticks would otherwise drag).
+    * Values quantize to milli-units so the weighted sum is integer
+    * arithmetic: vq <= 5.7e5 x Σw <= 8.64e10 (disjoint intervals never
+    * exceed the day) = 4.9e16 < 2^63, exact in Spark's BIGINT sum and
+    * DuckDB's HUGEINT alike; the single closing division is one IEEE
+    * op on identical integers. Day-final events carry no successor and
+    * therefore no weight. */
+  private def twapSql(spark: Boolean): String = {
+    val us = if (spark) "UNIX_MICROS" else "EPOCH_US"
+    s"""
+      WITH seq AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS vq,
+               (LEAD($us(ts)) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                    ORDER BY ts, event_id) - $us(ts)) AS w
+        FROM events
+      ),
+      agg AS (
+        SELECT event_type, d,
+               CAST(SUM(vq * w) AS BIGINT) AS num,
+               CAST(SUM(w) AS BIGINT) AS den,
+               COUNT(*) AS n_intervals
+        FROM seq WHERE w IS NOT NULL GROUP BY event_type, d
+      )
+      SELECT event_type, d, n_intervals,
+             ROUND(num / (1000.0 * den), 6) AS twap
+      FROM agg ORDER BY event_type, d"""
+  }
 
   /** CUSUM text (dialect split on day numbering only). */
   private def cusumSql(spark: Boolean): String = {
@@ -669,6 +707,7 @@ object Events {
     "events_outliers_mad" -> madSql(spark = false),
     "events_session_overlap" -> overlapSql(spark = false),
     "events_interarrival" -> interarrivalSql(spark = false),
+    "events_twap" -> twapSql(spark = false),
     "events_bursts" -> burstSql(spark = false),
     "events_active_users" -> activeUsersSql(spark = false)
   )

@@ -130,9 +130,53 @@ object Graph {
       ORDER BY cosine DESC, item_a, item_b
       LIMIT 20"""
 
+  // one Bellman-Ford relaxation: the frontier joins the symmetric
+  // weighted edge list and the union with the previous distances
+  // re-minimizes per (seed, node) — integer costs, so MIN is exact and
+  // join order cannot matter
+  private def ssspIter(k: Int): String = s"""
+      , d$k AS (
+        SELECT seed, node, MIN(d) AS d FROM (
+          SELECT seed, node, d FROM d${k - 1}
+          UNION ALL
+          SELECT p.seed, s.dst AS node, p.d + s.cost AS d
+          FROM d${k - 1} p JOIN sym s ON p.node = s.src) x
+        GROUP BY seed, node
+      )"""
+
+  // Weighted single-source shortest path, bounded to 3 hops (unrolled
+  // Bellman-Ford — the khop BFS upgraded with edge costs): tie strength
+  // inverts to an integer cost floor(1e6/w) so "well-co-purchased" is
+  // "near", and every relaxation is a (seed, node, d) id-triple shuffle
+  // + exact integer MIN — the plan a 1000-executor cluster runs
+  // per-iteration regardless of graph size. 10 nearest per seed by
+  // (d, node), fully deterministic; identical text runs in DuckDB.
+  private val SsspSql = """
+      WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      ew AS (
+        SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+        FROM io a JOIN io b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+      ),
+      sym AS (
+        SELECT src, dst, CAST(FLOOR(1000000.0 / w) AS BIGINT) AS cost FROM ew
+        UNION ALL
+        SELECT dst AS src, src AS dst, CAST(FLOOR(1000000.0 / w) AS BIGINT) AS cost FROM ew
+      ),
+      seeds AS (SELECT DISTINCT src AS seed FROM sym ORDER BY seed LIMIT 3),
+      d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS d FROM seeds)""" +
+    ssspIter(1) + ssspIter(2) + ssspIter(3) + """
+      SELECT seed, node, d AS dist_q, ROUND(d / 1000000.0, 6) AS dist, rn
+      FROM (SELECT seed, node, d,
+                   ROW_NUMBER() OVER (PARTITION BY seed ORDER BY d, node) AS rn
+            FROM d3 WHERE node <> seed) r
+      WHERE rn <= 10
+      ORDER BY seed, rn"""
+
   val queries: Map[String, Q] = Map(
     "graph_assoc_rules" -> Tables.sql(AssocSql),
     "recsys_item_sim" -> Tables.sql(ItemSimSql),
+    "graph_sssp" -> Tables.sql(SsspSql),
     // global triangle census (+ node/edge counts): two-hash-join wedge
     // closure on the once-stored (src < dst) orientation. The three
     // counts are driver-side scalars over the persisted edge list
@@ -256,6 +300,7 @@ object Graph {
   val oracle: Map[String, String] = Map(
     "graph_assoc_rules" -> AssocSql,
     "recsys_item_sim" -> ItemSimSql,
+    "graph_sssp" -> SsspSql,
     "graph_label_prop" -> (EdgeCte + """
       , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
       , lp0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym)""" +

@@ -352,7 +352,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // counts eagerly and returns a LocalRelation, so its plan string
     // contains no joins and the assertion would be vacuous there —
     // the triangle join shape is covered by the oracle compare instead
-    for (q <- Seq("graph_degree_stats", "graph_pagerank")) {
+    for (q <- Seq("graph_degree_stats", "graph_pagerank", "graph_sssp")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q must stay on equi-joins:\n$p")
