@@ -173,10 +173,53 @@ object Graph {
       WHERE rn <= 10
       ORDER BY seed, rn"""
 
+  // Native WITH RECURSIVE (SQL:1999 linear recursion) — a statement-
+  // surface capability Hive 1.2 lacks entirely (SURVEY §2.3: no
+  // recursive CTE token) and Spark gained in 4.x (UnionLoopExec).
+  // Reachability with hop distance from 3 seed nodes: the recursion
+  // enumerates walks (UNION ALL is the only recursion mode Spark
+  // supports — probed, UNION-distinct fixpoint raises
+  // UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so termination comes from
+  // the `depth < 3` guard, and MIN(depth) outside the recursion
+  // collapses walks to distances. Each recursion step is one
+  // frontier⋈edges hash join on id pairs — the same per-iteration plan
+  // the unrolled khop/sssp spellings hand-build, now driven by the
+  // engine's own loop operator. The support floor keeps the walk count
+  // bounded (measured: ≤258 walks at sf0.01, ≤20 at sf0.1 —
+  // co-occurrence sparsifies as the catalog grows).
+  //
+  // The recursion text is shared verbatim; only the edge source
+  // differs: Spark reads a PERSISTED temp view (UnionLoopExec re-plans
+  // its step every iteration, and Catalyst inlines CTEs — with the
+  // edge build as a CTE each of the 3 iterations re-ran the full
+  // lineitem self-join, 24 s at sf0.1; against the cached view it's
+  // the one edge build plus id-pair joins), while DuckDB keeps the
+  // pure-CTE spelling it materializes anyway.
+  private def reachRecursiveSql(symSrc: String) = s"""
+      WITH RECURSIVE
+      seeds AS (SELECT DISTINCT src AS seed FROM $symSrc ORDER BY seed LIMIT 3),
+      walk(seed, node, depth) AS (
+        SELECT seed, seed AS node, 0 AS depth FROM seeds
+        UNION ALL
+        SELECT w.seed, s.dst AS node, w.depth + 1 AS depth
+        FROM walk w JOIN $symSrc s ON w.node = s.src
+        WHERE w.depth < 3
+      )
+      SELECT seed, node, CAST(MIN(depth) AS INT) AS dist, COUNT(*) AS n_walks
+      FROM walk WHERE node <> seed
+      GROUP BY seed, node
+      ORDER BY seed, node"""
+
   val queries: Map[String, Q] = Map(
     "graph_assoc_rules" -> Tables.sql(AssocSql),
     "recsys_item_sim" -> Tables.sql(ItemSimSql),
     "graph_sssp" -> Tables.sql(SsspSql),
+    "graph_reach_recursive" -> ((spark, sfDir) => {
+      val e = edges(spark, sfDir)
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .persist().createOrReplaceTempView("reach_sym")
+      spark.sql(reachRecursiveSql("reach_sym"))
+    }),
     // global triangle census (+ node/edge counts): two-hash-join wedge
     // closure on the once-stored (src < dst) orientation. The three
     // counts are driver-side scalars over the persisted edge list
@@ -301,6 +344,10 @@ object Graph {
     "graph_assoc_rules" -> AssocSql,
     "recsys_item_sim" -> ItemSimSql,
     "graph_sssp" -> SsspSql,
+    "graph_reach_recursive" -> ("WITH RECURSIVE" +
+      EdgeCte.replaceFirst("\\s*WITH", "") + """
+      , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+      """ + reachRecursiveSql("sym").replaceFirst("\\s*WITH RECURSIVE\\s*", "")),
     "graph_label_prop" -> (EdgeCte + """
       , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
       , lp0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym)""" +
