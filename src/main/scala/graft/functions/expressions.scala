@@ -1095,7 +1095,9 @@ object GraftFunctions {
     "vec_sum" -> (es => VecSumAgg(es.head)),
     "approx_topk" -> (es => ApproxTopKAgg(es(0), intArg(es(1)), intArg(es(2)))),
     "countmin" -> (es => CountMinAgg(es(0), intArg(es(1)), intArg(es(2)))),
-    "cm_query" -> (es => CmQuery(es(0), es(1)))
+    "cm_query" -> (es => CmQuery(es(0), es(1))),
+    "bloom_filter" -> (es => BloomFilterAgg(es(0), intArg(es(1)), intArg(es(2)))),
+    "in_bloom_filter" -> (es => InBloomFilter(es(0), es(1)))
   )
 
   /** Make the functions usable from spark.sql text too. */

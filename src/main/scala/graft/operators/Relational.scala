@@ -420,6 +420,37 @@ object Relational {
         .orderBy(col("s_name"))
     }),
 
+    // Bloom-prefiltered join — Hive 2.x's bloom_filter/in_bloom_filter
+    // runtime semi-join reduction (SURVEY §2.5 [2.x],
+    // GenericUDAFBloomFilter; the same design as Spark's own
+    // InjectRuntimeFilter): the dim side's filtered keys aggregate to
+    // ONE bounded bloom sketch (graft.functions.BloomFilterAgg), the
+    // sketch broadcasts as a single row, and the codegen'd
+    // IN_BLOOM_FILTER prefilter drops most non-qualifying fact rows
+    // BEFORE the join shuffle. No false negatives by construction, so
+    // the exact join downstream removes only false positives and the
+    // result equals the plain join — exactly what the oracle checks.
+    // At 100 TB this is the difference between shuffling the full fact
+    // table and shuffling ~the matching fraction of it.
+    "join_bloom_prefilter" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      graft.functions.GraftFunctions.register(spark)
+      spark.sql("""
+        SELECT l.l_returnflag, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM (
+          SELECT l_orderkey, l_returnflag, l_extendedprice
+          FROM lineitem
+          CROSS JOIN (SELECT BLOOM_FILTER(CAST(o_orderkey AS STRING), 65536, 3) AS bf
+                      FROM orders WHERE o_orderpriority = '1-URGENT') b
+          WHERE IN_BLOOM_FILTER(b.bf, CAST(l_orderkey AS STRING))
+        ) l
+        JOIN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag""")
+    }),
+
     // TPC-H Q1 shape — the flagship end-to-end slice (scan → filter →
     // partial/final hash agg → sort). Hive: GroupByOperator modes
     // HASH→MERGEPARTIAL (QL/exec/GroupByOperator.java:733).
@@ -830,6 +861,16 @@ object Relational {
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_name
       ORDER BY s_name""",
+
+    // the PLAIN join — the bloom prefilter must be result-invariant
+    // (no false negatives; false positives die at the exact join)
+    "join_bloom_prefilter" -> """
+      SELECT l_returnflag, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,

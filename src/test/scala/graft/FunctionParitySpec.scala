@@ -192,6 +192,10 @@ class FunctionParitySpec extends AnyFunSuite {
         v => v == 3)),
       "cm_query" -> (("SELECT cm_query(countmin(v, 3, 16), 'a') FROM VALUES ('a'),('b'),('a') t(v)",
         v => v.asInstanceOf[Long] == 2L)),
+      "bloom_filter" -> (("SELECT size(bloom_filter(v, 128, 3)) FROM VALUES ('a'),('b') t(v)",
+        v => v == 3)),
+      "in_bloom_filter" -> (("SELECT in_bloom_filter(bloom_filter(v, 128, 3), 'a') FROM VALUES ('a'),('b') t(v)",
+        v => v == true)),
       "ngrams_topk" -> (("SELECT ngrams_topk(tokenize('a b a b'), 2, 5, 100)[0].ngram",
         v => v == "a b")),
       "context_ngrams" -> (("SELECT context_ngrams(tokenize('x y x z'), array('x', NULL), 5, 100)[0].ngram",

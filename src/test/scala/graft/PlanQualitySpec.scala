@@ -403,6 +403,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("join_bloom_prefilter filters the fact side below the exact join") {
+    val df = SparkEntry.queries("join_bloom_prefilter")(spark, LocalSpark.sf)
+    val p = df.queryExecution.executedPlan.toString()
+    val pl = p.toLowerCase
+    // the membership kernel must run in the fact side's scan stage
+    // (before the join shuffle) — that positional fact is the whole
+    // point of the runtime-filter pattern
+    val filterIdx = pl.indexOf("inbloomfilter")
+    assert(filterIdx >= 0, s"bloom membership prefilter missing from plan:\n$p")
+    val factJoin = Seq("sortmergejoin", "broadcasthashjoin", "shuffledhashjoin")
+      .map(pl.indexOf).filter(_ >= 0)
+    assert(factJoin.nonEmpty, s"exact join missing:\n$p")
+    assert(filterIdx > factJoin.min,
+      s"prefilter must sit BELOW the exact join (plans print top-down):\n$p")
+  }
+
   test("graph_reach_recursive loops over the persisted edge list via UnionLoop") {
     val df = SparkEntry.queries("graph_reach_recursive")(spark, LocalSpark.sf)
     val p = df.queryExecution.executedPlan.toString()
