@@ -22,6 +22,42 @@ object Aggregates {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Build + register the lineitem rollup MV once per (session, sfDir):
+    * materialize (l_returnflag, l_linestatus) partials to parquet
+    * (production MVs live on storage, not in a session cache — Hive's
+    * are tables), register the reader view + definition, and attach the
+    * rewrite rule to the session's experimental optimizations. */
+  private val mvBuilt = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def mvRegister(spark: SparkSession, sfDir: String): Unit = {
+    import graft.plans.MvRewrite
+    import graft.plans.MvRewrite.{AggSpec, MvDef}
+    if (mvBuilt.put(spark, sfDir) != sfDir) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-mv").toString
+      spark.table("lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).createOrReplaceTempView("mv_lineitem_rf_ls")
+      MvRewrite.register(spark, MvDef(
+        mvName = "mv_lineitem_rf_ls",
+        basePaths = MvRewrite.scanPathsOf(spark.table("lineitem")),
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sums = Seq(AggSpec("l_quantity",
+          Some(org.apache.spark.sql.types.DecimalType(18, 4)), "sum_qty")),
+        mins = Seq(AggSpec("l_extendedprice", None, "min_price")),
+        maxs = Seq(AggSpec("l_extendedprice", None, "max_price")),
+        countStarCol = Some("cnt")))
+    }
+    if (!spark.experimental.extraOptimizations.contains(MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite
+  }
+
   // z-score + min-max feature scaling: the whole-corpus moments reduce
   // to ONE broadcast row (exact DECIMAL sums for mean and sum-of-
   // squares — the per-row square is deterministic double work, its
@@ -441,6 +477,31 @@ object Aggregates {
     // size, so exactness verified here holds at every SF (the
     // approx_topk exactness-boundary treatment; CountMinSpec pins the
     // never-undercount bound beyond it).
+    // Materialized-view rewrite (graft.plans.MvRewrite — Hive 2.3/3.0
+    // materialized view rollup rewriting, SURVEY §2.3 [2.x]): the MV
+    // materializes lineitem partials at (l_returnflag, l_linestatus)
+    // granularity to parquet ONCE per session+sfDir; the query below is
+    // written against the BASE table at coarser (l_returnflag)
+    // granularity, and the injected optimizer rule rewrites it to
+    // re-aggregate the MV — ExtensionsSpec pins that the executed plan
+    // scans the MV parquet and never the lineitem fact. DECIMAL sum
+    // partials make the regrouping bit-exact, so the oracle (the same
+    // query over the base in DuckDB) matches exactly.
+    "agg_mv_rewrite" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      mvRegister(spark, sfDir)
+      spark.sql("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem
+        WHERE l_returnflag <> 'N'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    }),
+
     "agg_countmin" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       graft.functions.GraftFunctions.register(spark)
@@ -631,6 +692,19 @@ object Aggregates {
       ORDER BY l_returnflag, bin""",
 
     // exact regime: every event_type has a collision-free sketch row
+    // the same rollup over the BASE table — the MV rewrite must be
+    // result-invariant (DECIMAL partials regroup exactly)
+    "agg_mv_rewrite" -> """
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_rows,
+             MIN(l_extendedprice) AS min_price,
+             MAX(l_extendedprice) AS max_price
+      FROM lineitem
+      WHERE l_returnflag <> 'N'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
     "agg_countmin" -> """
       SELECT event_type, COUNT(*) AS est
       FROM events GROUP BY event_type

@@ -101,4 +101,44 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("MvRewrite: rollup over the base rewrites to the MV, and only when derivable") {
+    val s = LocalSpark.spark
+    // the query function registers the MV + rule as a side effect
+    val df = SparkEntry.queries("agg_mv_rewrite")(s, LocalSpark.sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("graft-mv"), s"rewritten plan must scan the MV parquet:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"base fact must not be scanned after the rewrite:\n$p")
+    // result-invariance against the un-rewritten spelling: compare to
+    // the same SQL with the rule disabled
+    val saved = s.experimental.extraOptimizations
+    s.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.plans.MvRewrite)
+    val direct = try {
+      s.sql("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem
+        WHERE l_returnflag <> 'N'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""").collect()
+    } finally s.experimental.extraOptimizations = saved
+    assert(df.collect().toSeq == direct.toSeq, "rewrite changed the values")
+
+    // negative cases: an aggregate the MV does not store, a DISTINCT
+    // aggregate, and a filter on a non-grouping column must all veto
+    // the rewrite (values would otherwise be silently wrong)
+    for (q <- Seq(
+      "SELECT l_returnflag, SUM(CAST(l_discount AS DECIMAL(18,4))) AS s FROM lineitem GROUP BY l_returnflag",
+      "SELECT l_returnflag, COUNT(DISTINCT l_linestatus) AS s FROM lineitem GROUP BY l_returnflag",
+      "SELECT l_returnflag, COUNT(*) AS s FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag")) {
+      val np = s.sql(q).queryExecution.executedPlan.toString()
+      assert(!np.contains("graft-mv"), s"underivable query was rewritten:\n$q\n$np")
+      assert(np.contains("lineitem.parquet"), s"expected base scan:\n$q\n$np")
+    }
+  }
 }
