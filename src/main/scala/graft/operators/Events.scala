@@ -202,6 +202,19 @@ object Events {
     // function — exact integer arithmetic end to end (see twapSql).
     "events_twap" -> Tables.sql(twapSql(spark = true)),
 
+    // Single exponential smoothing forecast per event_type (Brown,
+    // 1956 — the one-parameter baseline every monitoring stack runs):
+    // the hourly count series folds left in time order through
+    // level ← α·x + (1−α)·level at α = 1/2 and 1/4. Both α values are
+    // exact binary fractions and both engines fold the SAME ordered
+    // list left-to-right (Spark `aggregate` seeded with x₁ over the
+    // tail ≡ DuckDB `list_reduce`), so every intermediate double is
+    // the same IEEE op sequence — bit-identical without quantization.
+    // At 100 TB the per-key series reduce is the only data motion:
+    // hourly pre-aggregation shrinks the fact first, and the fold is
+    // driver-free per-key work.
+    "events_ses_forecast" -> Tables.sql(sesSql(spark = true)),
+
     // Robust outlier days via median/MAD (the rate-anomaly twin with
     // breakdown-resistant statistics): doubled/quadrupled integer
     // medians (2·median and 4·MAD are integral for an integer series)
@@ -209,6 +222,42 @@ object Events {
     // is one double formula per day.
     "events_outliers_mad" -> Tables.sql(madSql(spark = true))
   )
+
+  /** SES text. Dialect split: Spark sorts the collected (hour, cnt)
+    * structs and folds the tail with `aggregate` seeded by the first
+    * element; DuckDB's `LIST(... ORDER BY)` + `list_reduce` is that
+    * same left fold by definition (acc is the lambda's first arg —
+    * probed). The lambda body text is IDENTICAL in both dialects, so
+    * the IEEE op sequence matches step for step. */
+  private def sesSql(spark: Boolean): String = {
+    val series =
+      if (spark) """
+        SELECT event_type,
+               TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(hh, cnt))), e -> e.cnt) AS xs
+        FROM h GROUP BY event_type"""
+      else """
+        SELECT event_type, LIST(cnt ORDER BY hh) AS xs
+        FROM h GROUP BY event_type"""
+    def fold(a: String, b: String) =
+      if (spark)
+        s"aggregate(SLICE(xs, 2, SIZE(xs) - 1), ELEMENT_AT(xs, 1), (acc, x) -> $a * x + $b * acc)"
+      else
+        s"list_reduce(xs, (acc, x) -> $a * x + $b * acc)"
+    val (n, last) =
+      if (spark) ("CAST(SIZE(xs) AS BIGINT)", "ELEMENT_AT(xs, -1)")
+      else ("LEN(xs)", "xs[-1]")
+    s"""
+      WITH h AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hh,
+               CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+      ), s AS ($series)
+      SELECT event_type, $n AS n_hours,
+             ROUND($last, 6) AS last_cnt,
+             ROUND(${fold("0.5", "0.5")}, 6) AS ses_half,
+             ROUND(${fold("0.25", "0.75")}, 6) AS ses_quarter
+      FROM s ORDER BY event_type"""
+  }
 
   /** TWAP text (dialect split on the µs extractor only). Each event's
     * value holds until the next event of the same (type, day) — the
@@ -708,6 +757,7 @@ object Events {
     "events_session_overlap" -> overlapSql(spark = false),
     "events_interarrival" -> interarrivalSql(spark = false),
     "events_twap" -> twapSql(spark = false),
+    "events_ses_forecast" -> sesSql(spark = false),
     "events_bursts" -> burstSql(spark = false),
     "events_active_users" -> activeUsersSql(spark = false)
   )

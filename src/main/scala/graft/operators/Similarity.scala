@@ -104,6 +104,39 @@ object Similarity {
       )
       SELECT did, pid, jw FROM best WHERE rn = 1 ORDER BY did"""
 
+  /** JL sign-projection text. The sign of matrix cell (i, j) is the
+    * parity of a quadratic residue: t = (i·73856093 + j·19349663) mod
+    * 1000003, sign = +1 iff (t² mod 1000003) is even — all BIGINT-safe
+    * (t ≤ 1e6 ⇒ t² ≤ 1e12 < 2^53) and written once for both dialects.
+    * The signed sum of quantized coords is exact (≤ 64·1e6 ≪ 2^53), so
+    * fold order cannot matter; /1e6/4 closes it (√16 = 4 exact). The
+    * value ships UNROUNDED: val·4e6 is an exact integer, so it is
+    * already bit-deterministic, while ROUND(·, 6) would sit exactly on
+    * decimal ties (…75) where Spark's shortest-decimal HALF_UP and
+    * DuckDB's binary-double rounding disagree — measured, row 147 of
+    * sf0.01 flipped the 6th decimal. */
+  private def randProjSql(spark: Boolean): String = {
+    def sign(i: String, j: String): String = {
+      val t = s"(CAST($i AS BIGINT) * 73856093 + CAST($j AS BIGINT) * 19349663) % 1000003"
+      s"(CASE WHEN ((($t) * ($t)) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    }
+    val (quant, proj, dims) =
+      if (spark) (
+        "TRANSFORM(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE))",
+        s"AGGREGATE(SEQUENCE(1, 64), CAST(0.0 AS DOUBLE), (acc, i) -> acc + ${sign("i", "j")} * ELEMENT_AT(qe, i))",
+        "LATERAL VIEW EXPLODE(SEQUENCE(1, 16)) t AS j")
+      else (
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000.0) AS DOUBLE))",
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> ${sign("i", "j")} * qe[i])), (x, y) -> x + y)",
+        "CROSS JOIN range(1, 17) r(j)")
+    s"""
+      WITH q AS (SELECT vec_id, $quant AS qe FROM embeddings)
+      SELECT vec_id, CAST(j AS INT) AS dim,
+             $proj / 1000000.0 / 4.0 AS val
+      FROM q $dims
+      ORDER BY vec_id, dim"""
+  }
+
   val queries: Map[String, Q] = Map(
     // Per-vector symmetric int8 quantization — the storage-prep step
     // before a vector store ships 4×-smaller embeddings: scale =
@@ -113,6 +146,22 @@ object Similarity {
     // floor — no accumulation except the index-order MSE fold the
     // oracle replicates with list_reduce), so the DuckDB compare is
     // exact. Narrow map work at any scale.
+    // Johnson–Lindenstrauss sign random projection 64→16 (Achlioptas,
+    // JCSS'03: ±1 entries preserve pairwise distances in expectation;
+    // the standard cheap dimension reduction in front of an ANN
+    // index). The "random" matrix is a deterministic sign function of
+    // (i, j) — a quadratic-residue parity both engines compute in
+    // exact BIGINT arithmetic — so the projection is reproducible
+    // across engines AND across batches (a new batch projects into
+    // the SAME space, the property an index depends on). Coordinates
+    // quantize first (floor(x·1e6), the Clustering discipline), so the
+    // signed sum is integer-valued-double exact and order-free; the
+    // closing /1e6/√16 is deterministic per-row IEEE work. Fully
+    // narrow — no shuffle at any scale; output exploded to
+    // (vec_id, dim, val) rows (the compare hashes scalars, not
+    // arrays).
+    "embed_random_projection" -> Tables.sql(randProjSql(spark = true)),
+
     "embed_quantize_int8" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       val mse = aggregate(
@@ -374,6 +423,8 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     // same per-element ops (max, divide, floor-half-up, clamp) and the
     // same index-order MSE fold — bit-identical, no tolerance
+    "embed_random_projection" -> randProjSql(spark = false),
+
     "embed_quantize_int8" -> s"""
       WITH $QuantBaseCtes,
       qv AS (SELECT vec_id, ed, scale,
