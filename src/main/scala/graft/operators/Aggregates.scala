@@ -22,6 +22,33 @@ object Aggregates {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  // one partial-aggregate text per split; merged on the group keys.
+  // CAST(SUM(cnt) AS BIGINT): DuckDB widens SUM(BIGINT) to HUGEINT,
+  // Spark keeps BIGINT — the cast pins both to the oracle's COUNT type
+  private val MvIncrementalSql = {
+    def partial(pred: String) = s"""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+               COUNT(*) AS cnt,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem WHERE $pred
+        GROUP BY l_returnflag, l_linestatus"""
+    s"""
+      WITH corp AS (${partial("l_orderkey % 5 <> 4")}),
+      bat AS (${partial("l_orderkey % 5 = 4")}),
+      merged AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(sum_qty) AS DOUBLE) AS sum_qty,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               MIN(min_price) AS min_price,
+               MAX(max_price) AS max_price
+        FROM (SELECT * FROM corp UNION ALL SELECT * FROM bat) u
+        GROUP BY l_returnflag, l_linestatus
+      )
+      SELECT * FROM merged ORDER BY l_returnflag, l_linestatus"""
+  }
+
   /** Build + register the lineitem rollup MV once per (session, sfDir):
     * materialize (l_returnflag, l_linestatus) partials to parquet
     * (production MVs live on storage, not in a session cache — Hive's
@@ -502,6 +529,19 @@ object Aggregates {
         ORDER BY l_returnflag""")
     }),
 
+    // Incremental view maintenance — the refresh half of the MV story
+    // (Hive 3's ALTER MATERIALIZED VIEW ... REBUILD incremental path;
+    // Griffin & Libkin, SIGMOD'95): when a batch arrives, the MV is
+    // refreshed by MERGING the batch's partials into the stored ones
+    // (SUM+SUM, cnt+cnt, MIN/MIN, MAX/MAX on the group keys) — never
+    // by recomputing over the corpus. The corpus here is the 80% split
+    // and the batch the 20%; the oracle aggregates the FULL table
+    // directly, so the compare proves merge ≡ recompute (exact because
+    // the partials are DECIMAL/integer — the same associativity
+    // contract MvRewrite enforces at registration). At 100 TB the
+    // refresh touches the batch plus k MV rows, not the corpus.
+    "agg_mv_incremental" -> Tables.sql(MvIncrementalSql),
+
     "agg_countmin" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       graft.functions.GraftFunctions.register(spark)
@@ -692,6 +732,17 @@ object Aggregates {
       ORDER BY l_returnflag, bin""",
 
     // exact regime: every event_type has a collision-free sketch row
+    // the full-table recompute — merge-refresh must equal it exactly
+    "agg_mv_incremental" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_rows,
+             MIN(l_extendedprice) AS min_price,
+             MAX(l_extendedprice) AS max_price
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
     // the same rollup over the BASE table — the MV rewrite must be
     // result-invariant (DECIMAL partials regroup exactly)
     "agg_mv_rewrite" -> """
