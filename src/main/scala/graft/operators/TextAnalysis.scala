@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{ContextNGramsAgg, GraftFunctions, NGramsTopKAgg}
 
@@ -36,7 +37,109 @@ object TextAnalysis {
       FROM documents
     )"""
 
+  /** BPE-style pair-merge learning (Sennrich et al., ACL'16, over word
+    * tokens): 3 iterations of (count adjacent pairs → take the most
+    * frequent non-self pair → greedily merge its occurrences), the
+    * vocabulary-learning primitive behind every subword tokenizer.
+    * Excluding self-pairs (a = b) makes adjacent matches provably
+    * non-overlapping — a match at i and i+1 would need
+    * toks[i+1] = pb = pa — so the greedy merge is a position-local
+    * flatten, not a sequential fold, and both engines rebuild the
+    * token stream with the SAME per-position CASE. Counts are integer
+    * exact, the (freq DESC, a, b) top-1 is total, and the per-doc
+    * rebuild is narrow — each iteration's only shuffle is the pair
+    * count, which at 100 TB is (pair, count) rows after map-side
+    * partials, never the corpus. */
+  private def bpeOracleSql: String = {
+    val size = "LEN(toks)"
+    def el(i: String) = s"toks[$i]"
+    val tok = "LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')"
+    val pairIdx = ", UNNEST(RANGE(1, LEN(toks))) AS e(i)"
+    val rebuildSeq = "RANGE(1, LEN(toks) + 1)"
+    val xform = "LIST_TRANSFORM"
+    val emptyArr = "CAST([] AS VARCHAR[])"
+    def arr1(e: String) = s"[$e]"
+    def iter(k: Int) = s"""
+      , p$k AS (
+        SELECT ${el("i")} AS a, ${el("i + 1")} AS b
+        FROM t${k - 1} $pairIdx
+        WHERE $size >= 2
+      ), m$k AS (
+        SELECT a AS pa, b AS pb, COUNT(*) AS freq
+        FROM p$k WHERE a <> b
+        GROUP BY a, b
+        ORDER BY freq DESC, a, b
+        LIMIT 1
+      ), t$k AS (
+        SELECT doc_id, FLATTEN($xform($rebuildSeq, i -> CASE
+            WHEN i > 1 AND ${el("i - 1")} = pa AND ${el("i")} = pb THEN $emptyArr
+            WHEN i < $size AND ${el("i")} = pa AND ${el("i + 1")} = pb
+              THEN ${arr1("CONCAT(pa, '_', pb)")}
+            ELSE ${arr1(el("i"))} END)) AS toks
+        FROM t${k - 1} CROSS JOIN m$k
+      )"""
+    def out(k: Int) = s"""
+      SELECT $k AS merge_rank, pa AS pair_a, pb AS pair_b, freq,
+             (SELECT CAST(SUM(${size}) AS BIGINT) FROM t$k) AS tokens_after
+      FROM m$k"""
+    s"""
+      WITH t0 AS (
+        SELECT doc_id, toks
+        FROM (SELECT doc_id, $tok AS toks FROM documents) x
+        WHERE $size >= 1
+      )${iter(1)}${iter(2)}${iter(3)}
+      SELECT CAST(merge_rank AS INT) AS merge_rank, pair_a, pair_b, freq, tokens_after
+      FROM (${out(1)} UNION ALL ${out(2)} UNION ALL ${out(3)}) u
+      ORDER BY merge_rank"""
+  }
+
   val queries: Map[String, Q] = Map(
+    // Spark side of the BPE trainer: each generation persists (the
+    // pure-CTE spelling re-tokenized the corpus exponentially under
+    // Catalyst CTE inlining — 17 s vs ~3 s), the 1-row top pair
+    // collects to the driver (a merge table IS driver state in every
+    // real BPE trainer), and the rebuild is a narrow per-doc
+    // projection with the pair as literals. Kernel-identical to the
+    // oracle's per-position CASE.
+    "text_bpe_merges" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      import org.apache.spark.sql.Column
+      var t = spark.table("documents")
+        .select(col("doc_id"),
+          expr("FILTER(SPLIT(LOWER(text), ' '), w -> w <> '')").as("toks"))
+        .where(size(col("toks")) >= 1)
+        .persist()
+      val gens = scala.collection.mutable.ArrayBuffer(t)
+      val out = (1 to 3).map { k =>
+        val top = t.where(size(col("toks")) >= 2)
+          .select(posexplode(expr("SLICE(toks, 1, SIZE(toks) - 1)"))
+            .as(Seq("i0", "a")), col("toks"))
+          .select(col("a"),
+            element_at(col("toks"), col("i0").cast("int") + 2).as("b"))
+          .where(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
+          .collect()(0)
+        val (pa, pb, freq) = (top.getString(0), top.getString(1), top.getLong(2))
+        val toks = col("toks")
+        def elAt(i: Column) = element_at(toks, i.cast("int"))
+        val merged = flatten(transform(sequence(lit(1), size(toks)), i =>
+          when(i > 1 && elAt(i - 1) === lit(pa) && elAt(i) === lit(pb),
+            array().cast("array<string>"))
+            .when(i < size(toks) && elAt(i) === lit(pa) && elAt(i + 1) === lit(pb),
+              array(lit(s"${pa}_$pb")))
+            .otherwise(array(elAt(i)))))
+        t = t.select(col("doc_id"), merged.as("toks")).persist()
+        gens += t
+        val tokensAfter = t.agg(sum(size(col("toks")))).collect()(0).getLong(0)
+        (k, pa, pb, freq, tokensAfter)
+      }
+      gens.foreach(_.unpersist())
+      import spark.implicits._
+      out.toDF("merge_rank", "pair_a", "pair_b", "freq", "tokens_after")
+        .orderBy(col("merge_rank"))
+    }),
+
     // Stopword-ratio language scorer (n-gram-free heuristic; the test
     // corpus is synthetic word-soup so scores, not accuracy, are the
     // contract — lang column is an independent label). STOPWORD_RATIO is
@@ -600,6 +703,8 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_merges" -> bpeOracleSql,
+
     "text_rake" -> rakeSql(spark = false),
     "text_source_similarity" -> sourceSimSql(spark = false),
     // FULL INDEPENDENT REPLICATION of the winnowing fingerprint
