@@ -202,6 +202,17 @@ object Events {
     // function — exact integer arithmetic end to end (see twapSql).
     "events_twap" -> Tables.sql(twapSql(spark = true)),
 
+    // Seasonality-adjusted anomaly detection: each (type, day, hour)
+    // count is z-scored against the type's OWN hour-of-day profile
+    // (mean/std over observed days for that wall-clock hour), so a
+    // nightly lull is never flagged just for being below the daily
+    // mean — the diurnal-profile upgrade of events_rate_anomaly's
+    // global baseline. Profile moments are exact integer sums cast to
+    // double (≪ 2^53); the z formula is one shared IEEE expression,
+    // filtered UNROUNDED at |z| > 2 and rounded only for display. Two
+    // hash aggregates + one (type, hour)-keyed broadcast-size join.
+    "events_seasonal_anomaly" -> Tables.sql(SeasonalAnomalySql),
+
     // Single exponential smoothing forecast per event_type (Brown,
     // 1956 — the one-parameter baseline every monitoring stack runs):
     // the hourly count series folds left in time order through
@@ -222,6 +233,29 @@ object Events {
     // is one double formula per day.
     "events_outliers_mad" -> Tables.sql(madSql(spark = true))
   )
+
+  /** Seasonal-anomaly text — one spelling for both engines. (lazy:
+    * referenced from `queries`, which is declared above this val —
+    * object vals initialize in declaration order.) */
+  private lazy val SeasonalAnomalySql = """
+      WITH c AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, HOUR(ts) AS h, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, CAST(ts AS DATE), HOUR(ts)
+      ), b AS (
+        SELECT event_type, h,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(cnt) AS DOUBLE) AS s,
+               CAST(SUM(cnt * cnt) AS DOUBLE) AS ss
+        FROM c GROUP BY event_type, h
+      ), z AS (
+        SELECT c.event_type, c.d, c.h, c.cnt,
+               (c.cnt - s / n) / SQRT((ss - s * s / n) / n) AS zraw
+        FROM c JOIN b ON c.event_type = b.event_type AND c.h = b.h
+        WHERE n >= 3 AND (ss - s * s / n) / n > 0
+      )
+      SELECT event_type, d, CAST(h AS INT) AS h, cnt, ROUND(zraw, 6) AS z
+      FROM z WHERE ABS(zraw) > 2
+      ORDER BY event_type, d, h"""
 
   /** SES text. Dialect split: Spark sorts the collected (hour, cnt)
     * structs and folds the tail with `aggregate` seeded by the first
@@ -758,6 +792,7 @@ object Events {
     "events_interarrival" -> interarrivalSql(spark = false),
     "events_twap" -> twapSql(spark = false),
     "events_ses_forecast" -> sesSql(spark = false),
+    "events_seasonal_anomaly" -> SeasonalAnomalySql,
     "events_bursts" -> burstSql(spark = false),
     "events_active_users" -> activeUsersSql(spark = false)
   )
