@@ -327,4 +327,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(!out.exists(_._1 == 2L))
     } finally q.stop()
   }
+
+  test("streaming MV maintenance: per-batch partial merge equals full recompute") {
+    // the agg_mv_incremental kernel as a stream: foreachBatch folds each
+    // micro-batch's partial aggregates into the maintained MV (SUM+SUM,
+    // cnt+cnt, MIN/MIN, MAX/MAX on the group key) — the refresh touches
+    // the batch plus the MV, never the history. DECIMAL sums keep the
+    // merge exact, so after any number of batches the MV must equal the
+    // direct aggregate over everything ingested.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"user_id")
+        .agg(sum($"value".cast("decimal(18,4)")).as("sum_v"),
+          count(lit(1)).as("cnt"),
+          min($"value").as("min_v"), max($"value").as("max_v"))
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"sum_v".cast("decimal(18,4)").as("sum_v"),
+        $"cnt".cast("long").as("cnt"), $"min_v", $"max_v")
+    var mv = normalize(partials(Seq.empty[Ev].toDF()))
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val merged = mv.unionByName(normalize(partials(batch)))
+          .groupBy($"user_id")
+          .agg(sum($"sum_v").as("sum_v"), sum($"cnt").as("cnt"),
+            min($"min_v").as("min_v"), max($"max_v").as("max_v"))
+        // a production refresh writes the MV table; localCheckpoint is
+        // the in-test stand-in that likewise truncates lineage
+        mv = normalize(merged).localCheckpoint(true)
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val all = Seq(
+        Ev(ts(1), 1, 2.5), Ev(ts(2), 2, 4.0), Ev(ts(3), 1, 1.25),
+        Ev(ts(4), 3, 9.0), Ev(ts(5), 2, 0.5), Ev(ts(6), 1, 7.75))
+      input.addData(all.take(3): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      val got = mv.orderBy($"user_id").collect()
+        .map(r => (r.getLong(0), r.getDecimal(1).toPlainString, r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+      val want = normalize(partials(all.toDF())).orderBy($"user_id").collect()
+        .map(r => (r.getLong(0), r.getDecimal(1).toPlainString, r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+      assert(got.toSeq == want.toSeq,
+        s"merged MV diverged from recompute:\n${got.mkString("\n")}\nvs\n${want.mkString("\n")}")
+    } finally q.stop()
+  }
 }
