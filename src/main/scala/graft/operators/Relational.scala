@@ -30,6 +30,36 @@ object Relational {
   // deterministic per row; the decimal SUM is exact and
   // order-independent), so no tolerance anywhere. Plan shape at scale:
   // dims broadcast, fact scans keep pushed filters, one agg shuffle.
+  // SCD2 text — one spelling for both engines. The change set is
+  // deterministic (key-derived predicate), its effective date comes
+  // from data (the customer's latest order), and a changed customer
+  // contributes exactly two rows: the closed history row and the open
+  // current one. +100.0 on a dollar-scale double is exact.
+  private val Scd2Sql = """
+      WITH eff AS (
+        SELECT o_custkey, CAST(MAX(o_orderdate) AS DATE) AS eff_date
+        FROM orders GROUP BY o_custkey
+      ),
+      chg AS (
+        SELECT c_custkey, c_acctbal, eff_date
+        FROM customer JOIN eff ON c_custkey = o_custkey
+        WHERE c_custkey % 7 = 0
+      )
+      SELECT c_custkey, acctbal, valid_from, valid_to, is_current FROM (
+        SELECT c_custkey, c_acctbal AS acctbal,
+               DATE '1995-01-01' AS valid_from, eff_date AS valid_to,
+               0 AS is_current
+        FROM chg
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 100.0, eff_date, CAST(NULL AS DATE), 1
+        FROM chg
+        UNION ALL
+        SELECT c_custkey, c_acctbal, DATE '1995-01-01', CAST(NULL AS DATE), 1
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+      ) v
+      ORDER BY c_custkey, is_current, valid_from"""
+
   private val Q3Sql = """
       SELECT l_orderkey,
              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
@@ -419,6 +449,17 @@ object Relational {
           sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
         .orderBy(col("s_name"))
     }),
+
+    // Slowly-changing-dimension Type 2 apply (Kimball's SCD2 — the
+    // INSERT OVERWRITE idiom every Hive warehouse runs for dimension
+    // history): a change batch (here: customers with a key-derived
+    // predicate, effective at their latest order date) closes the
+    // current row (valid_to = effective date, is_current = 0) and
+    // opens the new version; untouched customers keep their open row.
+    // Pure projection + union + one broadcast-size join on the change
+    // keys — at 100 TB the rewrite touches the dimension, never the
+    // fact, and the output is the bitemporal table as-of joins consume.
+    "scd2_apply" -> Tables.sql(Scd2Sql),
 
     // Bloom-prefiltered join — Hive 2.x's bloom_filter/in_bloom_filter
     // runtime semi-join reduction (SURVEY §2.5 [2.x],
@@ -861,6 +902,8 @@ object Relational {
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_name
       ORDER BY s_name""",
+
+    "scd2_apply" -> Scd2Sql,
 
     // the PLAIN join — the bloom prefilter must be result-invariant
     // (no false negatives; false positives die at the exact join)

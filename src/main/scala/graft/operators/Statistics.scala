@@ -359,7 +359,69 @@ object Statistics {
                    / (1 - tc / (CAST(nt AS DOUBLE) * nt * nt - nt)), 6) AS h_stat
       FROM t CROSS JOIN ties"""
 
+  /** CUPED variance reduction (Deng et al., WSDM'13 — the standard
+    * pre-experiment covariate adjustment every experimentation platform
+    * applies): unit = customer, x = pre-period spend, y = post-period
+    * spend (whole dollars — integer-exact per unit), arm = key parity.
+    * θ = cov(x,y)/var(x) is estimated pooled, each unit's adjusted
+    * outcome y* = y − θ·(x − x̄) is FLOORed back to whole dollars (the
+    * quantize-before-reduce rule: y*² sums must be integer-exact or the
+    * per-arm variance would be shuffle-order-dependent), and the output
+    * reports per-arm means and the achieved variance reduction. Product
+    * sums route through DECIMAL(38,0): Σx² ≈ 1.5e18 at sf0.1 overflows
+    * the 2^53 exact-double range but not DECIMAL. Dispersion ships as
+    * σ, not σ²: ROUND(·, 6) on a ~6e11 dollars² variance sits BELOW
+    * the double's ulp (≈6e-5 there), where the engines' rounding
+    * disagrees in the last bit — measured at sf0.1; σ ~ 1e6 keeps 6 dp
+    * well-defined. Two hash aggregates and a broadcast 1-row join —
+    * nothing at unit scale ever sorts. */
+  private val CupedSql = """
+      WITH u AS (
+        SELECT o_custkey AS k,
+               CAST(COALESCE(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                    THEN CAST(FLOOR(o_totalprice) AS BIGINT) END), 0) AS DOUBLE) AS x,
+               CAST(COALESCE(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    THEN CAST(FLOOR(o_totalprice) AS BIGINT) END), 0) AS DOUBLE) AS y
+        FROM orders GROUP BY o_custkey
+      ),
+      g AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(18, 0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(18, 0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38, 0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(x * y AS DECIMAL(38, 0))) AS DOUBLE) AS sxy
+        FROM u
+      ),
+      t AS (
+        SELECT n, sx / n AS xbar,
+               (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta
+        FROM g WHERE sxx - sx * sx / n > 0
+      ),
+      a AS (
+        SELECT k % 2 AS arm, y,
+               CAST(FLOOR(y - theta * (x - xbar)) AS DOUBLE) AS yadj
+        FROM u CROSS JOIN t
+      ),
+      r AS (
+        SELECT arm,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(18, 0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(y * y AS DECIMAL(38, 0))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(yadj AS DECIMAL(18, 0))) AS DOUBLE) AS sa,
+               CAST(SUM(CAST(yadj * yadj AS DECIMAL(38, 0))) AS DOUBLE) AS saa
+        FROM a GROUP BY arm
+      )
+      SELECT CAST(arm AS INT) AS arm, CAST(n AS BIGINT) AS n_units,
+             ROUND(sy / n, 6) AS mean_y,
+             ROUND(sa / n, 6) AS mean_y_adj,
+             ROUND(SQRT((syy - sy * sy / n) / n), 6) AS std_y,
+             ROUND(SQRT((saa - sa * sa / n) / n), 6) AS std_y_adj,
+             ROUND(1.0 - ((saa - sa * sa / n) / n) / ((syy - sy * sy / n) / n), 6) AS var_reduction
+      FROM r
+      ORDER BY arm"""
+
   val queries: Map[String, Q] = Map(
+    "stats_cuped"       -> Tables.sql(CupedSql),
     "stats_regression"  -> Tables.sql(RegressionSql),
     "stats_chisq"       -> Tables.sql(ChisqSql),
     "stats_gini"        -> Tables.sql(GiniSql),
@@ -373,6 +435,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_cuped"       -> CupedSql,
     "stats_regression"  -> RegressionSql,
     "stats_chisq"       -> ChisqSql,
     "stats_gini"        -> GiniSql,
