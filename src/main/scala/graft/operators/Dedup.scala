@@ -405,6 +405,32 @@ object Dedup {
         .orderBy(col("cluster"), col("doc_id"))
     }),
 
+    // Keep-best representative selection: production dedup keeps the
+    // HIGHEST-QUALITY member of each duplicate cluster, not the lowest
+    // id (the rep choice measurably shifts downstream training data
+    // quality). Same CC machinery as dedup_clusters; quality here is
+    // the integer distinct-token count (exact, no float tie ambiguity)
+    // with doc_id as the total tie-break; singletons keep themselves.
+    // One window over cluster-partitioned rows — no new shuffle class.
+    "dedup_keep_best" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = gsql(MinhashPairsSql)(spark, sfDir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val (labels, _) = connectedComponents(spark, pairs)
+      val q = spark.sql("""
+        SELECT doc_id,
+               SIZE(ARRAY_DISTINCT(FILTER(SPLIT(LOWER(text), ' '), w -> w <> ''))) AS n_uniq
+        FROM documents""")
+      val lab = q.join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_uniq").desc, col("doc_id"))
+      lab.withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("cluster"), col("n_uniq"),
+          (col("rn") === 1).cast("int").as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // End-to-end curation: the composed pipeline a training-data run
     // actually executes — (1) quality gate (>= 10 tokens, type-token
     // ratio >= 0.2), (2) exact dedup among survivors (keep min doc_id
@@ -701,6 +727,32 @@ object Dedup {
     // same pair definition (shared CTE constant), then connected
     // components as a RECURSIVE CTE (transitive closure of comp labels,
     // min per node) — an independent formulation of the same graph
+    // the same CC labeling joined to an independent distinct-token
+    // count; argmax by (n_uniq DESC, doc_id)
+    "dedup_keep_best" -> s"""
+      WITH RECURSIVE $OraclePairsCte, edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM good
+        UNION ALL SELECT doc_b, doc_a FROM good
+      ), cc AS (
+        SELECT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
+      ), lab AS (
+        SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
+      ), q AS (
+        SELECT doc_id,
+               LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> ''))) AS n_uniq
+        FROM documents
+      ), al AS (
+        SELECT q.doc_id, COALESCE(l.comp, q.doc_id) AS cluster, q.n_uniq,
+               ROW_NUMBER() OVER (PARTITION BY COALESCE(l.comp, q.doc_id)
+                                  ORDER BY q.n_uniq DESC, q.doc_id) AS rn
+        FROM q LEFT JOIN lab l ON l.node = q.doc_id
+      )
+      SELECT doc_id, cluster, CAST(n_uniq AS INT) AS n_uniq,
+             CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS kept
+      FROM al ORDER BY doc_id""",
+
     "dedup_clusters" -> s"""
       WITH RECURSIVE $OraclePairsCte, edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM good

@@ -461,6 +461,21 @@ object Relational {
     // fact, and the output is the bitemporal table as-of joins consume.
     "scd2_apply" -> Tables.sql(Scd2Sql),
 
+    // Relational division (Codd's ÷ — "FOR ALL" as SQL): customers
+    // whose orders span EVERY priority class that exists. The division
+    // compiles to one distinct-count aggregate against a 1-row scalar
+    // subquery — no correlated NOT EXISTS double negation, which would
+    // plan as a nested anti-join per candidate. Divisor cardinality is
+    // a broadcast scalar; the dividend aggregate is one shuffle on the
+    // customer key at any scale.
+    "join_division" -> Tables.sql("""
+      SELECT c_custkey, c_name
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name
+      HAVING COUNT(DISTINCT o_orderpriority) =
+             (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+      ORDER BY c_custkey"""),
+
     // Bloom-prefiltered join — Hive 2.x's bloom_filter/in_bloom_filter
     // runtime semi-join reduction (SURVEY §2.5 [2.x],
     // GenericUDAFBloomFilter; the same design as Spark's own
@@ -904,6 +919,14 @@ object Relational {
       ORDER BY s_name""",
 
     "scd2_apply" -> Scd2Sql,
+
+    "join_division" -> """
+      SELECT c_custkey, c_name
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name
+      HAVING COUNT(DISTINCT o_orderpriority) =
+             (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+      ORDER BY c_custkey""",
 
     // the PLAIN join — the bloom prefilter must be result-invariant
     // (no false negatives; false positives die at the exact join)
