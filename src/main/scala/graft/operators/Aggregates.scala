@@ -22,6 +22,16 @@ object Aggregates {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  private val PercentileContSql = """
+      SELECT l_returnflag,
+             PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25,
+             PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS median,
+             PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q75,
+             PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_quantity) AS d25
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""
+
   // one partial-aggregate text per split; merged on the group keys.
   // CAST(SUM(cnt) AS BIGINT): DuckDB widens SUM(BIGINT) to HUGEINT,
   // Spark keeps BIGINT — the cast pins both to the oracle's COUNT type
@@ -529,6 +539,18 @@ object Aggregates {
         ORDER BY l_returnflag""")
     }),
 
+    // ANSI ordered-set aggregates — PERCENTILE_CONT / PERCENTILE_DISC
+    // WITHIN GROUP (SQL:2008; Hive 1.2 has only its own percentile
+    // UDAF, the ANSI spelling is the modern surface users expect).
+    // Quantiles are EXACT binary fractions (1/4, 1/2, 3/4) over
+    // integer-valued quantities, so the interpolated value
+    // a + f·(b−a) is an exact dyadic rational — every intermediate is
+    // exact, which makes the result bit-identical no matter which
+    // algebraic spelling of the interpolation each engine uses (the
+    // two common forms differ in IEEE rounding for non-dyadic f).
+    // PERCENTILE_DISC adds the ANSI smallest-cume_dist≥q selection.
+    "agg_percentile_cont" -> Tables.sql(PercentileContSql),
+
     // Incremental view maintenance — the refresh half of the MV story
     // (Hive 3's ALTER MATERIALIZED VIEW ... REBUILD incremental path;
     // Griffin & Libkin, SIGMOD'95): when a batch arrives, the MV is
@@ -732,6 +754,8 @@ object Aggregates {
       ORDER BY l_returnflag, bin""",
 
     // exact regime: every event_type has a collision-free sketch row
+    "agg_percentile_cont" -> PercentileContSql,
+
     // the full-table recompute — merge-refresh must equal it exactly
     "agg_mv_incremental" -> """
       SELECT l_returnflag, l_linestatus,

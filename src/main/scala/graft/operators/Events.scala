@@ -202,6 +202,14 @@ object Events {
     // function — exact integer arithmetic end to end (see twapSql).
     "events_twap" -> Tables.sql(twapSql(spark = true)),
 
+    // Cohort lifetime-value curve: customers cohorted by first-order
+    // month, cumulative whole-dollar revenue per cohort age divided by
+    // cohort size — the LTV complement of events_cohort_retention's
+    // count matrix. Cohorting is one aggregate + one fact join on the
+    // customer key; the cumulative window runs over the tiny
+    // (cohort, age) matrix, never the fact.
+    "events_cohort_ltv" -> Tables.sql(CohortLtvSql),
+
     // Seasonality-adjusted anomaly detection: each (type, day, hour)
     // count is z-scored against the type's OWN hour-of-day profile
     // (mean/std over observed days for that wall-clock hour), so a
@@ -233,6 +241,33 @@ object Events {
     // is one double formula per day.
     "events_outliers_mad" -> Tables.sql(madSql(spark = true))
   )
+
+  /** Cohort LTV text — one spelling for both engines. Monthly revenue
+    * is an exact whole-dollar integer sum; the running cumulative sum
+    * over integer-valued doubles stays exact (≪ 2^53), so only the
+    * closing per-customer division is IEEE work. */
+  private lazy val CohortLtvSql = """
+      WITH f AS (
+        SELECT o_custkey, CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE) AS cohort
+        FROM orders GROUP BY o_custkey
+      ), n AS (
+        SELECT cohort, COUNT(*) AS n_cust FROM f GROUP BY cohort
+      ), r AS (
+        SELECT f.cohort,
+               (YEAR(o.o_orderdate) - YEAR(f.cohort)) * 12
+                 + (MONTH(o.o_orderdate) - MONTH(f.cohort)) AS age,
+               CAST(FLOOR(o.o_totalprice) AS BIGINT) AS d
+        FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+      ), m AS (
+        SELECT cohort, age, CAST(SUM(d) AS DOUBLE) AS rev
+        FROM r GROUP BY cohort, age
+      )
+      SELECT m.cohort, CAST(m.age AS INT) AS age, n.n_cust,
+             m.rev AS rev_month,
+             ROUND(SUM(m.rev) OVER (PARTITION BY m.cohort ORDER BY m.age)
+                   / n.n_cust, 6) AS ltv_per_cust
+      FROM m JOIN n USING (cohort)
+      ORDER BY cohort, age"""
 
   /** Seasonal-anomaly text — one spelling for both engines. (lazy:
     * referenced from `queries`, which is declared above this val —
@@ -793,6 +828,7 @@ object Events {
     "events_twap" -> twapSql(spark = false),
     "events_ses_forecast" -> sesSql(spark = false),
     "events_seasonal_anomaly" -> SeasonalAnomalySql,
+    "events_cohort_ltv" -> CohortLtvSql,
     "events_bursts" -> burstSql(spark = false),
     "events_active_users" -> activeUsersSql(spark = false)
   )
