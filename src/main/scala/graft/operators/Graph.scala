@@ -296,6 +296,49 @@ object Graph {
         .orderBy(col("size").desc, col("community")).limit(20)
     }),
 
+    // Link prediction (Liben-Nowell & Kleinberg 2003): for node pairs
+    // at distance 2 (NOT already linked), common-neighbor count,
+    // Adamic–Adar Σ_z 1/ln(deg z), and neighborhood Jaccard — the
+    // "which products will co-occur next" primitive. The wedge join is
+    // the triangles plan (bounded by the support floor, never
+    // all-pairs); each Adamic–Adar term quantizes to an exact 1e-6
+    // integer BEFORE the sum (the geomean discipline — both engines'
+    // ln agree far inside the quantum), so the SUM is order-independent
+    // and the (aa_q DESC, a, b) top-20 cut is total. Existing edges
+    // drop via LEFT ANTI against the (src < dst) store.
+    "graph_adamic_adar" -> ((spark, sfDir) => {
+      val e = edges(spark, sfDir).persist()
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree")).persist()
+      // a common neighbor has >= 2 neighbors by construction; the
+      // degree>=2 guard keeps ln(1)=0 out of the division anyway
+      val zw = deg.where(col("degree") >= 2)
+        .select(col("node").as("z"),
+          round(lit(1000000.0) / log(col("degree").cast("double")))
+            .cast("bigint").as("wq"))
+      val za = sym.select(col("src").as("z"), col("dst").as("a"))
+      val zb = sym.select(col("src").as("z"), col("dst").as("b"))
+      val cand = za.join(zb, Seq("z")).where(col("a") < col("b"))
+        .join(zw, Seq("z"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("common_nbrs"), sum(col("wq")).as("aa_q"))
+      cand
+        .join(e.select(col("src").as("a"), col("dst").as("b")),
+          Seq("a", "b"), "left_anti")
+        .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
+        .select(col("a").as("node_a"), col("b").as("node_b"),
+          col("common_nbrs"), col("aa_q"),
+          round(col("aa_q").cast("double") / lit(1000000.0), 6).as("adamic_adar"),
+          round(col("common_nbrs").cast("double")
+            / (col("da") + col("db") - col("common_nbrs")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("aa_q").desc, col("node_a"), col("node_b"))
+        .limit(20)
+    }),
+
     // 3 unrolled quantized-PageRank iterations, top-20 nodes; the
     // oracle replays the identical iteration, so values match exactly
     "graph_pagerank" -> ((spark, sfDir) => {
@@ -380,6 +423,30 @@ object Graph {
       JOIN (SELECT seed, COUNT(*) AS n_2hop FROM reach GROUP BY seed) d2
         ON d1.seed = d2.seed
       ORDER BY d1.seed"""),
+
+    "graph_adamic_adar" -> (EdgeCte + """
+      , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+      , deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src)
+      , zw AS (SELECT node AS z,
+                      CAST(ROUND(1000000.0 / LN(CAST(degree AS DOUBLE))) AS BIGINT) AS wq
+               FROM deg WHERE degree >= 2)
+      , cand AS (
+          SELECT za.dst AS a, zb.dst AS b,
+                 COUNT(*) AS common_nbrs, CAST(SUM(w.wq) AS BIGINT) AS aa_q
+          FROM sym za JOIN sym zb ON za.src = zb.src AND za.dst < zb.dst
+          JOIN zw w ON w.z = za.src
+          GROUP BY za.dst, zb.dst)
+      , ne AS (
+          SELECT c.a, c.b, c.common_nbrs, c.aa_q
+          FROM cand c LEFT JOIN e ON e.src = c.a AND e.dst = c.b
+          WHERE e.src IS NULL)
+      SELECT ne.a AS node_a, ne.b AS node_b, ne.common_nbrs, ne.aa_q,
+             ROUND(CAST(ne.aa_q AS DOUBLE) / 1000000.0, 6) AS adamic_adar,
+             ROUND(CAST(ne.common_nbrs AS DOUBLE)
+                   / CAST(da.degree + db.degree - ne.common_nbrs AS DOUBLE), 6) AS jaccard
+      FROM ne JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b
+      ORDER BY ne.aa_q DESC, node_a, node_b
+      LIMIT 20"""),
 
     "graph_pagerank" -> (EdgeCte + """
       , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)

@@ -420,7 +420,63 @@ object Statistics {
       FROM r
       ORDER BY arm"""
 
+  /** Kendall's τ-b rank correlation (with Goodman–Kruskal γ) between
+    * quantity and discount per return flag — the scalable CONTINGENCY-
+    * TABLE spelling: the naive form compares all O(n²) row pairs, which
+    * no cluster survives at 100 TB; but both variables are low-
+    * cardinality (50 quantities × 11 discount ticks), so aggregating to
+    * cells first (one hash aggregate — the only row-scale shuffle) and
+    * then scoring the ≤550×550 CELL pairs computes the identical
+    * statistic: concordant/discordant pair counts are Σ over cell pairs
+    * of the count product. Everything stays integer-exact until the
+    * final τ-b formula (n(n-1) ≈ 4e10 at sf0.1 — far inside BIGINT;
+    * the tie-corrected denominator product crosses to DOUBLE before
+    * multiplying, as n₀² would overflow). One IEEE op chain per group,
+    * ROUND 6dp — both engines agree bit-for-bit. */
+  private val KendallSql = """
+      WITH pts AS (
+        SELECT l_returnflag AS flag,
+               CAST(ROUND(l_quantity) AS BIGINT)       AS x,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem
+      ),
+      cells AS (
+        SELECT flag, x, y, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY flag, x, y
+      ),
+      pairs AS (
+        SELECT a.flag,
+               CAST(SUM(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc
+        FROM cells a JOIN cells b ON a.flag = b.flag AND b.x > a.x
+        GROUP BY a.flag
+      ),
+      tx AS (
+        SELECT flag, CAST(SUM(cx * (cx - 1)) AS BIGINT) AS xt
+        FROM (SELECT flag, x, CAST(SUM(c) AS BIGINT) AS cx
+              FROM cells GROUP BY flag, x) g
+        GROUP BY flag
+      ),
+      ty AS (
+        SELECT flag, CAST(SUM(cy * (cy - 1)) AS BIGINT) AS yt
+        FROM (SELECT flag, y, CAST(SUM(c) AS BIGINT) AS cy
+              FROM cells GROUP BY flag, y) g
+        GROUP BY flag
+      ),
+      nn AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY flag)
+      SELECT nn.flag, nn.n, p.conc AS concordant, p.disc AS discordant,
+             ROUND(2.0E0 * CAST(p.conc - p.disc AS DOUBLE)
+                   / SQRT(CAST(nn.n * (nn.n - 1) - tx.xt AS DOUBLE)
+                          * CAST(nn.n * (nn.n - 1) - ty.yt AS DOUBLE)), 6) AS tau_b,
+             ROUND(CAST(p.conc - p.disc AS DOUBLE)
+                   / CAST(p.conc + p.disc AS DOUBLE), 6) AS gamma
+      FROM nn JOIN pairs p ON p.flag = nn.flag
+      JOIN tx ON tx.flag = nn.flag
+      JOIN ty ON ty.flag = nn.flag
+      ORDER BY nn.flag"""
+
   val queries: Map[String, Q] = Map(
+    "stats_kendall"     -> Tables.sql(KendallSql),
     "stats_cuped"       -> Tables.sql(CupedSql),
     "stats_regression"  -> Tables.sql(RegressionSql),
     "stats_chisq"       -> Tables.sql(ChisqSql),
@@ -435,6 +491,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_kendall"     -> KendallSql,
     "stats_cuped"       -> CupedSql,
     "stats_regression"  -> RegressionSql,
     "stats_chisq"       -> ChisqSql,

@@ -428,8 +428,135 @@ object TextAnalysis {
     // is TakeOrderedAndProject. Determinism: all counts are integers,
     // one LN per surviving pair absorbed at the 6-dp ROUND, and
     // (pmi DESC, w1, w2) is a unique sort key.
-    "text_pmi_bigrams" -> gsql(pmiSql(spark = true))
+    "text_pmi_bigrams" -> gsql(pmiSql(spark = true)),
+
+    // Multinomial naive-Bayes language ID — the SUPERVISED third leg of
+    // the language-ID family (text_langid = stopword heuristic,
+    // text_langid_trigram = profile n-grams): train on the 80% split
+    // (doc_id % 5 <> 4, the dedup_incremental convention), Laplace
+    // α=1, score the held-out 20% and argmax the log-posterior. The
+    // entire train+predict cycle is joins and hash aggregates — "model
+    // training as a query" — so at 100 TB the model (V×k likelihoods)
+    // is a broadcast-sized table and scoring is one token-keyed join.
+    // Determinism: every log term quantizes to an exact 1e-9 integer
+    // BEFORE the per-(doc, class) SUM (the geomean discipline), so
+    // reduction order cannot matter and the (score DESC, class) argmax
+    // is total. Zero-token docs drop (no evidence to score — the
+    // tfidf convention).
+    "text_langid_nb" -> gsql(nbSql(spark = true)),
+
+    // Hashing-trick featurization (Weinberger et al., "Feature Hashing
+    // for Large Scale Multitask Learning", ICML'09): every token maps
+    // to one of 64 buckets via md5, with a second md5 bit giving the
+    // ±1 sign that keeps collision noise zero-mean — the fixed-width
+    // featurizer that needs NO vocabulary pass, so the 100 TB shape is
+    // a pure narrow map plus one (doc, bucket) hash aggregate with
+    // map-side partials. Features stay signed integer counts (exact —
+    // no normalization float). SF-proportional sample of docs keeps
+    // the row count bounded.
+    "text_feature_hashing" -> gsql(featHashSql(spark = true))
   )
+
+  /** Whole text_langid_nb statement — parameterized on the tokenizer
+    * spelling only; the train/score SQL is textually identical in both
+    * engines. Priors come from the documents table (zero-token docs
+    * still carry prior mass); likelihoods from train token counts. */
+  private def nbSql(spark: Boolean): String = {
+    val tokCte =
+      if (spark) """
+      tok AS (
+        SELECT doc_id, lang, tok
+        FROM documents LATERAL VIEW EXPLODE(TOKENIZE(text)) e AS tok
+      )"""
+      else """
+      tok AS (
+        SELECT doc_id, lang,
+               UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')) AS tok
+        FROM documents
+      )"""
+    s"""
+      WITH $tokCte
+      , tr AS (SELECT doc_id, lang, tok FROM tok WHERE doc_id % 5 <> 4)
+      , cls AS (
+          SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS docs
+          FROM documents WHERE doc_id % 5 <> 4 GROUP BY lang)
+      , nd AS (SELECT CAST(SUM(docs) AS BIGINT) AS n FROM cls)
+      , vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tr)
+      , tc AS (
+          SELECT lang AS c, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tr GROUP BY lang, tok)
+      , tot AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS nt FROM tc GROUP BY c)
+      , lik AS (
+          SELECT tc.c, tc.tok,
+                 CAST(ROUND(LN(CAST(tc.cnt + 1 AS DOUBLE)
+                               / CAST(t.nt + vocab.v AS DOUBLE))
+                            * 1000000000.0) AS BIGINT) AS lq
+          FROM tc JOIN tot t ON tc.c = t.c CROSS JOIN vocab)
+      , oov AS (
+          SELECT t.c,
+                 CAST(ROUND(LN(1.0 / CAST(t.nt + vocab.v AS DOUBLE))
+                            * 1000000000.0) AS BIGINT) AS oq
+          FROM tot t CROSS JOIN vocab)
+      , pri AS (
+          SELECT cls.c,
+                 CAST(ROUND(LN(CAST(cls.docs AS DOUBLE) / CAST(nd.n AS DOUBLE))
+                            * 1000000000.0) AS BIGINT) AS pq
+          FROM cls CROSS JOIN nd)
+      , te AS (SELECT doc_id, tok FROM tok WHERE doc_id % 5 = 4)
+      , sc AS (
+          SELECT te.doc_id, o.c, CAST(SUM(COALESCE(l.lq, o.oq)) AS BIGINT) AS tokq
+          FROM te CROSS JOIN oov o
+          LEFT JOIN lik l ON l.c = o.c AND l.tok = te.tok
+          GROUP BY te.doc_id, o.c)
+      , best AS (
+          SELECT s.doc_id, s.c, p.pq + s.tokq AS score_q,
+                 ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                    ORDER BY p.pq + s.tokq DESC, s.c) AS rn
+          FROM sc s JOIN pri p ON p.c = s.c)
+      SELECT b.doc_id, b.c AS pred_lang, d.lang AS lang, b.score_q,
+             CAST((b.c = d.lang) AS INT) AS correct
+      FROM best b JOIN documents d ON d.doc_id = b.doc_id
+      WHERE b.rn = 1
+      ORDER BY b.doc_id"""
+  }
+
+  /** Whole text_feature_hashing statement — parameterized on the
+    * tokenizer and hex→int spellings (Spark CONV ↔ DuckDB 0x-cast;
+    * md5 of the token bytes renders identically in both engines). */
+  private def featHashSql(spark: Boolean): String = {
+    def md5sub(from: Int, len: Int) =
+      if (spark) s"SUBSTR(MD5(CAST(tok AS BINARY)), $from, $len)"
+      else s"SUBSTR(MD5(tok), $from, $len)"
+    def hex2int(h: String) =
+      if (spark) s"CAST(CONV($h, 16, 10) AS BIGINT)"
+      else s"CAST(('0x' || $h) AS BIGINT)"
+    val tokCte =
+      if (spark) """
+      tok AS (
+        SELECT doc_id, tok
+        FROM documents LATERAL VIEW EXPLODE(TOKENIZE(text)) e AS tok
+        WHERE doc_id % 20 = 3
+      )"""
+      else """
+      tok AS (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')) AS tok
+        FROM documents WHERE doc_id % 20 = 3
+      )"""
+    s"""
+      WITH $tokCte
+      , h AS (
+          SELECT doc_id,
+                 ${hex2int(md5sub(1, 8))} % 64 AS bucket,
+                 CASE WHEN ${hex2int(md5sub(9, 1))} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          FROM tok)
+      SELECT doc_id, bucket,
+             CAST(SUM(sgn) AS BIGINT) AS feat,
+             CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM h
+      GROUP BY doc_id, bucket
+      ORDER BY doc_id, bucket"""
+  }
 
   /** Whole text_tfidf_keywords statement — parameterized on the
     * tokenizer spelling only; counts/LN/ranking SQL is textually
@@ -966,6 +1093,8 @@ object TextAnalysis {
     "text_pmi_bigrams" -> pmiSql(spark = false),
 
     // identical statement modulo the DuckDB tokenizer spelling
+    "text_langid_nb" -> nbSql(spark = false),
+    "text_feature_hashing" -> featHashSql(spark = false),
     "text_tfidf_keywords" -> tfidfSql(spark = false),
 
     // identical statement modulo the DuckDB tokenizer spelling
