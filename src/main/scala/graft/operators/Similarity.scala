@@ -137,7 +137,112 @@ object Similarity {
       ORDER BY vec_id, dim"""
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): from the query's top-10 cosine pool, greedily pick 5
+    * results maximizing λ·rel − (1−λ)·max-sim-to-already-picked
+    * (λ=0.7) — the diversity-aware retrieval shape RAG rerankers run
+    * after ANN. The greedy loop is inherently sequential in k but k is
+    * tiny and FIXED: each of the 4 unrolled steps is a join over the
+    * ≤10-row pool (broadcast-sized), while the only row-scale work is
+    * the pool's brute-force top-10 (TakeOrderedAndProject; at 100 TB
+    * swap the LSH/IVF candidate kernel in front, same rerank).
+    * Determinism: vectors quantize first (the Clustering discipline)
+    * so every cosine is bit-identical across engines; MAX over doubles
+    * is order-free; the λ-combination is one fixed IEEE op chain and
+    * ties break by vec_id — the pick sequence matches exactly. */
+  private def mmrCos(spark: Boolean)(a: String, b: String): String =
+    if (spark) s"COSINE_SIM_D($a, $b)" else Clustering.cosSql(a, b)
+
+  /** The candidate pool: brute-force quantized-cosine top-10 for the
+    * vec_id=0 query — the only row-scale stage of MMR. */
+  private def mmrPoolSql(spark: Boolean): String = {
+    val quant =
+      if (spark) "TRANSFORM(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE) / 1000000.0)"
+      else "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000.0) AS DOUBLE) / 1000000.0)"
+    s"""
+      WITH v AS (SELECT vec_id, $quant AS ve FROM embeddings)
+      , q AS (SELECT ve AS qv FROM v WHERE vec_id = 0)
+      SELECT v.vec_id, v.ve, ${mmrCos(spark)("v.ve", "q.qv")} AS rel
+      FROM v CROSS JOIN q WHERE v.vec_id <> 0
+      ORDER BY rel DESC, vec_id LIMIT 10"""
+  }
+
+  /** The 4 unrolled greedy steps over `poolSrc` + the final projection
+    * — the ORACLE spelling (DuckDB materializes each CTE once). Spark
+    * does NOT run this text: Catalyst inlines CTEs, so the sel-chain
+    * expands ~4^k subtrees (27 s uncached, 10 s even with the pool
+    * cached — all planning and tiny exchanges); the Spark side instead
+    * collects the 10-row pool and runs the greedy loop as driver
+    * arithmetic, which is bounded O(k·dim) driver state — the
+    * k-means-centroid class, and exactly how a production reranker
+    * treats its top-k. */
+  private def mmrStepsSql(spark: Boolean, poolSrc: String): String = {
+    val cos = mmrCos(spark) _
+    val steps = (2 to 5).map { k =>
+      s"""
+      , m$k AS (
+          SELECT p.vec_id, MAX(${cos("p.ve", "s.ve")}) AS msim
+          FROM $poolSrc p JOIN sel${k - 1} s ON p.vec_id <> s.vec_id
+          WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+          GROUP BY p.vec_id)
+      , pick$k AS (
+          SELECT vec_id, ve, rel, msim, $k AS pick_rank FROM (
+            SELECT p.vec_id, p.ve, p.rel, m.msim,
+                   ROW_NUMBER() OVER (ORDER BY CAST(0.7 AS DOUBLE) * p.rel
+                     - CAST(0.3 AS DOUBLE) * m.msim DESC, p.vec_id) AS rn
+            FROM $poolSrc p JOIN m$k m ON p.vec_id = m.vec_id) x
+          WHERE rn = 1)
+      , sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM pick$k)"""
+    }.mkString
+    s"""
+      sel1 AS (
+          SELECT vec_id, ve, rel, CAST(NULL AS DOUBLE) AS msim, 1 AS pick_rank
+          FROM $poolSrc ORDER BY rel DESC, vec_id LIMIT 1)$steps
+      SELECT vec_id, CAST(pick_rank AS INT) AS pick_rank,
+             ROUND(rel, 6) AS rel, ROUND(msim, 6) AS max_sim_sel
+      FROM sel5 ORDER BY pick_rank"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "ann_mmr_rerank" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      GraftFunctions.register(spark)
+      // row-scale work: the top-10 pool (TakeOrderedAndProject). The
+      // greedy rerank runs on the COLLECTED pool — 10 rows of
+      // (id, vec, rel), bounded like the k-means centroid state. The
+      // driver cosine is the same three independent left folds in
+      // index order as CosineSimD / the oracle's list_reduce chain,
+      // so every comparison sees bit-identical doubles.
+      val pool = spark.sql(mmrPoolSql(spark = true)).collect().map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      }
+      def cosD(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        if (na * nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      // Spark's ROUND on doubles: BigDecimal HALF_UP at the given scale
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val sel = scala.collection.mutable.ArrayBuffer(
+        (pool.head._1, pool.head._2, pool.head._3, Option.empty[Double], 1))
+      for (k <- 2 to 5) {
+        val best = pool.iterator
+          .filter(p => !sel.exists(_._1 == p._1))
+          .map { p =>
+            val msim = sel.iterator.map(s => cosD(p._2, s._2)).max
+            (p, msim, 0.7 * p._3 - 0.3 * msim)
+          }
+          .toSeq.sortBy { case (p, _, mmr) => (-mmr, p._1) }.head
+        sel += ((best._1._1, best._1._2, best._1._3, Some(best._2), k))
+      }
+      import spark.implicits._
+      sel.toSeq
+        .map { case (id, _, rel, msim, k) => (id, k, r6(rel), msim.map(r6)) }
+        .toDF("vec_id", "pick_rank", "rel", "max_sim_sel")
+    }),
     // Per-vector symmetric int8 quantization — the storage-prep step
     // before a vector store ships 4×-smaller embeddings: scale =
     // max|x|/127, q = clamp(round(x/scale), ±127), plus the
@@ -421,6 +526,12 @@ object Similarity {
       )"""
 
   val oracle: Map[String, String] = Map(
+    // same statement, DuckDB spellings: list_transform quantize + the
+    // Clustering.cosSql fold replication of CosineSimD — the greedy
+    // pick sequence is bit-deterministic on both sides
+    "ann_mmr_rerank" -> s"""
+      WITH pool AS (${mmrPoolSql(spark = false)}),
+      ${mmrStepsSql(spark = false, poolSrc = "pool")}""",
     // same per-element ops (max, divide, floor-half-up, clamp) and the
     // same index-order MSE fold — bit-identical, no tolerance
     "embed_random_projection" -> randProjSql(spark = false),
