@@ -475,7 +475,52 @@ object Statistics {
       JOIN ty ON ty.flag = nn.flag
       ORDER BY nn.flag"""
 
+  /** Pairwise Pearson correlation matrix over the four lineitem
+    * numerics — the feature-redundancy screen run before any model
+    * fit, as ONE aggregate pass: all 4 first moments, 4 second
+    * moments, and 6 cross moments accumulate in a single hash
+    * aggregate (map-side partials reduce 100 TB to one row per
+    * partition), then each of the 6 pairs is one IEEE formula on the
+    * exact sums. Values quantize to whole units/cents first; product
+    * sums route through DECIMAL(38,0) (the CUPED rule — Σprice² ≈ 2e17
+    * at sf0.1 overflows the 2^53 exact-double range). The 6-row
+    * matrix is a UNION ALL over the 1-row moments CTE. */
+  private val CorrMatrixSql = {
+    val vars = Seq(
+      "qty"   -> "CAST(ROUND(l_quantity) AS DOUBLE)",
+      "price" -> "CAST(ROUND(l_extendedprice) AS DOUBLE)",
+      "disc"  -> "CAST(ROUND(l_discount * 100) AS DOUBLE)",
+      "tax"   -> "CAST(ROUND(l_tax * 100) AS DOUBLE)")
+    val firsts = vars.map { case (n, _) =>
+      s"CAST(SUM(CAST($n AS DECIMAL(18, 0))) AS DOUBLE) AS s_$n" }
+    val seconds = vars.map { case (n, _) =>
+      s"CAST(SUM(CAST($n * $n AS DECIMAL(38, 0))) AS DOUBLE) AS s_${n}_$n" }
+    val pairs = vars.combinations(2).toSeq.map { case Seq((a, _), (b, _)) => (a, b) }
+    val crosses = pairs.map { case (a, b) =>
+      s"CAST(SUM(CAST($a * $b AS DECIMAL(38, 0))) AS DOUBLE) AS s_${a}_$b" }
+    val rows = pairs.map { case (a, b) =>
+      s"""
+      SELECT '$a' AS var_a, '$b' AS var_b,
+             ROUND((n * s_${a}_$b - s_$a * s_$b)
+                   / (SQRT(n * s_${a}_$a - s_$a * s_$a)
+                      * SQRT(n * s_${b}_$b - s_$b * s_$b)), 6) AS corr
+      FROM m"""
+    }.mkString("      UNION ALL")
+    s"""
+      WITH x AS (
+        SELECT ${vars.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
+        FROM lineitem
+      ),
+      m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               ${(firsts ++ seconds ++ crosses).mkString(",\n               ")}
+        FROM x
+      )$rows
+      ORDER BY var_a, var_b"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_corr_matrix" -> Tables.sql(CorrMatrixSql),
     "stats_kendall"     -> Tables.sql(KendallSql),
     "stats_cuped"       -> Tables.sql(CupedSql),
     "stats_regression"  -> Tables.sql(RegressionSql),
@@ -491,6 +536,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_corr_matrix" -> CorrMatrixSql,
     "stats_kendall"     -> KendallSql,
     "stats_cuped"       -> CupedSql,
     "stats_regression"  -> RegressionSql,

@@ -454,8 +454,74 @@ object TextAnalysis {
     // map-side partials. Features stay signed integer counts (exact —
     // no normalization float). SF-proportional sample of docs keeps
     // the row count bounded.
-    "text_feature_hashing" -> gsql(featHashSql(spark = true))
+    "text_feature_hashing" -> gsql(featHashSql(spark = true)),
+
+    // DSIR importance weighting (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS'23): score
+    // every document by the log-likelihood ratio of a TARGET hashed-
+    // unigram LM (here: the English slice, standing in for the
+    // high-quality corpus) over the RAW-corpus LM, and keep the top
+    // scorers. Hashing (the same 64-bucket md5 trick as
+    // text_feature_hashing) is DSIR's own point: both LMs are
+    // fixed-width 64-row tables regardless of vocabulary, so at 100 TB
+    // they broadcast and scoring is a narrow map + one per-doc
+    // aggregate — no vocabulary join, no second corpus pass. The
+    // paper's Gumbel-noise resampling is replaced by the deterministic
+    // top-k (the reproducible variant). Per-bucket log-ratios quantize
+    // to exact 1e-9 integers before the per-doc SUM (the geomean
+    // discipline); add-1 smoothing keeps every bucket finite.
+    "curation_dsir" -> gsql(dsirSql(spark = true))
   )
+
+  /** Whole curation_dsir statement — parameterized on the tokenizer and
+    * hex→int spellings, like featHashSql. */
+  private def dsirSql(spark: Boolean): String = {
+    val md58 =
+      if (spark) "SUBSTR(MD5(CAST(tok AS BINARY)), 1, 8)"
+      else "SUBSTR(MD5(tok), 1, 8)"
+    val bucket =
+      if (spark) s"CAST(CONV($md58, 16, 10) AS BIGINT) % 64"
+      else s"CAST(('0x' || $md58) AS BIGINT) % 64"
+    val tokCte =
+      if (spark) """
+      tok AS (
+        SELECT doc_id, lang, tok
+        FROM documents LATERAL VIEW EXPLODE(TOKENIZE(text)) e AS tok
+      )"""
+      else """
+      tok AS (
+        SELECT doc_id, lang,
+               UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')) AS tok
+        FROM documents
+      )"""
+    s"""
+      WITH $tokCte
+      , h AS (SELECT doc_id, lang, $bucket AS b FROM tok)
+      , tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM h WHERE lang = 'en' GROUP BY b)
+      , rawc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY b)
+      , tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tgt)
+      , tr AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM rawc)
+      , lr AS (
+          SELECT r.b,
+                 CAST(ROUND((LN(CAST(COALESCE(g.c, 0) + 1 AS DOUBLE)
+                                / CAST(tt.t + 64 AS DOUBLE))
+                             - LN(CAST(r.c + 1 AS DOUBLE)
+                                  / CAST(tr.t + 64 AS DOUBLE)))
+                            * 1000000000.0) AS BIGINT) AS lrq
+          FROM rawc r LEFT JOIN tgt g ON g.b = r.b
+          CROSS JOIN tt CROSS JOIN tr)
+      , w AS (
+          SELECT h.doc_id,
+                 CAST(SUM(l.lrq) AS BIGINT) AS wq,
+                 CAST(COUNT(*) AS BIGINT) AS n_toks
+          FROM h JOIN lr l ON l.b = h.b
+          GROUP BY h.doc_id)
+      SELECT d.doc_id, d.lang, w.n_toks, w.wq,
+             ROUND(CAST(w.wq AS DOUBLE) / 1000000000.0, 6) AS logratio
+      FROM w JOIN documents d ON d.doc_id = w.doc_id
+      ORDER BY w.wq DESC, d.doc_id
+      LIMIT 20"""
+  }
 
   /** Whole text_langid_nb statement — parameterized on the tokenizer
     * spelling only; the train/score SQL is textually identical in both
@@ -1095,6 +1161,7 @@ object TextAnalysis {
     // identical statement modulo the DuckDB tokenizer spelling
     "text_langid_nb" -> nbSql(spark = false),
     "text_feature_hashing" -> featHashSql(spark = false),
+    "curation_dsir" -> dsirSql(spark = false),
     "text_tfidf_keywords" -> tfidfSql(spark = false),
 
     // identical statement modulo the DuckDB tokenizer spelling
