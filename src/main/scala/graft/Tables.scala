@@ -25,22 +25,33 @@ object Tables {
       new java.util.WeakHashMap[SparkSession, String]())
 
   def register(spark: SparkSession, sfDir: String): Unit = {
-    if (registered.put(spark, sfDir) == sfDir) return
-    // events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects by
-    // default; read it as a nanos long and floor-divide to µs (integer
-    // div — double division would lose precision above 2^53), matching
-    // DuckDB's ns→µs truncation on the same file (FIXTURES.md §2).
+    if (registered.get(spark) == sfDir) return
+    // events.ts precision varies across testdata generations: TIMESTAMP
+    // (NANOS) (read as a nanos long under the legacy flag, floor-divided
+    // to µs — integer div, double division would lose precision above
+    // 2^53) or plain timestamp[us] (read as TIMESTAMP_NTZ). Normalize
+    // both to session-TZ TimestampType (session TZ is pinned UTC, so the
+    // NTZ→TZ cast is value-preserving) — queries and the DuckDB oracle
+    // then see identical µs instants either way (FIXTURES.md §2).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names.foreach { t =>
       val raw = spark.read.parquet(s"$sfDir/$t.parquet")
       val df =
-        if (t == "events")
-          raw.withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("CAST(ts DIV 1000L AS LONG)")))
-        else raw
+        if (t == "events") {
+          import org.apache.spark.sql.functions._
+          import org.apache.spark.sql.types._
+          raw.schema("ts").dataType match {
+            case LongType => // nanos-as-long generation
+              raw.withColumn("ts",
+                timestamp_micros(expr("CAST(ts DIV 1000L AS LONG)")))
+            case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+          }
+        } else raw
       df.createOrReplaceTempView(t)
     }
+    // memoize only after every view registered: a partial failure must
+    // re-throw on the next query, not cascade into missing-view errors
+    registered.put(spark, sfDir)
   }
 
   /** Drop the memoized sfDir for this session so the NEXT register()

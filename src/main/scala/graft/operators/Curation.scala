@@ -45,6 +45,25 @@ object Curation {
     spark.sql(q)
   }
 
+  private val TempMixSql = """
+      WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source
+      ),
+      w AS (
+        SELECT source, n_docs, chars,
+               CAST(FLOOR(SQRT(CAST(chars AS DOUBLE)) * 1000) AS BIGINT) AS wq
+        FROM s
+      ),
+      t AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot,
+                   CAST(SUM(chars) AS BIGINT) AS ctot FROM w)
+      SELECT source, n_docs, chars,
+             ROUND(CAST(wq AS DOUBLE) / wtot, 6) AS mix_weight,
+             ROUND((CAST(wq AS DOUBLE) / wtot) * ctot / chars, 6) AS epochs
+      FROM w CROSS JOIN t
+      ORDER BY source"""
+
   /** PSI drift monitoring (population stability index — the standard
     * ML-monitoring distribution-shift score): each source's document-
     * length distribution against the corpus-wide baseline over fixed
@@ -117,6 +136,19 @@ object Curation {
     // canonical tiny dimension — Spark broadcasts it, so at 100 TB this
     // is a map-side filter with zero shuffle; reweighting a 100 TB mix
     // is a metadata change, not a data move.
+    // Temperature-scaled mixture weights (α=0.5) — the multi-corpus
+    // sampling recipe (Pile/XLM-R style): source s gets weight
+    // n_s^α / Σ n_t^α, flattening the natural size distribution so
+    // small sources are upsampled; `epochs` is the repeat factor the
+    // sampler applies to each source. One aggregate to a 20-row
+    // dimension — at 100 TB this query prices the mix from table
+    // stats; the weights feed sample_weighted_mix's thresholds.
+    // Determinism: per-source √chars quantizes to an exact 1e-3
+    // integer BEFORE the normalizing sum (double Σ is order-
+    // dependent; integer Σ is not), then each weight is one IEEE
+    // division chain ROUNDed at the boundary.
+    "curation_temperature_mix" -> gsql(TempMixSql),
+
     "sample_weighted_mix" -> gsql("""
       WITH w AS (
         SELECT * FROM VALUES
@@ -292,6 +324,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "curation_temperature_mix" -> TempMixSql,
     "text_drift_psi" -> DriftPsiSql,
     "text_chunks" -> """
       WITH t AS (

@@ -151,6 +151,10 @@ object Graph {
   // + exact integer MIN — the plan a 1000-executor cluster runs
   // per-iteration regardless of graph size. 10 nearest per seed by
   // (d, node), fully deterministic; identical text runs in DuckDB.
+  // dist is the RAW IEEE quotient d/1e6 (bit-identical across engines);
+  // ROUND(…,6) here once differed by an ulp between Spark and DuckDB on
+  // a regenerated dataset (r06 hash mismatch) and is mathematically a
+  // no-op on an integer-over-1e6 quotient, so it stays out.
   private val SsspSql = """
       WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       ew AS (
@@ -166,7 +170,7 @@ object Graph {
       seeds AS (SELECT DISTINCT src AS seed FROM sym ORDER BY seed LIMIT 3),
       d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS d FROM seeds)""" +
     ssspIter(1) + ssspIter(2) + ssspIter(3) + """
-      SELECT seed, node, d AS dist_q, ROUND(d / 1000000.0, 6) AS dist, rn
+      SELECT seed, node, d AS dist_q, d / 1000000.0 AS dist, rn
       FROM (SELECT seed, node, d,
                    ROW_NUMBER() OVER (PARTITION BY seed ORDER BY d, node) AS rn
             FROM d3 WHERE node <> seed) r
@@ -210,7 +214,108 @@ object Graph {
       GROUP BY seed, node
       ORDER BY seed, node"""
 
+  // User-user collaborative filtering — the customer-side twin of
+  // ItemSimSql over the (user, part) incidence. The scale lever is the
+  // POPULARITY CAP: a part bought by u users contributes u² pairs to
+  // the inverted-index self-join, so super-popular items are dropped
+  // from the index before pairing (standard CF practice — they carry
+  // no signal and their pair blowup is what kills the join at 100 TB).
+  // Degrees for the cosine stay UNcapped (exact), counts are integers,
+  // and each score is one ROUNDed IEEE division chain before the
+  // (cosine DESC, a, b) total order.
+  private val UserCfSql = """
+      WITH ui AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+                  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      uc AS (SELECT u, COUNT(*) AS c FROM ui GROUP BY u),
+      pcap AS (SELECT p FROM ui GROUP BY p HAVING COUNT(*) <= 50),
+      ui2 AS (SELECT ui.u, ui.p FROM ui JOIN pcap ON ui.p = pcap.p),
+      pairs AS (
+        SELECT a.u AS ua, b.u AS ub, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM ui2 a JOIN ui2 b ON a.p = b.p AND a.u < b.u
+        GROUP BY a.u, b.u HAVING COUNT(*) >= 3)
+      SELECT ua AS user_a, ub AS user_b, cab AS n_shared,
+             ROUND(CAST(cab AS DOUBLE)
+                   / SQRT(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS cosine,
+             ROUND(CAST(cab AS DOUBLE)
+                   / CAST(ca.c + cb.c - cab AS DOUBLE), 6) AS jaccard
+      FROM pairs JOIN uc ca ON ua = ca.u JOIN uc cb ON ub = cb.u
+      ORDER BY cosine DESC, user_a, user_b
+      LIMIT 20"""
+
+  // one k-core peeling round (k=3): drop nodes whose current degree is
+  // below 3, keep only edges between survivors, recount degrees. Each
+  // round is two semi-joins on node ids + one hash aggregate — the
+  // per-iteration plan a 1000-executor cluster runs at any graph size.
+  private def kcoreIter(k: Int): String = s"""
+      , keep$k AS (SELECT node FROM deg${k - 1} WHERE degree >= 3)
+      , sym$k AS (SELECT s.src, s.dst FROM sym${k - 1} s
+                  JOIN keep$k a ON s.src = a.node
+                  JOIN keep$k b ON s.dst = b.node)
+      , deg$k AS (SELECT src AS node, COUNT(*) AS degree FROM sym$k GROUP BY src)"""
+
+  /** 3-core decomposition, 3 unrolled peeling rounds; emits the
+    * (round, nodes, edges) shrinkage trajectory — all exact integers.
+    * `pre` supplies sym0: the Spark side passes a PERSISTED symmetric
+    * edge view (the scalar subqueries reference sym0 eight times, and
+    * Catalyst CTE inlining would re-run the whole edge build each
+    * time); DuckDB keeps the pure-CTE spelling it materializes anyway. */
+  private def kcoreSql(pre: String): String = pre + """
+      , deg0 AS (SELECT src AS node, COUNT(*) AS degree FROM sym0 GROUP BY src)""" +
+    kcoreIter(1) + kcoreIter(2) + kcoreIter(3) + """
+      SELECT r.round,
+             CASE r.round WHEN 0 THEN (SELECT COUNT(*) FROM deg0)
+                          WHEN 1 THEN (SELECT COUNT(*) FROM deg1)
+                          WHEN 2 THEN (SELECT COUNT(*) FROM deg2)
+                          ELSE (SELECT COUNT(*) FROM deg3) END AS n_nodes,
+             CASE r.round WHEN 0 THEN (SELECT COUNT(*) FROM sym0 WHERE src < dst)
+                          WHEN 1 THEN (SELECT COUNT(*) FROM sym1 WHERE src < dst)
+                          WHEN 2 THEN (SELECT COUNT(*) FROM sym2 WHERE src < dst)
+                          ELSE (SELECT COUNT(*) FROM sym3 WHERE src < dst) END AS n_edges
+      FROM (SELECT 0 AS round UNION ALL SELECT 1
+            UNION ALL SELECT 2 UNION ALL SELECT 3) r
+      ORDER BY r.round"""
+
+  /** Per-node local clustering coefficient: each (src<dst)-oriented
+    * triangle from the wedge join credits its three corners once, then
+    * coeff = 2·tri / (deg·(deg−1)) over the SYMMETRIC degree. Counts
+    * are exact; the coefficient is one ROUNDed division. `eSrc`/`symSrc`
+    * name the edge relations (Spark: persisted views — the triangle
+    * CTE references the edge list three times; DuckDB: the e/sym CTEs). */
+  private def localClusteringSql(eSrc: String, symSrc: String): String = s"""
+      , t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM $eSrc e1 JOIN $eSrc e2 ON e1.dst = e2.src
+              JOIN $eSrc e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+      , tv AS (SELECT a AS node FROM t
+               UNION ALL SELECT b FROM t
+               UNION ALL SELECT c FROM t)
+      , tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM tv GROUP BY node)
+      , degl AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+                 FROM $symSrc GROUP BY src)
+      SELECT d.node, d.degree, COALESCE(tc.n_tri, 0) AS n_triangles,
+             ROUND(2.0E0 * CAST(COALESCE(tc.n_tri, 0) AS DOUBLE)
+                   / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) AS clustering_coeff
+      FROM degl d LEFT JOIN tc ON tc.node = d.node
+      WHERE d.degree >= 2
+      ORDER BY n_triangles DESC, clustering_coeff DESC, d.node
+      LIMIT 20"""
+
   val queries: Map[String, Q] = Map(
+    "recsys_user_cf" -> Tables.sql(UserCfSql),
+    "graph_kcore" -> ((spark, sfDir) => {
+      val e = edges(spark, sfDir)
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .persist().createOrReplaceTempView("kcore_sym")
+      spark.sql(kcoreSql(
+        "WITH sym0 AS (SELECT src, dst FROM kcore_sym)"))
+    }),
+    "graph_local_clustering" -> ((spark, sfDir) => {
+      val e = edges(spark, sfDir).persist()
+      e.createOrReplaceTempView("lcc_e")
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .createOrReplaceTempView("lcc_sym")
+      spark.sql("WITH x AS (SELECT 1)" +
+        localClusteringSql("lcc_e", "lcc_sym"))
+    }),
     "graph_assoc_rules" -> Tables.sql(AssocSql),
     "recsys_item_sim" -> Tables.sql(ItemSimSql),
     "graph_sssp" -> Tables.sql(SsspSql),
@@ -384,6 +489,14 @@ object Graph {
       )"""
 
   val oracle: Map[String, String] = Map(
+    "recsys_user_cf" -> UserCfSql,
+    "graph_kcore" -> kcoreSql(EdgeCte + """
+      , sym0 AS (SELECT src, dst FROM e
+                 UNION ALL SELECT dst AS src, src AS dst FROM e)"""),
+    "graph_local_clustering" -> (EdgeCte + """
+      , sym AS (SELECT src, dst FROM e
+                UNION ALL SELECT dst AS src, src AS dst FROM e)""" +
+      localClusteringSql("e", "sym")),
     "graph_assoc_rules" -> AssocSql,
     "recsys_item_sim" -> ItemSimSql,
     "graph_sssp" -> SsspSql,

@@ -101,15 +101,47 @@ object Profiling {
       FROM c CROSS JOIN t ORDER BY digit"""
   }
 
+  /** Functional-dependency discovery over a fixed candidate set — the
+    * profiling pass that infers key/hierarchy structure (det → dep holds
+    * iff no determinant value maps to two dependent values). Each
+    * candidate is one groupBy on its determinant with a distinct-count
+    * of the dependent — at 100 TB each branch is a single two-phase
+    * distinct aggregate on the det key, never a pair join; the verdict
+    * and violation counts are exact integers. Includes a composite
+    * determinant (the lineitem PK) and known-false candidates so both
+    * verdict polarities are exercised. */
+  private def fdBranch(label: String, table: String,
+                       det: String, dep: String): String = s"""
+      SELECT '$label' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_det,
+             CAST(MAX(nd) AS BIGINT) AS max_dep_per_det,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             CAST(CASE WHEN MAX(nd) = 1 THEN 1 ELSE 0 END AS INT) AS holds
+      FROM (SELECT $det, COUNT(DISTINCT $dep) AS nd
+            FROM $table GROUP BY $det) g"""
+
+  private val FdSql = Seq(
+    fdBranch("n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    fdBranch("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    fdBranch("o_custkey->o_orderstatus", "orders", "o_custkey", "o_orderstatus"),
+    fdBranch("l_orderkey->l_partkey", "lineitem", "l_orderkey", "l_partkey"),
+    fdBranch("l_orderkey,l_linenumber->l_partkey", "lineitem",
+             "l_orderkey, l_linenumber", "l_partkey"),
+    fdBranch("c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    fdBranch("l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey")
+  ).mkString("", "\n      UNION ALL", "\n      ORDER BY fd")
+
   val queries: Map[String, Q] = Map(
     "profile_columns" -> Tables.sql(ProfileSql),
     "validate_constraints" -> Tables.sql(ValidateSql),
-    "profile_benford" -> Tables.sql(benfordSql(spark = true))
+    "profile_benford" -> Tables.sql(benfordSql(spark = true)),
+    "profile_fd" -> Tables.sql(FdSql)
   )
 
   val oracle: Map[String, String] = Map(
     "profile_columns" -> ProfileSql,
     "validate_constraints" -> ValidateSql,
-    "profile_benford" -> benfordSql(spark = false)
+    "profile_benford" -> benfordSql(spark = false),
+    "profile_fd" -> FdSql
   )
 }

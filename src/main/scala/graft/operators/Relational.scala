@@ -35,6 +35,41 @@ object Relational {
   // from data (the customer's latest order), and a changed customer
   // contributes exactly two rows: the closed history row and the open
   // current one. +100.0 on a dollar-scale double is exact.
+  // Bag-semantics set operations. Both engines implement INTERSECT ALL /
+  // EXCEPT ALL as a per-value counted aggregate (Spark: replicate-rows
+  // over min/diff of the two counts), so the only shuffle is the value
+  // key itself — scale is that of a groupBy on the column, not of the
+  // row multiset. The outer GROUP BY compacts the replicated rows back
+  // to (value, multiplicity) so the result is small and totally ordered.
+  private val IntersectAllSql = """
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT ALL
+        SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'MACHINERY'
+      ) t GROUP BY nk ORDER BY nk"""
+
+  private val ExceptAllSql = """
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT ALL
+        SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'MACHINERY'
+      ) t GROUP BY nk ORDER BY nk"""
+
+  // SQL:1999 LATERAL derived table (Spark 3.2+ lateral join; identical
+  // text runs in DuckDB): the inner subquery re-evaluates per outer row
+  // with a correlated predicate. Catalyst decorrelates it into a plain
+  // aggregate + join — at 100 TB this is one hash aggregate on the
+  // correlation key plus a broadcast/shuffle join, never a per-row
+  // re-execution. COUNT/MAX keep every value exact.
+  private val LateralSql = """
+      SELECT n_name, n_cust, max_bal
+      FROM nation n, LATERAL (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+               MAX(c_acctbal) AS max_bal
+        FROM customer c WHERE c.c_nationkey = n.n_nationkey
+      ) x
+      ORDER BY n_name"""
+
   private val Scd2Sql = """
       WITH eff AS (
         SELECT o_custkey, CAST(MAX(o_orderdate) AS DATE) AS eff_date
@@ -655,6 +690,16 @@ object Relational {
         SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'BUILDING'
       ) t ORDER BY ck"""),
 
+    // Bag-semantics set ops (SQL:1999 INTERSECT ALL / EXCEPT ALL):
+    // multiplicity min / difference per value. Both engines rewrite to
+    // a counted aggregate + generate, so the shuffle stays on the value
+    // key — no row-pair matching. Multiset of nation keys per segment:
+    // how many BUILDING customers per nation survive pairing with a
+    // MACHINERY customer of the same nation, and the excess.
+    "set_intersect_all" -> Tables.sql(IntersectAllSql),
+    "set_except_all" -> Tables.sql(ExceptAllSql),
+    "join_lateral" -> Tables.sql(LateralSql),
+
     // Uncorrelated IN subquery (Hive TOK_SUBQUERY_EXPR → semi-join
     // rewrite, SemanticAnalyzer.genPlanForSubQueryPredicate).
     "subquery_in" -> Tables.sql("""
@@ -1059,6 +1104,10 @@ object Relational {
         EXCEPT
         SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'BUILDING'
       ) t ORDER BY ck""",
+
+    "set_intersect_all" -> IntersectAllSql,
+    "set_except_all" -> ExceptAllSql,
+    "join_lateral" -> LateralSql,
 
     "subquery_in" -> """
       SELECT o_orderkey, o_totalprice

@@ -203,7 +203,54 @@ object Similarity {
       FROM sel5 ORDER BY pick_rank"""
   }
 
+  /** Top principal component of the embedding cloud by TWO power
+    * iterations in the FACTORED form vₖ₊₁ = Xᵀ(X·vₖ) — the Gram matrix
+    * X'X is never materialized, so each iteration is two joins on
+    * (vec_id | dim) over the exploded (vec_id, dim, q) coordinates plus
+    * two hash aggregates: the plan a 1000-executor cluster runs
+    * unchanged whether X is 2k×64 or 10¹⁰×64 (the d²-cell Gram build,
+    * by contrast, explodes 4096 cells per row before aggregating).
+    * Determinism discipline (the Clustering/k-means treatment):
+    * coordinates quantize to exact 1e-3 integers, every matrix-vector
+    * sum is an exact integer SUM (bounded: |v₂| ≤ n·10³·64·10⁹ — far
+    * inside BIGINT at bench scale; the per-iteration max-abs
+    * renormalization to the 1e6 grid is what keeps the NEXT iteration
+    * bounded at any n), and the only float ops are the renormalize
+    * divides — identical IEEE chains both engines. v₀ = 1⃗ fixes the
+    * sign. Output: exact quantized loading + its float display twin. */
+  private def pcaSql(spark: Boolean): String = {
+    val coords =
+      if (spark) """
+      co AS (SELECT vec_id, pos AS d,
+                    CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+             FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x)"""
+      else """
+      co AS (SELECT vec_id, i - 1 AS d,
+                    CAST(FLOOR(emb[i] * 1000) AS BIGINT) AS q
+             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings) e, range(1, 65) r(i))"""
+    s"""
+      WITH $coords,
+      s1 AS (SELECT vec_id, CAST(SUM(q) AS BIGINT) AS s FROM co GROUP BY vec_id),
+      v1 AS (SELECT co.d, CAST(SUM(co.q * s1.s) AS BIGINT) AS v
+             FROM co JOIN s1 ON co.vec_id = s1.vec_id GROUP BY co.d),
+      m1 AS (SELECT CAST(MAX(ABS(v)) AS DOUBLE) AS m FROM v1),
+      v1q AS (SELECT d, CAST(ROUND(1000000.0 * (CAST(v AS DOUBLE) / m)) AS BIGINT) AS vq
+              FROM v1 CROSS JOIN m1),
+      s2 AS (SELECT co.vec_id, CAST(SUM(co.q * v1q.vq) AS BIGINT) AS s
+             FROM co JOIN v1q ON co.d = v1q.d GROUP BY co.vec_id),
+      v2 AS (SELECT co.d, CAST(SUM(co.q * s2.s) AS BIGINT) AS v
+             FROM co JOIN s2 ON co.vec_id = s2.vec_id GROUP BY co.d),
+      m2 AS (SELECT CAST(MAX(ABS(v)) AS DOUBLE) AS m FROM v2)
+      SELECT d AS dim,
+             CAST(ROUND(1000000.0 * (CAST(v AS DOUBLE) / m)) AS BIGINT) AS pc1_q,
+             ROUND(CAST(v AS DOUBLE) / m, 6) AS pc1
+      FROM v2 CROSS JOIN m2
+      ORDER BY dim"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "embed_pca_power" -> gsql(pcaSql(spark = true)),
     "ann_mmr_rerank" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       GraftFunctions.register(spark)
@@ -526,6 +573,7 @@ object Similarity {
       )"""
 
   val oracle: Map[String, String] = Map(
+    "embed_pca_power" -> pcaSql(spark = false),
     // same statement, DuckDB spellings: list_transform quantize + the
     // Clustering.cosSql fold replication of CosineSimD — the greedy
     // pick sequence is bit-deterministic on both sides

@@ -519,7 +519,62 @@ object Statistics {
       ORDER BY var_a, var_b"""
   }
 
+  /** Two-feature OLS (multiple linear regression) fitted in closed form
+    * from the normal equations — price ~ quantity + discount over
+    * lineitem. Like the corr matrix, the entire fit is ONE hash
+    * aggregate over 9 moment sums (map-side partials make this a
+    * single row per partition at 100 TB), then Cramer's rule on the
+    * centered 2×2 system is a scalar IEEE chain on the exact sums.
+    * Inputs quantize to whole units/ticks; every product sum routes
+    * through DECIMAL(38,0) so the moments are bit-exact and
+    * order-independent; coefficients ROUND at the 6dp boundary (the
+    * quotients are generic reals, never on the decimal grid where
+    * engine rounding could disagree). */
+  private val Ols2Sql = """
+      WITH x AS (
+        SELECT CAST(ROUND(l_quantity) AS DOUBLE)       AS x1,
+               CAST(ROUND(l_discount * 100) AS DOUBLE) AS x2,
+               CAST(ROUND(l_extendedprice) AS DOUBLE)  AS y
+        FROM lineitem
+      ),
+      m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x1 AS DECIMAL(18, 0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(x2 AS DECIMAL(18, 0))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(y  AS DECIMAL(18, 0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x1 * x1 AS DECIMAL(38, 0))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(x2 * x2 AS DECIMAL(38, 0))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(x1 * x2 AS DECIMAL(38, 0))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(x1 * y  AS DECIMAL(38, 0))) AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(x2 * y  AS DECIMAL(38, 0))) AS DOUBLE) AS s2y,
+               CAST(SUM(CAST(y  * y  AS DECIMAL(38, 0))) AS DOUBLE) AS syy
+        FROM x
+      ),
+      c AS (
+        SELECT n, s1, s2, sy,
+               s11 - s1 * s1 / n AS c11,
+               s22 - s2 * s2 / n AS c22,
+               s12 - s1 * s2 / n AS c12,
+               s1y - s1 * sy / n AS c1y,
+               s2y - s2 * sy / n AS c2y,
+               syy - sy * sy / n AS cyy
+        FROM m
+      ),
+      b AS (
+        SELECT n, s1, s2, sy, c1y, c2y, cyy,
+               (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+               (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+        FROM c
+      )
+      SELECT CAST(n AS BIGINT) AS n_rows,
+             ROUND((sy - b1 * s1 - b2 * s2) / n, 6) AS b0,
+             ROUND(b1, 6) AS b1,
+             ROUND(b2, 6) AS b2,
+             ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
+      FROM b"""
+
   val queries: Map[String, Q] = Map(
+    "stats_ols2"        -> Tables.sql(Ols2Sql),
     "stats_corr_matrix" -> Tables.sql(CorrMatrixSql),
     "stats_kendall"     -> Tables.sql(KendallSql),
     "stats_cuped"       -> Tables.sql(CupedSql),
@@ -536,6 +591,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_ols2"        -> Ols2Sql,
     "stats_corr_matrix" -> CorrMatrixSql,
     "stats_kendall"     -> KendallSql,
     "stats_cuped"       -> CupedSql,
