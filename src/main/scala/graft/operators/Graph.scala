@@ -444,6 +444,55 @@ object Graph {
         .limit(20)
     }),
 
+    // Modularity of the 3-round LPA communities (Newman–Girvan Q):
+    // per community c, contribution = e_c/m − (d_c/2m)² over intra-edge
+    // count e_c, degree mass d_c, edge total m. Completes the
+    // community-detection story with its quality score. Counts are all
+    // exact integers off two label equi-joins (the membership join on
+    // each edge endpoint — id-pair shuffles only); each contribution is
+    // one IEEE chain on exact counts (squared via multiply, not POW —
+    // no libm), ROUNDed before the (size DESC, community) total order.
+    // m is a driver-side scalar (one count over the persisted edges).
+    "graph_modularity" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = edges(spark, sfDir).persist()
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      var lp = sym.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to 3) {
+        val nl = sym.join(lp.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("node").orderBy(col("c").desc, col("lbl"))
+        lp = nl.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).select("node", "lbl")
+      }
+      lp = lp.persist()
+      val m = e.count().toDouble
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val dc = deg.join(lp, Seq("node"))
+        .groupBy(col("lbl"))
+        .agg(sum(col("degree")).as("d_c"), count(lit(1)).as("size"))
+      val ein = e
+        .join(lp.select(col("node").as("src"), col("lbl").as("la")), Seq("src"))
+        .join(lp.select(col("node").as("dst"), col("lbl").as("lb")), Seq("dst"))
+        .where(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_c"))
+      val r = col("d_c").cast("double") / lit(2.0 * m)
+      dc.join(ein, Seq("lbl"), "left")
+        .select(col("lbl").as("community"), col("size"), col("d_c"),
+          coalesce(col("e_c"), lit(0L)).as("e_c"),
+          // + 0.0 normalizes a rounded −0.0 (a tiny negative contribution
+          // rounding to zero keeps its sign bit, and the engines disagree
+          // on which zero to print — surfaced at sf0.1)
+          (round(coalesce(col("e_c"), lit(0L)).cast("double") / lit(m) - r * r, 6)
+            + lit(0.0)).as("contribution"))
+        .orderBy(col("size").desc, col("community"))
+        .limit(20)
+    }),
+
     // 3 unrolled quantized-PageRank iterations, top-20 nodes; the
     // oracle replays the identical iteration, so values match exactly
     "graph_pagerank" -> ((spark, sfDir) => {
@@ -511,6 +560,26 @@ object Graph {
       SELECT lbl AS community, COUNT(*) AS size
       FROM lp3 GROUP BY lbl
       ORDER BY size DESC, community LIMIT 20"""),
+
+    "graph_modularity" -> (EdgeCte + """
+      , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+      , lp0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym)""" +
+      lpIter(1) + lpIter(2) + lpIter(3) + """
+      , m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM e)
+      , deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src)
+      , dc AS (SELECT p.lbl, CAST(SUM(d.degree) AS BIGINT) AS d_c,
+                      CAST(COUNT(*) AS BIGINT) AS size
+               FROM deg d JOIN lp3 p ON d.node = p.node GROUP BY p.lbl)
+      , ein AS (SELECT a.lbl, CAST(COUNT(*) AS BIGINT) AS e_c
+                FROM e JOIN lp3 a ON e.src = a.node JOIN lp3 b ON e.dst = b.node
+                WHERE a.lbl = b.lbl GROUP BY a.lbl)
+      SELECT dc.lbl AS community, dc.size, dc.d_c,
+             COALESCE(ein.e_c, 0) AS e_c,
+             ROUND(CAST(COALESCE(ein.e_c, 0) AS DOUBLE) / m.m
+                   - (CAST(dc.d_c AS DOUBLE) / (2.0 * m.m))
+                     * (CAST(dc.d_c AS DOUBLE) / (2.0 * m.m)), 6) + 0.0 AS contribution
+      FROM dc LEFT JOIN ein ON dc.lbl = ein.lbl CROSS JOIN m
+      ORDER BY dc.size DESC, community LIMIT 20"""),
     "graph_triangles" -> (EdgeCte + """
       SELECT (SELECT COUNT(*) FROM (SELECT src AS node FROM e UNION SELECT dst AS node FROM e) n) AS n_nodes,
              (SELECT COUNT(*) FROM e) AS n_edges,

@@ -573,7 +573,87 @@ object Statistics {
              ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
       FROM b"""
 
+  // one IRLS/Newton step on the 11-cell contingency table: sigmoid at
+  // the CURRENT (1e-9-grid) coefficients quantized to 1e-6, per-cell
+  // weights as exact DECIMALs in 1e-12 units (operands cast to sized
+  // DECIMALs BEFORE multiplying — the raw BIGINT product n·P·(1e6−P)
+  // overflows int64; the sized widths keep every product ≤ DECIMAL(25)),
+  // gradients as exact 1e-6 BIGINTs, then the 2×2 Newton solve as one
+  // IEEE chain re-quantized to the 1e-9 grid for the next step. EXP/LN
+  // evaluate on 11 cells only, so the engines' last-ulp libm
+  // differences have ~11 chances (not 600k) to straddle a rounding
+  // boundary — and the quantized coefficients make every downstream
+  // value bit-reproducible anyway.
+  private def irlsIter(k: Int): String = s"""
+      , p$k AS (
+        SELECT x, n, sy,
+               CAST(ROUND(1000000.0 /
+                 (1.0 + EXP(-(b.b0 + b.b1 * x))), 0) AS BIGINT) AS pq
+        FROM cells CROSS JOIN b${k - 1} b
+      ),
+      w$k AS (
+        SELECT x, n, sy, pq,
+               CAST(CAST(n AS DECIMAL(12, 0)) * CAST(pq AS DECIMAL(7, 0))
+                 * CAST(1000000 - pq AS DECIMAL(7, 0)) AS DECIMAL(30, 0)) AS w
+        FROM p$k
+      ),
+      s$k AS (
+        SELECT CAST(SUM(w) AS DOUBLE) AS a,
+               CAST(SUM(w * CAST(x AS DECIMAL(3, 0))) AS DOUBLE) AS bb,
+               CAST(SUM(w * CAST(x * x AS DECIMAL(5, 0))) AS DOUBLE) AS c,
+               CAST(SUM(sy * 1000000 - n * pq) AS DOUBLE) AS g0,
+               CAST(SUM((sy * 1000000 - n * pq) * x) AS DOUBLE) AS g1
+        FROM w$k
+      ),
+      b$k AS (
+        SELECT ROUND(b.b0 + (s.c * s.g0 - s.bb * s.g1) * 1.0E6
+                            / (s.a * s.c - s.bb * s.bb), 9) AS b0,
+               ROUND(b.b1 + (s.a * s.g1 - s.bb * s.g0) * 1.0E6
+                            / (s.a * s.c - s.bb * s.bb), 9) AS b1
+        FROM s$k s CROSS JOIN b${k - 1} b
+      )"""
+
+  /** Logistic regression P(returnflag='R' | discount) fitted by two
+    * unrolled IRLS/Newton iterations — distributed ML training as pure
+    * SQL. The scale trick is the Kendall contingency treatment: the
+    * feature is discrete (11 discount ticks), so ONE row-scale hash
+    * aggregate reduces the corpus to 11 exact (x, n, Σy) cells and
+    * every iteration's transcendental + linear-algebra work runs on
+    * those 11 rows — at 100 TB the plan is one map-side-combined
+    * shuffle, then cell-scale arithmetic (a continuous feature would
+    * bin first, same shape). Determinism: coefficients and per-cell
+    * sigmoids live on a 1e-9 grid, weight/gradient sums are exact
+    * DECIMAL/BIGINT, and each Newton solve is one IEEE chain both
+    * engines evaluate identically. Log-loss follows the perplexity
+    * discipline (per-cell LN quantized to 1e-9 before the exact
+    * weighted sum). */
+  private val LogisticIrlsSql = """
+      WITH cells AS (
+        SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS sy
+        FROM lineitem GROUP BY CAST(ROUND(l_discount * 100) AS BIGINT)
+      ),
+      b0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1)""" +
+    irlsIter(1) + irlsIter(2) + """
+      , fin AS (
+        SELECT x, n, sy,
+               ROUND(1.0 / (1.0 + EXP(-(b.b0 + b.b1 * x))), 9) AS p
+        FROM cells CROSS JOIN b2 b
+      ),
+      loss AS (
+        SELECT CAST(SUM(sy * CAST(ROUND(LN(p) * 1000000000.0, 0) AS BIGINT)
+                   + (n - sy) * CAST(ROUND(LN(1.0 - p) * 1000000000.0, 0) AS BIGINT)) AS DOUBLE) AS l9,
+               CAST(SUM(n) AS DOUBLE) AS nn
+        FROM fin
+      )
+      SELECT CAST(loss.nn AS BIGINT) AS n_rows,
+             ROUND(b.b0, 6) AS b0, ROUND(b.b1, 6) AS b1,
+             ROUND(-loss.l9 / (loss.nn * 1.0E9), 6) AS log_loss
+      FROM b2 b CROSS JOIN loss"""
+
   val queries: Map[String, Q] = Map(
+    "stats_logistic_irls" -> Tables.sql(LogisticIrlsSql),
     "stats_ols2"        -> Tables.sql(Ols2Sql),
     "stats_corr_matrix" -> Tables.sql(CorrMatrixSql),
     "stats_kendall"     -> Tables.sql(KendallSql),
@@ -591,6 +671,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_logistic_irls" -> LogisticIrlsSql,
     "stats_ols2"        -> Ols2Sql,
     "stats_corr_matrix" -> CorrMatrixSql,
     "stats_kendall"     -> KendallSql,

@@ -446,4 +446,51 @@ class PlanQualitySpec extends AnyFunSuite {
       s"edge list must come from the persisted cache:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("embed_pca_power: matrix-vector joins stay equi on vec_id/dim, no cartesian") {
+    val p = plan("embed_pca_power")
+    // the factored X'(Xv) form must never materialize the d² Gram
+    // matrix or cross the corpus with itself — the only non-equi joins
+    // allowed are the 1-row renormalizer broadcasts
+    assert(!p.contains("CartesianProduct"),
+      s"power iteration must stay on vec_id/dim equi-joins:\n$p")
+    // big sums combine map-side before the dim/vec_id exchanges
+    val exIdx = p.indexOf("Exchange")
+    assert(exIdx >= 0 && p.lastIndexOf("HashAggregate") > exIdx,
+      s"no partial aggregate under the exchange:\n$p")
+  }
+
+  test("recsys_user_cf pairs through the capped inverted index — equi-join on part") {
+    val p = plan("recsys_user_cf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"user-pair generation must stay an item equi-join:\n$p")
+  }
+
+  test("graph_kcore peeling rounds read the persisted symmetric edge view") {
+    val df = SparkEntry.queries("graph_kcore")(spark, LocalSpark.sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // 8 scalar subqueries + 3 peel rounds all reference sym0 — without
+    // the persisted view each reference re-runs the lineitem self-join
+    assert(p.contains("InMemoryTableScan"),
+      s"peeling must read the cached edge view:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("join_lateral decorrelates to an aggregate plus equi-join, no per-row loop") {
+    val p = plan("join_lateral")
+    assert(!p.contains("CartesianProduct"),
+      s"correlated lateral subquery must decorrelate:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"decorrelation plans the inner aggregate once, keyed on c_nationkey:\n$p")
+  }
+
+  test("stats_ols2 fits from one aggregate pass with map-side partials") {
+    val p = plan("stats_ols2")
+    val exIdx = p.indexOf("Exchange")
+    assert(exIdx >= 0 && p.lastIndexOf("HashAggregate") > exIdx,
+      s"the 9 moment sums must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the scalar CTE chain must not shuffle-join:\n$p")
+  }
 }
