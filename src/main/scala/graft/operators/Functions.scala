@@ -18,6 +18,40 @@ object Functions {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  private val NeymanSql = """
+      WITH cents AS (
+        SELECT c_custkey, c_mktsegment AS seg,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+        FROM customer
+      ),
+      st AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS nh,
+               CAST(SUM(CAST(v AS DECIMAL(18, 0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(v AS DECIMAL(18, 0))
+                        * CAST(v AS DECIMAL(18, 0))) AS DOUBLE) AS sxx
+        FROM cents GROUP BY seg
+      ),
+      alloc0 AS (
+        SELECT seg, nh,
+               CAST(ROUND(nh * SQRT(sxx / nh - (sx / nh) * (sx / nh)) / 100.0)
+                    AS BIGINT) AS wq
+        FROM st
+      ),
+      t AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot FROM alloc0),
+      alloc AS (SELECT seg, nh, wq,
+                       CAST(FLOOR(500.0 * wq / wtot) AS BIGINT) AS n_alloc
+                FROM alloc0 CROSS JOIN t),
+      r AS (SELECT c.c_custkey, c.seg,
+                   ROW_NUMBER() OVER (PARTITION BY c.seg
+                     ORDER BY (c.c_custkey * 2654435761) % 4294967296,
+                              c.c_custkey) AS rk
+            FROM cents c)
+      SELECT r.c_custkey, r.seg AS segment,
+             CAST(r.rk AS BIGINT) AS sample_rank, a.n_alloc
+      FROM r JOIN alloc a ON r.seg = a.seg
+      WHERE r.rk <= a.n_alloc
+      ORDER BY segment, c_custkey"""
+
   val queries: Map[String, Q] = Map(
     "string_fns" -> Tables.sql("""
       SELECT c_custkey,
@@ -324,6 +358,19 @@ object Functions {
       WHERE sample_rank <= 30
       ORDER BY lang, doc_id"""),
 
+    // Neyman-allocation stratified sampling — the survey-statistics
+    // upgrade of sample_stratified: the 500-row budget is allocated
+    // n_h ∝ N_h·S_h (stratum size × stratum std-dev), so volatile
+    // strata get proportionally more rows — the minimum-variance
+    // allocation for estimating the population mean. Two passes, both
+    // scale-shaped: (1) per-stratum moments as ONE map-side-combined
+    // hash aggregate (cents-quantized, DECIMAL product sums — exact at
+    // any scale), N_h·S_h quantized to an exact integer BEFORE the
+    // tiny normalizing sum; (2) the per-stratum top-n_h pick by the
+    // same Knuth multiplicative hash as sample_stratified (window rank
+    // + filter, one stratum-key shuffle — reproducible across runs).
+    "sample_neyman" -> Tables.sql(NeymanSql),
+
     // Deterministic train/val/test split — the reproducibility
     // primitive every training pipeline needs: assignment is a pure
     // function of the KEY (first md5 byte-pair against hex thresholds:
@@ -395,6 +442,10 @@ object Functions {
       FROM orders
       WHERE (o_orderkey % 2147483648) * 2654435761 % 4294967296 % 8 = 0
       ORDER BY o_orderkey""",
+
+    // identical text: exact decimal moments, quantized N_h·S_h, same
+    // Knuth-hash rank — engine-independent end to end
+    "sample_neyman" -> NeymanSql,
 
     // identical integer arithmetic — the hash rank is engine-independent
     "sample_stratified" -> """

@@ -70,6 +70,46 @@ object Relational {
       ) x
       ORDER BY n_name"""
 
+  // Snapshot reconciliation (table diff) — the nightly "what changed
+  // between yesterday's and today's extract" audit: FULL OUTER join on
+  // the key classifies every row added / removed / changed / unchanged
+  // and counts which columns drove each change. The "new" snapshot is
+  // a deterministic mutation of customer (balance bump on key%7,
+  // segment flip on key%11, key%13 deleted, key%17 cloned as inserts)
+  // so both verdict polarities and all four classes appear. At 100 TB
+  // this is ONE key shuffle (or a shuffle-free SMB join when both
+  // snapshots are bucketed on the key); +100.0 on a dollar double is
+  // exact, so the change predicates are deterministic.
+  private val DiffSnapshotSql = """
+      WITH newv AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS bal,
+               CASE WHEN c_custkey % 11 = 0 THEN 'AUTOMOBILE'
+                    ELSE c_mktsegment END AS seg
+        FROM customer WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 17 = 0
+      ),
+      d AS (
+        SELECT CASE WHEN o.c_custkey IS NULL THEN 'added'
+                    WHEN n.c_custkey IS NULL THEN 'removed'
+                    WHEN o.c_acctbal <> n.bal OR o.c_mktsegment <> n.seg
+                      THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+                     AND o.c_acctbal <> n.bal THEN 1 ELSE 0 END AS bal_chg,
+               CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+                     AND o.c_mktsegment <> n.seg THEN 1 ELSE 0 END AS seg_chg
+        FROM customer o FULL OUTER JOIN newv n ON o.c_custkey = n.c_custkey
+      )
+      SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(bal_chg) AS BIGINT) AS n_balance_changed,
+             CAST(SUM(seg_chg) AS BIGINT) AS n_segment_changed
+      FROM d GROUP BY change_type
+      ORDER BY change_type"""
+
   private val Scd2Sql = """
       WITH eff AS (
         SELECT o_custkey, CAST(MAX(o_orderdate) AS DATE) AS eff_date
@@ -699,6 +739,7 @@ object Relational {
     "set_intersect_all" -> Tables.sql(IntersectAllSql),
     "set_except_all" -> Tables.sql(ExceptAllSql),
     "join_lateral" -> Tables.sql(LateralSql),
+    "diff_snapshot" -> Tables.sql(DiffSnapshotSql),
 
     // Uncorrelated IN subquery (Hive TOK_SUBQUERY_EXPR → semi-join
     // rewrite, SemanticAnalyzer.genPlanForSubQueryPredicate).
@@ -1108,6 +1149,7 @@ object Relational {
     "set_intersect_all" -> IntersectAllSql,
     "set_except_all" -> ExceptAllSql,
     "join_lateral" -> LateralSql,
+    "diff_snapshot" -> DiffSnapshotSql,
 
     "subquery_in" -> """
       SELECT o_orderkey, o_totalprice

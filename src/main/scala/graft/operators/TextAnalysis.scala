@@ -93,7 +93,42 @@ object TextAnalysis {
       ORDER BY merge_rank"""
   }
 
+  /** Positional phrase search ("table hash") over a positional
+    * inverted index: postings are (doc_id, pos, term); a 2-term phrase
+    * is one self-equi-join on (doc_id, adjacent pos) between the two
+    * term filters. At 100 TB the term predicates push into the
+    * postings scan (each side reads ONE term's postings, the classic
+    * inverted-index access path) and the adjacency join shuffles
+    * (doc_id, pos) id pairs only. Counts/positions are exact integers.
+    * Dialect split on the tokenize/explode spelling only: Spark
+    * posexplode is 0-based, DuckDB generate_subscripts is 1-based —
+    * normalized to 1-based here. */
+  private def phraseSql(spark: Boolean): String = {
+    val postings =
+      if (spark) """
+      t AS (SELECT doc_id, FILTER(SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+            FROM documents),
+      p AS (SELECT doc_id, pos + 1 AS pos, w
+            FROM t LATERAL VIEW POSEXPLODE(toks) x AS pos, w)"""
+      else """
+      t AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+            FROM documents),
+      p AS (SELECT doc_id, GENERATE_SUBSCRIPTS(toks, 1) AS pos, UNNEST(toks) AS w
+            FROM t)"""
+    s"""
+      WITH $postings,
+      m AS (SELECT a.doc_id, a.pos
+            FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.w = 'table' AND b.w = 'hash')
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+             CAST(MIN(pos) AS BIGINT) AS first_pos
+      FROM m GROUP BY doc_id
+      ORDER BY n_matches DESC, doc_id
+      LIMIT 20"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_phrase_search" -> gsql(phraseSql(spark = true)),
     // Spark side of the BPE trainer: each generation persists (the
     // pure-CTE spelling re-tokenized the corpus exponentially under
     // Catalyst CTE inlining — 17 s vs ~3 s), the 1-row top pair
@@ -896,6 +931,7 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_phrase_search" -> phraseSql(spark = false),
     "text_bpe_merges" -> bpeOracleSql,
 
     "text_rake" -> rakeSql(spark = false),
