@@ -287,7 +287,39 @@ object Aggregates {
       GROUP BY l_returnflag
       ORDER BY rf"""
 
+  /** 5%-trimmed mean per return flag — the robust-mean companion of
+    * the winsorized/MAD family: rank rows inside each group, drop the
+    * lowest and highest ⌊n/20⌋, average the exact-cents middle via a
+    * DECIMAL sum. Tie-safety: equal values at a trim boundary are
+    * interchangeable, so WHICH duplicate the row_number drops cannot
+    * change the kept multiset or its sum. Scale shape: one
+    * range-partitioned sort per group key (the window_running_median
+    * cost class); at 100 TB the boundaries would come from the exact
+    * percentile aggregate instead — same answer, this spelling keeps
+    * the whole statistic in one window pass. */
+  private val TrimmedMeanSql = """
+      WITH c AS (
+        SELECT l_returnflag AS rf,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+      ),
+      r AS (
+        SELECT rf, v,
+               ROW_NUMBER() OVER (PARTITION BY rf ORDER BY v) AS rk,
+               COUNT(*) OVER (PARTITION BY rf) AS n
+        FROM c
+      )
+      SELECT rf, CAST(MAX(n) AS BIGINT) AS n_rows,
+             CAST(FLOOR(MAX(n) / 20.0) AS BIGINT) AS n_trimmed_each_side,
+             ROUND(CAST(SUM(CAST(v AS DECIMAL(18, 0))) AS DOUBLE)
+                   / COUNT(*), 6) AS trimmed_mean_cents
+      FROM r
+      WHERE rk > FLOOR(n / 20.0) AND rk <= n - FLOOR(n / 20.0)
+      GROUP BY rf
+      ORDER BY rf"""
+
   val queries: Map[String, Q] = Map(
+    "agg_trimmed_mean" -> Tables.sql(TrimmedMeanSql),
     "agg_geomean" -> Tables.sql(GeoHarmonicSql),
     "agg_weighted_percentile" -> Tables.sql(WeightedPctSql),
     "feature_scale" -> Tables.sql(FeatureScaleSql),
@@ -622,6 +654,7 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_trimmed_mean" -> TrimmedMeanSql,
     "agg_geomean" -> GeoHarmonicSql,
     "agg_weighted_percentile" -> WeightedPctSql,
     "feature_scale" -> FeatureScaleSql,

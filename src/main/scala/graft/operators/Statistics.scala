@@ -652,7 +652,39 @@ object Statistics {
              ROUND(-loss.l9 / (loss.nn * 1.0E9), 6) AS log_loss
       FROM b2 b CROSS JOIN loss"""
 
+  /** Hill estimator of the Pareto tail index over order totals — the
+    * heavy-tail diagnostic (α ≈ how fast the tail decays; α < 2 means
+    * infinite variance and your mean-based SLAs are lies). Exactly the
+    * scale shape of a top-k: TakeOrderedAndProject delivers the 101
+    * largest values (no global sort), the rank window then sees 101
+    * rows only, and the 100 log-ratio terms quantize to 1e-9 integers
+    * before the exact sum (LN's last-ulp engine differences sit ~8
+    * orders below the quantum on 100 evaluations). x_k stays in exact
+    * cents — cents/100.0 lands ON the 2-decimal grid, exactly where
+    * engine ROUND half-up/half-even can disagree (the sssp lesson). */
+  private val HillSql = """
+      WITH top AS (
+        SELECT o_totalprice, o_orderkey FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 101
+      ),
+      topk AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM top
+      ),
+      xk AS (SELECT v AS vk FROM topk WHERE rk = 101),
+      terms AS (
+        SELECT CAST(ROUND(LN(CAST(t.v AS DOUBLE) / CAST(x.vk AS DOUBLE))
+                          * 1000000000.0) AS BIGINT) AS lq
+        FROM topk t CROSS JOIN xk x WHERE t.rk <= 100
+      )
+      SELECT CAST(100 AS INT) AS k, x.vk AS x_k_cents,
+             ROUND(100.0 * 1.0E9 / CAST(SUM(t.lq) AS DOUBLE), 6) AS hill_alpha
+      FROM terms t CROSS JOIN xk x
+      GROUP BY x.vk"""
+
   val queries: Map[String, Q] = Map(
+    "stats_hill" -> Tables.sql(HillSql),
     "stats_logistic_irls" -> Tables.sql(LogisticIrlsSql),
     "stats_ols2"        -> Tables.sql(Ols2Sql),
     "stats_corr_matrix" -> Tables.sql(CorrMatrixSql),
@@ -671,6 +703,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_hill" -> HillSql,
     "stats_logistic_irls" -> LogisticIrlsSql,
     "stats_ols2"        -> Ols2Sql,
     "stats_corr_matrix" -> CorrMatrixSql,
