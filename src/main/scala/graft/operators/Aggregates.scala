@@ -318,7 +318,54 @@ object Aggregates {
       GROUP BY rf
       ORDER BY rf"""
 
+  /** Skewness and excess kurtosis per return flag — the 3rd/4th
+    * standardized moments that complete agg_stats' distribution
+    * profile, as ONE aggregate pass over whole-dollar quantized values
+    * (dollar ≤ ~6·10⁵ keeps v⁴ inside DECIMAL(27) and every product
+    * sum inside DECIMAL(38) — cents would overflow the cube at sf0.1;
+    * operands are sized DECIMALs BEFORE multiplying, the logistic-IRLS
+    * lesson, and the squared operands widen to DECIMAL(19) because
+    * DuckDB's int64-backed decimal multiply overflows at width 18 —
+    * 19 forces the int128 path). Map-side partials reduce 100 TB to one moments row per
+    * partition; each statistic is then a single IEEE chain on the
+    * exact sums, ROUNDed at the boundary. */
+  private val SkewKurtSql = """
+      WITH c AS (
+        SELECT l_returnflag AS rf,
+               CAST(ROUND(l_extendedprice) AS BIGINT) AS v
+        FROM lineitem
+      ),
+      m AS (
+        SELECT rf, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(8, 0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(v AS DECIMAL(8, 0))
+                        * CAST(v AS DECIMAL(8, 0))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(v AS DECIMAL(8, 0)) * CAST(v AS DECIMAL(8, 0))
+                        * CAST(v AS DECIMAL(8, 0))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(CAST(v AS DECIMAL(8, 0)) * CAST(v AS DECIMAL(8, 0))
+                        AS DECIMAL(19, 0))
+                        * CAST(CAST(v AS DECIMAL(8, 0)) * CAST(v AS DECIMAL(8, 0))
+                        AS DECIMAL(19, 0))) AS DOUBLE) AS s4
+        FROM c GROUP BY rf
+      ),
+      k AS (
+        SELECT rf, n, s1 / n AS mu,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                 + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                 - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM m
+      )
+      SELECT rf, CAST(n AS BIGINT) AS n_rows,
+             ROUND(mu, 6) AS mean_dollars,
+             ROUND(m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)), 6) AS skewness,
+             ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+      FROM k
+      ORDER BY rf"""
+
   val queries: Map[String, Q] = Map(
+    "agg_skew_kurtosis" -> Tables.sql(SkewKurtSql),
     "agg_trimmed_mean" -> Tables.sql(TrimmedMeanSql),
     "agg_geomean" -> Tables.sql(GeoHarmonicSql),
     "agg_weighted_percentile" -> Tables.sql(WeightedPctSql),
@@ -654,6 +701,7 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_skew_kurtosis" -> SkewKurtSql,
     "agg_trimmed_mean" -> TrimmedMeanSql,
     "agg_geomean" -> GeoHarmonicSql,
     "agg_weighted_percentile" -> WeightedPctSql,
