@@ -255,10 +255,11 @@ object Graph {
 
   /** 3-core decomposition, 3 unrolled peeling rounds; emits the
     * (round, nodes, edges) shrinkage trajectory — all exact integers.
-    * `pre` supplies sym0: the Spark side passes a PERSISTED symmetric
-    * edge view (the scalar subqueries reference sym0 eight times, and
-    * Catalyst CTE inlining would re-run the whole edge build each
-    * time); DuckDB keeps the pure-CTE spelling it materializes anyway. */
+    * ORACLE-ONLY spelling: DuckDB materializes the CTE chain once, so
+    * the 8 scalar subqueries are cheap there; on Spark the same text
+    * re-derived the whole peel chain per subquery under CTE inlining
+    * (~50 planned joins, 16.5 s at sf0.1), so the query side runs the
+    * equivalent persisted-round driver loop instead. */
   private def kcoreSql(pre: String): String = pre + """
       , deg0 AS (SELECT src AS node, COUNT(*) AS degree FROM sym0 GROUP BY src)""" +
     kcoreIter(1) + kcoreIter(2) + kcoreIter(3) + """
@@ -301,12 +302,35 @@ object Graph {
 
   val queries: Map[String, Q] = Map(
     "recsys_user_cf" -> Tables.sql(UserCfSql),
+    // Iterative driver loop over PERSISTED rounds: each peel is two
+    // semi-joins + one aggregate on the previous round's cached edges,
+    // and the 8 trajectory numbers are driver-side counts (the
+    // graph_triangles pattern — a 4-row result is not a row-scale
+    // collect). The single-statement spelling (8 scalar subqueries
+    // each re-deriving the full peel chain) planned ~50 joins and ran
+    // 16.5 s at sf0.1 — 10× this loop; the oracle keeps it (DuckDB
+    // materializes CTEs, so its chain evaluates once).
     "graph_kcore" -> ((spark, sfDir) => {
       val e = edges(spark, sfDir)
-      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .persist().createOrReplaceTempView("kcore_sym")
-      spark.sql(kcoreSql(
-        "WITH sym0 AS (SELECT src, dst FROM kcore_sym)"))
+      var sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      var deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree")).persist()
+      val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+      rows += ((0, deg.count(), sym.where(col("src") < col("dst")).count()))
+      for (k <- 1 to 3) {
+        val keep = deg.where(col("degree") >= 3).select(col("node"))
+        val symN = sym
+          .join(keep.select(col("node").as("src")), Seq("src"))
+          .join(keep.select(col("node").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst")).persist()
+        val degN = symN.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("degree")).persist()
+        rows += ((k, degN.count(), symN.where(col("src") < col("dst")).count()))
+        sym = symN; deg = degN
+      }
+      import spark.implicits._
+      rows.toSeq.toDF("round", "n_nodes", "n_edges")
     }),
     "graph_local_clustering" -> ((spark, sfDir) => {
       val e = edges(spark, sfDir).persist()
