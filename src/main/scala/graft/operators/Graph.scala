@@ -300,7 +300,76 @@ object Graph {
       ORDER BY n_triangles DESC, clustering_coeff DESC, d.node
       LIMIT 20"""
 
+  /** Harmonic centrality bounded to 3 hops (the k-hop truncation every
+    * production graph system uses — exact closeness needs all-pairs):
+    * per node, Σ 1/d(u,v) over distinct nodes within 3 hops. Distances
+    * come from three frontier joins with per-hop DISTINCT (id pairs
+    * only — the khop plan); 1/d is encoded as exact SIXTHS
+    * (6/1, 6/2, 6/3 → 6,3,2 via CASE — no division at all), so the
+    * centrality sum is an exact integer and the float display twin is
+    * one raw IEEE division (q6/6.0 is off-grid, no ROUND trap).
+    * `symSrc` names the symmetric edge relation: Spark passes a
+    * PERSISTED view (the three hops + dedup reference it five times;
+    * CTE inlining would re-run the edge build each time). */
+  private def harmonicSql(symSrc: String): String = s"""
+      , h1 AS (SELECT DISTINCT src AS u, dst AS v FROM $symSrc)
+      , h2 AS (SELECT DISTINCT a.u, s.dst AS v
+               FROM h1 a JOIN $symSrc s ON s.src = a.v WHERE s.dst <> a.u)
+      , h3 AS (SELECT DISTINCT b.u, s.dst AS v
+               FROM h2 b JOIN $symSrc s ON s.src = b.v WHERE s.dst <> b.u)
+      , dist AS (
+          SELECT u, v, MIN(d) AS d FROM (
+            SELECT u, v, 1 AS d FROM h1
+            UNION ALL SELECT u, v, 2 AS d FROM h2
+            UNION ALL SELECT u, v, 3 AS d FROM h3) x
+          WHERE u <> v
+          GROUP BY u, v)
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS n_reach_3hop,
+             CAST(SUM(CASE d WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END) AS BIGINT) AS harm_q6,
+             SUM(CASE d WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END) / 6.0E0 AS harmonic
+      FROM dist GROUP BY u
+      ORDER BY harm_q6 DESC, node
+      LIMIT 20"""
+
+  /** Degree assortativity (Newman 2002): Pearson correlation of
+    * endpoint degrees over the directed-both-ways edge list — do hubs
+    * link to hubs? One row. Degrees are exact counts, every moment sum
+    * routes through DECIMAL, the coefficient is one ROUNDed IEEE chain
+    * (generic quotient, off-grid). Two id-keyed joins + one aggregate
+    * at any scale. */
+  private def assortativitySql(symSrc: String): String = s"""
+      , adeg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k
+                 FROM $symSrc GROUP BY src)
+      , ep AS (SELECT da.k AS ka, db.k AS kb
+               FROM $symSrc s JOIN adeg da ON s.src = da.node
+               JOIN adeg db ON s.dst = db.node)
+      , mo AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(ka AS DECIMAL(18, 0))) AS DOUBLE) AS sa,
+                 CAST(SUM(CAST(kb AS DECIMAL(18, 0))) AS DOUBLE) AS sb,
+                 CAST(SUM(CAST(ka * kb AS DECIMAL(38, 0))) AS DOUBLE) AS sab,
+                 CAST(SUM(CAST(ka * ka AS DECIMAL(38, 0))) AS DOUBLE) AS saa,
+                 CAST(SUM(CAST(kb * kb AS DECIMAL(38, 0))) AS DOUBLE) AS sbb
+          FROM ep)
+      SELECT CAST(n AS BIGINT) AS n_edge_ends,
+             ROUND((n * sab - sa * sb)
+                   / (SQRT(n * saa - sa * sa) * SQRT(n * sbb - sb * sb)), 6)
+               AS assortativity
+      FROM mo"""
+
   val queries: Map[String, Q] = Map(
+    "graph_harmonic_centrality" -> ((spark, sfDir) => {
+      val e = edges(spark, sfDir)
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .persist().createOrReplaceTempView("harm_sym")
+      spark.sql("WITH z AS (SELECT 1)" + harmonicSql("harm_sym"))
+    }),
+    "graph_assortativity" -> ((spark, sfDir) => {
+      val e = edges(spark, sfDir)
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .persist().createOrReplaceTempView("asso_sym")
+      spark.sql("WITH z AS (SELECT 1)" + assortativitySql("asso_sym"))
+    }),
     "recsys_user_cf" -> Tables.sql(UserCfSql),
     // Iterative driver loop over PERSISTED rounds: each peel is two
     // semi-joins + one aggregate on the previous round's cached edges,
@@ -561,7 +630,13 @@ object Graph {
         WHERE rn = 1
       )"""
 
+  private val SymCte = """
+      , sym AS (SELECT src, dst FROM e
+                UNION ALL SELECT dst AS src, src AS dst FROM e)"""
+
   val oracle: Map[String, String] = Map(
+    "graph_harmonic_centrality" -> (EdgeCte + SymCte + harmonicSql("sym")),
+    "graph_assortativity" -> (EdgeCte + SymCte + assortativitySql("sym")),
     "recsys_user_cf" -> UserCfSql,
     "graph_kcore" -> kcoreSql(EdgeCte + """
       , sym0 AS (SELECT src, dst FROM e
