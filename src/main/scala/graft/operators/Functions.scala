@@ -358,6 +358,26 @@ object Functions {
       WHERE sample_rank <= 30
       ORDER BY lang, doc_id"""),
 
+    // Class-balanced downsampling — the imbalanced-learning primitive:
+    // every language class is downsampled to the MINORITY class's
+    // count (computed from the data, not configured), rows picked by
+    // the reproducible Knuth hash rank. One aggregate for the class
+    // counts (broadcast — it's a tiny dimension), one window rank per
+    // class: at 100 TB the majority classes never shuffle more than
+    // their rank window needs, and re-runs pick identical rows.
+    "sample_balanced" -> Tables.sql("""
+      WITH cc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents GROUP BY lang),
+      tgt AS (SELECT CAST(MIN(n) AS BIGINT) AS k FROM cc),
+      r AS (SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+            FROM documents)
+      SELECT r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS sample_rank, t.k AS class_size
+      FROM r CROSS JOIN tgt t
+      WHERE r.rk <= t.k
+      ORDER BY r.lang, r.doc_id"""),
+
     // Neyman-allocation stratified sampling — the survey-statistics
     // upgrade of sample_stratified: the 500-row budget is allocated
     // n_h ∝ N_h·S_h (stratum size × stratum std-dev), so volatile
@@ -446,6 +466,19 @@ object Functions {
     // identical text: exact decimal moments, quantized N_h·S_h, same
     // Knuth-hash rank — engine-independent end to end
     "sample_neyman" -> NeymanSql,
+
+    "sample_balanced" -> """
+      WITH cc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents GROUP BY lang),
+      tgt AS (SELECT CAST(MIN(n) AS BIGINT) AS k FROM cc),
+      r AS (SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+            FROM documents)
+      SELECT r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS sample_rank, t.k AS class_size
+      FROM r CROSS JOIN tgt t
+      WHERE r.rk <= t.k
+      ORDER BY r.lang, r.doc_id""",
 
     // identical integer arithmetic — the hash rank is engine-independent
     "sample_stratified" -> """

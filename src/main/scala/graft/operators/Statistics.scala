@@ -683,7 +683,37 @@ object Statistics {
       FROM terms t CROSS JOIN xk x
       GROUP BY x.vk"""
 
+  /** Two-proportion z-test — the A/B conversion-rate test (the
+    * categorical sibling of stats_ttest): arms are custkey parity,
+    * "conversion" is an order finishing ('F'). Everything derives from
+    * four exact counts in ONE aggregate pass (map-side combined at any
+    * scale); the z statistic is a single ROUNDed IEEE chain on those
+    * counts with the pooled-variance spelling. */
+  private val PropZSql = """
+      WITH a AS (
+        SELECT CAST(o_custkey % 2 AS INT) AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM orders GROUP BY CAST(o_custkey % 2 AS INT)
+      ),
+      w AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END)    AS n0,
+               MAX(CASE WHEN arm = 0 THEN conv END) AS c0,
+               MAX(CASE WHEN arm = 1 THEN n END)    AS n1,
+               MAX(CASE WHEN arm = 1 THEN conv END) AS c1
+        FROM a
+      )
+      SELECT n0, c0, n1, c1,
+             ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+             ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+             ROUND((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                   / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                          * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                          * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
+      FROM w"""
+
   val queries: Map[String, Q] = Map(
+    "stats_proportion_ztest" -> Tables.sql(PropZSql),
     "stats_hill" -> Tables.sql(HillSql),
     "stats_logistic_irls" -> Tables.sql(LogisticIrlsSql),
     "stats_ols2"        -> Tables.sql(Ols2Sql),
@@ -703,6 +733,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_proportion_ztest" -> PropZSql,
     "stats_hill" -> HillSql,
     "stats_logistic_irls" -> LogisticIrlsSql,
     "stats_ols2"        -> Ols2Sql,
