@@ -364,7 +364,42 @@ object Aggregates {
       FROM k
       ORDER BY rf"""
 
+  /** 5% winsorized mean per return flag — agg_trimmed_mean's sibling
+    * that CLAMPS the tails to the boundary order statistics instead of
+    * dropping them (keeps n constant — the estimator regulators expect
+    * in reported aggregates). Same rank machinery; the boundary values
+    * are the cents at ranks ⌊n/20⌋+1 and n−⌊n/20⌋, applied via
+    * LEAST/GREATEST on exact integers, so the whole statistic is an
+    * exact-integer sum until the final mean division. */
+  private val WinsorizedMeanSql = """
+      WITH c AS (
+        SELECT l_returnflag AS rf,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+      ),
+      r AS (
+        SELECT rf, v,
+               ROW_NUMBER() OVER (PARTITION BY rf ORDER BY v) AS rk,
+               COUNT(*) OVER (PARTITION BY rf) AS n
+        FROM c
+      ),
+      b AS (
+        SELECT rf,
+               MAX(CASE WHEN rk = FLOOR(n / 20.0) + 1 THEN v END) AS lo,
+               MAX(CASE WHEN rk = n - FLOOR(n / 20.0) THEN v END) AS hi
+        FROM r GROUP BY rf
+      )
+      SELECT r.rf, CAST(MAX(r.n) AS BIGINT) AS n_rows,
+             b.lo AS lower_bound_cents, b.hi AS upper_bound_cents,
+             ROUND(CAST(SUM(CAST(LEAST(b.hi, GREATEST(b.lo, r.v))
+                                 AS DECIMAL(18, 0))) AS DOUBLE)
+                   / COUNT(*), 6) AS winsorized_mean_cents
+      FROM r JOIN b ON r.rf = b.rf
+      GROUP BY r.rf, b.lo, b.hi
+      ORDER BY r.rf"""
+
   val queries: Map[String, Q] = Map(
+    "agg_winsorized_mean" -> Tables.sql(WinsorizedMeanSql),
     "agg_skew_kurtosis" -> Tables.sql(SkewKurtSql),
     "agg_trimmed_mean" -> Tables.sql(TrimmedMeanSql),
     "agg_geomean" -> Tables.sql(GeoHarmonicSql),
@@ -701,6 +736,7 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_winsorized_mean" -> WinsorizedMeanSql,
     "agg_skew_kurtosis" -> SkewKurtSql,
     "agg_trimmed_mean" -> TrimmedMeanSql,
     "agg_geomean" -> GeoHarmonicSql,
