@@ -20,7 +20,38 @@ object Events {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  // Longest same-type event streak per user — the gaps-and-islands
+  // run-length idiom (rn − rn_by_type is constant within a run): two
+  // rank windows on the SAME (user, ts) sort order, one aggregate, a
+  // per-user argmax. One user-keyed shuffle at any scale, no driver
+  // state; ts ties break on event_id so runs are deterministic. All
+  // integers end to end.
+  private val LongestStreakSql = """
+      WITH o AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rnt
+        FROM events
+      ),
+      runs AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM o GROUP BY user_id, event_type, rn - rnt
+      ),
+      sel AS (
+        SELECT user_id, event_type, run_len,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY run_len DESC, event_type) AS r
+        FROM runs
+      )
+      SELECT user_id, event_type AS streak_type, run_len AS longest_streak
+      FROM sel WHERE r = 1
+      ORDER BY longest_streak DESC, user_id
+      LIMIT 25"""
+
   val queries: Map[String, Q] = Map(
+    "events_longest_streak" -> Tables.sql(LongestStreakSql),
     "events_tumbling_window" -> Tables.sql("""
       SELECT window.start AS w_start, event_type,
              COUNT(*) AS n,
@@ -742,6 +773,7 @@ object Events {
       ORDER BY user_id, event_id"""
 
   val oracle: Map[String, String] = Map(
+    "events_longest_streak" -> LongestStreakSql,
     "events_tumbling_window" -> """
       SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS w_start, event_type,
              COUNT(*) AS n,

@@ -23,6 +23,27 @@ object Relational {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  // Point-in-time (PIT) dimension join — the fact-to-SCD2 lookup every
+  // temporal warehouse runs: each order joins to the dimension row
+  // VALID AT its order date (valid_from <= d < valid_to, open-ended
+  // current rows via IS NULL). The dimension is Scd2Sql's own output
+  // (structural reuse — the same rows scd2_apply verifies), nested as
+  // a derived table. At 100 TB the dimension is broadcast and the
+  // interval predicate rides as a residual on the key equi-join — one
+  // map-side join, never a range shuffle. Aggregated to per-version
+  // classes so the result is small and exact (cents sums in DECIMAL).
+  private lazy val PitScd2Sql = s"""
+      SELECT d.is_current, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(CAST(ROUND(d.acctbal * 100) AS BIGINT)
+                           AS DECIMAL(18, 0))) AS BIGINT) AS balance_cents
+      FROM orders o JOIN ($Scd2Sql) d
+        ON o.o_custkey = d.c_custkey
+       AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+       AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)
+      GROUP BY d.is_current
+      ORDER BY d.is_current"""
+
   // TPC-H Q3/Q5/Q10 shapes (adapted to the synthetic schema/date range)
   // — the canonical multi-join + money-aggregate benchmark slices every
   // Hive deployment runs. One SQL text serves both engines: revenue
@@ -740,6 +761,7 @@ object Relational {
     "set_except_all" -> Tables.sql(ExceptAllSql),
     "join_lateral" -> Tables.sql(LateralSql),
     "diff_snapshot" -> Tables.sql(DiffSnapshotSql),
+    "join_pit_scd2" -> Tables.sql(PitScd2Sql),
 
     // Uncorrelated IN subquery (Hive TOK_SUBQUERY_EXPR → semi-join
     // rewrite, SemanticAnalyzer.genPlanForSubQueryPredicate).
@@ -1150,6 +1172,7 @@ object Relational {
     "set_except_all" -> ExceptAllSql,
     "join_lateral" -> LateralSql,
     "diff_snapshot" -> DiffSnapshotSql,
+    "join_pit_scd2" -> PitScd2Sql,
 
     "subquery_in" -> """
       SELECT o_orderkey, o_totalprice

@@ -712,7 +712,47 @@ object Statistics {
                           * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
       FROM w"""
 
+  /** Delta-method standard error for a RATIO metric (revenue per
+    * order) across two arms — the A/B-infrastructure formula for
+    * metrics whose unit of analysis (customer) differs from the
+    * metric's denominator (orders): Var(Σy/Σx) ≈ (s_yy − 2R·s_xy +
+    * R²·s_xx)/(n·x̄²) over per-UNIT (x, y) pairs. Per-unit rollup then
+    * the five moments in one pass, both map-side combined;
+    * whole-dollar revenue quantization with DECIMAL product sums
+    * keeps every moment exact, and R/SE are single ROUNDed IEEE
+    * chains. */
+  private val DeltaMethodSql = """
+      WITH u AS (
+        SELECT o_custkey, CAST(o_custkey % 2 AS INT) AS arm,
+               CAST(COUNT(*) AS DOUBLE) AS x,
+               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS DOUBLE) AS y
+        FROM orders GROUP BY o_custkey, CAST(o_custkey % 2 AS INT)
+      ),
+      m AS (
+        SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(18, 0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(18, 0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38, 0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(x * y AS DECIMAL(38, 0))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(y * y AS DECIMAL(38, 0))) AS DOUBLE) AS syy
+        FROM u GROUP BY arm
+      ),
+      k AS (
+        SELECT arm, n, sy / sx AS r, sx / n AS xbar,
+               (sxx - sx * sx / n) / (n - 1) AS cxx,
+               (sxy - sx * sy / n) / (n - 1) AS cxy,
+               (syy - sy * sy / n) / (n - 1) AS cyy
+        FROM m
+      )
+      SELECT arm, CAST(n AS BIGINT) AS n_units,
+             ROUND(r, 6) AS ratio_rev_per_order,
+             ROUND(SQRT((cyy - 2.0 * r * cxy + r * r * cxx)
+                        / (n * xbar * xbar)), 6) AS delta_se
+      FROM k
+      ORDER BY arm"""
+
   val queries: Map[String, Q] = Map(
+    "stats_delta_method" -> Tables.sql(DeltaMethodSql),
     "stats_proportion_ztest" -> Tables.sql(PropZSql),
     "stats_hill" -> Tables.sql(HillSql),
     "stats_logistic_irls" -> Tables.sql(LogisticIrlsSql),
@@ -733,6 +773,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_delta_method" -> DeltaMethodSql,
     "stats_proportion_ztest" -> PropZSql,
     "stats_hill" -> HillSql,
     "stats_logistic_irls" -> LogisticIrlsSql,
