@@ -50,7 +50,74 @@ object Events {
       ORDER BY longest_streak DESC, user_id
       LIMIT 25"""
 
+  /** Kaplan–Meier survival curve for time-to-conversion (first 'view' →
+    * first 'purchase'; users who never purchase are right-censored at
+    * their last observed event) — the survival-analysis primitive
+    * product analytics runs for activation/retention timing. Shape at
+    * scale: one user rollup (keyed shuffle), one small grouped
+    * time-table, and the risk set via a cumulative window — never a
+    * per-time rescan. Determinism: durations are integer seconds; d/n
+    * per step is exact; each step's log-factor quantizes to a 1e-9
+    * integer (the perplexity discipline) so the RUNNING log-survival
+    * `km_logq` is an exact integer — the float curve is its display
+    * twin (EXP then 6-dp ROUND; a step where d = n sends the curve to
+    * exactly 0 without touching LN). Dialect split on the
+    * second-duration spelling only (unix_timestamp vs date_diff —
+    * boundary-count equals floor-epoch difference at second grain). */
+  private def kmSql(spark: Boolean): String = {
+    def dur(a: String, b: String) =
+      if (spark) s"UNIX_TIMESTAMP($b) - UNIX_TIMESTAMP($a)"
+      else s"DATE_DIFF('second', $a, $b)"
+    s"""
+      WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+               MAX(ts) AS tmax
+        FROM events GROUP BY user_id
+      ),
+      s AS (
+        SELECT user_id,
+               CASE WHEN tp IS NOT NULL AND tp > t0 THEN 1 ELSE 0 END AS ev,
+               CAST(CASE WHEN tp IS NOT NULL AND tp > t0
+                         THEN ${dur("t0", "tp")}
+                         ELSE ${dur("t0", "tmax")} END AS BIGINT) AS dur
+        FROM f WHERE t0 IS NOT NULL
+      ),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM s),
+      c AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(ev) AS BIGINT) AS d
+            FROM s GROUP BY dur),
+      cum AS (
+        SELECT dur, cnt, d,
+               SUM(cnt) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle
+        FROM c
+      ),
+      steps AS (
+        SELECT cum.dur AS t, cum.d,
+               CAST(tot.total - (cum.cle - cum.cnt) AS BIGINT) AS n_risk
+        FROM cum CROSS JOIN tot WHERE cum.d > 0
+      ),
+      lf AS (
+        SELECT t, d, n_risk,
+               CASE WHEN d < n_risk
+                 THEN CAST(ROUND(LN(1.0E0 - CAST(d AS DOUBLE) / n_risk)
+                                 * 1000000000.0) AS BIGINT) END AS lq,
+               CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS hit_zero
+        FROM steps
+      )
+      SELECT t AS t_seconds, d AS n_events, n_risk,
+             CAST(SUM(lq) OVER w AS BIGINT) AS km_logq,
+             CASE WHEN MAX(hit_zero) OVER w = 1 THEN 0.0E0
+                  ELSE ROUND(EXP(SUM(lq) OVER w / 1.0E9), 6) END AS km_survival
+      FROM lf
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY t"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_survival_km" -> Tables.sql(kmSql(spark = true)),
     "events_longest_streak" -> Tables.sql(LongestStreakSql),
     "events_tumbling_window" -> Tables.sql("""
       SELECT window.start AS w_start, event_type,
@@ -773,6 +840,7 @@ object Events {
       ORDER BY user_id, event_id"""
 
   val oracle: Map[String, String] = Map(
+    "events_survival_km" -> kmSql(spark = false),
     "events_longest_streak" -> LongestStreakSql,
     "events_tumbling_window" -> """
       SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS w_start, event_type,
