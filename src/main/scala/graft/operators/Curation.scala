@@ -64,6 +64,59 @@ object Curation {
       FROM w CROSS JOIN t
       ORDER BY source"""
 
+  /** Per-source training-data readiness report — the one table a data
+    * lead actually asks for before a mix ships, composed from the
+    * repo's already-validated kernels in ONE statement: volume (docs/
+    * chars/whitespace tokens), exact-duplicate rate (md5 digests),
+    * language purity (top-language share), quality keep-rate (the
+    * text_quality gate), and the α=0.5 temperature mix weight
+    * (curation_temperature_mix's quantized spelling). Two hash
+    * aggregates on source(+lang) and a tiny weight join — 20 output
+    * rows at any corpus size, every count exact, every rate one
+    * ROUNDed division. Dialect split on the token/digest spellings
+    * only. */
+  private def trainReportSql(spark: Boolean): String = {
+    val toks =
+      if (spark) "FILTER(SPLIT(LOWER(text), ' '), w -> w <> '')"
+      else "LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')"
+    val size = if (spark) "SIZE" else "LEN"
+    val dist = if (spark) "ARRAY_DISTINCT" else "LIST_DISTINCT"
+    val md5b = if (spark) "MD5(CAST(text AS BINARY))" else "MD5(text)"
+    s"""
+      WITH d AS (
+        SELECT source, lang, n_chars, $md5b AS dg, $toks AS toks FROM documents
+      ),
+      base AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM($size(toks)) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT dg) AS BIGINT) AS n_uniq_docs,
+               CAST(SUM(CASE WHEN $size(toks) >= 10
+                          AND $size($dist(toks)) / $size(toks) >= 0.2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        FROM d GROUP BY source
+      ),
+      langs AS (
+        SELECT source, CAST(MAX(cnt) AS BIGINT) AS top_lang_n
+        FROM (SELECT source, lang, COUNT(*) AS cnt
+              FROM d GROUP BY source, lang) x
+        GROUP BY source
+      ),
+      w AS (SELECT source,
+                   CAST(FLOOR(SQRT(CAST(sum_chars AS DOUBLE)) * 1000) AS BIGINT) AS wq
+            FROM base),
+      t AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot FROM w)
+      SELECT b.source, b.n_docs, b.sum_chars, b.n_tokens,
+             ROUND(1.0E0 - CAST(b.n_uniq_docs AS DOUBLE) / b.n_docs, 6) AS dup_rate,
+             ROUND(CAST(l.top_lang_n AS DOUBLE) / b.n_docs, 6) AS lang_purity,
+             ROUND(CAST(b.n_keep AS DOUBLE) / b.n_docs, 6) AS quality_keep_rate,
+             ROUND(CAST(w.wq AS DOUBLE) / t.wtot, 6) AS mix_weight
+      FROM base b JOIN langs l ON b.source = l.source
+      JOIN w ON w.source = b.source CROSS JOIN t
+      ORDER BY b.source"""
+  }
+
   /** PSI drift monitoring (population stability index — the standard
     * ML-monitoring distribution-shift score): each source's document-
     * length distribution against the corpus-wide baseline over fixed
@@ -148,6 +201,7 @@ object Curation {
     // dependent; integer Σ is not), then each weight is one IEEE
     // division chain ROUNDed at the boundary.
     "curation_temperature_mix" -> gsql(TempMixSql),
+    "pipeline_train_report" -> gsql(trainReportSql(spark = true)),
 
     "sample_weighted_mix" -> gsql("""
       WITH w AS (
@@ -325,6 +379,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "curation_temperature_mix" -> TempMixSql,
+    "pipeline_train_report" -> trainReportSql(spark = false),
     "text_drift_psi" -> DriftPsiSql,
     "text_chunks" -> """
       WITH t AS (
