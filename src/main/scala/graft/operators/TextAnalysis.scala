@@ -127,7 +127,56 @@ object TextAnalysis {
       LIMIT 20"""
   }
 
+  /** Skip-gram window co-occurrence (the word2vec/GloVe counting pass):
+    * unordered word pairs within a forward window of 3 positions,
+    * counted once per position pair, with windowed PMI. Distinct from
+    * text_pmi_bigrams (adjacent-only): this is the matrix an embedding
+    * trainer actually consumes. Same positional postings as
+    * text_phrase_search; the pair join is banded on (doc_id, pos ≤
+    * pos+3) — id/pos shuffles only, never all-pairs. Counts are exact;
+    * the rank cut is integer-ordered (count DESC, words); PMI is one
+    * LN per OUTPUT row (20 evaluations) ROUNDed at 6dp. */
+  private def skipgramSql(spark: Boolean): String = {
+    val postings =
+      if (spark) """
+      t AS (SELECT doc_id, FILTER(SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+            FROM documents),
+      p AS (SELECT doc_id, pos + 1 AS pos, w
+            FROM t LATERAL VIEW POSEXPLODE(toks) x AS pos, w)"""
+      else """
+      t AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+            FROM documents),
+      p AS (SELECT doc_id, GENERATE_SUBSCRIPTS(toks, 1) AS pos, UNNEST(toks) AS w
+            FROM t)"""
+    s"""
+      WITH $postings,
+      uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY w),
+      nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+      co AS (
+        SELECT LEAST(a.w, b.w) AS wa, GREATEST(a.w, b.w) AS wb,
+               CAST(COUNT(*) AS BIGINT) AS cab
+        FROM p a JOIN p b
+          ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+        WHERE a.w <> b.w
+        GROUP BY LEAST(a.w, b.w), GREATEST(a.w, b.w)
+        HAVING COUNT(*) >= 5
+      ),
+      np AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM co),
+      top AS (
+        SELECT wa, wb, cab FROM co
+        ORDER BY cab DESC, wa, wb LIMIT 20
+      )
+      SELECT t.wa, t.wb, t.cab,
+             ROUND(LN((CAST(t.cab AS DOUBLE) / np.n)
+                      / ((CAST(ua.c AS DOUBLE) / nu.n)
+                         * (CAST(ub.c AS DOUBLE) / nu.n))), 6) AS pmi
+      FROM top t JOIN uni ua ON t.wa = ua.w JOIN uni ub ON t.wb = ub.w
+      CROSS JOIN nu CROSS JOIN np
+      ORDER BY t.cab DESC, t.wa, t.wb"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_skipgram_cooc" -> gsql(skipgramSql(spark = true)),
     "text_phrase_search" -> gsql(phraseSql(spark = true)),
     // Spark side of the BPE trainer: each generation persists (the
     // pure-CTE spelling re-tokenized the corpus exponentially under
@@ -931,6 +980,7 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_skipgram_cooc" -> skipgramSql(spark = false),
     "text_phrase_search" -> phraseSql(spark = false),
     "text_bpe_merges" -> bpeOracleSql,
 
