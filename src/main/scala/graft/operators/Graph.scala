@@ -357,7 +357,162 @@ object Graph {
                AS assortativity
       FROM mo"""
 
+  // one Borůvka round r over labels l{r-1}: every component (= current
+  // label) picks its minimum outgoing edge by the (cost, src, dst)
+  // total order — both directions of each edge are candidates, keyed by
+  // the component they leave — then labels merge by THREE min-label
+  // propagations over the selected edges (bounded pointer-jumping: the
+  // bulk-synchronous merge step; a component whose merge tree is
+  // deeper than 3 finishes merging in the next round — the selected
+  // edge set stays a forest subset either way, and both engines run
+  // the identical bounded text).
+  private def boruvkaRound(r: Int, ewSrc: String): String = {
+    val prev = s"l${r - 1}"
+    def jump(from: String, to: String) = s"""
+      , $to AS MATERIALIZED (
+        SELECT node, MIN(lbl) AS lbl FROM (
+          SELECT node, lbl FROM $from
+          UNION ALL
+          SELECT s.src AS node, f.lbl FROM sel$r s JOIN $from f ON f.node = s.dst
+          UNION ALL
+          SELECT s.dst AS node, f.lbl FROM sel$r s JOIN $from f ON f.node = s.src
+        ) x GROUP BY node)"""
+    s"""
+      , cand$r AS MATERIALIZED (
+        SELECT la.lbl AS comp, e.src, e.dst, e.cost
+        FROM $ewSrc e JOIN $prev la ON e.src = la.node
+                      JOIN $prev lb ON e.dst = lb.node
+        WHERE la.lbl <> lb.lbl
+        UNION ALL
+        SELECT lb.lbl AS comp, e.src, e.dst, e.cost
+        FROM $ewSrc e JOIN $prev la ON e.src = la.node
+                      JOIN $prev lb ON e.dst = lb.node
+        WHERE la.lbl <> lb.lbl
+      ),
+      sel$r AS MATERIALIZED (
+        SELECT DISTINCT src, dst, cost FROM (
+          SELECT comp, src, dst, cost,
+                 ROW_NUMBER() OVER (PARTITION BY comp
+                   ORDER BY cost, src, dst) AS rn
+          FROM cand$r) p
+        WHERE rn = 1
+      )""" + jump(prev, s"j${r}a") + jump(s"j${r}a", s"j${r}b") +
+      jump(s"j${r}b", s"l$r")
+  }
+
+  /** Minimum spanning forest by TWO bulk-synchronous Borůvka rounds
+    * (Borůvka 1926; the standard distributed MST — each round is
+    * per-component argmin edge selection + bounded label merging, all
+    * id/cost equi-joins and aggregates). Costs are the sssp integer
+    * weights (floor(1e6/w)), the per-component pick uses a total
+    * order, so the selected forest is deterministic; two rounds merge
+    * components of merge-diameter ≤ 3 each (the bounded-round variant —
+    * remaining merges would take further identical rounds). Output:
+    * per-round selected-edge count + exact total cost, and the final
+    * component count under the round-2 labels. `ewSrc` is the weighted
+    * (src<dst) edge relation: Spark passes a persisted view (each
+    * round references it twice). */
+  private def mstSql(pre: String, ewSrc: String): String = pre + """
+      , n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM (
+          SELECT src FROM """ + ewSrc + """
+          UNION ALL SELECT dst AS src FROM """ + ewSrc + """) u)
+      , l0 AS MATERIALIZED (SELECT node, node AS lbl FROM n0)""" +
+    boruvkaRound(1, ewSrc) + boruvkaRound(2, ewSrc) + """
+      , allsel AS MATERIALIZED (
+        SELECT DISTINCT src, dst, cost FROM (
+          SELECT src, dst, cost FROM sel1
+          UNION ALL SELECT src, dst, cost FROM sel2) u
+      )
+      SELECT r.round,
+             CASE r.round WHEN 1 THEN (SELECT CAST(COUNT(*) AS BIGINT) FROM sel1)
+                          WHEN 2 THEN (SELECT CAST(COUNT(*) AS BIGINT) FROM allsel)
+                          ELSE (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) FROM l2) END AS n,
+             CASE r.round WHEN 1 THEN (SELECT CAST(SUM(cost) AS BIGINT) FROM sel1)
+                          WHEN 2 THEN (SELECT CAST(SUM(cost) AS BIGINT) FROM allsel)
+                          ELSE CAST(0 AS BIGINT) END AS total_cost_q
+      FROM (SELECT 1 AS round UNION ALL SELECT 2 UNION ALL SELECT 3) r
+      ORDER BY r.round"""
+
   val queries: Map[String, Q] = Map(
+    // Driver loop with persisted rounds (the kcore lesson, only more
+    // so: the single-statement spelling's scalar subqueries re-derive
+    // TWO rounds of cand/sel/jump chains under CTE inlining and did
+    // not finish at sf0.01). Semantics mirror mstSql step for step —
+    // same (cost, src, dst) argmin, same three bounded min-label
+    // jumps — and the oracle compare proves the equivalence.
+    "graph_mst_boruvka" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val io = spark.table("lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val a = io.select(col("o"), col("p").as("src"))
+      val b = io.select(col("o"), col("p").as("dst"))
+      val ew = a.join(b, Seq("o")).where(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("src"), col("dst"),
+          floor(lit(1000000.0) / col("w")).cast("bigint").as("cost"))
+        .persist()
+      // localCheckpoint (eager) truncates the label lineage each round:
+      // every jump references the previous labels THREE times, so the
+      // un-truncated logical plan grows 3^jumps copies per round (~729
+      // subtrees by round 2's last jump — analyzed to driver OOM, the
+      // same explosion that killed the single-statement spelling). A
+      // cluster deployment would use the reliable checkpoint()
+      // machinery of Dedup.connectedComponents instead (executor loss
+      // replays from the checkpoint file; local blocks cannot).
+      var lbl = ew.select(col("src").as("node"))
+        .union(ew.select(col("dst").as("node")))
+        .distinct().withColumn("lbl", col("node")).localCheckpoint(false)
+      val sels = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (_ <- 1 to 2) {
+        val lab = ew
+          .join(lbl.select(col("node").as("src"), col("lbl").as("la")), Seq("src"))
+          .join(lbl.select(col("node").as("dst"), col("lbl").as("lb")), Seq("dst"))
+          .where(col("la") =!= col("lb"))
+        val cand = lab.select(col("la").as("comp"), col("src"), col("dst"), col("cost"))
+          .union(lab.select(col("lb").as("comp"), col("src"), col("dst"), col("cost")))
+        // per-component argmin via struct-min hash aggregate: struct
+        // comparison is lexicographic on (cost, src, dst) — the same
+        // total order as the oracle's rank window, without the sort
+        val sel = cand
+          .groupBy(col("comp"))
+          .agg(min(struct(col("cost"), col("src"), col("dst"))).as("m"))
+          .select(col("m.src").as("src"), col("m.dst").as("dst"),
+            col("m.cost").as("cost")).distinct().persist()
+        sels += sel
+        var l = lbl
+        for (_ <- 1 to 3) {
+          l = l.select(col("node"), col("lbl"))
+            .union(sel.join(l.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+              .select(col("src").as("node"), col("lbl")))
+            .union(sel.join(l.select(col("node").as("src"), col("lbl")), Seq("src"))
+              .select(col("dst").as("node"), col("lbl")))
+            .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+            // checkpoint EVERY jump, not just every round: each jump
+            // references its predecessor 3×, so an un-truncated round
+            // tree holds 3^3 = 27 copies — and Spark's plan analysis
+            // over that tree, not the data, was the entire 14-16 s
+            // runtime (sf0.001 and sf0.1 cost the same). Per-jump
+            // truncation keeps every analyzed tree a handful of nodes.
+            .localCheckpoint(false)
+        }
+        lbl = l
+      }
+      val allsel = sels(0).union(sels(1)).distinct()
+      // one fused job for all three summary rows (separate actions per
+      // row paid a full job-scheduling round-trip each)
+      def summarize(df: DataFrame, r: Int): DataFrame =
+        df.agg(count(lit(1)).as("n"),
+            coalesce(sum(col("cost")), lit(0L)).as("total_cost_q"))
+          .select(lit(r).as("round"), col("n"), col("total_cost_q"))
+      summarize(sels(0), 1)
+        .union(summarize(allsel, 2))
+        .union(lbl.agg(countDistinct(col("lbl")).as("n"))
+          .select(lit(3).as("round"), col("n"), lit(0L).as("total_cost_q")))
+        .orderBy(col("round"))
+    }),
     "graph_harmonic_centrality" -> ((spark, sfDir) => {
       val e = edges(spark, sfDir)
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -635,6 +790,13 @@ object Graph {
                 UNION ALL SELECT dst AS src, src AS dst FROM e)"""
 
   val oracle: Map[String, String] = Map(
+    "graph_mst_boruvka" -> mstSql("""
+      WITH io AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      ew AS MATERIALIZED (
+        SELECT a.p AS src, b.p AS dst,
+               CAST(FLOOR(1000000.0 / COUNT(*)) AS BIGINT) AS cost
+        FROM io a JOIN io b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2)""", "ew"),
     "graph_harmonic_centrality" -> (EdgeCte + SymCte + harmonicSql("sym")),
     "graph_assortativity" -> (EdgeCte + SymCte + assortativitySql("sym")),
     "recsys_user_cf" -> UserCfSql,
