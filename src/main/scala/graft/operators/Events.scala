@@ -434,11 +434,24 @@ object Events {
     * Values quantize to milli-units so the weighted sum is integer
     * arithmetic: vq <= 5.7e5 x Σw <= 8.64e10 (disjoint intervals never
     * exceed the day) = 4.9e16 < 2^63, exact in Spark's BIGINT sum and
-    * DuckDB's HUGEINT alike; the single closing division is one IEEE
-    * op on identical integers. Day-final events carry no successor and
-    * therefore no weight. */
+    * DuckDB's HUGEINT alike; the closing quotient is exact BIGINT
+    * division (Spark `DIV` / DuckDB `//`) so every projected column is
+    * an integer — a ROUND(num/(1000.0*den),6) double here passed local
+    * DuckDB 1.0.0 bit-exactly yet failed the driver build's hash (r07):
+    * float display columns are not engine-version-proof. twap_micro is
+    * the time-weighted mean in micro-units (vq is milli, ×1000), num
+    * and den ride along so any consumer can form the real-valued mean.
+    * Day-final events carry no successor and therefore no weight. */
   private def twapSql(spark: Boolean): String = {
     val us = if (spark) "UNIX_MICROS" else "EPOCH_US"
+    // floor(1000*num/den) without the num*1000 BIGINT overflow
+    // (num <= 4.9e16, x1000 > 2^63): split as 1000*q + floor(1000*r/den)
+    // with num = q*den + r; r < den <= 8.64e10 so r*1000 < 2^63. All
+    // inputs non-negative (value >= 0), so Spark DIV and DuckDB //
+    // (both truncating) agree exactly.
+    val idiv =
+      if (spark) "((num DIV den) * 1000 + ((num % den) * 1000) DIV den)"
+      else "((num // den) * 1000 + ((num % den) * 1000) // den)"
     s"""
       WITH seq AS (
         SELECT event_type, CAST(ts AS DATE) AS d,
@@ -454,8 +467,8 @@ object Events {
                COUNT(*) AS n_intervals
         FROM seq WHERE w IS NOT NULL GROUP BY event_type, d
       )
-      SELECT event_type, d, n_intervals,
-             ROUND(num / (1000.0 * den), 6) AS twap
+      SELECT event_type, d, n_intervals, num, den,
+             CAST($idiv AS BIGINT) AS twap_micro
       FROM agg ORDER BY event_type, d"""
   }
 
