@@ -436,7 +436,7 @@ object Functions {
     s"""
       WITH u AS (
         SELECT doc_id, n_chars,
-               ($hex8 + 1.0) / 4294967297.0 AS uni
+               ($hex8 + 1e0) / 4294967297e0 AS uni
         FROM documents WHERE n_chars > 0
       ), pr AS (
         SELECT doc_id, n_chars,

@@ -709,7 +709,7 @@ object Statistics {
              ROUND((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
                    / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                           * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                          * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
+                          * (1e0 / n0 + 1e0 / n1)), 6) AS z_stat
       FROM w"""
 
   /** Delta-method standard error for a RATIO metric (revenue per

@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-version-proof float discipline for the oracle corpus.
+  *
+  * Two queries (graph_sssp r06+r07, events_twap r07) passed bit-exactly
+  * under local DuckDB 1.0.0 yet failed the round driver's DuckDB hash —
+  * both were the only oracled projections computing with raw IEEE
+  * doubles out of decimal-form literals. Root cause, measured locally:
+  * a decimal-form literal (`1000000.0`) parses as DECIMAL in BOTH
+  * engines, but Spark then runs *decimal division* (result scale from
+  * Spark's promotion rules) while DuckDB 1.0.0's `/` always converts to
+  * DOUBLE — and newer DuckDB builds changed that. Exponent-form
+  * literals (`1e6`) parse as DOUBLE in both engines, making the whole
+  * computation correctly-rounded IEEE and therefore bit-identical
+  * regardless of engine version.
+  *
+  * This spec freezes the audit of that exposure class (round-8 sweep):
+  *
+  *  1. Every oracle whose SQL divides adjacent to a decimal-form
+  *     literal must carry a reviewed justification:
+  *       - DoubleOperand: the other operand is DOUBLE-typed, so both
+  *         engines promote the division to double (identical IEEE).
+  *       - ExactGrid: the quotient feeds FLOOR/CEIL + an integer cast
+  *         and its fractional part is either exactly representable at
+  *         both engines' precisions or bounded away from the rounding
+  *         boundary by far more than one ulp (e.g. n/20.0 is 2-decimal
+  *         exact; EPOCH_US(ts)/3600000000.0 sits >= 1/divisor away
+  *         from the next integer, >> ulp at that magnitude).
+  *     Anything NOT in the pinned map fails this suite until reviewed —
+  *     or, better, is spelled with `1e6`-style double literals so the
+  *     lint never fires.
+  *
+  *  2. The set of ROUND-using oracles is pinned verbatim. ROUND on a
+  *     pure-double value is stable across engines only because the
+  *     input doubles are bit-identical (rule 1) and ties sit off the
+  *     rounding grid; adding a new ROUND query without reviewing that
+  *     argument is how r06/r07 lost a round each. New entries must be
+  *     added here consciously, with grid-exact or integer inputs.
+  */
+class FloatDisciplineSpec extends AnyFunSuite {
+
+  // decimal-form float literal NOT in exponent notation, e.g. 20.0 but
+  // not 1.0E9 / 6.0E0 / part of a longer number or identifier
+  private val DecLit = """(?<![\w.])\d+\.\d+(?![eE\d])""".r
+
+  private def divAdjacent(sql: String): Boolean =
+    DecLit.findAllMatchIn(sql).exists { m =>
+      val before = sql.substring(0, m.start).reverse.dropWhile(_.isWhitespace).headOption
+      val after  = sql.substring(m.end).dropWhile(_.isWhitespace).headOption
+      before.contains('/') || after.contains('/')
+    }
+
+  /** Reviewed decimal-literal divisions (round-8 audit; see Scaladoc). */
+  private val reviewedDivisions: Map[String, String] = Map(
+    "agg_trimmed_mean"           -> "ExactGrid",     // FLOOR(n/20.0): 2-decimal exact
+    "agg_winsorized_mean"        -> "ExactGrid",     // FLOOR(n/20.0)
+    "ann_mmr_rerank"             -> "DoubleOperand", // lambda x is DOUBLE
+    "ann_quantized_topk"         -> "DoubleOperand", // max|x| over DOUBLE[] / 127.0
+    "cluster_centroids"          -> "DoubleOperand", // (s/n) int/int -> double, then /1e6-lit
+    "cluster_kmeans_assign"      -> "DoubleOperand",
+    "curation_dsir"              -> "DoubleOperand", // CAST(wq AS DOUBLE)/1e9-lit
+    "dedup_incremental_semantic" -> "DoubleOperand",
+    "dedup_semantic"             -> "DoubleOperand",
+    "dedup_semantic_prune"       -> "DoubleOperand",
+    "embed_quantize_int8"        -> "DoubleOperand",
+    "embed_random_projection"    -> "DoubleOperand", // list_reduce over DOUBLE
+    "events_cohort_retention"    -> "ExactGrid",     // FLOOR(us/604800000000.0)->BIGINT
+    "events_gap_fill"            -> "ExactGrid",     // FLOOR(us/3600000000.0)->BIGINT
+    "events_rate_anomaly"        -> "ExactGrid",
+    "graph_adamic_adar"          -> "DoubleOperand", // 1e6-lit/LN(double); CAST DOUBLE/1e6-lit
+    "graph_mst_boruvka"          -> "ExactGrid",     // FLOOR(1000000.0/w)->BIGINT, frac >= 1/w
+    "graph_pagerank"             -> "ExactGrid",     // FLOOR(17.0*s/20.0): 2-decimal exact
+    "graph_sssp"                 -> "ExactGrid",     // FLOOR(1000000.0/w)->BIGINT
+    "math_fns"                   -> "ExactGrid",     // p_size/100.0: 2-decimal exact pre-EXP
+    "pack_sequences"             -> "ExactGrid",     // CEIL(n/2048.0): binary-exact divisor
+    "q17_small_qty_revenue"      -> "DoubleOperand", // CAST(... AS DOUBLE)/7.0
+    "sample_coreset"             -> "DoubleOperand",
+    "sample_neyman"              -> "ExactGrid",     // FLOOR(...)->BIGINT quantizations
+    "stats_logistic_irls"        -> "DoubleOperand", // 1e6-lit/(1.0+EXP(double))
+    "text_drift_psi"             -> "ExactGrid",     // FLOOR(n/100.0)->INT
+    "text_langid_nb"             -> "DoubleOperand", // 1.0/CAST(... AS DOUBLE)
+    "text_tokens"                -> "ExactGrid",     // CEIL(len/4.0): binary-exact divisor
+    "window_rfm_segmentation"    -> "ExactGrid"      // FLOOR(us/86400000000.0)->BIGINT
+  )
+
+  /** Oracles allowed to use ROUND (round-8 audit: each rounds either a
+    * bit-identical-by-rule-1 double or an exact integer/decimal). */
+  private val reviewedRound: Set[String] = Set(
+    "agg_equidepth_hist", "agg_geomean", "agg_histogram_numeric",
+    "agg_percentile", "agg_skew_kurtosis", "agg_stats",
+    "agg_trimmed_mean", "agg_weighted_percentile", "agg_winsorized_mean",
+    "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_bucketed",
+    "ann_mmr_rerank", "ann_quantized_topk", "cluster_centroids",
+    "cluster_kmeans_assign", "curation_dsir", "curation_temperature_mix",
+    "dedup_clusters", "dedup_containment", "dedup_edit_verify",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_keep_best",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic",
+    "embed_pca_power", "embed_quantize_int8", "embed_winsorize",
+    "events_active_users", "events_attribution", "events_autocorr",
+    "events_changepoint", "events_cohort_ltv", "events_decay_feature",
+    "events_funnel", "events_interarrival", "events_markov_transitions",
+    "events_outliers_mad", "events_rate_anomaly",
+    "events_seasonal_anomaly", "events_ses_forecast",
+    "events_survival_km", "feature_scale", "graph_adamic_adar",
+    "graph_assoc_rules", "graph_assortativity", "graph_local_clustering",
+    "graph_modularity", "graph_pagerank", "join_pit_scd2",
+    "link_jaro_winkler", "math_fns", "pipeline_curate",
+    "pipeline_curate_ppl", "pipeline_train_report", "profile_benford",
+    "recsys_item_sim", "recsys_user_cf", "sample_coreset",
+    "sample_neyman", "sample_weighted_aes", "search_hybrid_rrf",
+    "stats_anova", "stats_chisq", "stats_corr_matrix", "stats_cuped",
+    "stats_delta_method", "stats_gini", "stats_hill", "stats_kendall",
+    "stats_kruskal", "stats_ks", "stats_logistic_irls",
+    "stats_mannwhitney", "stats_ols2", "stats_proportion_ztest",
+    "stats_regression", "stats_spearman", "stats_theilsen", "stats_ttest",
+    "text_bm25_topk", "text_drift_psi", "text_entropy", "text_langid",
+    "text_langid_nb", "text_langid_trigram", "text_perplexity",
+    "text_pmi_bigrams", "text_quality", "text_rake", "text_readability",
+    "text_repetition", "text_skipgram_cooc", "text_source_similarity",
+    "text_tfidf_keywords", "text_zipf_slope", "window_abc_analysis",
+    "window_drawdown", "window_monthly_trend", "window_rolling_stats"
+  )
+
+  test("every decimal-literal division in an oracle is reviewed") {
+    val flagged = SparkEntry.oracleSql.collect {
+      case (name, sql) if divAdjacent(sql) => name
+    }.toSet
+    val unreviewed = flagged -- reviewedDivisions.keySet
+    assert(
+      unreviewed.isEmpty,
+      s"oracles with unreviewed decimal-literal division $unreviewed — " +
+        "spell the literal as 1e6-style DOUBLE (preferred) or add a " +
+        "reviewed DoubleOperand/ExactGrid entry to reviewedDivisions")
+  }
+
+  test("the reviewed-division pin list carries no stale entries") {
+    val flagged = SparkEntry.oracleSql.collect {
+      case (name, sql) if divAdjacent(sql) => name
+    }.toSet
+    val stale = reviewedDivisions.keySet -- flagged
+    assert(stale.isEmpty, s"pinned but no longer flagged (remove): $stale")
+  }
+
+  test("ROUND usage in oracles matches the reviewed pin set exactly") {
+    val rnd = """(?i)\bROUND\s*\(""".r
+    val using = SparkEntry.oracleSql.collect {
+      case (name, sql) if rnd.findFirstIn(sql).isDefined => name
+    }.toSet
+    assert((using -- reviewedRound).isEmpty,
+      s"new ROUND-using oracles need review: ${using -- reviewedRound}")
+    assert((reviewedRound -- using).isEmpty,
+      s"pinned but no longer using ROUND (remove): ${reviewedRound -- using}")
+  }
+}
