@@ -587,13 +587,21 @@ object Dedup {
     * @return (labels (node, comp) for every edge endpoint, rounds run)
     */
   /** Serializes checkpoint-dir mutation: setCheckpointDir is
-    * SparkContext-GLOBAL state, so two concurrent connectedComponents
-    * calls on one session would otherwise race and leak each other's
+    * SparkContext-GLOBAL state, so two concurrent checkpointing callers
+    * on one session would otherwise race and leak each other's
     * round files past their janitor registrations. */
   private val ckptDirLock = new Object
 
-  def connectedComponents(spark: SparkSession, edges: DataFrame,
-                          maxRounds: Int = 50): (DataFrame, Int) = ckptDirLock.synchronized {
+  /** Runs `f` with a fresh per-call reliable-checkpoint directory on the
+    * warehouse filesystem (janitor-deleted at JVM exit; the session's
+    * prior dir is restored afterwards). The shared discipline for every
+    * iterative operator that truncates lineage between rounds — on a
+    * cluster an executor loss replays from the checkpoint FILE, where
+    * `localCheckpoint`'s executor-local blocks would kill the job with
+    * unrecomputable truncated lineage (the round-2→3 CC lesson, now
+    * also used by graph_mst_boruvka's label-merge jumps). */
+  private[operators] def withReliableCheckpointDir[T](spark: SparkSession, tag: String)(
+      f: => T): T = ckptDirLock.synchronized {
     val sc = spark.sparkContext
     val prevCkptDir = sc.getCheckpointDir
     // unique per-call subdir on the warehouse FS: calls never collide,
@@ -603,11 +611,11 @@ object Dedup {
     // otherwise accumulate for the session, as Spark's own do with
     // spark.cleaner.referenceTracking.cleanCheckpoints unset.
     val ckptBase = spark.conf.get("spark.sql.warehouse.dir") + "/_graft_checkpoints"
-    val ckptDir = s"$ckptBase/cc-${java.util.UUID.randomUUID()}"
+    val ckptDir = s"$ckptBase/$tag-${java.util.UUID.randomUUID()}"
     sc.setCheckpointDir(ckptDir)
     CheckpointJanitor.deleteAtExit(ckptDir, sc.hadoopConfiguration)
     try {
-      connectedComponentsIn(spark, edges, maxRounds)
+      f
     } finally {
       // a caller-configured checkpoint dir must survive this call; with
       // none configured, park the session on a STABLE (never janitor-
@@ -624,6 +632,12 @@ object Dedup {
         .getOrElse(s"$ckptBase/session"))
     }
   }
+
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+                          maxRounds: Int = 50): (DataFrame, Int) =
+    withReliableCheckpointDir(spark, "cc") {
+      connectedComponentsIn(spark, edges, maxRounds)
+    }
 
   private def connectedComponentsIn(spark: SparkSession, edges: DataFrame,
                                     maxRounds: Int): (DataFrame, Int) = {

@@ -363,10 +363,17 @@ object Graph {
   // total order — both directions of each edge are candidates, keyed by
   // the component they leave — then labels merge by THREE min-label
   // propagations over the selected edges (bounded pointer-jumping: the
-  // bulk-synchronous merge step; a component whose merge tree is
-  // deeper than 3 finishes merging in the next round — the selected
-  // edge set stays a forest subset either way, and both engines run
-  // the identical bounded text).
+  // bulk-synchronous merge step). BOUNDED-ROUND CAVEAT: a merge tree
+  // deeper than 3 jumps leaves labels unconverged after round 1, so
+  // round 2 can select an edge between two sub-components of the same
+  // tree — allsel may then contain a cycle, and the round-3
+  // COUNT(DISTINCT lbl) can overcount true components. The round-2
+  // edge total and round-3 component count are therefore BOUNDED-ROUND
+  // ARTIFACTS of this exact (2-round, 3-jump) schedule, not MSF
+  // invariants; full Borůvka would iterate rounds (with jump-to-
+  // convergence) until no inter-component edge remains. Deterministic
+  // and engine-identical either way — both engines run the identical
+  // bounded text, which is what the oracle compare certifies.
   private def boruvkaRound(r: Int, ewSrc: String): String = {
     val prev = s"l${r - 1}"
     def jump(from: String, to: String) = s"""
@@ -410,9 +417,10 @@ object Graph {
     * components of merge-diameter ≤ 3 each (the bounded-round variant —
     * remaining merges would take further identical rounds). Output:
     * per-round selected-edge count + exact total cost, and the final
-    * component count under the round-2 labels. `ewSrc` is the weighted
-    * (src<dst) edge relation: Spark passes a persisted view (each
-    * round references it twice). */
+    * component count under the round-2 labels (all bounded-round
+    * artifacts of the fixed 2-round/3-jump schedule — see the caveat on
+    * boruvkaRound). `ewSrc` is the weighted (src<dst) edge relation:
+    * Spark passes a persisted view (each round references it twice). */
   private def mstSql(pre: String, ewSrc: String): String = pre + """
       , n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM (
           SELECT src FROM """ + ewSrc + """
@@ -441,7 +449,7 @@ object Graph {
     // not finish at sf0.01). Semantics mirror mstSql step for step —
     // same (cost, src, dst) argmin, same three bounded min-label
     // jumps — and the oracle compare proves the equivalence.
-    "graph_mst_boruvka" -> ((spark, sfDir) => {
+    "graph_mst_boruvka" -> ((spark, sfDir) => Dedup.withReliableCheckpointDir(spark, "mst") {
       Tables.register(spark, sfDir)
       val io = spark.table("lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -455,17 +463,21 @@ object Graph {
         .select(col("src"), col("dst"),
           floor(lit(1000000.0) / col("w")).cast("bigint").as("cost"))
         .persist()
-      // localCheckpoint (eager) truncates the label lineage each round:
+      // Reliable checkpoint() truncates the label lineage each jump:
       // every jump references the previous labels THREE times, so the
       // un-truncated logical plan grows 3^jumps copies per round (~729
       // subtrees by round 2's last jump — analyzed to driver OOM, the
-      // same explosion that killed the single-statement spelling). A
-      // cluster deployment would use the reliable checkpoint()
-      // machinery of Dedup.connectedComponents instead (executor loss
-      // replays from the checkpoint file; local blocks cannot).
+      // same explosion that killed the single-statement spelling).
+      // Reliable (warehouse-FS) checkpoints, not localCheckpoint: on a
+      // cluster an executor loss mid-loop replays from the checkpoint
+      // FILE, where executor-local blocks would kill the job with
+      // unrecomputable truncated lineage — the same fault-tolerance
+      // contract as Dedup.connectedComponents, via the shared
+      // withReliableCheckpointDir wrapper (per-call dir, janitor-
+      // deleted at JVM exit).
       var lbl = ew.select(col("src").as("node"))
         .union(ew.select(col("dst").as("node")))
-        .distinct().withColumn("lbl", col("node")).localCheckpoint(false)
+        .distinct().withColumn("lbl", col("node")).checkpoint()
       val sels = scala.collection.mutable.ArrayBuffer[DataFrame]()
       for (_ <- 1 to 2) {
         val lab = ew
@@ -497,7 +509,7 @@ object Graph {
             // over that tree, not the data, was the entire 14-16 s
             // runtime (sf0.001 and sf0.1 cost the same). Per-jump
             // truncation keeps every analyzed tree a handful of nodes.
-            .localCheckpoint(false)
+            .checkpoint()
         }
         lbl = l
       }
