@@ -211,7 +211,7 @@ object Curation {
       )
       SELECT d.doc_id, d.lang
       FROM documents d JOIN w ON d.lang = w.wlang
-      WHERE (d.doc_id * 2654435761L) % 4294967296L < w.thresh
+      WHERE ((d.doc_id % 2147483648L) * 2654435761L) % 4294967296L < w.thresh
       ORDER BY d.doc_id"""),
 
     // Incremental dedup: a new ingestion batch (here the deterministic
@@ -404,7 +404,7 @@ object Curation {
       JOIN (VALUES ('en', 4294967296), ('de', 2147483648), ('fr', 2147483648),
                    ('es', 1073741824), ('zh', 429496729)) w(wlang, thresh)
         ON d.lang = w.wlang
-      WHERE (d.doc_id * 2654435761) % 4294967296 < w.thresh
+      WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < w.thresh
       ORDER BY d.doc_id""",
 
     // exact new×old formulation: digest equi-join + inverted-index

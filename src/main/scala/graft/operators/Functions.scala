@@ -43,7 +43,7 @@ object Functions {
                 FROM alloc0 CROSS JOIN t),
       r AS (SELECT c.c_custkey, c.seg,
                    ROW_NUMBER() OVER (PARTITION BY c.seg
-                     ORDER BY (c.c_custkey * 2654435761) % 4294967296,
+                     ORDER BY ((c.c_custkey % 2147483648) * 2654435761) % 4294967296,
                               c.c_custkey) AS rk
             FROM cents c)
       SELECT r.c_custkey, r.seg AS segment,
@@ -344,16 +344,17 @@ object Functions {
     // sampling (k docs per language/source/quality stratum, reproducible
     // across runs): rank rows inside each stratum by a deterministic
     // multiplicative hash (Knuth: (id * 2654435761) mod 2^32 — plain
-    // integer arithmetic both engines compute identically; doc_id stays
-    // far below the BIGINT overflow ANSI mode would reject) and keep the
-    // first k. One shuffle on the stratum key, map-side nothing wasted —
+    // integer arithmetic both engines compute identically; the
+    // (id % 2^31) pre-reduction keeps the product under 2^63 for ANY
+    // key domain — keys >= ~3.5e9 would otherwise overflow BIGINT,
+    // an error in DuckDB / ANSI Spark) and keep the first k. One shuffle on the stratum key, map-side nothing wasted —
     // at 100 TB this is the per-stratum top-k pattern (window + filter),
     // which AQE handles under stratum skew.
     "sample_stratified" -> Tables.sql("""
       SELECT lang, doc_id, sample_rank FROM (
         SELECT lang, doc_id,
                ROW_NUMBER() OVER (PARTITION BY lang
-                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS sample_rank
+                 ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS sample_rank
         FROM documents)
       WHERE sample_rank <= 30
       ORDER BY lang, doc_id"""),
@@ -371,7 +372,7 @@ object Functions {
       tgt AS (SELECT CAST(MIN(n) AS BIGINT) AS k FROM cc),
       r AS (SELECT lang, doc_id,
                    ROW_NUMBER() OVER (PARTITION BY lang
-                     ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+                     ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rk
             FROM documents)
       SELECT r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS sample_rank, t.k AS class_size
       FROM r CROSS JOIN tgt t
@@ -473,7 +474,7 @@ object Functions {
       tgt AS (SELECT CAST(MIN(n) AS BIGINT) AS k FROM cc),
       r AS (SELECT lang, doc_id,
                    ROW_NUMBER() OVER (PARTITION BY lang
-                     ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+                     ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rk
             FROM documents)
       SELECT r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS sample_rank, t.k AS class_size
       FROM r CROSS JOIN tgt t
@@ -485,7 +486,7 @@ object Functions {
       SELECT lang, doc_id, sample_rank FROM (
         SELECT lang, doc_id,
                ROW_NUMBER() OVER (PARTITION BY lang
-                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS sample_rank
+                 ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS sample_rank
         FROM documents)
       WHERE sample_rank <= 30
       ORDER BY lang, doc_id""",

@@ -221,15 +221,18 @@ object Graph {
   // the inverted-index self-join, so super-popular items are dropped
   // from the index before pairing (standard CF practice — they carry
   // no signal and their pair blowup is what kills the join at 100 TB).
-  // Degrees for the cosine stay UNcapped (exact), counts are integers,
-  // and each score is one ROUNDed IEEE division chain before the
-  // (cosine DESC, a, b) total order.
+  // Degrees are computed over the SAME capped incidence as the pair
+  // index, so cosine/jaccard are the exact similarities of the capped
+  // vectors — one consistent vector space (mixing capped intersections
+  // with uncapped degrees would systematically deflate users who buy
+  // popular items). Counts are integers, and each score is one ROUNDed
+  // IEEE division chain before the (cosine DESC, a, b) total order.
   private val UserCfSql = """
       WITH ui AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
                   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-      uc AS (SELECT u, COUNT(*) AS c FROM ui GROUP BY u),
       pcap AS (SELECT p FROM ui GROUP BY p HAVING COUNT(*) <= 50),
       ui2 AS (SELECT ui.u, ui.p FROM ui JOIN pcap ON ui.p = pcap.p),
+      uc AS (SELECT u, COUNT(*) AS c FROM ui2 GROUP BY u),
       pairs AS (
         SELECT a.u AS ua, b.u AS ub, CAST(COUNT(*) AS BIGINT) AS cab
         FROM ui2 a JOIN ui2 b ON a.p = b.p AND a.u < b.u

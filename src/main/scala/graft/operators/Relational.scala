@@ -117,7 +117,11 @@ object Relational {
                     ELSE c_mktsegment END AS seg
         FROM customer WHERE c_custkey % 13 <> 0
         UNION ALL
-        SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        -- inserted keys are NEGATED clones: custkeys are positive at
+        -- every scale factor, so -k can never collide with a real key
+        -- (a fixed +1000000 offset would collide once custkeys pass
+        -- 1e6 at larger SFs, silently double-counting 'added')
+        SELECT -c_custkey, c_acctbal, c_mktsegment
         FROM customer WHERE c_custkey % 17 = 0
       ),
       d AS (
