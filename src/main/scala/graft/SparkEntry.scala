@@ -28,7 +28,9 @@ object SparkEntry {
     QueryModule(MatchPath.queries, MatchPath.oracle),
     QueryModule(Graph.queries, Graph.oracle),
     QueryModule(Profiling.queries, Profiling.oracle),
-    QueryModule(Statistics.queries, Statistics.oracle)
+    QueryModule(Statistics.queries, Statistics.oracle),
+    QueryModule(graft.sources.HiveBucketedIO.queries,
+      graft.sources.HiveBucketedIO.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
