@@ -1074,7 +1074,7 @@ object GraftFunctions {
     * it, and FunctionParitySpec's exercise guard walks it too, so a
     * function added here without a passing smoke query fails the build
     * (round-4 lesson: vec_sum shipped registered but unverified). */
-  val builders: Map[String, Seq[Expression] => Expression] = Map(
+  val builders: Map[String, Seq[Expression] => Expression] = Map[String, Seq[Expression] => Expression](
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "cosine_sim_d" -> (es => CosineSimD(es(0), es(1))),
     "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),
@@ -1098,7 +1098,7 @@ object GraftFunctions {
     "cm_query" -> (es => CmQuery(es(0), es(1))),
     "bloom_filter" -> (es => BloomFilterAgg(es(0), intArg(es(1)), intArg(es(2)))),
     "in_bloom_filter" -> (es => InBloomFilter(es(0), es(1)))
-  )
+  ) ++ Hive2x.builders // [2.x] tail: mask_* family, sort_array_by, replicate_rows
 
   /** Make the functions usable from spark.sql text too. */
   def register(spark: SparkSession): Unit = {

@@ -284,6 +284,78 @@ object Functions {
       )
       ORDER BY p_partkey"""),
 
+    // [2.x] masking family (Hive GenericUDFMask*): Spark's built-in
+    // mask + the graft composite expressions for the positional
+    // variants (all codegen'd concat/substring algebra — see
+    // graft.functions.Hive2x). mask_hash is Hive 2.x's md5 hex. The
+    // oracle re-derives each mask as a 3-pass regexp_replace.
+    "mask_fns" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      graft.functions.GraftFunctions.register(spark)
+      spark.sql("""
+        SELECT c_custkey,
+               mask(c_name) AS m_all,
+               mask_first_n(c_name, 9) AS m_first9,
+               mask_last_n(c_name, 3) AS m_last3,
+               mask_show_first_n(c_name, 9) AS m_show_first9,
+               mask_show_last_n(c_name, 3) AS m_show_last3,
+               mask_hash(c_mktsegment) AS m_hash
+        FROM customer WHERE c_custkey < 120
+        ORDER BY c_custkey""")
+    }),
+
+    // [2.x] sort_array_by (GenericUDFSortArrayByField) lowered onto
+    // array_sort with a field comparator; the sort key embeds the
+    // custkey so it is UNIQUE — the collect_list build order (which is
+    // partition-nondeterministic at any scale) can then never leak into
+    // the output. posexplode turns the sorted array back into rows the
+    // oracle can re-derive with a rank window.
+    "sort_array_struct" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      graft.functions.GraftFunctions.register(spark)
+      spark.sql("""
+        WITH s AS (
+          SELECT c_nationkey,
+                 sort_array_by(collect_list(named_struct(
+                   'k', CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey,
+                   'c', c_custkey)), 'k') AS arr
+          FROM customer WHERE c_custkey < 400
+          GROUP BY c_nationkey)
+        SELECT c_nationkey, pos, e.c AS c_custkey
+        FROM s LATERAL VIEW posexplode(arr) t AS pos, e
+        ORDER BY c_nationkey, pos""")
+    }),
+
+    // [2.x] replicate_rows (GenericUDTFReplicateRows) lowered onto
+    // inline(array_repeat(struct, n)) — a real generator under LATERAL
+    // VIEW; the group-by collapses the fan-out so the oracle can state
+    // the expected multiplicity directly.
+    "replicate_rows_fns" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      graft.functions.GraftFunctions.register(spark)
+      spark.sql("""
+        WITH src AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS okey,
+                 CAST(o_orderkey % 3 + 1 AS INT) AS nrep
+          FROM orders WHERE o_orderkey < 300)
+        SELECT k AS o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM src LATERAL VIEW replicate_rows(nrep, okey) t AS k
+        GROUP BY k ORDER BY o_orderkey""")
+    }),
+
+    // [2.x] aes_encrypt/aes_decrypt round-trip under a fixed 128-bit
+    // key in deterministic ECB mode: the oracled row asserts
+    // decrypt(encrypt(x)) = x value-for-value (DuckDB has no AES — the
+    // oracle states the identity directly, which is exactly what the
+    // round-trip must produce).
+    "aes_roundtrip" -> Tables.sql("""
+      SELECT c_custkey,
+             CAST(aes_decrypt(aes_encrypt(CAST(c_name AS BINARY),
+                                          '0123456789abcdef', 'ECB'),
+                              '0123456789abcdef', 'ECB') AS STRING) AS name_roundtrip
+      FROM customer WHERE c_custkey < 200
+      ORDER BY c_custkey"""),
+
     // parse_url_tuple as a true one-row UDTF (GenericUDTFParseUrlTuple):
     // one URL parse serving all requested parts, vs parse_url × n above.
     "url_tuple" -> ((spark, sfDir) => {
@@ -449,7 +521,46 @@ object Functions {
       LIMIT 20"""
   }
 
+  /** DuckDB re-derivation of Hive-default masking (upper→X, lower→x,
+    * digit→n, other kept) as three regexp passes. */
+  private def duckMask(e: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($e, " +
+      s"'[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')"
+
   val oracle: Map[String, String] = Map(
+    "mask_fns" -> s"""
+      SELECT c_custkey,
+             ${duckMask("c_name")} AS m_all,
+             ${duckMask("substr(c_name, 1, 9)")} || substr(c_name, 10) AS m_first9,
+             substr(c_name, 1, greatest(length(c_name) - 3, 0))
+               || ${duckMask("substr(c_name, greatest(length(c_name) - 3, 0) + 1)")} AS m_last3,
+             substr(c_name, 1, 9) || ${duckMask("substr(c_name, 10)")} AS m_show_first9,
+             ${duckMask("substr(c_name, 1, greatest(length(c_name) - 3, 0))")}
+               || substr(c_name, greatest(length(c_name) - 3, 0) + 1) AS m_show_last3,
+             md5(c_mktsegment) AS m_hash
+      FROM customer WHERE c_custkey < 120
+      ORDER BY c_custkey""",
+
+    "sort_array_struct" -> """
+      SELECT c_nationkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+               ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey)
+               - 1 AS INT) AS pos,
+             c_custkey
+      FROM customer WHERE c_custkey < 400
+      ORDER BY c_nationkey, pos""",
+
+    "replicate_rows_fns" -> """
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             CAST(o_orderkey % 3 + 1 AS BIGINT) AS n_rows
+      FROM orders WHERE o_orderkey < 300
+      ORDER BY o_orderkey""",
+
+    "aes_roundtrip" -> """
+      SELECT c_custkey, c_name AS name_roundtrip
+      FROM customer WHERE c_custkey < 200
+      ORDER BY c_custkey""",
+
     "sample_weighted_aes" -> aesSql(spark = false),
     // identical integer arithmetic — the bucket predicate is engine-independent
     "sample_systematic" -> """

@@ -50,6 +50,8 @@ class FunctionParitySpec extends AnyFunSuite {
     // hashing / misc
     "hash", "java_method", "reflect", "current_database", "current_user",
     "version",
+    // [2.x] crypto / masking builtins Spark ships same-name
+    "aes_encrypt", "aes_decrypt", "mask",
     // aggregates
     "count", "sum", "avg", "min", "max", "variance", "var_pop", "var_samp",
     "std", "stddev", "stddev_pop", "stddev_samp", "covar_pop", "covar_samp",
@@ -72,7 +74,6 @@ class FunctionParitySpec extends AnyFunSuite {
     "floor_month" -> "date_trunc", "floor_week" -> "date_trunc",
     "floor_day" -> "date_trunc", "floor_hour" -> "date_trunc",
     "floor_minute" -> "date_trunc", "floor_second" -> "date_trunc",
-    "sort_array_by" -> "array_sort",
     "index" -> "element_at",
     "$sum0" -> "sum",
     "between" -> "and", // compiler-internal: a BETWEEN b AND c is parsed, not a registry call
@@ -81,7 +82,10 @@ class FunctionParitySpec extends AnyFunSuite {
 
   /** graft custom functions (registered by GraftFunctions/NGramsTopKAgg). */
   private val custom =
-    Set("field", "ngrams", "ngrams_topk", "context_ngrams", "parse_url_tuple")
+    Set("field", "ngrams", "ngrams_topk", "context_ngrams", "parse_url_tuple",
+      // [2.x] tail as composite catalyst expressions (graft.functions.Hive2x)
+      "mask_first_n", "mask_last_n", "mask_show_first_n", "mask_show_last_n",
+      "mask_hash", "sort_array_by", "replicate_rows")
 
   /** Deliberately out of scope, with the reason pinned here
     * (SURVEY.md §7.2 decision table). */
@@ -98,6 +102,7 @@ class FunctionParitySpec extends AnyFunSuite {
     "logged_in_user" -> "HS2 session concept; no server here",
     "create_union" -> "uniontype has no Spark equivalent (SURVEY §1.3)",
     "extract_union" -> "uniontype has no Spark equivalent",
+    "get_splits" -> "[2.x] LLAP input-split provider UDTF; no server here",
     "noop" -> "test-only PTF", "noopwithmap" -> "test-only PTF",
     "noopstreaming" -> "test-only PTF", "noopwithmapstreaming" -> "test-only PTF",
     "windowingtablefunction" -> "internal PTF behind OVER clauses"
@@ -199,7 +204,24 @@ class FunctionParitySpec extends AnyFunSuite {
       "ngrams_topk" -> (("SELECT ngrams_topk(tokenize('a b a b'), 2, 5, 100)[0].ngram",
         v => v == "a b")),
       "context_ngrams" -> (("SELECT context_ngrams(tokenize('x y x z'), array('x', NULL), 5, 100)[0].ngram",
-        v => v != null))
+        v => v != null)),
+      // [2.x] masking family — Hive defaults: upper->X, lower->x,
+      // digit->n, other chars unchanged
+      "mask_first_n" -> (("SELECT mask_first_n('Abc-123', 4)",
+        v => v.toString == "Xxx-123")),
+      "mask_last_n" -> (("SELECT mask_last_n('Abc-123', 4)",
+        v => v.toString == "Abc-nnn")),
+      "mask_show_first_n" -> (("SELECT mask_show_first_n('Abc-123', 4)",
+        v => v.toString == "Abc-nnn")),
+      "mask_show_last_n" -> (("SELECT mask_show_last_n('Abc-123', 4)",
+        v => v.toString == "Xxx-123")),
+      "mask_hash" -> (("SELECT mask_hash('abc')",
+        v => v.toString == "900150983cd24fb0d6963f7d28e17f72")),
+      "sort_array_by" -> (("SELECT sort_array_by(array(named_struct('a', 3, 'b', 'x'), " +
+        "named_struct('a', 1, 'b', 'y')), 'a')[0].b",
+        v => v.toString == "y")),
+      "replicate_rows" -> (("SELECT count(*) FROM (SELECT replicate_rows(3, 'v'))",
+        v => v == 3L))
     )
     val registered = GraftFunctions.builders.keySet ++
       Set("ngrams_topk", "context_ngrams")
