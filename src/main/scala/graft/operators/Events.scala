@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.Tables
 
 /** Time-window aggregation and sessionization over the `events` table.
@@ -117,6 +118,35 @@ object Events {
   }
 
   val queries: Map[String, Q] = Map(
+    // Streaming-ingest reconciliation (Hive hcatalog/streaming
+    // TransactionBatch twin, SURVEY §1.1/§2.9): the events slice is
+    // ingested into an ACID table in three micro-batches via
+    // Acid.merge keyed on event_id, with batch 2 REPLAYED verbatim (a
+    // failed-commit retry). The merge upsert makes the replay a no-op,
+    // so the table must reconcile exactly with the direct batch
+    // aggregate over the source — which is precisely what the oracle
+    // computes without ever seeing the ACID table. Exact integer
+    // outputs (milli-quantized sum on the cents grid).
+    "acid_stream_ingest" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+      spark.sql("DROP TABLE IF EXISTS graft_db.acid_ingest_q")
+      val src = spark.table("events")
+        .where(col("event_id") % 200 === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+      src.limit(0).write.saveAsTable("graft_db.acid_ingest_q")
+      for (b <- 0 to 2) {
+        val batch = src.where(col("event_id") % 3 === b)
+        Acid.merge(spark, "graft_db.acid_ingest_q", batch, Seq("event_id"))
+        if (b == 1) // the simulated retry: same batch, applied again
+          Acid.merge(spark, "graft_db.acid_ingest_q", batch, Seq("event_id"))
+      }
+      spark.sql("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+        FROM graft_db.acid_ingest_q
+        GROUP BY event_type ORDER BY event_type""")
+    }),
     "events_survival_km" -> Tables.sql(kmSql(spark = true)),
     "events_longest_streak" -> Tables.sql(LongestStreakSql),
     "events_tumbling_window" -> Tables.sql("""
@@ -853,6 +883,15 @@ object Events {
       ORDER BY user_id, event_id"""
 
   val oracle: Map[String, String] = Map(
+    // the reconciliation oracle never sees the ACID table: direct
+    // aggregate over the same source slice — equal iff ingest was
+    // exactly-once (the replayed batch would inflate n_events/v_milli)
+    "acid_stream_ingest" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+      FROM events WHERE event_id % 200 = 0
+      GROUP BY event_type ORDER BY event_type""",
+
     "events_survival_km" -> kmSql(spark = false),
     "events_longest_streak" -> LongestStreakSql,
     "events_tumbling_window" -> """

@@ -92,6 +92,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "agg_percentile", "agg_skew_kurtosis", "agg_stats",
     "agg_trimmed_mean", "agg_weighted_percentile", "agg_winsorized_mean",
     "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_bucketed",
+    "acid_stream_ingest", // ROUND(value*1000)->BIGINT: exact milli grid
     "ann_mmr_rerank", "ann_quantized_topk", "cluster_centroids",
     "cluster_kmeans_assign", "curation_dsir", "curation_temperature_mix",
     "dedup_clusters", "dedup_containment", "dedup_edit_verify",

@@ -328,6 +328,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ACID ingest: foreachBatch + MERGE stays exactly-once across retries") {
+    // Hive's hcatalog/streaming TransactionBatch contract (SURVEY
+    // §1.1/§2.9 — the reference's only real streaming surface): a
+    // writer appends micro-batches transactionally, and a batch whose
+    // commit failed is REPLAYED by the client — visibility must still
+    // be exactly-once. Spark-first twin: foreachBatch + Acid.merge
+    // keyed on the record id. The merge upsert makes replay idempotent
+    // — the retried batch updates the same keys to the same values
+    // instead of double-appending, which a plain append sink would do.
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.acid_stream")
+    Seq.empty[(Long, Long, Double)].toDF("event_id", "user_id", "value")
+      .write.saveAsTable("graft_db.acid_stream")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    def ingest(batch: org.apache.spark.sql.DataFrame): Unit =
+      graft.operators.Acid.merge(spark, "graft_db.acid_stream",
+        batch, Seq("event_id"))
+    val q = input.toDF()
+      // event_id = minute offset from the fixed test epoch (ts(m) -> m)
+      .select(((unix_timestamp($"ts") - lit(1704067200L)) / 60)
+        .cast("long").as("event_id"), $"user_id", $"value")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingest(b.toDF()); ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Ev(ts(1), 1, 10.0), Ev(ts(2), 1, 5.0), Ev(ts(3), 2, 7.0))
+      q.processAllAvailable()
+      // simulated failed-commit retry: the same micro-batch applied
+      // again OUT OF BAND (as a restarted query would replay it), then
+      // redelivered through the running stream as well
+      val batch2 = Seq((4L, 2L, 1.0), (5L, 3L, 2.5))
+        .toDF("event_id", "user_id", "value")
+      ingest(batch2)
+      ingest(batch2) // the replay — must be a no-op upsert
+      input.addData(Ev(ts(4), 2, 1.0), Ev(ts(5), 3, 2.5))
+      q.processAllAvailable()
+      val rows = spark.table("graft_db.acid_stream").orderBy($"event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq((1L, 1L, 10.0), (2L, 1L, 5.0), (3L, 2L, 7.0),
+        (4L, 2L, 1.0), (5L, 3L, 2.5)),
+        s"exactly-once violated:\n${rows.mkString("\n")}")
+      // reconciliation: per-user totals in the ACID table equal the
+      // direct aggregate over the unique source events
+      val got = spark.table("graft_db.acid_stream").groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+        .orderBy($"user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == Seq((1L, 2L, 15.0), (2L, 2L, 8.0), (3L, 1L, 2.5)), got)
+    } finally q.stop()
+  }
+
   test("streaming MV maintenance: per-batch partial merge equals full recompute") {
     // the agg_mv_incremental kernel as a stream: foreachBatch folds each
     // micro-batch's partial aggregates into the maintained MV (SUM+SUM,
