@@ -30,7 +30,9 @@ object SparkEntry {
     QueryModule(Profiling.queries, Profiling.oracle),
     QueryModule(Statistics.queries, Statistics.oracle),
     QueryModule(graft.sources.HiveBucketedIO.queries,
-      graft.sources.HiveBucketedIO.oracle)
+      graft.sources.HiveBucketedIO.oracle),
+    QueryModule(graft.sources.RCFileIO.queries,
+      graft.sources.RCFileIO.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -93,7 +93,48 @@ object Hive2x {
       Cast(es.head, IntegerType)))
   }
 
+  // ------------------------------------------------------------------
+  // uniontype (Hive SERDE/typeinfo/UnionTypeInfo; `create_union` in the
+  // 1.2 registry, `extract_union` 2.x): Spark has no union type, so the
+  // SURVEY §1.3 decision encodes uniontype<t0,t1,...> as the struct
+  // (tag INT, field0 t0, field1 t1, ...) with exactly the active
+  // alternative non-null. DuckDB's NATIVE union type oracles the
+  // encoding (union_value/union_tag/union_extract), so the parity is
+  // value-checked against a real union implementation, not a mirror of
+  // this one.
+  // ------------------------------------------------------------------
+
+  /** create_union(tag, v0, v1, ...) → tagged struct; only the selected
+    * alternative is evaluated into its field, the rest are NULL. */
+  def createUnion(es: Seq[Expression]): Expression = {
+    require(es.length >= 2, "create_union(tag, alt0[, alt1, ...])")
+    val tag = Cast(es.head, IntegerType)
+    val fields = es.tail.zipWithIndex.flatMap { case (v, i) =>
+      Seq(Literal(s"field$i"): Expression,
+        If(EqualTo(tag, Literal(i)), v, Literal(null)): Expression)
+    }
+    CreateNamedStruct(Seq(Literal("tag"), tag) ++ fields)
+  }
+
+  /** union_tag(u) → the active alternative's index. */
+  def unionTag(es: Seq[Expression]): Expression =
+    UnresolvedExtractValue(es.head, Literal("tag"))
+
+  /** extract_union(u, i) → alternative i (NULL when inactive);
+    * extract_union(u) → the full tagged struct (Hive's all-fields
+    * form — this encoding already IS that struct). */
+  def extractUnion(es: Seq[Expression]): Expression = es match {
+    case Seq(u) => u
+    case Seq(u, Literal(i: Int, IntegerType)) =>
+      UnresolvedExtractValue(u, Literal(s"field$i"))
+    case other => throw new IllegalArgumentException(
+      s"extract_union(u[, literal tag index]), got $other")
+  }
+
   val builders: Map[String, Seq[Expression] => Expression] = Map(
+    "create_union"      -> createUnion,
+    "union_tag"         -> unionTag,
+    "extract_union"     -> extractUnion,
     "mask_first_n"      -> maskFirstN,
     "mask_last_n"       -> maskLastN,
     "mask_show_first_n" -> maskShowFirstN,

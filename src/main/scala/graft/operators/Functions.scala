@@ -356,6 +356,29 @@ object Functions {
       FROM customer WHERE c_custkey < 200
       ORDER BY c_custkey"""),
 
+    // uniontype (SERDE/typeinfo/UnionTypeInfo) as the SURVEY §1.3
+    // struct-tag encoding: create_union/union_tag/extract_union over a
+    // price-or-status alternative per order. The oracle runs DuckDB's
+    // NATIVE union type (union_value/union_tag/union_extract with
+    // explicit member casts), so the encoding is value-checked against
+    // a real union implementation rather than a mirror of itself.
+    "uniontype_encode" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      graft.functions.GraftFunctions.register(spark)
+      spark.sql("""
+        WITH t AS (
+          SELECT create_union(CASE WHEN o_totalprice > 150000 THEN 0 ELSE 1 END,
+                              o_totalprice, o_orderstatus) AS u
+          FROM orders)
+        SELECT union_tag(u) AS tag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN union_tag(u) = 0
+                             THEN CAST(ROUND(extract_union(u, 0) * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS price_cents,
+               MAX(extract_union(u, 1)) AS max_status
+        FROM t GROUP BY union_tag(u) ORDER BY tag""")
+    }),
+
     // parse_url_tuple as a true one-row UDTF (GenericUDTFParseUrlTuple):
     // one URL parse serving all requested parts, vs parse_url × n above.
     "url_tuple" -> ((spark, sfDir) => {
@@ -560,6 +583,22 @@ object Functions {
       SELECT c_custkey, c_name AS name_roundtrip
       FROM customer WHERE c_custkey < 200
       ORDER BY c_custkey""",
+
+    "uniontype_encode" -> """
+      WITH t AS (
+        SELECT CASE WHEN o_totalprice > 150000
+                 THEN CAST(union_value(field0 := o_totalprice)
+                           AS UNION(field0 DOUBLE, field1 VARCHAR))
+                 ELSE CAST(union_value(field1 := o_orderstatus)
+                           AS UNION(field0 DOUBLE, field1 VARCHAR)) END AS u
+        FROM orders)
+      SELECT CASE union_tag(u) WHEN 'field0' THEN 0 ELSE 1 END AS tag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN union_tag(u) = 'field0'
+                           THEN CAST(ROUND(union_extract(u, 'field0') * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS price_cents,
+             MAX(union_extract(u, 'field1')) AS max_status
+      FROM t GROUP BY 1 ORDER BY tag""",
 
     "sample_weighted_aes" -> aesSql(spark = false),
     // identical integer arithmetic — the bucket predicate is engine-independent

@@ -111,7 +111,9 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "pipeline_curate_ppl", "pipeline_train_report", "profile_benford",
     "recsys_item_sim", "recsys_user_cf", "sample_coreset",
     "sample_neyman", "sample_weighted_aes", "search_hybrid_rrf",
-    "sort_array_struct", // ROUND(bal*100)->BIGINT: exact cents grid
+    "sort_array_struct",  // ROUND(bal*100)->BIGINT: exact cents grid
+    "source_rcfile_scan", // ROUND(bal*100)->BIGINT: exact cents grid
+    "uniontype_encode",   // ROUND(price*100)->BIGINT: exact cents grid
     "stats_anova", "stats_chisq", "stats_corr_matrix", "stats_cuped",
     "stats_delta_method", "stats_gini", "stats_hill", "stats_kendall",
     "stats_kruskal", "stats_ks", "stats_logistic_irls",

@@ -85,7 +85,10 @@ class FunctionParitySpec extends AnyFunSuite {
     Set("field", "ngrams", "ngrams_topk", "context_ngrams", "parse_url_tuple",
       // [2.x] tail as composite catalyst expressions (graft.functions.Hive2x)
       "mask_first_n", "mask_last_n", "mask_show_first_n", "mask_show_last_n",
-      "mask_hash", "sort_array_by", "replicate_rows")
+      "mask_hash", "sort_array_by", "replicate_rows",
+      // uniontype struct-tag encoding (SURVEY §1.3; union_tag is the
+      // graft-side accessor the encoding needs)
+      "create_union", "extract_union", "union_tag")
 
   /** Deliberately out of scope, with the reason pinned here
     * (SURVEY.md §7.2 decision table). */
@@ -100,8 +103,6 @@ class FunctionParitySpec extends AnyFunSuite {
     "matchpath" -> ("implemented as the MatchPath flatMapGroups operator " +
       "(matchpath_* queries), not a SQL-registered PTF — Spark has no PTF syntax"),
     "logged_in_user" -> "HS2 session concept; no server here",
-    "create_union" -> "uniontype has no Spark equivalent (SURVEY §1.3)",
-    "extract_union" -> "uniontype has no Spark equivalent",
     "get_splits" -> "[2.x] LLAP input-split provider UDTF; no server here",
     "noop" -> "test-only PTF", "noopwithmap" -> "test-only PTF",
     "noopstreaming" -> "test-only PTF", "noopwithmapstreaming" -> "test-only PTF",
@@ -221,7 +222,15 @@ class FunctionParitySpec extends AnyFunSuite {
         "named_struct('a', 1, 'b', 'y')), 'a')[0].b",
         v => v.toString == "y")),
       "replicate_rows" -> (("SELECT count(*) FROM (SELECT replicate_rows(3, 'v'))",
-        v => v == 3L))
+        v => v == 3L)),
+      // uniontype struct-tag encoding: tag selects the live alternative,
+      // the other field reads back NULL
+      "create_union" -> (("SELECT create_union(1, 'dead', 42L).field1",
+        v => v == 42L)),
+      "union_tag" -> (("SELECT union_tag(create_union(1, 'dead', 42L))",
+        v => v == 1)),
+      "extract_union" -> (("SELECT extract_union(create_union(0, 'live', 42L), 0)",
+        v => v.toString == "live"))
     )
     val registered = GraftFunctions.builders.keySet ++
       Set("ngrams_topk", "context_ngrams")
