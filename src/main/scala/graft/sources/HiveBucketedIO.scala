@@ -29,10 +29,11 @@ import graft.Tables
   * Keys hash as BIGINT on both write and read (Hive's long hash
   * `(int)(v ^ (v >>> 32))` equals the int hash for all values < 2^31,
   * and casting both sides makes the contract exact for ANY key
-  * domain). The fixture WRITER here runs one filtered pass per bucket
-  * — fixture-scale by design: in the migration story the bucketed
-  * data already exists (Hive wrote it); the product surface is the
-  * read path.
+  * domain). The writer routes rows in ONE shuffle (repartition on the
+  * bucket id, dynamic-partition write, N driver-side renames), so
+  * producing Hive-layout data is a single data pass at any scale —
+  * though in the migration story the bucketed data usually already
+  * exists (Hive wrote it), and the product surface is the read path.
   */
 object HiveBucketedIO {
 
@@ -52,7 +53,7 @@ object HiveBucketedIO {
 
   /** Writes `df` into Hive bucket-file layout under `dir` (parquet
     * content, Hive file naming/routing). Fixture-scale: one filtered
-    * pass per bucket — see the object Scaladoc. */
+    * pass: see below. */
   def writeBucketed(df: DataFrame, dir: String, numBuckets: Int,
                     keys: Column*): Unit = {
     val spark = df.sparkSession
@@ -60,22 +61,41 @@ object HiveBucketedIO {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = new Path(dir)
     if (fs.exists(out)) fs.delete(out, true)
+    // ONE shuffle at any scale: repartition on the bucket id so each
+    // bucket's rows land in a single task, then a dynamic-partition
+    // write emits exactly one file per __bucket=N directory (one task
+    // owns each directory). The driver then renames each directory's
+    // part file to Hive's flat %06d_0 layout — N cheap FS renames, no
+    // second data pass. (A task may own several buckets; it still
+    // writes one file per directory.)
+    val staging = new Path(dir + "_staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    df.withColumn("__bucket", bucketIdColumn(numBuckets, keys: _*))
+      .repartition(numBuckets, col("__bucket"))
+      .write.partitionBy("__bucket").parquet(staging.toString)
     fs.mkdirs(out)
-    val withB = df
-      .withColumn("__bucket", bucketIdColumn(numBuckets, keys: _*))
-      .persist()
     try {
       for (n <- 0 until numBuckets) {
-        val staging = new Path(dir, s"_staging_$n")
-        withB.where(col("__bucket") === n).drop("__bucket")
-          .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-        val part = fs.listStatus(staging).map(_.getPath)
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(sys.error(s"no part file for bucket $n"))
-        fs.rename(part, new Path(out, bucketFileName(n)))
-        fs.delete(staging, true)
+        val bucketDir = new Path(staging, s"__bucket=$n")
+        val target = new Path(out, bucketFileName(n))
+        val parts =
+          if (fs.exists(bucketDir))
+            fs.listStatus(bucketDir).map(_.getPath)
+              .filter(_.getName.startsWith("part-"))
+          else Array.empty[Path]
+        parts match {
+          case Array(single) => fs.rename(single, target)
+          case Array() => // empty bucket: a schema-only parquet file
+            df.limit(0).write.parquet((target + "_tmp"))
+            val p = fs.listStatus(new Path(target + "_tmp")).map(_.getPath)
+              .find(_.getName.startsWith("part-")).get
+            fs.rename(p, target)
+            fs.delete(new Path(target + "_tmp"), true)
+          case many => sys.error(
+            s"bucket $n produced ${many.length} files — repartition contract broken")
+        }
       }
-    } finally withB.unpersist()
+    } finally fs.delete(staging, true)
     // marker written LAST: its presence certifies a complete layout
     fs.create(new Path(out, "_BUCKETS_OK")).close()
   }
