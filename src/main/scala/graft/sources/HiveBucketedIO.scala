@@ -118,6 +118,55 @@ object HiveBucketedIO {
     readBucketFile(spark, dir, bucketIdOf(numBuckets, value))
       .where(col(keyCol) === lit(value))
 
+  /** Exchange-free inner equi-join of two CO-BUCKETED Hive-layout
+    * tables — the `BucketMapJoinOptimizer` contract recovered under
+    * Spark: both tables hashed the join key with HiveHash into the
+    * same bucket count, so bucket i of A can only match bucket i of B.
+    * Bucket pairs are aligned as same-index RDD partitions (one
+    * partition per bucket file) and joined with a per-bucket hash
+    * build via `zipPartitions` — NO shuffle of either side at any
+    * scale; each task streams one A-bucket against the hash table of
+    * one B-bucket (the build side is bucket-sized, which is the same
+    * memory contract Hive's bucket map join required). Output columns:
+    * all of A's, then B's minus its join key. */
+  def bucketedJoin(spark: SparkSession, dirA: String, dirB: String,
+                   numBuckets: Int, keyA: String, keyB: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    def perBucket(dir: String) = (0 until numBuckets)
+      .map(i => readBucketFile(spark, dir, i).rdd.coalesce(1))
+    val schemaA = readBucketFile(spark, dirA, 0).schema
+    val schemaB = readBucketFile(spark, dirB, 0).schema
+    val kA = schemaA.fieldIndex(keyA)
+    val kB = schemaB.fieldIndex(keyB)
+    val bIdx = schemaB.indices.filterNot(_ == kB)
+    val joinedSchema = StructType(schemaA.fields ++ bIdx.map(schemaB(_)))
+    val rddA = spark.sparkContext.union(perBucket(dirA))
+    val rddB = spark.sparkContext.union(perBucket(dirB))
+    val joined = rddA.zipPartitions(rddB) { (ita, itb) =>
+      // hash-build the B bucket, stream the A bucket against it
+      val build = new scala.collection.mutable.HashMap[Any,
+        scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]]()
+      itb.foreach { r =>
+        val k = r.get(kB)
+        if (k != null)
+          build.getOrElseUpdate(k,
+            new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()) += r
+      }
+      ita.flatMap { a =>
+        val k = a.get(kA)
+        if (k == null) Iterator.empty
+        else build.get(k) match {
+          case None => Iterator.empty
+          case Some(bs) => bs.iterator.map { b =>
+            org.apache.spark.sql.Row.fromSeq(
+              a.toSeq ++ bIdx.map(b.get))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(joined, joinedSchema)
+  }
+
   // ------------------------------------------------------------------
   // driver-contract query: customer bucketed by c_custkey into 8 Hive
   // buckets, point lookups pruned to one file each
@@ -126,22 +175,27 @@ object HiveBucketedIO {
   private val NumBuckets = 8
   private val fixtureLock = new Object
 
-  /** Hive-bucket-layout copy of `customer` for `sfDir`, built once per
-    * warehouse (marker-gated; rebuilt only if absent/incomplete). */
-  def customerFixture(spark: SparkSession, sfDir: String): String =
+  /** Hive-bucket-layout copy of `table` bucketed on `key` for `sfDir`,
+    * built once per warehouse (marker-gated; rebuilt only if
+    * absent/incomplete). */
+  def tableFixture(spark: SparkSession, sfDir: String,
+                   table: String, key: String): String =
     fixtureLock.synchronized {
       val base = spark.conf.get("spark.sql.warehouse.dir") + "/_graft_fixtures"
-      val dir = s"$base/hive_bucketed_customer${NumBuckets}_" +
+      val dir = s"$base/hive_bucketed_${table}${NumBuckets}_" +
         java.lang.Integer.toHexString(sfDir.hashCode)
       val fs = new Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new Path(dir, "_BUCKETS_OK"))) {
         Tables.register(spark, sfDir)
-        writeBucketed(spark.table("customer"), dir, NumBuckets,
-          col("c_custkey").cast("bigint"))
+        writeBucketed(spark.table(table), dir, NumBuckets,
+          col(key).cast("bigint"))
       }
       dir
     }
+
+  def customerFixture(spark: SparkSession, sfDir: String): String =
+    tableFixture(spark, sfDir, "customer", "c_custkey")
 
   private type Q = (SparkSession, String) => DataFrame
 
@@ -156,6 +210,24 @@ object HiveBucketedIO {
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
           col("c_acctbal"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // co-located bucket join (BucketMapJoinOptimizer twin): customer
+    // and orders both Hive-bucketed on the customer key, joined
+    // exchange-free via aligned bucket partitions; the aggregate after
+    // the join is the only shuffle in the query. The oracle re-derives
+    // the same join from the source parquet — equality proves both
+    // routing (no key lands in the wrong bucket pair) and completeness
+    // (no match lost at a bucket boundary).
+    "join_hive_bucketed_colocated" -> ((spark, sfDir) => {
+      val dirC = tableFixture(spark, sfDir, "customer", "c_custkey")
+      val dirO = tableFixture(spark, sfDir, "orders", "o_custkey")
+      bucketedJoin(spark, dirO, dirC, NumBuckets, "o_custkey", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("bigint").as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("bigint")
+            .cast("decimal(18,0)")).cast("bigint").as("price_cents"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -165,6 +237,13 @@ object HiveBucketedIO {
     "source_hive_bucket_lookup" -> s"""
       SELECT c_custkey, c_name, c_mktsegment, c_acctbal
       FROM customer WHERE c_custkey IN (${LookupKeys.mkString(", ")})
-      ORDER BY c_custkey"""
+      ORDER BY c_custkey""",
+
+    "join_hive_bucketed_colocated" -> """
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

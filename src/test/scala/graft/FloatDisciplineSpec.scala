@@ -106,6 +106,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "events_seasonal_anomaly", "events_ses_forecast",
     "events_survival_km", "feature_scale", "graph_adamic_adar",
     "graph_assoc_rules", "graph_assortativity", "graph_local_clustering",
+    "join_hive_bucketed_colocated", // ROUND(price*100)->BIGINT: cents grid
     "graph_modularity", "graph_pagerank", "join_pit_scd2",
     "link_jaro_winkler", "math_fns", "pipeline_curate",
     "pipeline_curate_ppl", "pipeline_train_report", "profile_benford",

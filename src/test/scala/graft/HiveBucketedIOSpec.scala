@@ -10,6 +10,7 @@ import graft.sources.HiveBucketedIO
   * pruning decision depends on. */
 class HiveBucketedIOSpec extends AnyFunSuite {
   lazy val spark = LocalSpark.spark
+  import spark.implicits._
 
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft-hivebucket").toString + "/tbl"
@@ -63,6 +64,29 @@ class HiveBucketedIOSpec extends AnyFunSuite {
     val all = HiveBucketedIO.readAll(spark, dir, 8)
     assert(all.inputFiles.length == 8)
     assert(all.count() == spark.table("customer").count())
+  }
+
+  test("co-located bucket join: shuffle-free and equal to the SQL join") {
+    Tables.register(spark, LocalSpark.sf)
+    val dirC = HiveBucketedIO.tableFixture(spark, LocalSpark.sf, "customer", "c_custkey")
+    val dirO = HiveBucketedIO.tableFixture(spark, LocalSpark.sf, "orders", "o_custkey")
+    val joined = HiveBucketedIO.bucketedJoin(
+      spark, dirO, dirC, 8, "o_custkey", "c_custkey")
+    // one partition per bucket pair, and NO shuffle anywhere in the
+    // join lineage (zipPartitions over aligned narrow reads)
+    assert(joined.rdd.getNumPartitions == 8)
+    assert(!joined.rdd.toDebugString.contains("ShuffledRDD"),
+      "bucket join lineage contains a shuffle")
+    val got = joined.groupBy($"c_mktsegment").count()
+      .orderBy($"c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = spark.table("orders")
+      .join(spark.table("customer"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment").count()
+      .orderBy($"c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"bucket join diverged:\n$got\nvs\n$want")
   }
 
   test("driver query scans only the pruned files (3 of 8)") {
