@@ -38,6 +38,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("join_pit_scd2 broadcasts the materialized SCD2 dimension") {
+    // the round-8 materialize-once shape: the dimension is a persisted
+    // view broadcast into the fact join — losing the broadcast (or
+    // re-deriving the dimension inside the join) regresses 1.7s -> 4.9s
+    val p = plan("join_pit_scd2")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"fact side must not shuffle:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"dimension must come from the persisted materialization:\n$p")
+  }
+
   test("q1 aggregates partially before the exchange (map-side combine)") {
     val p = plan("q1_pricing_summary")
     val aggIdx = p.indexOf("HashAggregate")
