@@ -48,19 +48,42 @@ object Graph {
   /** The support-filtered co-occurrence edge list in (src < dst)
     * orientation. Callers persist it for the duration of their query
     * (the harness clears the cache afterwards). */
-  private def edges(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.register(spark, sfDir)
-    val io = spark.table("lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val a = io.select(col("o"), col("p").as("src"))
-    val b = io.select(col("o"), col("p").as("dst"))
-    a.join(b, Seq("o")).where(col("src") < col("dst"))
-      .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("w"))
-      .where(col("w") >= 2)
-      .select(col("src"), col("dst"))
+  // The co-purchase edge list is the SHARED input of the whole graph
+  // family (12 queries build the identical relation) — in production it
+  // is a materialized table the analytics suite reads, not a per-query
+  // derivation, so it is built and persisted ONCE per (session, sfDir).
+  // Oracles keep the inline derivation (DuckDB's one-statement
+  // protocol), so correctness still checks the full pipeline per query.
+  private val edgesMemo =
+    new scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
+  private def weightedEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = edgesMemo.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+      Tables.register(spark, sfDir)
+      val io = spark.table("lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val a = io.select(col("o"), col("p").as("src"))
+      val b = io.select(col("o"), col("p").as("dst"))
+      a.join(b, Seq("o")).where(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("src"), col("dst"),
+          floor(lit(1000000.0) / col("w")).cast("bigint").as("cost"))
+        .persist()
+    })
+    // deliberately NO re-persist here: an external cache clear (Bench
+    // between timed passes) unpersists the shared DF, and re-marking it
+    // made single-use queries pay a cache write per pass for reuse they
+    // never get (kcore +1.9 s). Queries that loop over the edges
+    // re-mark persist at their call site (MST); sequential multi-query
+    // sessions (Verify: 285 queries, no clears) share the first build.
+    df
   }
+
+  private def edges(spark: SparkSession, sfDir: String): DataFrame =
+    weightedEdges(spark, sfDir).select(col("src"), col("dst"))
 
   // ---- shared DuckDB-oracle CTE text ----
 
@@ -134,13 +157,13 @@ object Graph {
   // weighted edge list and the union with the previous distances
   // re-minimizes per (seed, node) — integer costs, so MIN is exact and
   // join order cannot matter
-  private def ssspIter(k: Int): String = s"""
+  private def ssspIter(k: Int, symSrc: String): String = s"""
       , d$k AS (
         SELECT seed, node, MIN(d) AS d FROM (
           SELECT seed, node, d FROM d${k - 1}
           UNION ALL
           SELECT p.seed, s.dst AS node, p.d + s.cost AS d
-          FROM d${k - 1} p JOIN sym s ON p.node = s.src) x
+          FROM d${k - 1} p JOIN $symSrc s ON p.node = s.src) x
         GROUP BY seed, node
       )"""
 
@@ -156,6 +179,23 @@ object Graph {
   // DuckDB 1.0.0 bit-exactly yet failed the driver build's hash two
   // rounds running (r06+r07) — float display columns are not
   // engine-version-proof, so none are oracled here.
+  private def ssspCtes(symSrc: String): String = s"""
+      seeds AS (SELECT DISTINCT src AS seed FROM $symSrc ORDER BY seed LIMIT 3),
+      d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS d FROM seeds)""" +
+    ssspIter(1, symSrc) + ssspIter(2, symSrc) + ssspIter(3, symSrc) + """
+      SELECT seed, node, d AS dist_q, rn
+      FROM (SELECT seed, node, d,
+                   ROW_NUMBER() OVER (PARTITION BY seed ORDER BY d, node) AS rn
+            FROM d3 WHERE node <> seed) r
+      WHERE rn <= 10
+      ORDER BY seed, rn"""
+
+  // oracle spelling: the full inline pipeline (DuckDB materializes the
+  // CTE chain once). The SPARK side reads a PERSISTED symmetric view
+  // instead — Catalyst inlines CTEs, so with the edge build as a CTE
+  // each of the 3 relaxations re-derived the lineitem self-join (the
+  // reach_recursive lesson); against the cached view it is one edge
+  // build plus the id-triple joins.
   private val SsspSql = """
       WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       ew AS (
@@ -167,16 +207,7 @@ object Graph {
         SELECT src, dst, CAST(FLOOR(1000000.0 / w) AS BIGINT) AS cost FROM ew
         UNION ALL
         SELECT dst AS src, src AS dst, CAST(FLOOR(1000000.0 / w) AS BIGINT) AS cost FROM ew
-      ),
-      seeds AS (SELECT DISTINCT src AS seed FROM sym ORDER BY seed LIMIT 3),
-      d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS d FROM seeds)""" +
-    ssspIter(1) + ssspIter(2) + ssspIter(3) + """
-      SELECT seed, node, d AS dist_q, rn
-      FROM (SELECT seed, node, d,
-                   ROW_NUMBER() OVER (PARTITION BY seed ORDER BY d, node) AS rn
-            FROM d3 WHERE node <> seed) r
-      WHERE rn <= 10
-      ORDER BY seed, rn"""
+      ),""" + ssspCtes("sym")
 
   // Native WITH RECURSIVE (SQL:1999 linear recursion) — a statement-
   // surface capability Hive 1.2 lacks entirely (SURVEY §2.3: no
@@ -454,18 +485,12 @@ object Graph {
     // jumps — and the oracle compare proves the equivalence.
     "graph_mst_boruvka" -> ((spark, sfDir) => Dedup.withReliableCheckpointDir(spark, "mst") {
       Tables.register(spark, sfDir)
-      val io = spark.table("lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val a = io.select(col("o"), col("p").as("src"))
-      val b = io.select(col("o"), col("p").as("dst"))
-      val ew = a.join(b, Seq("o")).where(col("src") < col("dst"))
-        .groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as("w"))
-        .where(col("w") >= 2)
-        .select(col("src"), col("dst"),
-          floor(lit(1000000.0) / col("w")).cast("bigint").as("cost"))
-        .persist()
+      // the shared weighted co-purchase edge table. persist() is
+      // RE-MARKED per call: the memo survives across queries but a
+      // cache clear between bench passes silently unpersists the DF,
+      // and the MST loop touches ew once per round — unpersisted that
+      // is a full lineitem self-join per action (measured +2.3 s).
+      val ew = weightedEdges(spark, sfDir).persist()
       // Reliable checkpoint() truncates the label lineage each jump:
       // every jump references the previous labels THREE times, so the
       // un-truncated logical plan grows 3^jumps copies per round (~729
@@ -582,6 +607,12 @@ object Graph {
     }),
     "graph_assoc_rules" -> Tables.sql(AssocSql),
     "recsys_item_sim" -> Tables.sql(ItemSimSql),
+    // sssp keeps the single-statement spelling on BOTH sides: unlike
+    // reach_recursive (UnionLoopExec re-plans its step each iteration),
+    // the unrolled relaxations sit in one plan where ReuseExchange
+    // already dedupes the repeated edge-build subtree — a persisted-view
+    // spelling measured SLOWER (7.2 s vs 3.3 s at sf0.1: cache-write
+    // overhead for no reuse the optimizer wasn't already getting).
     "graph_sssp" -> Tables.sql(SsspSql),
     "graph_reach_recursive" -> ((spark, sfDir) => {
       val e = edges(spark, sfDir)
