@@ -247,6 +247,68 @@ object Multimodal {
           if (iis != null) iis.close()
         }
       }
+
+    // --------------------------------------------------------------
+    // REAL video-container path: Motion-JPEG in an AVI (RIFF) file —
+    // the one video container whose frame payloads the JDK can decode
+    // (each frame is a plain JPEG for ImageIO). The RIFF grammar is
+    // public (Microsoft AVI spec): 'RIFF'<size>'AVI ' then chunks;
+    // 'LIST'<size><type> nests; video frames live in the 'movi' list
+    // as '##dc'/'##db' chunks (stream number + compressed/uncompressed
+    // DIB), MJPEG frames starting with the JPEG SOI marker. Sizes are
+    // little-endian u32 and chunks pad to even offsets.
+    // --------------------------------------------------------------
+
+    def isAvi(p: Array[Byte]): Boolean =
+      p.length >= 12 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+    private def u32le(p: Array[Byte], off: Int): Long =
+      (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+
+    /** MJPEG frames from an AVI payload; None when not AVI / corrupt. */
+    def aviFrames(p: Array[Byte]): Option[IndexedSeq[Frame]] =
+      if (!isAvi(p)) None
+      else try {
+        val out = IndexedSeq.newBuilder[Frame]
+        // walk chunks in [from, until); recurse into LIST/RIFF bodies
+        def walk(from: Int, until: Int): Unit = {
+          var off = from
+          while (off + 8 <= until) {
+            val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+            val size = u32le(p, off + 4)
+            val body = off + 8
+            val end = math.min(until.toLong, body + size).toInt
+            if (id == "LIST") walk(body + 4, end) // skip the list type 4cc
+            else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+              id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') &&
+              end - body >= 2 && (p(body) & 0xff) == 0xff && (p(body + 1) & 0xff) == 0xd8) {
+              // a stream-data chunk holding a JPEG: decode via ImageIO
+              val bytes = java.util.Arrays.copyOfRange(p, body, end)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              if (img != null) {
+                val lum = ImageCodec.lumaGrid(img)
+                var s = 0.0
+                var j = 0
+                while (j < lum.length) { s += lum(j); j += 1 }
+                out += Frame(img.getWidth, img.getHeight, s / lum.length)
+              }
+            }
+            off = body + size.toInt + (size.toInt & 1) // chunks pad to even
+          }
+        }
+        walk(12, math.min(p.length.toLong, 8 + u32le(p, 4)).toInt)
+        val frames = out.result()
+        if (frames.isEmpty) None else Some(frames)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** All frames of any supported container: animated GIF or MJPEG
+      * AVI; None → the caller's deterministic-stub fallback. */
+    def anyFrames(p: Array[Byte]): Option[IndexedSeq[Frame]] =
+      frames(p).orElse(aviFrames(p))
   }
 
   /** Output of the audio stage: one row per decodable audio payload. */
@@ -415,8 +477,10 @@ object Multimodal {
     * GIF (FrameCodec): true frame count, frame_feat = the frame's exact
     * mean luma scaled to [0,1) (meanLuma/256 — the same range the stub
     * feature spans, so the column's semantics hold across both paths).
-    * Payloads ImageIO cannot decode (the JDK has no MP4/WebM codec)
-    * fall back to the deterministic FakeCodec stub. */
+    * Containers with a JDK-decodable frame path (animated GIF; MJPEG
+    * AVI via the RIFF walker) decode for real; payloads the JDK cannot
+    * decode (MP4/WebM — no JDK codec exists) fall back to the
+    * deterministic FakeCodec stub. */
   def frameRows(ds: org.apache.spark.sql.Dataset[MediaRow], everyN: Int)
       : org.apache.spark.sql.Dataset[FrameRow] = {
     require(everyN >= 1)
@@ -424,7 +488,7 @@ object Multimodal {
     ds.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
-        FrameCodec.frames(r.payload) match {
+        FrameCodec.anyFrames(r.payload) match {
           case Some(fs) =>
             (0 until fs.length by everyN).iterator.map(i =>
               FrameRow(r.doc_id, i, fs.length, fs(i).meanLuma / 256.0))

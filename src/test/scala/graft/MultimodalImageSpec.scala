@@ -122,6 +122,86 @@ class MultimodalImageSpec extends AnyFunSuite with Matchers {
     bos.toByteArray
   }
 
+  // ----------------------------------------------------------------
+  // Minimal SPEC-COMPLETE Motion-JPEG AVI builder (Microsoft RIFF/AVI
+  // grammar): RIFF('AVI ') { LIST(hdrl){ avih, LIST(strl){strh,strf} },
+  // LIST(movi){ '00dc' jpeg ... } }. Sizes little-endian u32, chunks
+  // padded to even — a file any AVI parser accepts, not just ours.
+  // ----------------------------------------------------------------
+  private def mjpegAvi(jpegs: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    def u32(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      cc(id) ++ u32(body.length) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(kind) ++ body)
+    val n = jpegs.length
+    val avih = u32(40000) ++ u32(0) ++ u32(0) ++ u32(0x10) ++ u32(n) ++
+      u32(0) ++ u32(1) ++ u32(0) ++ u32(w) ++ u32(h) ++
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+    val strh = cc("vids") ++ cc("MJPG") ++ u32(0) ++ u16(0) ++ u16(0) ++
+      u32(0) ++ u32(1) ++ u32(25) ++ u32(0) ++ u32(n) ++ u32(0) ++
+      u32(0xffffffff) ++ u32(0) ++ u16(0) ++ u16(0) ++ u16(w) ++ u16(h)
+    val strf = u32(40) ++ u32(w) ++ u32(h) ++ u16(1) ++ u16(24) ++
+      cc("MJPG") ++ u32(w * h * 3) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _))
+    val payload = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ u32(payload.length) ++ payload
+  }
+
+  private def jpeg(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("MJPEG AVI frames decode exactly like their JPEG payloads") {
+    val srcs = (0 until 4).map(_ => raster(16, 12))
+    val js = srcs.map(jpeg)
+    val avi = mjpegAvi(js, 16, 12)
+    val fs = Multimodal.FrameCodec.aviFrames(avi).get
+    fs.length shouldBe 4
+    js.zip(fs).foreach { case (j, f) =>
+      (f.width, f.height) shouldBe ((16, 12))
+      // same ImageIO JPEG decode + lumaGrid both ways: exact equality
+      val ref = Multimodal.ImageCodec.decode(j).get
+      f.meanLuma shouldBe ref.meanLuma
+    }
+    // anyFrames routes AVI through the same surface as GIF
+    Multimodal.FrameCodec.anyFrames(avi).get.length shouldBe 4
+  }
+
+  test("AVI sniff and degrade: non-AVI and truncated payloads fall back") {
+    Multimodal.FrameCodec.aviFrames("RIFFxxxxWAVE".getBytes("US-ASCII")) shouldBe None
+    Multimodal.FrameCodec.aviFrames(jpeg(raster(8, 8))) shouldBe None
+    val avi = mjpegAvi((0 until 3).map(_ => jpeg(raster(8, 8))), 8, 8)
+    // truncation mid-movi: parser must degrade to None, never throw
+    Multimodal.FrameCodec.aviFrames(avi.take(avi.length / 2)) match {
+      case None => ()
+      case Some(fs) => assert(fs.nonEmpty) // partial decode is also acceptable
+    }
+  }
+
+  test("frame pipeline treats AVI as a real video container, not a stub") {
+    import spark.implicits._
+    val js = (0 until 6).map(_ => jpeg(raster(10, 10)))
+    val rows = Seq(Multimodal.MediaRow(9L, "avi", mjpegAvi(js, 10, 10)))
+    val out = Multimodal.frameRows(spark.createDataset(rows), everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    out.map(_.frame_idx).toSeq shouldBe Seq(0, 2, 4)
+    out.foreach(_.n_frames shouldBe 6)
+    val ref = Multimodal.ImageCodec.decode(js.head).get
+    out.head.frame_feat shouldBe ref.meanLuma / 256.0
+  }
+
   test("animated GIF frames: exact count and per-frame mean luma goldens") {
     val srcs = (0 until 5).map(i => grayFrame(6, i))
     val gif = animatedGif(srcs)
