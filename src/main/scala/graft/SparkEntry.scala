@@ -32,7 +32,8 @@ object SparkEntry {
     QueryModule(graft.sources.HiveBucketedIO.queries,
       graft.sources.HiveBucketedIO.oracle),
     QueryModule(graft.sources.RCFileIO.queries,
-      graft.sources.RCFileIO.oracle)
+      graft.sources.RCFileIO.oracle),
+    QueryModule(Compactor.queries, Compactor.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
