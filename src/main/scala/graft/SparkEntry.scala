@@ -33,7 +33,9 @@ object SparkEntry {
       graft.sources.HiveBucketedIO.oracle),
     QueryModule(graft.sources.RCFileIO.queries,
       graft.sources.RCFileIO.oracle),
-    QueryModule(Compactor.queries, Compactor.oracle)
+    QueryModule(Compactor.queries, Compactor.oracle),
+    QueryModule(graft.sources.SymlinkTextIO.queries,
+      graft.sources.SymlinkTextIO.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
