@@ -50,16 +50,16 @@ object TextAnalysis {
     * rebuild is narrow — each iteration's only shuffle is the pair
     * count, which at 100 TB is (pair, count) rows after map-side
     * partials, never the corpus. */
-  private def bpeOracleSql: String = {
-    val size = "LEN(toks)"
-    def el(i: String) = s"toks[$i]"
-    val tok = "LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')"
-    val pairIdx = ", UNNEST(RANGE(1, LEN(toks))) AS e(i)"
-    val rebuildSeq = "RANGE(1, LEN(toks) + 1)"
-    val xform = "LIST_TRANSFORM"
-    val emptyArr = "CAST([] AS VARCHAR[])"
-    def arr1(e: String) = s"[$e]"
-    def iter(k: Int) = s"""
+  private object BpeSql {
+    private val size = "LEN(toks)"
+    private def el(i: String) = s"toks[$i]"
+    private val tok = "LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')"
+    private val pairIdx = ", UNNEST(RANGE(1, LEN(toks))) AS e(i)"
+    private val rebuildSeq = "RANGE(1, LEN(toks) + 1)"
+    private val xform = "LIST_TRANSFORM"
+    private val emptyArr = "CAST([] AS VARCHAR[])"
+    private def arr1(e: String) = s"[$e]"
+    private def iter(k: Int) = s"""
       , p$k AS (
         SELECT ${el("i")} AS a, ${el("i + 1")} AS b
         FROM t${k - 1} $pairIdx
@@ -78,19 +78,30 @@ object TextAnalysis {
             ELSE ${arr1(el("i"))} END)) AS toks
         FROM t${k - 1} CROSS JOIN m$k
       )"""
-    def out(k: Int) = s"""
+    private def out(k: Int) = s"""
       SELECT $k AS merge_rank, pa AS pair_a, pb AS pair_b, freq,
              (SELECT CAST(SUM(${size}) AS BIGINT) FROM t$k) AS tokens_after
       FROM m$k"""
-    s"""
+    private val ctes = s"""
       WITH t0 AS (
         SELECT doc_id, toks
         FROM (SELECT doc_id, $tok AS toks FROM documents) x
         WHERE $size >= 1
-      )${iter(1)}${iter(2)}${iter(3)}
+      )${iter(1)}${iter(2)}${iter(3)}"""
+    val merges: String = s"""$ctes
       SELECT CAST(merge_rank AS INT) AS merge_rank, pair_a, pair_b, freq, tokens_after
       FROM (${out(1)} UNION ALL ${out(2)} UNION ALL ${out(3)}) u
       ORDER BY merge_rank"""
+    // encode = the trained merge table APPLIED: per-doc token counts
+    // before/after, top savers first (exact integers end to end)
+    val encode: String = s"""$ctes
+      SELECT t0.doc_id,
+             CAST(LEN(t0.toks) AS BIGINT) AS n_tok_base,
+             CAST(LEN(t3.toks) AS BIGINT) AS n_tok_enc,
+             CAST(LEN(t0.toks) - LEN(t3.toks) AS BIGINT) AS n_saved
+      FROM t0 JOIN t3 USING (doc_id)
+      ORDER BY n_saved DESC, doc_id
+      LIMIT 20"""
   }
 
   /** Positional phrase search ("table hash") over a positional
@@ -175,6 +186,49 @@ object TextAnalysis {
       ORDER BY t.cab DESC, t.wa, t.wb"""
   }
 
+  /** Shared BPE training loop (see text_bpe_merges): returns the
+    * tokenized generation-0 frame, the learned merges with stats, the
+    * final generation, and the persisted frames for caller-side
+    * unpersist. */
+  private def bpeTrain(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[(Int, String, String, Long, Long)], DataFrame,
+         Seq[DataFrame]) = {
+    Tables.register(spark, sfDir)
+    import org.apache.spark.sql.Column
+    var t = spark.table("documents")
+      .select(col("doc_id"),
+        expr("FILTER(SPLIT(LOWER(text), ' '), w -> w <> '')").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .persist()
+    val t0 = t
+    val gens = scala.collection.mutable.ArrayBuffer(t)
+    val merges = (1 to 3).map { k =>
+      val top = t.where(size(col("toks")) >= 2)
+        .select(posexplode(expr("SLICE(toks, 1, SIZE(toks) - 1)"))
+          .as(Seq("i0", "a")), col("toks"))
+        .select(col("a"),
+          element_at(col("toks"), col("i0").cast("int") + 2).as("b"))
+        .where(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
+        .collect()(0)
+      val (pa, pb, freq) = (top.getString(0), top.getString(1), top.getLong(2))
+      val toks = col("toks")
+      def elAt(i: Column) = element_at(toks, i.cast("int"))
+      val merged = flatten(transform(sequence(lit(1), size(toks)), i =>
+        when(i > 1 && elAt(i - 1) === lit(pa) && elAt(i) === lit(pb),
+          array().cast("array<string>"))
+          .when(i < size(toks) && elAt(i) === lit(pa) && elAt(i + 1) === lit(pb),
+            array(lit(s"${pa}_$pb")))
+          .otherwise(array(elAt(i)))))
+      t = t.select(col("doc_id"), merged.as("toks")).persist()
+      gens += t
+      val tokensAfter = t.agg(sum(size(col("toks")))).collect()(0).getLong(0)
+      (k, pa, pb, freq, tokensAfter)
+    }
+    (t0, merges, t, gens.toSeq)
+  }
+
   val queries: Map[String, Q] = Map(
     "text_skipgram_cooc" -> gsql(skipgramSql(spark = true)),
     "text_phrase_search" -> gsql(phraseSql(spark = true)),
@@ -186,42 +240,35 @@ object TextAnalysis {
     // projection with the pair as literals. Kernel-identical to the
     // oracle's per-position CASE.
     "text_bpe_merges" -> ((spark, sfDir) => {
-      Tables.register(spark, sfDir)
-      import org.apache.spark.sql.Column
-      var t = spark.table("documents")
-        .select(col("doc_id"),
-          expr("FILTER(SPLIT(LOWER(text), ' '), w -> w <> '')").as("toks"))
-        .where(size(col("toks")) >= 1)
-        .persist()
-      val gens = scala.collection.mutable.ArrayBuffer(t)
-      val out = (1 to 3).map { k =>
-        val top = t.where(size(col("toks")) >= 2)
-          .select(posexplode(expr("SLICE(toks, 1, SIZE(toks) - 1)"))
-            .as(Seq("i0", "a")), col("toks"))
-          .select(col("a"),
-            element_at(col("toks"), col("i0").cast("int") + 2).as("b"))
-          .where(col("a") =!= col("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("freq"))
-          .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
-          .collect()(0)
-        val (pa, pb, freq) = (top.getString(0), top.getString(1), top.getLong(2))
-        val toks = col("toks")
-        def elAt(i: Column) = element_at(toks, i.cast("int"))
-        val merged = flatten(transform(sequence(lit(1), size(toks)), i =>
-          when(i > 1 && elAt(i - 1) === lit(pa) && elAt(i) === lit(pb),
-            array().cast("array<string>"))
-            .when(i < size(toks) && elAt(i) === lit(pa) && elAt(i + 1) === lit(pb),
-              array(lit(s"${pa}_$pb")))
-            .otherwise(array(elAt(i)))))
-        t = t.select(col("doc_id"), merged.as("toks")).persist()
-        gens += t
-        val tokensAfter = t.agg(sum(size(col("toks")))).collect()(0).getLong(0)
-        (k, pa, pb, freq, tokensAfter)
-      }
+      val (_, merges, _, gens) = bpeTrain(spark, sfDir)
       gens.foreach(_.unpersist())
       import spark.implicits._
-      out.toDF("merge_rank", "pair_a", "pair_b", "freq", "tokens_after")
+      merges.toDF("merge_rank", "pair_a", "pair_b", "freq", "tokens_after")
         .orderBy(col("merge_rank"))
+    }),
+
+    // BPE ENCODE — the inference-time twin of the trainer: the learned
+    // merge table applied to the corpus, reporting per-doc compression
+    // (token counts before/after, exact integers). The top-20 result is
+    // collected while the generation frames are still persisted, then
+    // rebuilt as a local frame — the apply itself stays a narrow
+    // per-doc projection chain at any corpus size (the merge table IS
+    // driver state in every real tokenizer).
+    "text_bpe_encode" -> ((spark, sfDir) => {
+      val (t0, _, tEnc, gens) = bpeTrain(spark, sfDir)
+      val rows = t0
+        .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tok_base"))
+        .join(tEnc.select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_tok_enc")), Seq("doc_id"))
+        .withColumn("n_saved", col("n_tok_base") - col("n_tok_enc"))
+        .orderBy(col("n_saved").desc, col("doc_id")).limit(20)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      gens.foreach(_.unpersist())
+      import spark.implicits._
+      rows.toDF("doc_id", "n_tok_base", "n_tok_enc", "n_saved")
+        .orderBy(col("n_saved").desc, col("doc_id"))
     }),
 
     // Stopword-ratio language scorer (n-gram-free heuristic; the test
@@ -982,7 +1029,8 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "text_skipgram_cooc" -> skipgramSql(spark = false),
     "text_phrase_search" -> phraseSql(spark = false),
-    "text_bpe_merges" -> bpeOracleSql,
+    "text_bpe_merges" -> BpeSql.merges,
+    "text_bpe_encode" -> BpeSql.encode,
 
     "text_rake" -> rakeSql(spark = false),
     "text_source_similarity" -> sourceSimSql(spark = false),
