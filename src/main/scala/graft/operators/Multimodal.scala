@@ -198,6 +198,139 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Audio fingerprinting — the constellation-landmark scheme of Wang,
+    * "An Industrial-Strength Audio Search Algorithm" (ISMIR 2003, the
+    * Shazam paper): per-window spectral peaks become time-anchored
+    * landmark hashes (anchor bin, target bin, time delta), and two
+    * recordings match when many landmarks agree at a CONSISTENT time
+    * offset. Simplifications kept honest for a dedup (not retrieval)
+    * setting: peak-picking is per-window argmax over a fixed bin grid,
+    * and the single-bin DFT power comes from Goertzel's recurrence
+    * (Goertzel 1958) so no FFT dependency is needed — 64 bins × 1024
+    * samples per window is ~65k mul-adds, trivially narrow per-row
+    * work. PCM is lossless, so fingerprints are exact functions of the
+    * authored samples (golden-tested in MultimodalAudioSpec).
+    *
+    * Payloads the JDK cannot decode take the deterministic stub path
+    * (same contract as FakeCodec): `StubFpPerDoc` pseudo-landmarks
+    * derived from the payload hash, replicated bit-exactly by the
+    * DuckDB oracle so the entire downstream match pipeline is
+    * value-verified on the text corpus. */
+  object AudioFingerprint {
+    val WindowSize = 1024
+    val Bins = 64 // Goertzel bins k = 1..64 → 6-bit peak index
+    val MaxDt = 3 // landmark target windows ahead of the anchor
+    val StubSeed = 7L
+    val StubFpPerDoc = 24
+    private val Phi = 0x9e3779b97f4a7c15L
+
+    /** Channel-averaged PCM16 samples in [-1, 1); None if undecodable. */
+    def monoSamples(p: Array[Byte]): Option[Array[Double]] =
+      if (!AudioCodec.isAudio(p)) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) return None
+          val bytes = in.readAllBytes()
+          val big = fmt.isBigEndian
+          val ch = fmt.getChannels
+          val nFrames = bytes.length / (2 * ch)
+          if (nFrames == 0) return None
+          val out = new Array[Double](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val i = f * ch + c
+              val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+              val hi = bytes(2 * i + (if (big) 0 else 1))
+              acc += ((hi << 8) | lo).toShort / 32768.0
+              c += 1
+            }
+            out(f) = acc / ch
+            f += 1
+          }
+          Some(out)
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Per-window dominant bin: argmax over Goertzel powers of bins
+      * 1..Bins (DC excluded — silence/offset would win every window). */
+    def peakBins(samples: Array[Double]): Array[Int] = {
+      val n = WindowSize
+      val nWin = samples.length / n
+      val peaks = new Array[Int](nWin)
+      val coeffs = Array.tabulate(Bins)(b => 2.0 * math.cos(2.0 * math.Pi * (b + 1) / n))
+      var w = 0
+      while (w < nWin) {
+        var best = 0
+        var bestPow = -1.0
+        var b = 0
+        while (b < Bins) {
+          val coeff = coeffs(b)
+          var s1 = 0.0; var s2 = 0.0
+          var i = w * n
+          val end = i + n
+          while (i < end) {
+            val s0 = samples(i) + coeff * s1 - s2
+            s2 = s1; s1 = s0
+            i += 1
+          }
+          val pow = s1 * s1 + s2 * s2 - coeff * s1 * s2
+          if (pow > bestPow) { bestPow = pow; best = b }
+          b += 1
+        }
+        peaks(w) = best
+        w += 1
+      }
+      peaks
+    }
+
+    /** Landmarks over the peak sequence: (anchor bin ‖ target bin ‖ dt)
+      * packed into a 14-bit hash, anchored at the anchor's window t. */
+    def landmarks(peaks: Array[Int]): Seq[(Long, Int)] =
+      for {
+        t <- 0 until peaks.length
+        dt <- 1 to MaxDt
+        if t + dt < peaks.length
+      } yield ((peaks(t).toLong << 8) | (peaks(t + dt).toLong << 2) | dt.toLong, t)
+
+    /** Real fingerprints, or None → caller's stub fallback. */
+    def fingerprints(p: Array[Byte]): Option[Seq[(Long, Int)]] =
+      monoSamples(p).map(s => landmarks(peakBins(s)))
+        .filter(_.nonEmpty)
+
+    /** Deterministic stub landmarks for undecodable payloads: 18-bit
+      * pseudo-fingerprints off the seeded payload hash, one per
+      * "window" j — bit-replicated by the DuckDB oracle. */
+    def stub(p: Array[Byte]): Seq[(Long, Int)] = {
+      val base = Hashing.hash64(p, 0, p.length, StubSeed)
+      (0 until StubFpPerDoc).map(j =>
+        (Hashing.fmix64(base ^ ((j + 1).toLong * Phi)) >>> 46, j))
+    }
+  }
+
+  /** One audio-fingerprint row: landmark hash `fp` anchored at window t. */
+  case class FpRow(doc_id: Long, fp: Long, t: Int)
+
+  /** Fingerprint core: real constellation landmarks for decodable
+    * payloads, stub landmarks otherwise. Narrow flatMap like the other
+    * codec stages. */
+  def audioFpRows(ds: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.Dataset[FpRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        AudioFingerprint.fingerprints(r.payload)
+          .getOrElse(AudioFingerprint.stub(r.payload))
+          .iterator.map { case (fp, t) => FpRow(r.doc_id, fp, t) }
+      }
+    }
+  }
+
   /** REAL multi-frame decode for the one "video-shaped" format the JDK
     * ships a codec for: animated GIF, via ImageIO's GIF ImageReader
     * (`getNumImages(true)` scans the stream; `read(i)` decodes frame i).
@@ -597,6 +730,42 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // Audio-fingerprint matching (Wang'03's second half): landmark rows
+    // join on the hash; per candidate pair the match strength is the
+    // total landmark agreement plus the best OFFSET-CONSISTENT support
+    // (the histogram-of-time-deltas peak that separates true matches
+    // from hash coincidence). At 100 TB the join shuffles (doc_id, fp,
+    // t) triples only, and a hot-posting cap (landmarks shared by > 64
+    // payloads — silence/DC-like bins) bounds any posting's join
+    // fan-out, the same discipline as the LSH/substring dedups. On the
+    // text corpus every payload takes the deterministic stub path,
+    // which the oracle replicates bit-exactly — the REAL
+    // Goertzel-constellation path has sample-exact goldens in
+    // MultimodalAudioSpec.
+    "multimodal_audio_fp" -> ((spark, sfDir) => {
+      val fps = audioFpRows(mediaInput(spark, sfDir)).toDF().persist()
+      val keep = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df")).where(col("df") <= 64).select("fp")
+      val capped = fps.join(keep, Seq("fp"), "left_semi")
+      val m = capped.as("a").join(capped.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.fp").as("fp"), (col("b.t") - col("a.t")).as("dt"))
+      val byDt = m.groupBy(col("doc_a"), col("doc_b"), col("dt"))
+        .agg(count(lit(1)).as("cnt"))
+      val support = byDt.groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("cnt")).as("n_pairs"), max(col("cnt")).as("best_dt_support"))
+      val nFp = m.groupBy(col("doc_a"), col("doc_b"))
+        .agg(countDistinct(col("fp")).as("n_fp"))
+      support.join(nFp, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          col("n_pairs").cast("bigint").as("n_pairs"),
+          col("n_fp").cast("bigint").as("n_fp"),
+          col("best_dt_support").cast("bigint").as("best_dt_support"))
+        .orderBy(col("n_pairs").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+
     // The metadata side IS oracle-checkable: byte lengths + digests of
     // the binary payload.
     "multimodal_meta" -> Tables.sql("""
@@ -611,8 +780,10 @@ object Multimodal {
   /** FNV-1a init of the seed-42 stub hash (FnvOffset ^ fmix64(42·φ)) —
     * a compile-time constant spliced into the oracle as unsigned
     * decimal so the DuckDB fold starts from the identical state. */
-  private val StubHashInit: String = java.lang.Long.toUnsignedString(
-    Hashing.FnvOffset ^ Hashing.fmix64(42L * 0x9e3779b97f4a7c15L))
+  private val StubHashInit: String = stubInit(42L)
+
+  private def stubInit(seed: Long): String = java.lang.Long.toUnsignedString(
+    Hashing.FnvOffset ^ Hashing.fmix64(seed * 0x9e3779b97f4a7c15L))
 
   val oracle: Map[String, String] = Map(
     // FULL INDEPENDENT REPLICATION of the stub-hash + band-join
@@ -671,6 +842,57 @@ object Multimodal {
              MD5(text) AS digest,
              lang AS fmt
       FROM documents
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // INDEPENDENT REPLICATION of the stub-landmark match pipeline:
+    // seeded FNV-1a base hash per payload (seed 7), 24 pseudo-landmarks
+    // fp_j = fmix64(base ^ (j+1)·φ) >> 46 in HUGEINT mod-2^64
+    // arithmetic, then the identical hot-posting cap, fp join,
+    // offset-delta histogram, and top-20 cut. All-integer output.
+    "multimodal_audio_fp" -> s"""
+      WITH docs AS (
+        SELECT doc_id, text, LENGTH(text) AS tl FROM documents
+      ), h0 AS (
+        SELECT doc_id, list_reduce(
+          list_prepend(${stubInit(AudioFingerprint.StubSeed)}::UBIGINT,
+            list_transform(range(1, tl + 1), c -> unicode(text[c:c])::UBIGINT)),
+          (h, b) -> ${DuckHash.mulmod("xor(h, b)", "1099511628211")}) AS v0
+        FROM docs
+      ), ${DuckHash.fmix64Ctes(from = "h0", carry = "doc_id", in = "v0",
+                               prefix = "af", out = "hb", outCol = "bu")},
+      js AS (
+        SELECT doc_id, CAST(u.j AS INT) AS t,
+               xor(bu, ${DuckHash.mulmod("CAST(u.j + 1 AS UBIGINT)",
+                                         "11400714819323198485")}) AS x0
+        FROM hb, UNNEST(range(0, ${AudioFingerprint.StubFpPerDoc})) AS u(j)
+      ), ${DuckHash.fmix64Ctes(from = "js", carry = "doc_id, t", in = "x0",
+                               prefix = "qf", out = "fp0", outCol = "fu")},
+      fps AS (
+        SELECT doc_id, t, CAST(fu >> 46 AS BIGINT) AS fp FROM fp0
+      ), keepfp AS (
+        SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64
+      ), capped AS (
+        SELECT f.doc_id, f.t, f.fp FROM fps f JOIN keepfp USING (fp)
+      ), m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp, b.t - a.t AS dt
+        FROM capped a JOIN capped b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+      ), bydt AS (
+        SELECT doc_a, doc_b, dt, COUNT(*) AS cnt
+        FROM m GROUP BY doc_a, doc_b, dt
+      ), sup AS (
+        SELECT doc_a, doc_b, SUM(cnt) AS n_pairs, MAX(cnt) AS best
+        FROM bydt GROUP BY doc_a, doc_b
+      ), nfp AS (
+        SELECT doc_a, doc_b, COUNT(DISTINCT fp) AS n_fp
+        FROM m GROUP BY doc_a, doc_b
+      )
+      SELECT s.doc_a, s.doc_b,
+             CAST(s.n_pairs AS BIGINT) AS n_pairs,
+             CAST(n.n_fp AS BIGINT) AS n_fp,
+             CAST(s.best AS BIGINT) AS best_dt_support
+      FROM sup s JOIN nfp n USING (doc_a, doc_b)
+      ORDER BY n_pairs DESC, doc_a, doc_b
+      LIMIT 20"""
   )
 }

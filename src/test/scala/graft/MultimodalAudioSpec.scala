@@ -81,4 +81,64 @@ class MultimodalAudioSpec extends AnyFunSuite with Matchers {
     out.head.rms shouldBe 0.25              // 8192/32768 exactly
     out.head.feat(2) shouldBe 1.0f          // |0.25| bin
   }
+
+  // ---- constellation fingerprints (Multimodal.AudioFingerprint) ----
+
+  import Multimodal.AudioFingerprint
+  private val N = AudioFingerprint.WindowSize
+
+  /** One window of a pure sine at Goertzel bin `b` (freq (b+1)/N cycles
+    * per sample — window-aligned, so the bin power dominates). */
+  private def toneWindow(b: Int, amp: Double = 0.5): Array[Short] =
+    Array.tabulate[Short](N)(i =>
+      (math.sin(2 * math.Pi * (b + 1) * i / N) * amp * 32767).toShort)
+
+  /** Concatenate per-window bin assignments into one sample stream. */
+  private def toneTrack(bins: Seq[Int]): Array[Short] =
+    bins.toArray.flatMap(toneWindow(_))
+
+  test("Goertzel peak picking identifies the authored bin per window") {
+    val bins = Seq(4, 11, 4, 30, 63, 0)
+    val samples = AudioFingerprint.monoSamples(wav(toneTrack(bins), 16000f, 1)).get
+    AudioFingerprint.peakBins(samples).toSeq shouldBe bins
+  }
+
+  test("landmarks: shifted copy matches at a consistent time offset") {
+    val bins = Seq(5, 12, 7, 21, 3, 18, 9, 44)
+    val a = wav(toneTrack(bins), 16000f, 1)
+    // two windows of silence prepended: same landmarks, anchors + 2
+    val b = wav(new Array[Short](2 * N) ++ toneTrack(bins), 16000f, 1)
+    val fpA = AudioFingerprint.fingerprints(a).get.toSet
+    val fpB = AudioFingerprint.fingerprints(b).get.toSet
+    fpA.map { case (fp, t) => (fp, t + 2) }.subsetOf(fpB) shouldBe true
+    // a different tone sequence shares (nearly) nothing
+    val c = wav(toneTrack(bins.map(x => (x + 17) % 64)), 16000f, 1)
+    val fpC = AudioFingerprint.fingerprints(c).get.map(_._1).toSet
+    (fpA.map(_._1) intersect fpC) shouldBe Set.empty
+  }
+
+  test("stub fingerprints: deterministic, fixed count, 18-bit range") {
+    val p = "definitely not audio".getBytes("UTF-8")
+    val s1 = AudioFingerprint.stub(p)
+    s1 shouldBe AudioFingerprint.stub(p)
+    s1.length shouldBe AudioFingerprint.StubFpPerDoc
+    all(s1.map(_._1)) should (be >= 0L and be < (1L << 18))
+    s1.map(_._2) shouldBe (0 until AudioFingerprint.StubFpPerDoc)
+    AudioFingerprint.stub("other bytes".getBytes).map(_._1) should not be s1.map(_._1)
+  }
+
+  test("Spark fingerprint pipeline: real WAV and stub rows side by side") {
+    import spark.implicits._
+    val bins = Seq(2, 9, 2, 40)
+    val rows = Seq(
+      MediaRow(1L, "wav", wav(toneTrack(bins), 8000f, 1)),
+      MediaRow(2L, "txt", "text payload".getBytes("UTF-8")))
+    val out = Multimodal.audioFpRows(spark.createDataset(rows).repartition(2))
+      .collect().groupBy(_.doc_id)
+    // real path: 3 + 2 + 1 landmarks over 4 windows (dt 1..3)
+    out(1L).length shouldBe 6
+    out(1L).map(r => (r.fp, r.t)).toSet shouldBe
+      AudioFingerprint.fingerprints(wav(toneTrack(bins), 8000f, 1)).get.toSet
+    out(2L).length shouldBe AudioFingerprint.StubFpPerDoc
+  }
 }
