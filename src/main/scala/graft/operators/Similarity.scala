@@ -249,7 +249,87 @@ object Similarity {
       ORDER BY dim"""
   }
 
+  /** End-to-end RAG retrieval in ONE statement — the "it all composes"
+    * pipeline for the serving side (the batch twin of every piece is
+    * separately oracled): hybrid retrieval (BM25 lexical + dense cosine,
+    * fused by reciprocal-rank k=60 exactly as search_hybrid_rrf), the
+    * top-5 fused docs chunked on the text_chunks 64/48 grid, and the
+    * chunks PACKED into a 768-token context budget in (retrieval rank,
+    * chunk order) — a running-sum window cut, the prompt-assembly step
+    * every RAG service runs. Scale: both retrieval legs are
+    * TakeOrderedAndProject top-k's before any window; chunking explodes
+    * only the 5 RETRIEVED docs (never the corpus); the packing window
+    * orders ≤ a few dozen chunk rows. Output is integer-only (ranks,
+    * token counts, running totals) — the fused rrf double orders rows
+    * bit-identically in both engines (hybrid_rrf's argument) but is
+    * never projected. */
+  private def ragSql(spark: Boolean): String = {
+    val cosExpr =
+      if (spark) "COSINE_SIM(q.embedding, e.embedding)"
+      else "LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), " +
+        "CAST(e.embedding AS DOUBLE[]))"
+    val size = if (spark) "SIZE" else "LEN"
+    val chunkJoin =
+      if (spark)
+        "FROM top5 t5 JOIN t ON t5.doc_id = t.doc_id " +
+          "LATERAL VIEW EXPLODE(SEQUENCE(0, SIZE(t.toks) - 1, 48)) ch AS s"
+      else
+        "FROM top5 t5 JOIN t ON t5.doc_id = t.doc_id, " +
+          "UNNEST(range(0, LEN(t.toks), 48)) AS u(s)"
+    val sExpr = if (spark) "s" else "CAST(u.s AS BIGINT)"
+    s"""
+      WITH ${TextAnalysis.bm25Ctes(spark)},
+      lex10 AS (
+        SELECT doc_id, ROUND(${TextAnalysis.bm25Sum()}, 6) AS score
+        FROM d CROSS JOIN st
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+      ), lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rn
+        FROM lex10
+      ), dense10 AS (
+        SELECT e.vec_id AS doc_id, ROUND($cosExpr, 6) AS cos
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY cos DESC, doc_id
+        LIMIT 10
+      ), dense AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS dense_rn
+        FROM dense10
+      ), fused AS (
+        SELECT doc_id,
+               COALESCE(CAST(1.0 AS DOUBLE) / (60 + dense_rn), CAST(0.0 AS DOUBLE))
+                 + COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rn), CAST(0.0 AS DOUBLE)) AS rrf
+        FROM dense FULL OUTER JOIN lex USING (doc_id)
+      ), top5 AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS ret_rank
+        FROM (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 5) x
+      ), chunks AS (
+        SELECT t5.ret_rank, t5.doc_id, $sExpr AS chunk_start,
+               LEAST(64, $size(t.toks) - $sExpr) AS n_tok_chunk
+        $chunkJoin
+        WHERE $size(t.toks) > 0
+      ), packed AS (
+        SELECT ret_rank, doc_id, chunk_start, n_tok_chunk,
+               SUM(n_tok_chunk) OVER (ORDER BY ret_rank, chunk_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM chunks
+      )
+      SELECT CAST(ret_rank AS INT) AS ret_rank, doc_id,
+             CAST(chunk_start AS BIGINT) AS chunk_start,
+             CAST(n_tok_chunk AS BIGINT) AS n_tok_chunk,
+             CAST(cum_tok AS BIGINT) AS cum_tok
+      FROM packed
+      WHERE cum_tok <= 768
+      ORDER BY ret_rank, chunk_start"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_rag" -> gsql(ragSql(spark = true)),
     "embed_pca_power" -> gsql(pcaSql(spark = true)),
     "ann_mmr_rerank" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
@@ -664,6 +744,10 @@ object Similarity {
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
         FROM scored)
       WHERE rn <= 3 ORDER BY qid, rn""",
+
+    // identical post-retrieval SQL to the Spark side (dialect split on
+    // tokenize/cosine/explode spellings only)
+    "pipeline_rag" -> ragSql(spark = false),
 
     // identical post-tokenization SQL to the Spark side; the dense leg
     // reuses ann_cosine_topk's validated LIST_COSINE_SIMILARITY compare
