@@ -751,7 +751,86 @@ object Statistics {
       FROM k
       ORDER BY arm"""
 
+  /** One-pass Poisson bootstrap (Chamandy, Muralidharan, Najmi &
+    * Naidu, "Estimating Uncertainty for Massive Data Streams", Google
+    * TR 2012; Efron 1979 for the bootstrap itself): classical
+    * resampling draws B samples-with-replacement — B full passes and
+    * shuffles — but for n large the multinomial row counts converge to
+    * independent Poisson(1), so each row can draw its OWN per-replica
+    * multiplicity from a hash and every replica aggregates in the SAME
+    * single pass. The multiplicity is inverse-CDF'd from the suite's
+    * engine-exact Knuth hash (thresholds are floor(CDF·2^32) integer
+    * literals, tail truncated at 6, P ≈ 6e-4), so both engines draw
+    * identical weights. Output is the exact integer sufficient
+    * statistics (effective n, Σ weighted cents) per replica — the CI is
+    * whatever quantile of the 32 replica means the caller takes,
+    * driver-side on 32 rows. 100 TB shape: a 32× narrow explode into a
+    * partial/final hash aggregate over 32 groups — ONE shuffle of 32
+    * rows per partition, no resampling passes, no data movement. */
+  private val BootstrapCase = """
+               CASE WHEN u < 1580030168 THEN 0
+                    WHEN u < 3160060337 THEN 1
+                    WHEN u < 3950075421 THEN 2
+                    WHEN u < 4213413783 THEN 3
+                    WHEN u < 4279248373 THEN 4
+                    WHEN u < 4292415291 THEN 5
+                    ELSE 6 END"""
+
+  private val BootstrapTail = """
+      SELECT CAST(b AS INT) AS replica_id,
+             CAST(SUM(w) AS BIGINT) AS n_eff,
+             CAST(SUM(w * cents) AS BIGINT) AS sum_cents
+      FROM w
+      GROUP BY b
+      ORDER BY replica_id"""
+
+  private val BootstrapLi = """
+      li AS (
+        SELECT l_orderkey * 8 + l_linenumber AS k,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+      )"""
+
+  // per-(row, replica) draws come from the MIX64 avalanche kernel (NOT
+  // the suite's Knuth multiplicative hash: that one is a lattice —
+  // equidistributed over dense keys — which collapses the resampling
+  // variance from √n to O(1); Hashing.mix64's scaladoc records the
+  // measurement). u = top 32 bits, thresholds = floor(Poisson(1)
+  // CDF · 2^32), tail truncated at 6 (P ≈ 6e-4).
+  private def bootstrapSql(spark: Boolean): String =
+    if (spark) s"""
+      WITH $BootstrapLi, u AS (
+        SELECT b, cents,
+               SHIFTRIGHT(MIX64(k, CAST(b AS BIGINT)), 32) & 4294967295 AS u
+        FROM li LATERAL VIEW EXPLODE(SEQUENCE(0, 31)) r AS b
+      ), w AS (
+        SELECT b, cents, $BootstrapCase AS w FROM u
+      )$BootstrapTail"""
+    else s"""
+      WITH $BootstrapLi, b0 AS (
+        SELECT k, cents,
+               ${DuckHash.mulmod("CAST(k AS UBIGINT)", "11400714819323198485")} AS v0
+        FROM li
+      ), ${DuckHash.fmix64Ctes(from = "b0", carry = "k, cents", in = "v0",
+                               prefix = "bs", out = "bb", outCol = "bu")},
+      jx AS (
+        SELECT cents, CAST(r.b AS BIGINT) AS b,
+               xor(bu, ${DuckHash.mulmod("CAST(r.b + 1 AS UBIGINT)",
+                                         "11400714819323198485")}) AS x0
+        FROM bb, UNNEST(range(0, 32)) AS r(b)
+      ), ${DuckHash.fmix64Ctes(from = "jx", carry = "cents, b", in = "x0",
+                               prefix = "qs", out = "fx", outCol = "fu")},
+      w AS (
+        SELECT b, cents, $BootstrapCase AS w
+        FROM (SELECT b, cents, CAST(fu >> 32 AS BIGINT) AS u FROM fx) z
+      )$BootstrapTail"""
+
   val queries: Map[String, Q] = Map(
+    "stats_bootstrap_poisson" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      graft.functions.GraftFunctions.register(spark) // MIX64
+      spark.sql(bootstrapSql(spark = true))
+    }),
     "stats_delta_method" -> Tables.sql(DeltaMethodSql),
     "stats_proportion_ztest" -> Tables.sql(PropZSql),
     "stats_hill" -> Tables.sql(HillSql),
@@ -773,6 +852,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_bootstrap_poisson" -> bootstrapSql(spark = false),
     "stats_delta_method" -> DeltaMethodSql,
     "stats_proportion_ztest" -> PropZSql,
     "stats_hill" -> HillSql,

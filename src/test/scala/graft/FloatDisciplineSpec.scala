@@ -93,6 +93,10 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "agg_trimmed_mean", "agg_weighted_percentile", "agg_winsorized_mean",
     "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_bucketed",
     "acid_stream_ingest", // ROUND(value*1000)->BIGINT: exact milli grid
+    "acid_auto_compact",  // ROUND(qty/price*100)->BIGINT: exact cents grid
+    "stats_bootstrap_poisson", // ROUND(price*100)->BIGINT: exact cents grid
+    "pipeline_rag", // ROUNDs order the retrieval legs only (hybrid_rrf
+                    // rule: bit-identical doubles); projection is integer
     "ann_mmr_rerank", "ann_quantized_topk", "cluster_centroids",
     "cluster_kmeans_assign", "curation_dsir", "curation_temperature_mix",
     "dedup_clusters", "dedup_containment", "dedup_edit_verify",

@@ -218,6 +218,8 @@ class FunctionParitySpec extends AnyFunSuite {
         v => v.toString == "Xxx-123")),
       "mask_hash" -> (("SELECT mask_hash('abc')",
         v => v.toString == "900150983cd24fb0d6963f7d28e17f72")),
+      "mix64" -> (("SELECT mix64(5L, 3L)",
+        v => v == graft.functions.Hashing.mix64(5L, 3L))),
       "sort_array_by" -> (("SELECT sort_array_by(array(named_struct('a', 3, 'b', 'x'), " +
         "named_struct('a', 1, 'b', 'y')), 'a')[0].b",
         v => v.toString == "y")),

@@ -507,4 +507,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"the scalar CTE chain must not shuffle-join:\n$p")
   }
+
+  test("multimodal_audio_fp matches landmarks by equi-join, never all-pairs") {
+    val p = plan("multimodal_audio_fp")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"landmark matching must stay an fp equi-join:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("pipeline_rag: both retrieval legs are top-k takes, not global sorts") {
+    val p = plan("pipeline_rag")
+    // lex top-10, dense top-10, fused top-5 — three TakeOrdered cuts
+    val takes = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(takes >= 3, s"expected >= 3 TakeOrderedAndProject, got $takes:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no corpus-scale cross join:\n$p")
+  }
+
+  test("source_symlink_scan reads only the linked targets") {
+    val df = SparkEntry.queries("source_symlink_scan")(spark, LocalSpark.sf)
+    // 3 sources linked, one part file each (coalesce(1) fixture):
+    // exactly 3 files, and no scan of the documents parquet itself
+    val files = df.inputFiles
+    assert(files.length == 3, files.mkString(","))
+    assert(files.forall(f => f.contains("/drops/") && f.endsWith(".csv")),
+      files.mkString(","))
+  }
 }

@@ -197,4 +197,25 @@ class StatisticsSpec extends AnyFunSuite {
     assert(math.abs(out(seg) - mad / (2 * mu)) < 1e-5,
       s"segment $seg gini ${out(seg)} vs ${mad / (2 * mu)}")
   }
+
+  test("stats_bootstrap_poisson: replica sizes concentrate around n, means around the sample mean") {
+    Tables.register(spark, LocalSpark.sf)
+    val rows = graft.operators.Statistics
+      .queries("stats_bootstrap_poisson")(spark, LocalSpark.sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 32 && rows.map(_._1).toSeq == (0 until 32))
+    val n = spark.table("lineitem").count()
+    val totalCents = spark.table("lineitem")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long"))).first().getLong(0)
+    val mean = totalCents.toDouble / n
+    // Poisson(1) multiplicities: E[n_eff] = n, sd ≈ √n ⇒ all replicas
+    // within 6σ at sf0.001 (n = 6000, √n ≈ 77)
+    rows.foreach { case (b, nEff, sumC) =>
+      assert(math.abs(nEff - n) < 6 * math.sqrt(n.toDouble), s"replica $b n_eff $nEff vs n $n")
+      val repMean = sumC.toDouble / nEff
+      assert(math.abs(repMean - mean) / mean < 0.05, s"replica $b mean $repMean vs $mean")
+    }
+    // replicas differ from each other (the hash actually varies by b)
+    assert(rows.map(_._2).distinct.length > 16)
+  }
 }
