@@ -112,7 +112,8 @@ class CompactorSpec extends AnyFunSuite {
       SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
              CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
              CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")(
+      FROM lineitem WHERE l_orderkey % 4 = 0
+      GROUP BY l_returnflag ORDER BY l_returnflag""")(
       spark, LocalSpark.sf).collect()
     assert(rows.map(_.toSeq).toSeq == src.map(_.toSeq).toSeq)
   }
