@@ -189,6 +189,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MinHash-LSH near-dup: band-bucket state emits candidate pairs across batches") {
+    // the streaming twin of dedup_minhash_lsh: each arriving doc's
+    // 64-hash signature bands into 16 bucket keys (the SAME kernels as
+    // the batch operator), and per-bucket flatMapGroupsWithState keeps
+    // the doc ids seen in that bucket — a new arrival pairs with every
+    // resident. State is bounded by the batch operator's hot-bucket
+    // discipline (64 ids per bucket); at scale the bucket key is the
+    // shuffle key exactly as in the batch band join.
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val input = MemoryStream[Doc]
+    val bands = input.toDF()
+      .select($"doc_id",
+        expr("MINHASH_SIG(SHINGLE_SET(text, 3), 64)").as("sig"))
+      .where(size($"sig") > 0)
+      .select($"doc_id", explode(expr(
+        "TRANSFORM(SEQUENCE(0, 15), b -> STRUCT(b AS band, HASH(SLICE(sig, b * 4 + 1, 4)) AS bandhash))")).as("e"))
+      .select($"e.band".as("band"), $"e.bandhash".as("bandhash"), $"doc_id")
+      .as[(Int, Long, Long)]
+    val pairs = bands
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long)], state: GroupState[List[Long]]) =>
+          val seen = state.getOption.getOrElse(Nil)
+          val arrivals = rows.map(_._3).toList.distinct.filterNot(seen.contains)
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+          var residents = seen
+          arrivals.foreach { n =>
+            residents.foreach(s => out += ((math.min(s, n), math.max(s, n))))
+            residents = n :: residents
+          }
+          state.update(residents.take(64)) // hot-bucket cap, as in batch
+          out.distinct.iterator
+      }
+    val q = pairs.writeStream.format("memory").queryName("lsh_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+      input.addData(Doc(ts(1), 1, base))
+      q.processAllAvailable()
+      // batch 2: a near-dup of doc 1 (one word changed → shingle
+      // Jaccard ≈ 0.95, P(band collision) ≈ 1) and an unrelated doc
+      input.addData(
+        Doc(ts(2), 2, base.replace("tok60", "changed")),
+        Doc(ts(3), 3, (1 to 60).map(i => s"other$i").mkString(" ")))
+      q.processAllAvailable()
+      val got = spark.table("lsh_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 2L)), s"near-dup pair must surface: $got")
+      assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+        s"unrelated doc must pair with nothing: $got")
+    } finally q.stop()
+  }
+
   test("custom sessionization with flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
