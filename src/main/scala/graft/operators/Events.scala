@@ -361,6 +361,7 @@ object Events {
     // hourly pre-aggregation shrinks the fact first, and the fold is
     // driver-free per-key work.
     "events_ses_forecast" -> Tables.sql(sesSql(spark = true)),
+    "events_des_brown" -> Tables.sql(holtSql(spark = true)),
 
     // Robust outlier days via median/MAD (the rate-anomaly twin with
     // breakdown-resistant statistics): doubled/quadrupled integer
@@ -454,6 +455,66 @@ object Events {
              ROUND(${fold("0.5", "0.5")}, 6) AS ses_half,
              ROUND(${fold("0.25", "0.75")}, 6) AS ses_quarter
       FROM s ORDER BY event_type"""
+  }
+
+  /** Brown's double exponential smoothing (Brown 1959, "Statistical
+    * Forecasting for Inventory Control" — the trend extension of
+    * events_ses_forecast): s1 = SES(x), s2 = SES(s1), level = 2·s1−s2,
+    * trend = (α/(1−α))(s1−s2), forecast_h = level + h·trend, with
+    * DYADIC α = 1/2 so trend = s1−s2 and every coefficient is
+    * binary-exact. Built ONLY from the proven scalar-double fold shape
+    * (ses_forecast's rule: identical IEEE op sequence in both engines,
+    * bit-exact without quantization). A struct-accumulator Holt fold
+    * was probed first and REJECTED: DuckDB 1.0's list_reduce rebinds
+    * the accumulator between struct-field evaluations (the 'b' field
+    * saw acc.l already overwritten with the new level), so a
+    * multi-field lambda state is not engine-version-proof. The s1
+    * SERIES comes from per-index prefix folds (O(n²) scalar ops per
+    * key — n is bounded by the time axis, ~680 hours at sf0.1, so
+    * ~half a million flops per key: trivially narrow); s2 is one more
+    * scalar fold over it. Same 100 TB shape as SES: hourly
+    * pre-aggregation shrinks the fact, then driver-free per-key work. */
+  private def holtSql(spark: Boolean): String = {
+    val series =
+      if (spark) """
+        SELECT event_type,
+               TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(hh, cnt))), e -> e.cnt) AS xs
+        FROM h GROUP BY event_type"""
+      else """
+        SELECT event_type, LIST(cnt ORDER BY hh) AS xs
+        FROM h GROUP BY event_type"""
+    // prefix-SES series: element t = fold of xs[1..t] (both spellings
+    // seed with the first element and fold the rest, scalar doubles)
+    val s1s =
+      if (spark)
+        "TRANSFORM(SEQUENCE(1, SIZE(xs)), t -> aggregate(" +
+          "SLICE(xs, 2, t - 1), ELEMENT_AT(xs, 1), (acc, x) -> 0.5 * x + 0.5 * acc))"
+      else
+        "list_transform(range(1, LEN(xs) + 1), t -> list_reduce(" +
+          "xs[1:t], (acc, x) -> 0.5 * x + 0.5 * acc))"
+    def fold(arr: String) =
+      if (spark)
+        s"aggregate(SLICE($arr, 2, SIZE($arr) - 1), ELEMENT_AT($arr, 1), (acc, x) -> 0.5 * x + 0.5 * acc)"
+      else
+        s"list_reduce($arr, (acc, x) -> 0.5 * x + 0.5 * acc)"
+    val n = if (spark) "CAST(SIZE(xs) AS BIGINT)" else "LEN(xs)"
+    s"""
+      WITH h AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hh,
+               CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+      ), s AS ($series),
+      p AS (
+        SELECT event_type, $n AS n_hours, ${fold("xs")} AS s1,
+               ${fold(s1s)} AS s2
+        FROM s WHERE $n >= 2
+      )
+      SELECT event_type, n_hours,
+             ROUND(2 * s1 - s2, 6) AS level,
+             ROUND(s1 - s2, 6) AS trend,
+             ROUND((2 * s1 - s2) + 1 * (s1 - s2), 6) AS forecast_1,
+             ROUND((2 * s1 - s2) + 3 * (s1 - s2), 6) AS forecast_3
+      FROM p ORDER BY event_type"""
   }
 
   /** TWAP text (dialect split on the µs extractor only). Each event's
@@ -979,6 +1040,7 @@ object Events {
     "events_interarrival" -> interarrivalSql(spark = false),
     "events_twap" -> twapSql(spark = false),
     "events_ses_forecast" -> sesSql(spark = false),
+    "events_des_brown" -> holtSql(spark = false),
     "events_seasonal_anomaly" -> SeasonalAnomalySql,
     "events_cohort_ltv" -> CohortLtvSql,
     "events_bursts" -> burstSql(spark = false),
