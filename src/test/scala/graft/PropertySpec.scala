@@ -227,4 +227,50 @@ class PropertySpec extends AnyFunSuite {
       math.abs(est - trueJ) < 0.2
     })
   }
+
+  test("mix64 avalanches: adjacent replica draws are uncorrelated (bit-flip rate)") {
+    // the property the Poisson bootstrap depends on (and the property
+    // the Knuth multiplicative lattice LACKS): flipping the replica
+    // index flips ~half the output bits, for dense sequential keys
+    check(Prop.forAll(Gen.choose(1L, 1000000L), Gen.choose(0L, 30L)) { (k, b) =>
+      val flips = java.lang.Long.bitCount(
+        Hashing.mix64(k, b) ^ Hashing.mix64(k, b + 1))
+      flips >= 12 && flips <= 52
+    })
+    // top-32-bit draws over dense keys must NOT equidistribute like the
+    // lattice: per-replica below-threshold counts should fluctuate on
+    // the √n scale (the lattice's spread here was O(1) — measured 6
+    // across 32 replicas before mix64 replaced it)
+    val n = 4096
+    val thresh = 1580030168L // P(Poisson(1)=0) · 2^32
+    val counts = (0 until 16).map { b =>
+      (1 to n).count { k =>
+        ((Hashing.mix64(k.toLong, b.toLong) >>> 32) & 0xffffffffL) < thresh
+      }
+    }
+    val spread = counts.max - counts.min
+    assert(spread > 20, s"replica draw counts suspiciously uniform: $counts")
+  }
+
+  test("audio constellation: peaks are gain-invariant, landmarks shift-covariant") {
+    import graft.operators.Multimodal.AudioFingerprint
+    val N = AudioFingerprint.WindowSize
+    check(Prop.forAll(
+      Gen.listOfN(5, Gen.choose(0, AudioFingerprint.Bins - 1)),
+      Gen.choose(0.05, 0.9)) { (bins, gain) =>
+      val samples = bins.toArray.flatMap(b =>
+        Array.tabulate(N)(i => math.sin(2 * math.Pi * (b + 1) * i / N) * 0.95))
+      val scaled = samples.map(_ * gain)
+      // Goertzel power is quadratic in gain — argmax unchanged
+      AudioFingerprint.peakBins(samples).toSeq ==
+        AudioFingerprint.peakBins(scaled).toSeq &&
+        AudioFingerprint.peakBins(samples).toSeq == bins
+    })
+    // landmark covariance under a whole-window shift
+    val peaks = Array(3, 7, 11, 5, 9)
+    val shifted = Array(0, 0) ++ peaks
+    val lm = AudioFingerprint.landmarks(peaks).toSet
+    val lmShift = AudioFingerprint.landmarks(shifted).toSet
+    assert(lm.map { case (fp, t) => (fp, t + 2) }.subsetOf(lmShift))
+  }
 }
