@@ -320,6 +320,48 @@ object Curation {
     // thousands of splits and the hint would be dropped.) n_shared
     // counts DISTINCT shared shingles (both sides are set-valued by
     // construction).
+    // FUZZY decontamination — the near-duplicate upgrade of
+    // text_decontaminate (verbatim 5-gram overlap misses lightly-edited
+    // eval leakage): MinHash 16×4 banding between the corpus and the
+    // eval slice (doc_id % 7 = 0), exact-Jaccard verification at 0.9
+    // (banding recall ≈ 1−4e−8 there), per-corpus-doc match report.
+    // The SCALE story differs from dedup_minhash_lsh's self-join: the
+    // eval side is tiny and BROADCAST, so screening a 100 TB corpus
+    // against a benchmark suite is one narrow band projection + a
+    // map-side join — the corpus never shuffles (gated in
+    // PlanQualitySpec). Oracle: the exact all-pairs inverted-index
+    // formulation restricted to (corpus × eval), the dedup_minhash_lsh
+    // precedent.
+    "text_decontaminate_fuzzy" -> gsql("""
+      WITH sh AS (
+        SELECT doc_id, SHINGLE_SET(text, 3) AS grams
+        FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents)
+        WHERE SIZE(SHINGLE_SET(text, 3)) > 0
+      ), sigs AS (
+        SELECT doc_id, MINHASH_SIG(grams, 64) AS sig FROM sh
+      ), bands AS (
+        SELECT doc_id, band,
+               HASH(SLICE(sig, band * 4 + 1, 4)) AS bandhash
+        FROM sigs LATERAL VIEW EXPLODE(SEQUENCE(0, 15)) b AS band
+      ), cand AS (
+        SELECT /*+ BROADCAST(e) */ DISTINCT
+               c.doc_id AS corp_id, e.doc_id AS eval_id
+        FROM bands c JOIN bands e
+          ON c.band = e.band AND c.bandhash = e.bandhash
+        WHERE c.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+      ), ver AS (
+        SELECT corp_id, eval_id, JACCARD_SIM(sc.grams, se.grams) AS j
+        FROM cand
+        JOIN sh sc ON corp_id = sc.doc_id
+        JOIN sh se ON eval_id = se.doc_id
+      )
+      SELECT corp_id AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+             ROUND(MAX(j), 6) AS max_jaccard
+      FROM ver WHERE j >= 0.9
+      GROUP BY corp_id
+      ORDER BY doc_id"""),
+
     "text_decontaminate" -> gsql("""
       WITH sh AS (
         SELECT doc_id, SHINGLE_SET(text, 5) AS grams
@@ -469,6 +511,35 @@ object Curation {
       ORDER BY doc_id""",
 
     // 5-gram spelling identical to the validated dedup oracles
+    // exact (corpus × eval) inverted-index formulation; same gram/
+    // jaccard spellings as the validated dedup oracles
+    "text_decontaminate_fuzzy" -> """
+      WITH t AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
+                 i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))) AS grams
+        FROM t WHERE LEN(toks) >= 3
+      ), inv AS (
+        SELECT doc_id, LEN(grams) AS n, UNNEST(grams) AS gram FROM sh
+      ), prs AS (
+        SELECT a.doc_id AS corp_id, b.doc_id AS eval_id, COUNT(*) AS n_int,
+               ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM inv a JOIN inv b ON a.gram = b.gram
+        WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+        GROUP BY 1, 2
+      ), ver AS (
+        SELECT corp_id, eval_id, n_int / (na + nb - n_int) AS j
+        FROM prs
+      )
+      SELECT corp_id AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+             ROUND(MAX(j), 6) AS max_jaccard
+      FROM ver WHERE j >= 0.9
+      GROUP BY corp_id
+      ORDER BY doc_id""",
+
     "text_decontaminate" -> """
       WITH t AS (
         SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks

@@ -102,6 +102,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "dedup_clusters", "dedup_containment", "dedup_edit_verify",
     "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_keep_best",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic",
+    "text_decontaminate_fuzzy", // ROUND(MAX(jaccard)): minhash_lsh rule
     "embed_pca_power", "embed_quantize_int8", "embed_winsorize",
     "events_active_users", "events_attribution", "events_autocorr",
     "events_changepoint", "events_cohort_ltv", "events_decay_feature",

@@ -523,6 +523,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no corpus-scale cross join:\n$p")
   }
 
+  test("text_decontaminate_fuzzy broadcasts the eval bands — corpus never shuffles for candidates") {
+    val p = plan("text_decontaminate_fuzzy")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny eval band table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("source_symlink_scan reads only the linked targets") {
     val df = SparkEntry.queries("source_symlink_scan")(spark, LocalSpark.sf)
     // 3 sources linked, one part file each (coalesce(1) fixture):
