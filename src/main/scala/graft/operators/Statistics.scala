@@ -797,17 +797,19 @@ object Statistics {
   // variance from √n to O(1); Hashing.mix64's scaladoc records the
   // measurement). u = top 32 bits, thresholds = floor(Poisson(1)
   // CDF · 2^32), tail truncated at 6 (P ≈ 6e-4).
-  private def bootstrapSql(spark: Boolean): String =
+  /** Shared prefix: CTEs through `w(b, cents, w)` — the per-(row,
+    * replica) multiplicity draws. */
+  private def bootstrapPrefix(spark: Boolean): String =
     if (spark) s"""
-      WITH $BootstrapLi, u AS (
+      $BootstrapLi, u AS (
         SELECT b, cents,
                SHIFTRIGHT(MIX64(k, CAST(b AS BIGINT)), 32) & 4294967295 AS u
         FROM li LATERAL VIEW EXPLODE(SEQUENCE(0, 31)) r AS b
       ), w AS (
         SELECT b, cents, $BootstrapCase AS w FROM u
-      )$BootstrapTail"""
+      )"""
     else s"""
-      WITH $BootstrapLi, b0 AS (
+      $BootstrapLi, b0 AS (
         SELECT k, cents,
                ${DuckHash.mulmod("CAST(k AS UBIGINT)", "11400714819323198485")} AS v0
         FROM li
@@ -823,13 +825,56 @@ object Statistics {
       w AS (
         SELECT b, cents, $BootstrapCase AS w
         FROM (SELECT b, cents, CAST(fu >> 32 AS BIGINT) AS u FROM fx) z
-      )$BootstrapTail"""
+      )"""
+
+  private def bootstrapSql(spark: Boolean): String =
+    s"""
+      WITH ${bootstrapPrefix(spark)}$BootstrapTail"""
+
+  /** The bootstrap where it EARNS its keep — a nonlinear statistic
+    * (the median has no closed-form variance; Efron's original
+    * motivating case): per-replica exact weighted LOWER median of the
+    * cents distribution. Per replica the multiplicities collapse per
+    * distinct value first (GROUP BY b, cents — map-side combinable),
+    * then one cumulative window per replica finds the smallest value
+    * with 2·cum ≥ n_eff. All-integer output; the 32 medians' spread IS
+    * the CI. Scale shape: the 32× explode feeds a (replica, value)
+    * partial aggregate, and each replica's window sorts its own
+    * value-grid partition — 32 independent sorts, never a global one. */
+  private def bootstrapMedianSql(spark: Boolean): String =
+    s"""
+      WITH ${bootstrapPrefix(spark)},
+      g AS (
+        SELECT b, cents, CAST(SUM(w) AS BIGINT) AS wv
+        FROM w WHERE w > 0
+        GROUP BY b, cents
+      ), tot AS (
+        SELECT b, CAST(SUM(wv) AS BIGINT) AS n_eff FROM g GROUP BY b
+      ), cum AS (
+        SELECT b, cents,
+               SUM(wv) OVER (PARTITION BY b ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        FROM g
+      ), med AS (
+        SELECT c.b, CAST(MIN(c.cents) AS BIGINT) AS med_cents
+        FROM cum c JOIN tot t ON c.b = t.b
+        WHERE c.cw * 2 >= t.n_eff
+        GROUP BY c.b
+      )
+      SELECT CAST(m.b AS INT) AS replica_id, t.n_eff, m.med_cents
+      FROM med m JOIN tot t ON m.b = t.b
+      ORDER BY replica_id"""
 
   val queries: Map[String, Q] = Map(
     "stats_bootstrap_poisson" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       graft.functions.GraftFunctions.register(spark) // MIX64
       spark.sql(bootstrapSql(spark = true))
+    }),
+    "stats_bootstrap_median" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      graft.functions.GraftFunctions.register(spark) // MIX64
+      spark.sql(bootstrapMedianSql(spark = true))
     }),
     "stats_delta_method" -> Tables.sql(DeltaMethodSql),
     "stats_proportion_ztest" -> Tables.sql(PropZSql),
@@ -853,6 +898,7 @@ object Statistics {
 
   val oracle: Map[String, String] = Map(
     "stats_bootstrap_poisson" -> bootstrapSql(spark = false),
+    "stats_bootstrap_median" -> bootstrapMedianSql(spark = false),
     "stats_delta_method" -> DeltaMethodSql,
     "stats_proportion_ztest" -> PropZSql,
     "stats_hill" -> HillSql,
