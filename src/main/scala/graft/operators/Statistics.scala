@@ -784,11 +784,15 @@ object Statistics {
       GROUP BY b
       ORDER BY replica_id"""
 
+  // the deterministic quarter slice keeps the 32× explode (and the
+  // median's 32 value-grid sorts) at bench-friendly volume — the
+  // statistic's machinery is identical at any slice
   private val BootstrapLi = """
       li AS (
         SELECT l_orderkey * 8 + l_linenumber AS k,
                CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
         FROM lineitem
+        WHERE l_orderkey % 4 = 0
       )"""
 
   // per-(row, replica) draws come from the MIX64 avalanche kernel (NOT

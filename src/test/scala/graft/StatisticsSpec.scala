@@ -204,8 +204,9 @@ class StatisticsSpec extends AnyFunSuite {
       .queries("stats_bootstrap_poisson")(spark, LocalSpark.sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(rows.length == 32 && rows.map(_._1).toSeq == (0 until 32))
-    val n = spark.table("lineitem").count()
-    val totalCents = spark.table("lineitem")
+    val slice = spark.table("lineitem").where($"l_orderkey" % 4 === 0)
+    val n = slice.count()
+    val totalCents = slice
       .agg(sum(round($"l_extendedprice" * 100).cast("long"))).first().getLong(0)
     val mean = totalCents.toDouble / n
     // Poisson(1) multiplicities: E[n_eff] = n, sd ≈ √n ⇒ all replicas
