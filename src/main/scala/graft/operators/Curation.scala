@@ -154,6 +154,41 @@ object Curation {
       GROUP BY source
       ORDER BY source"""
 
+  /** See pipeline_quality_classifier's comment; dialect split on the
+    * tokenize/stopword spellings only, the IRLS chain is shared SQL. */
+  private def qualityClassifierSql(spark: Boolean): String = {
+    val f =
+      if (spark) """
+        SELECT doc_id,
+               CAST(FLOOR(100 * STOPWORD_RATIO(toks, ARRAY('the','a','of','and','to','in','is'))) AS BIGINT) AS x,
+               CASE WHEN SIZE(ARRAY_DISTINCT(toks)) / SIZE(toks) >= 0.75
+                    THEN 1 ELSE 0 END AS y
+        FROM (SELECT doc_id, TOKENIZE(text) AS toks FROM documents) t
+        WHERE SIZE(toks) > 0"""
+      else """
+        SELECT doc_id,
+               CAST(FLOOR(100 * (LEN(LIST_FILTER(toks, w -> LIST_CONTAINS(['the','a','of','and','to','in','is'], w))) / LEN(toks))) AS BIGINT) AS x,
+               CASE WHEN LEN(LIST_DISTINCT(toks)) / LEN(toks) >= 0.75
+                    THEN 1 ELSE 0 END AS y
+        FROM (SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+              FROM documents) t
+        WHERE LEN(toks) > 0"""
+    s"""
+      WITH f AS ($f),
+      cells AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM f GROUP BY x
+      ),
+      b0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1)
+      ${Statistics.irlsIter(1)}${Statistics.irlsIter(2)}
+      SELECT c.x, c.n, c.sy,
+             ROUND(1.0 / (1.0 + EXP(-(b.b0 + b.b1 * c.x))), 9) AS p_keep,
+             ROUND(b.b0, 6) AS b0, ROUND(b.b1, 6) AS b1
+      FROM cells c CROSS JOIN b2 b
+      ORDER BY c.x"""
+  }
+
   val queries: Map[String, Q] = Map(
     "text_drift_psi" -> gsql(DriftPsiSql),
     // Fixed-size token chunking with overlap: 64-token chunks on a
@@ -320,6 +355,22 @@ object Curation {
     // thousands of splits and the hint would be dropped.) n_shared
     // counts DISTINCT shared shingles (both sides are set-valued by
     // construction).
+    // LEARNED quality scorer — distributed ML training living inside
+    // the curation pipeline: the stopword-ratio feature discretizes to
+    // integer ticks (FLOOR(100·r) — identical IEEE doubles in both
+    // engines, no ROUND-tie exposure), ONE hash aggregate reduces the
+    // corpus to (x, n, Σy) cells for the high-TTR label (TTR ≥ 0.75 —
+    // ~12% base rate, negatively correlated with x on this corpus), and
+    // two unrolled IRLS/Newton iterations (Statistics.irlsIter — the
+    // stats_logistic_irls machinery verbatim) fit P(high-TTR | x).
+    // Output: the fitted per-cell curve (n, positives, 1e-9-grid
+    // sigmoid) + coefficients — what a pipeline thresholds to turn the
+    // fit into a filter. At 100 TB: one map-side-combined shuffle for
+    // the cells, then cell-scale Newton algebra — training cost is
+    // independent of corpus size given the discrete feature, and
+    // applying the scorer is a narrow map (b0 + b1·x per row).
+    "pipeline_quality_classifier" -> gsql(qualityClassifierSql(spark = true)),
+
     // FUZZY decontamination — the near-duplicate upgrade of
     // text_decontaminate (verbatim 5-gram overlap misses lightly-edited
     // eval leakage): MinHash 16×4 banding between the corpus and the
@@ -511,6 +562,8 @@ object Curation {
       ORDER BY doc_id""",
 
     // 5-gram spelling identical to the validated dedup oracles
+    "pipeline_quality_classifier" -> qualityClassifierSql(spark = false),
+
     // exact (corpus × eval) inverted-index formulation; same gram/
     // jaccard spellings as the validated dedup oracles
     "text_decontaminate_fuzzy" -> """

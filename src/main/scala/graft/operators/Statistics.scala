@@ -584,7 +584,10 @@ object Statistics {
   // differences have ~11 chances (not 600k) to straddle a rounding
   // boundary — and the quantized coefficients make every downstream
   // value bit-reproducible anyway.
-  private def irlsIter(k: Int): String = s"""
+  /** One unrolled IRLS/Newton iteration over `cells(x, n, sy)` from
+    * coefficients CTE `b${k-1}` to `b$k` — shared with
+    * Curation.pipeline_quality_classifier (same cell contract). */
+  private[operators] def irlsIter(k: Int): String = s"""
       , p$k AS (
         SELECT x, n, sy,
                CAST(ROUND(1000000.0 /

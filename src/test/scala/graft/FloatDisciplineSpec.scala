@@ -79,6 +79,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "sample_coreset"             -> "DoubleOperand",
     "sample_neyman"              -> "ExactGrid",     // FLOOR(...)->BIGINT quantizations
     "stats_logistic_irls"        -> "DoubleOperand", // 1e6-lit/(1.0+EXP(double))
+    "pipeline_quality_classifier" -> "DoubleOperand", // same irlsIter chain
     "text_drift_psi"             -> "ExactGrid",     // FLOOR(n/100.0)->INT
     "text_langid_nb"             -> "DoubleOperand", // 1.0/CAST(... AS DOUBLE)
     "text_tokens"                -> "ExactGrid",     // CEIL(len/4.0): binary-exact divisor
@@ -117,6 +118,8 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "graph_modularity", "graph_pagerank", "join_pit_scd2",
     "link_jaro_winkler", "math_fns", "pipeline_curate",
     "pipeline_curate_ppl", "pipeline_train_report", "profile_benford",
+    "pipeline_quality_classifier", // ROUND(coef, 6): irls rule
+
     "recsys_item_sim", "recsys_user_cf", "sample_coreset",
     "sample_neyman", "sample_weighted_aes", "search_hybrid_rrf",
     "sort_array_struct",  // ROUND(bal*100)->BIGINT: exact cents grid
