@@ -133,4 +133,33 @@ class WritePathsSpec extends AnyFunSuite {
     assert(scan.contains("PushedFilters: [") && scan.contains("l_quantity"),
       s"expected pushed filter in:\n$scan")
   }
+
+  test("malformed-row tolerance: Hive's forgiving text serde vs strict modes") {
+    // Hive's LazySimpleSerDe never fails a query on a bad row — short
+    // rows pad with NULL, unparseable numerics read as NULL. Spark's
+    // CSV modes map the contract: PERMISSIVE is the Hive behavior,
+    // DROPMALFORMED trades rows for cleanliness, FAILFAST surfaces
+    // corruption loudly. At 100 TB some fraction of any text corpus IS
+    // malformed, so the default path must be the tolerant one.
+    import org.apache.spark.sql.types._
+    val dir = tmp("malformed")
+    val fs = new java.io.PrintWriter(new java.io.File(dir + "/part-00000.csv"))
+    fs.write("1,alpha,10\n2,beta\nnot_a_number,gamma,30\n4,delta,40\n")
+    fs.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", LongType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").csv(dir).collect()
+    assert(permissive.length == 4)
+    // short row: missing column is NULL; bad numeric: cell is NULL
+    assert(permissive.exists(r => r.getLong(0) == 2L && r.isNullAt(2)))
+    assert(permissive.exists(r => r.isNullAt(0) && r.getString(1) == "gamma"))
+    val dropped = spark.read.schema(schema)
+      .option("mode", "DROPMALFORMED").csv(dir).collect()
+    assert(dropped.map(_.getLong(0)).toSet == Set(1L, 4L), dropped.mkString(","))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST").csv(dir).collect()
+    }
+  }
 }
