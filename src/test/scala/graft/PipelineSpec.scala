@@ -471,4 +471,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(n1 == n2)
     assert(n1 > 50 && n1 < 350, s"got $n1 of 1500")
   }
+
+  test("pipeline_rag packing invariants: prefix cut, monotone budget, chunk grid") {
+    val rows = SparkEntry.queries("pipeline_rag")(spark, LocalSpark.sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // output arrives in (retrieval rank, chunk order); the running
+    // budget is strictly increasing, consistent (cum = prefix sum),
+    // capped at 768, and every chunk sits on the 48-stride / <=64 grid
+    val keys = rows.map(r => (r._1, r._3))
+    assert(keys.sameElements(keys.sorted), keys.mkString(","))
+    var run = 0L
+    rows.foreach { case (rank, _, start, nTok, cum) =>
+      assert(rank >= 1 && rank <= 5)
+      assert(start % 48 == 0 && nTok >= 1 && nTok <= 64, s"($start, $nTok)")
+      run += nTok
+      assert(cum == run, s"cum $cum != prefix sum $run")
+    }
+    assert(run <= 768)
+    // prefix property: dropping the LAST packed chunk must leave room
+    // for it (i.e. the cut happened exactly at the budget boundary or
+    // the stream ended) — no chunk was skipped mid-stream, which the
+    // consistent prefix sum above already forces
+  }
 }
