@@ -35,7 +35,9 @@ object SparkEntry {
       graft.sources.RCFileIO.oracle),
     QueryModule(Compactor.queries, Compactor.oracle),
     QueryModule(graft.sources.SymlinkTextIO.queries,
-      graft.sources.SymlinkTextIO.oracle)
+      graft.sources.SymlinkTextIO.oracle),
+    QueryModule(graft.sources.SchemaEvolutionIO.queries,
+      graft.sources.SchemaEvolutionIO.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -131,7 +131,58 @@ object Profiling {
     fdBranch("l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey")
   ).mkString("", "\n      UNION ALL", "\n      ORDER BY fd")
 
+  /** Join-key skew profiler — the diagnostic you run BEFORE deciding a
+    * join needs salting (the suite's join_skew_salted / AQE skew
+    * machinery is the cure; this is the X-ray). Per-key counts of the
+    * fact side's join key (`l_suppkey`), then: the top-10 hot keys
+    * with their exact corpus share, each carrying the global context
+    * (key count, exact p50/p99 of the per-key count distribution via
+    * the cumulative-window lower-percentile trick, mean in micro
+    * units, and hot/mean skew factor). Everything integer-exact; the
+    * micro-unit shares use the overflow-safe split divide. 100 TB
+    * shape: one hash aggregate to O(keys) rows (map-side combined),
+    * one window over the tiny per-key-count GRID (counts collapse to
+    * distinct-count values first), one top-10. */
+  private def skewSql(spark: Boolean): String = {
+    val mdiv = Statistics.microDiv(_: String, _: String, spark)
+    s"""
+      WITH k AS (
+        SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_suppkey
+      ),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows
+        FROM k
+      ),
+      grid AS (
+        SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_at FROM k GROUP BY cnt
+      ),
+      cum AS (
+        SELECT cnt, SUM(n_at) OVER (ORDER BY cnt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        FROM grid
+      ),
+      pct AS (
+        SELECT MIN(CASE WHEN c.cw * 2 >= t.n_keys THEN c.cnt END)   AS p50_cnt,
+               MIN(CASE WHEN c.cw * 100 >= t.n_keys * 99 THEN c.cnt END) AS p99_cnt
+        FROM cum c CROSS JOIN tot t
+      ),
+      hot AS (
+        SELECT key, cnt FROM k ORDER BY cnt DESC, key LIMIT 10
+      )
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY h.cnt DESC, h.key) AS INT) AS rank,
+             h.key, h.cnt,
+             ${mdiv("h.cnt", "t.n_rows")} AS share_micro,
+             t.n_keys, t.n_rows, p.p50_cnt, p.p99_cnt,
+             ${mdiv("t.n_rows", "t.n_keys")} AS mean_cnt_micro,
+             ${mdiv("h.cnt * t.n_keys", "t.n_rows")} AS skew_factor_micro
+      FROM hot h CROSS JOIN tot t CROSS JOIN pct p
+      ORDER BY rank"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "profile_skew" -> Tables.sql(skewSql(spark = true)),
     "profile_columns" -> Tables.sql(ProfileSql),
     "validate_constraints" -> Tables.sql(ValidateSql),
     "profile_benford" -> Tables.sql(benfordSql(spark = true)),
@@ -139,6 +190,7 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    "profile_skew" -> skewSql(spark = false),
     "profile_columns" -> ProfileSql,
     "validate_constraints" -> ValidateSql,
     "profile_benford" -> benfordSql(spark = false),

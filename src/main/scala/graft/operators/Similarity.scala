@@ -328,7 +328,137 @@ object Similarity {
       ORDER BY ret_rank, chunk_start"""
   }
 
+  /** Retrieval-quality evaluation (recall@k / precision@k / MRR —
+    * Voorhees TREC-8 for MRR) over the exact-cosine retriever with
+    * same-`label` vectors as graded-relevant: the eval harness every
+    * retrieval stack runs against its golden set. Ranking reuses
+    * ann_cosine_topk's validated ROUND(cos,6) compare (bit-identical
+    * doubles, FloatDisciplineSpec rule); every metric then derives
+    * from INTEGER ranks in exact micro units (split divide), so the
+    * metric layer can never drift between engines. 20 queries × corpus
+    * is the same bounded-query brute-force shape as ann_cosine_topk;
+    * at 100 TB the retriever under eval swaps to the LSH/IVF path and
+    * this metric layer is unchanged (it only sees (qid, rank, label)). */
+  private def evalRetrievalSql(spark: Boolean): String = {
+    val cos =
+      if (spark) "COSINE_SIM(q.qe, e.embedding)"
+      else "LIST_COSINE_SIMILARITY(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))"
+    val mdiv = Statistics.microDiv(_: String, _: String, spark)
+    s"""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+        FROM embeddings WHERE vec_id < 20
+      ),
+      scored AS (
+        SELECT q.qid, q.qlabel, e.vec_id AS nid, e.label AS nlabel,
+               ROUND($cos, 6) AS cos
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+      ),
+      ranked AS (
+        SELECT qid, qlabel, nid, nlabel,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, nid) AS BIGINT) AS rn
+        FROM scored
+      ),
+      rel AS (
+        SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM q JOIN embeddings e
+          ON e.label = q.qlabel AND e.vec_id <> q.qid
+        GROUP BY q.qid
+      ),
+      top AS (
+        SELECT qid,
+               CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hits,
+               CAST(MIN(CASE WHEN nlabel = qlabel THEN rn END) AS BIGINT)
+                 AS first_rel
+        FROM ranked WHERE rn <= 10 GROUP BY qid
+      )
+      SELECT t.qid, r.n_rel, t.hits, t.first_rel,
+             ${mdiv("t.hits", "LEAST(10, r.n_rel)")} AS recall_at10_micro,
+             t.hits * 100000 AS precision_at10_micro,
+             COALESCE(${mdiv("1", "t.first_rel")}, 0) AS rr_micro
+      FROM top t JOIN rel r ON t.qid = r.qid
+      ORDER BY t.qid"""
+  }
+
+  /** Product quantization with asymmetric-distance scan (Jégou, Douze
+    * & Schmid, PAMI'11 — the memory-bound ANN workhorse): 64 dims →
+    * m=4 subspaces × 16 dims, a 10-codeword codebook per subspace
+    * (deterministic training: per-label truncated-mean centroids on
+    * the exact 1e-6 grid, so both engines learn the identical book),
+    * vectors encode to 4 small codes, and the query scans CODES while
+    * distances come from a 40-row (subspace, codeword) lookup — the
+    * ADC trick. All-integer arithmetic end to end: quantized values,
+    * squared distances, sign-aware truncated means. 100 TB shape: the
+    * codebook (640 rows) and the query's ADC table (40 rows) both
+    * broadcast; encode is a map-side equi-join on (s, d); the scan
+    * touches 4-byte-ish codes, never raw vectors — exactly why PQ
+    * exists at scale. */
+  private def pqAdcSql(spark: Boolean): String = {
+    val dv = if (spark) "DIV" else "//"
+    val x =
+      if (spark) """
+        SELECT vec_id, label,
+               CAST(pos DIV 16 AS INT) AS s, CAST(pos % 16 AS INT) AS d,
+               CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        FROM embeddings LATERAL VIEW POSEXPLODE(embedding) pe AS pos, v"""
+      else """
+        SELECT vec_id, label,
+               CAST((u.i - 1) // 16 AS INT) AS s, CAST((u.i - 1) % 16 AS INT) AS d,
+               CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        FROM embeddings, UNNEST(RANGE(1, 65)) AS u(i)"""
+    s"""
+      WITH x AS ($x),
+      cb AS (
+        SELECT s, label AS cw, d,
+               CASE WHEN SUM(qv) >= 0 THEN SUM(qv) $dv COUNT(*)
+                    ELSE -((-SUM(qv)) $dv COUNT(*)) END AS cv
+        FROM x GROUP BY s, label, d
+      ),
+      enc AS (
+        SELECT x.vec_id, x.s, c.cw,
+               CAST(SUM((x.qv - c.cv) * (x.qv - c.cv)) AS BIGINT) AS dist
+        FROM x JOIN cb c ON x.s = c.s AND x.d = c.d
+        GROUP BY x.vec_id, x.s, c.cw
+      ),
+      code AS (
+        SELECT vec_id, s, cw AS code
+        FROM (SELECT vec_id, s, cw,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                       ORDER BY dist, cw) AS rn
+              FROM enc) z
+        WHERE rn = 1
+      ),
+      qd AS (
+        SELECT e.s AS s, c.cw AS cw,
+               CAST(SUM((e.qv - c.cv) * (e.qv - c.cv)) AS BIGINT) AS qdist
+        FROM x e JOIN cb c ON e.s = c.s AND e.d = c.d
+        WHERE e.vec_id = 0
+        GROUP BY e.s, c.cw
+      ),
+      adc AS (
+        SELECT co.vec_id AS nid, CAST(SUM(q.qdist) AS BIGINT) AS adc_dist
+        FROM code co JOIN qd q ON co.s = q.s AND co.code = q.cw
+        WHERE co.vec_id <> 0
+        GROUP BY co.vec_id
+      )
+      ,
+      top AS (
+        -- top-k cut BEFORE the rank window: Spark plans the ORDER BY +
+        -- LIMIT as distributed TakeOrderedAndProject, so the
+        -- unpartitioned ROW_NUMBER only ever sees 10 rows (the suite's
+        -- standard guard against corpus-sized single-partition windows)
+        SELECT nid, adc_dist FROM adc ORDER BY adc_dist, nid LIMIT 10
+      )
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY adc_dist, nid) AS INT) AS rank,
+             nid, adc_dist
+      FROM top ORDER BY rank"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "eval_retrieval" -> gsql(evalRetrievalSql(spark = true)),
+    "ann_pq_adc" -> gsql(pqAdcSql(spark = true)),
     "pipeline_rag" -> gsql(ragSql(spark = true)),
     "embed_pca_power" -> gsql(pcaSql(spark = true)),
     "ann_mmr_rerank" -> ((spark, sfDir) => {
@@ -653,6 +783,8 @@ object Similarity {
       )"""
 
   val oracle: Map[String, String] = Map(
+    "eval_retrieval" -> evalRetrievalSql(spark = false),
+    "ann_pq_adc" -> pqAdcSql(spark = false),
     "embed_pca_power" -> pcaSql(spark = false),
     // same statement, DuckDB spellings: list_transform quantize + the
     // Clustering.cosSql fold replication of CosineSimD — the greedy

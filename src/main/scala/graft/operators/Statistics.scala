@@ -872,7 +872,91 @@ object Statistics {
       FROM med m JOIN tot t ON m.b = t.b
       ORDER BY replica_id"""
 
+  /** Micro-unit fixed-point quotient trunc(1e6·x/d) without the x*1e6
+    * BIGINT overflow: split |x| = q·d + r, so 1e6·x/d = 1e6·q + 1e6·r/d
+    * with r < d — r·1e6 stays in BIGINT for any d < 9.2e12, extending
+    * the safe numerator range 1e6× over the naive (x*1e6)/d spelling.
+    * Contract: the RESULT must fit, i.e. |x/d| < 9.2e12 — always true
+    * for the ratio statistics this serves (shares, probabilities,
+    * kappa — all |ratio| ≤ n). Truncation toward zero on NONNEGATIVE
+    * operands is identical in Spark `DIV` and DuckDB `//`; the CASE
+    * re-applies the sign so negative numerators (kappa < 0 is legal)
+    * never touch the engines' divergent negative-division semantics. */
+  private[graft] def microDiv(x: String, d: String, spark: Boolean): String = {
+    val dv = if (spark) "DIV" else "//"
+    def pos(ax: String) =
+      s"(($ax $dv ($d)) * 1000000 + ((($ax) % ($d)) * 1000000) $dv ($d))"
+    s"""CASE WHEN ($x) >= 0 THEN ${pos(s"($x)")}
+             ELSE -${pos(s"(-($x))")} END"""
+  }
+
+  /** Cohen's kappa (Cohen, Educ. Psychol. Meas. 1960) — THE
+    * inter-annotator agreement statistic every labeling/eval pipeline
+    * reports before trusting its labels. Two deterministic binary
+    * "raters" over `documents`: A = char-length >= 250, B = word-count
+    * >= 40 (space counting — the corpus is single-space word soup), so
+    * both engines derive byte-identical verdicts. From the 2×2 table
+    * (a,b,c,d): kappa = (n(a+d) − E)/(n² − E) with
+    * E = (a+b)(a+c) + (c+d)(b+d) — a pure integer rational, emitted in
+    * exact micro units via the overflow-safe split divide. ONE hash
+    * aggregate to 4 counts (map-side combined at any corpus size),
+    * then scalar math on the 1-row frame: the 100 TB cost is the scan. */
+  private def kappaSql(spark: Boolean): String = s"""
+      WITH r AS (
+        SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS ra,
+               CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 40
+                    THEN 1 ELSE 0 END AS rb
+        FROM documents
+      ),
+      t AS (
+        SELECT CAST(SUM(ra * rb) AS BIGINT)             AS a,
+               CAST(SUM(ra * (1 - rb)) AS BIGINT)       AS b,
+               CAST(SUM((1 - ra) * rb) AS BIGINT)       AS c,
+               CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT)                 AS n
+        FROM r
+      ),
+      e AS (
+        SELECT a, b, c, d, n,
+               (a + b) * (a + c) + (c + d) * (b + d) AS exp_agree
+        FROM t
+      )
+      SELECT a, b, c, d, n,
+             ${microDiv("(a + d)", "n", spark)}                    AS po_micro,
+             ${microDiv("exp_agree", "n * n", spark)}              AS pe_micro,
+             ${microDiv("n * (a + d) - exp_agree", "n * n - exp_agree", spark)}
+               AS kappa_micro
+      FROM e"""
+
+  /** McNemar's test (McNemar, Psychometrika 1947) — the paired
+    * classifier-comparison test (same docs, two classifiers: did the
+    * word-count rater flag docs the char-length rater missed beyond
+    * chance?). Only the discordant cells matter: chi² = (b−c)²/(b+c),
+    * plus Edwards' continuity-corrected (|b−c|−1)²/(b+c) clamped at 0.
+    * Same raters (and therefore the same single-aggregate 100 TB
+    * shape) as kappa; statistics in exact micro units. */
+  private def mcnemarSql(spark: Boolean): String = s"""
+      WITH r AS (
+        SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS ra,
+               CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 40
+                    THEN 1 ELSE 0 END AS rb
+        FROM documents
+      ),
+      t AS (
+        SELECT CAST(SUM(ra * (1 - rb)) AS BIGINT) AS b,
+               CAST(SUM((1 - ra) * rb) AS BIGINT) AS c
+        FROM r
+      )
+      SELECT b, c,
+             ${microDiv("(b - c) * (b - c)", "b + c", spark)} AS chi2_micro,
+             ${microDiv(
+               "GREATEST(ABS(b - c) - 1, 0) * GREATEST(ABS(b - c) - 1, 0)",
+               "b + c", spark)} AS chi2_cc_micro
+      FROM t"""
+
   val queries: Map[String, Q] = Map(
+    "stats_cohens_kappa" -> Tables.sql(kappaSql(spark = true)),
+    "stats_mcnemar"      -> Tables.sql(mcnemarSql(spark = true)),
     "stats_bootstrap_poisson" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       graft.functions.GraftFunctions.register(spark) // MIX64
@@ -904,6 +988,8 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_cohens_kappa" -> kappaSql(spark = false),
+    "stats_mcnemar"      -> mcnemarSql(spark = false),
     "stats_bootstrap_poisson" -> bootstrapSql(spark = false),
     "stats_bootstrap_median" -> bootstrapMedianSql(spark = false),
     "stats_delta_method" -> DeltaMethodSql,

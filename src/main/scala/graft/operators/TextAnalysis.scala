@@ -229,7 +229,122 @@ object TextAnalysis {
     (t0, merges, t, gens.toSeq)
   }
 
+  /** C4-style heuristic document filters (Raffel et al., JMLR'20 §2.2
+    * — the cleaning pass behind the C4 corpus), adapted to the
+    * word-soup corpus: per-source pass counts for each rule plus the
+    * conjunctive keep count. Rules are INTEGER predicates end to end —
+    * the mean-word-length band [3,10] is spelled as the cross-multiply
+    * 3·wc ≤ chars ≤ 10·wc so no division ever happens. The top-token
+    * share rule (no token may exceed 20% of the doc) needs the one
+    * genuine shuffle: a (doc, token) hash count whose map-side partials
+    * bound state at vocab size; everything else is a narrow scalar map.
+    * At 100 TB: scan → per-doc flags → O(sources) aggregate. */
+  private def c4Sql(spark: Boolean): String = {
+    val tok =
+      if (spark) "FILTER(SPLIT(LOWER(text), ' '), w -> w <> '')"
+      else "LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')"
+    val sz = if (spark) "SIZE" else "LEN"
+    val contains = if (spark) "ARRAY_CONTAINS" else "LIST_CONTAINS"
+    val expl =
+      if (spark) "t LATERAL VIEW EXPLODE(toks) x AS tok"
+      else "(SELECT doc_id, UNNEST(toks) AS tok FROM t) x"
+    s"""
+      WITH t AS (
+        SELECT doc_id, source, text, $tok AS toks FROM documents
+      ),
+      d AS (
+        SELECT doc_id, source,
+               CAST($sz(toks) AS BIGINT) AS wc,
+               CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS nsc,
+               CASE WHEN $contains(toks, 'the') OR $contains(toks, 'a')
+                    THEN 1 ELSE 0 END AS has_stop
+        FROM t
+      ),
+      mx AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS maxtok
+        FROM (SELECT doc_id, tok, COUNT(*) AS c
+              FROM $expl GROUP BY doc_id, tok) g
+        GROUP BY doc_id
+      ),
+      f AS (
+        SELECT d.source,
+               CASE WHEN d.wc >= 20 THEN 1 ELSE 0 END AS r_min_words,
+               CASE WHEN d.wc <= 10000 THEN 1 ELSE 0 END AS r_max_words,
+               CASE WHEN 3 * d.wc <= d.nsc AND d.nsc <= 10 * d.wc
+                    THEN 1 ELSE 0 END AS r_word_len,
+               d.has_stop AS r_stopword,
+               CASE WHEN m.maxtok * 5 <= d.wc THEN 1 ELSE 0 END AS r_top_token
+        FROM d JOIN mx m ON d.doc_id = m.doc_id
+      )
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(r_min_words) AS BIGINT) AS pass_min_words,
+             CAST(SUM(r_max_words) AS BIGINT) AS pass_max_words,
+             CAST(SUM(r_word_len) AS BIGINT) AS pass_word_len,
+             CAST(SUM(r_stopword) AS BIGINT) AS pass_stopword,
+             CAST(SUM(r_top_token) AS BIGINT) AS pass_top_token,
+             CAST(SUM(r_min_words * r_max_words * r_word_len
+                      * r_stopword * r_top_token) AS BIGINT) AS n_kept
+      FROM f
+      GROUP BY source
+      ORDER BY source"""
+  }
+
+  /** C4's exact duplicate-SPAN census (Raffel et al. remove any
+    * three-sentence span occurring more than once in the corpus; the
+    * word-soup analog is the aligned 8-token span grid). A span's
+    * corpus frequency comes from ONE hash aggregate on the span text;
+    * per-source output reports how many grid spans are corpus
+    * duplicates and the token mass span-dedup would strip. The span
+    * table is (doc, span-text) — at 100 TB the aggregate's map-side
+    * partials collapse repeats early and nothing ever joins all-pairs
+    * (contrast dedup_substring, which pairs DOCUMENTS; this counts
+    * span multiplicity). */
+  private def spanDedupSql(spark: Boolean): String = {
+    val tok =
+      if (spark) "FILTER(SPLIT(LOWER(text), ' '), w -> w <> '')"
+      else "LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')"
+    val sz = if (spark) "SIZE" else "LEN"
+    val grid =
+      if (spark) "t LATERAL VIEW EXPLODE(SEQUENCE(0, n_tok - 8, 8)) g AS s"
+      else "t, UNNEST(range(0, n_tok - 7, 8)) AS g(s)"
+    val span =
+      if (spark) "ARRAY_JOIN(SLICE(toks, s + 1, 8), ' ')"
+      else "ARRAY_TO_STRING(toks[s + 1 : s + 8], ' ')"
+    s"""
+      WITH t0 AS (
+        SELECT doc_id, source, $tok AS toks FROM documents
+      ),
+      t AS (
+        SELECT doc_id, source, toks, CAST($sz(toks) AS BIGINT) AS n_tok
+        FROM t0 WHERE $sz(toks) >= 8
+      ),
+      c AS (
+        SELECT doc_id, source, $span AS span
+        FROM $grid
+      ),
+      f AS (
+        SELECT span, CAST(COUNT(*) AS BIGINT) AS freq FROM c GROUP BY span
+      ),
+      per AS (
+        SELECT c.source,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_spans
+        FROM c JOIN f ON c.span = f.span
+        GROUP BY c.source
+      )
+      SELECT source, n_spans, n_dup_spans,
+             n_dup_spans * 8 AS dup_token_mass,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM f WHERE freq > 1)
+               AS n_distinct_dup_spans
+      FROM per
+      ORDER BY source"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_c4_filters" -> gsql(c4Sql(spark = true)),
+    "text_span_dedup" -> gsql(spanDedupSql(spark = true)),
     "text_skipgram_cooc" -> gsql(skipgramSql(spark = true)),
     "text_phrase_search" -> gsql(phraseSql(spark = true)),
     // Spark side of the BPE trainer: each generation persists (the
@@ -1027,6 +1142,8 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_c4_filters" -> c4Sql(spark = false),
+    "text_span_dedup" -> spanDedupSql(spark = false),
     "text_skipgram_cooc" -> skipgramSql(spark = false),
     "text_phrase_search" -> phraseSql(spark = false),
     "text_bpe_merges" -> BpeSql.merges,

@@ -371,4 +371,117 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(d2 == n2.size, s"seed $seed 2-hop")
     }
   }
+
+  test("text_c4_filters: rule counts bounded by doc counts; keep is the conjunction floor") {
+    val rows = graft.operators.TextAnalysis
+      .queries("text_c4_filters")(spark, LocalSpark.sf).collect()
+    assert(rows.nonEmpty)
+    Tables.register(spark, LocalSpark.sf)
+    val perSource = spark.table("documents").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (src, n) = (r.getString(0), r.getLong(1))
+      assert(n == perSource(src), s"$src doc count")
+      val passes = (2 to 6).map(r.getLong)
+      passes.foreach(p => assert(p >= 0 && p <= n))
+      val kept = r.getLong(7)
+      // conjunction can't beat the weakest rule, nor the inclusion-
+      // exclusion floor Σpass − 4n
+      assert(kept <= passes.min)
+      assert(kept >= math.max(0L, passes.sum - 4 * n), s"$src kept floor")
+    }
+  }
+
+  test("text_span_dedup: span accounting consistent; duplicate spans genuinely repeat") {
+    val rows = graft.operators.TextAnalysis
+      .queries("text_span_dedup")(spark, LocalSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSpans, nDup, mass) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDup <= nSpans && mass == nDup * 8)
+    }
+    // independent recount of the grid: Σ n_spans = Σ_docs ⌊wc/8⌋
+    Tables.register(spark, LocalSpark.sf)
+    val expect = spark.table("documents")
+      .select((size(filter(split(lower($"text"), " "), w => w =!= "")) / 8)
+        .cast("long").as("k"))
+      .agg(sum($"k")).first().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == expect, "grid span total")
+  }
+
+  test("eval_retrieval: metrics reproduce from rank/label ground truth") {
+    val rows = graft.operators.Similarity
+      .queries("eval_retrieval")(spark, LocalSpark.sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (nRel, hits) = (r.getLong(1), r.getLong(2))
+      val firstRel = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(hits <= math.min(10L, nRel))
+      assert(r.getLong(4) == BigInt(hits) * 1000000 / math.min(10L, nRel))
+      assert(r.getLong(5) == hits * 100000)
+      assert(r.getLong(6) == firstRel.map(1000000L / _).getOrElse(0L))
+      assert((hits == 0) == firstRel.isEmpty)
+    }
+    // the label structure is real: retrieval must beat the ~10% random
+    // same-label base rate on average
+    val meanHits = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    assert(meanHits > 1.0, s"mean hits@10 $meanHits — labels carry no signal?")
+  }
+
+  test("ann_pq_adc: full driver-side PQ replay matches (codebook, codes, ADC)") {
+    val out = graft.operators.Similarity
+      .queries("ann_pq_adc")(spark, LocalSpark.sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    Tables.register(spark, LocalSpark.sf)
+    val vecs = spark.table("embeddings")
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(v => math.floor(v.toDouble * 1e6).toLong).toArray))
+    def truncDiv(s: Long, n: Long) = if (s >= 0) s / n else -((-s) / n)
+    // codebook: per (subspace, label, dim) truncated mean
+    val book = (0 until 4).map { s =>
+      vecs.groupBy(_._2).view.mapValues { g =>
+        (0 until 16).map { d =>
+          truncDiv(g.map(_._3(s * 16 + d)).sum, g.length)
+        }.toArray
+      }.toMap
+    }
+    def subDist(q: Array[Long], s: Int, cw: Array[Long]): Long =
+      (0 until 16).map { d => val df = q(s * 16 + d) - cw(d); df * df }.sum
+    // encode every vector; ADC against query vec 0
+    val q0 = vecs.find(_._1 == 0L).get._3
+    val adc = vecs.filter(_._1 != 0L).map { case (id, _, qv) =>
+      val dist = (0 until 4).map { s =>
+        val code = book(s).toSeq.map { case (l, cw) => (subDist(qv, s, cw), l) }.min._2
+        subDist(q0, s, book(s)(code))
+      }.sum
+      (id, dist)
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    out.zip(adc).zipWithIndex.foreach { case (((rank, nid, d), (eid, ed)), i) =>
+      assert(rank == i + 1)
+      assert(nid == eid && d == ed, s"rank ${i + 1}: ($nid,$d) vs ($eid,$ed)")
+    }
+  }
+
+  test("profile_skew: shares/percentiles reproduce from per-key counts") {
+    val rows = graft.operators.Profiling
+      .queries("profile_skew")(spark, LocalSpark.sf).collect()
+    assert(rows.length == 10)
+    Tables.register(spark, LocalSpark.sf)
+    val counts = spark.table("lineitem").groupBy("l_suppkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sorted = counts.values.toSeq.sorted
+    val (nKeys, nRows) = (counts.size.toLong, sorted.sum)
+    val top = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    rows.zip(top).foreach { case (r, (k, c)) =>
+      assert(r.getLong(1) == k && r.getLong(2) == c)
+      assert(r.getLong(3) == BigInt(c) * 1000000 / nRows, "share_micro")
+      assert(r.getLong(4) == nKeys && r.getLong(5) == nRows)
+      // lower-percentile definition: smallest value with cum*q >= n*p
+      def pct(p: Int) = sorted(((nKeys * p + 99) / 100 - 1).toInt.max(0))
+      assert(r.getLong(6) == pct(50), "p50")
+      assert(r.getLong(7) == pct(99), "p99")
+      assert(r.getLong(9) == BigInt(c) * nKeys * 1000000 / nRows, "skew factor")
+    }
+  }
 }

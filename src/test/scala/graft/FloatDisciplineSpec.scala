@@ -93,6 +93,9 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "agg_percentile", "agg_skew_kurtosis", "agg_stats",
     "agg_trimmed_mean", "agg_weighted_percentile", "agg_winsorized_mean",
     "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_bucketed",
+    "eval_retrieval", // ROUND(cos,6) orders the retrieval leg only
+                      // (ann_cosine_topk rule); all metrics are integer
+                      // micro units from ranks
     "acid_stream_ingest", // ROUND(value*1000)->BIGINT: exact milli grid
     "acid_auto_compact",  // ROUND(qty/price*100)->BIGINT: exact cents grid
     "stats_bootstrap_poisson", // ROUND(price*100)->BIGINT: exact cents grid
@@ -124,6 +127,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "sample_neyman", "sample_weighted_aes", "search_hybrid_rrf",
     "sort_array_struct",  // ROUND(bal*100)->BIGINT: exact cents grid
     "source_rcfile_scan", // ROUND(bal*100)->BIGINT: exact cents grid
+    "source_schema_evolution", // ROUND(price*100)->BIGINT: cents grid
     "uniontype_encode",   // ROUND(price*100)->BIGINT: exact cents grid
     "stats_anova", "stats_chisq", "stats_corr_matrix", "stats_cuped",
     "stats_delta_method", "stats_gini", "stats_hill", "stats_kendall",

@@ -219,4 +219,52 @@ class StatisticsSpec extends AnyFunSuite {
     // replicas differ from each other (the hash actually varies by b)
     assert(rows.map(_._2).distinct.length > 16)
   }
+
+  test("stats_cohens_kappa: micro-unit kappa reproduces from the cell counts") {
+    val r = Statistics.queries("stats_cohens_kappa")(spark, LocalSpark.sf).first()
+    val (a, b, c, d, n) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(a + b + c + d == n && n > 0)
+    val po = (a + d).toDouble / n
+    val pe = ((a + b) * (a + c) + (c + d) * (b + d)).toDouble / n / n
+    val kappa = (po - pe) / (1 - pe)
+    // micro-unit outputs are the truncated-toward-zero fixed points
+    assert(math.abs(r.getLong(5) / 1e6 - po) < 2e-6)
+    assert(math.abs(r.getLong(6) / 1e6 - pe) < 2e-6)
+    assert(math.abs(r.getLong(7) / 1e6 - kappa) < 2e-6)
+    // the two length-proxy raters must agree far beyond chance
+    assert(kappa > 0.5, s"kappa $kappa")
+  }
+
+  test("stats_mcnemar: chi2 reproduces from the discordant cells; cc <= raw") {
+    val r = Statistics.queries("stats_mcnemar")(spark, LocalSpark.sf).first()
+    val (b, c) = (r.getLong(0), r.getLong(1))
+    assert(b + c > 0)
+    val chi2 = (b - c).toDouble * (b - c) / (b + c)
+    val cc = math.pow(math.max(math.abs(b - c) - 1.0, 0.0), 2) / (b + c)
+    assert(math.abs(r.getLong(2) / 1e6 - chi2) < 2e-6)
+    assert(math.abs(r.getLong(3) / 1e6 - cc) < 2e-6)
+    assert(r.getLong(3) <= r.getLong(2))
+  }
+
+  test("microDiv: split fixed-point divide is exact, sign-correct, overflow-safe") {
+    Tables.register(spark, LocalSpark.sf)
+    // drive the SQL kernel itself over value pairs including negatives
+    // and magnitudes where x*1e6 would overflow BIGINT
+    // last three: x*1e6 would overflow BIGINT (9e21) but the quotient
+    // fits in micro units — the range the split form exists for
+    val cases = Seq(
+      (7L, 3L), (-7L, 3L), (0L, 5L), (1L, 7L), (-1L, 7L),
+      (9000000000000000L, 7000000000000L), (-9000000000000000L, 7000000000000L),
+      (123456789L, 1000000007L))
+    val sql = cases.zipWithIndex.map { case ((x, dd), i) =>
+      s"SELECT $i AS id, ${Statistics.microDiv(
+        s"CAST($x AS BIGINT)", s"CAST($dd AS BIGINT)", spark = true)} AS q"
+    }.mkString(" UNION ALL ")
+    val got = spark.sql(sql).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case ((x, dd), i) =>
+      val expect = (BigInt(x) * 1000000 / dd).toLong  // BigInt / truncates toward zero
+      assert(got(i) == expect, s"case $i: ${got(i)} vs $expect")
+    }
+  }
 }

@@ -162,4 +162,24 @@ class WritePathsSpec extends AnyFunSuite {
       spark.read.schema(schema).option("mode", "FAILFAST").csv(dir).collect()
     }
   }
+
+  test("schema evolution: merged read NULLs absent columns, prunes to the merged projection") {
+    val (g1, g2) = graft.sources.SchemaEvolutionIO.writeFixture(spark, LocalSpark.sf)
+    val merged = graft.sources.SchemaEvolutionIO.readMerged(spark, g1, g2)
+    // name-based union despite the generations' different column order
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
+    // pre-ALTER rows surface NULL for the evolved column, post-ALTER never
+    import org.apache.spark.sql.functions._
+    val byGen = merged.groupBy((col("o_orderkey") % 2).as("g"))
+      .agg(count(lit(1)).as("n"), count(col("o_orderpriority")).as("np"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byGen(0L)._2 == 0L && byGen(1L)._2 == byGen(1L)._1)
+    // column pruning plans against the MERGED schema: a 2-column
+    // projection must not read the other columns
+    val plan = merged.select("o_orderkey", "o_orderpriority")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("o_orderpriority"))
+    assert(!plan.contains("o_totalprice"), "merged-schema scan failed to prune")
+  }
 }
