@@ -181,7 +181,45 @@ object Profiling {
       ORDER BY rank"""
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney IJUFKS'02; Machanavajjhala
+    * et al. ICDE'06) — the privacy gate a dataset passes before release:
+    * quasi-identifier classes (nation × account-balance band) must each
+    * hold ≥ k individuals (k=10) and ≥ l distinct values of the
+    * sensitive attribute (market segment, l=3). GROUPING SETS emits the
+    * published granularity AND the generalized fallback (nation only —
+    * the suppression step that fixes violating classes) in ONE
+    * aggregate pass; GROUPING(col) is used explicitly, never the
+    * bit-order-trapped GROUPING__ID (SURVEY §7.3.1). Banding is pure
+    * integer arithmetic on a nonnegative-shifted FLOOR (2-decimal
+    * inputs sit ≥ 0.01 from integer boundaries, ≫ one ulp, so both
+    * engines floor identically; the +1000 shift keeps the truncating
+    * DIV away from its divergent negative-operand semantics). At
+    * 100 TB: one map-side-combinable grouping-sets aggregate to
+    * O(classes) rows. */
+  private def privacySql(spark: Boolean): String = {
+    val dv = if (spark) "DIV" else "//"
+    s"""
+      WITH q AS (
+        SELECT c_nationkey AS nation,
+               CAST(FLOOR(c_acctbal + 1000) AS BIGINT) $dv 2000 AS band,
+               c_mktsegment AS seg
+        FROM customer
+      )
+      SELECT CAST(GROUPING(band) AS INT) AS generalized,
+             CAST(nation AS INT) AS nation,
+             CAST(CASE WHEN GROUPING(band) = 1 THEN -1 ELSE band END AS BIGINT)
+               AS band,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_seg,
+             CASE WHEN COUNT(*) < 10 THEN 1 ELSE 0 END AS k_violation,
+             CASE WHEN COUNT(DISTINCT seg) < 3 THEN 1 ELSE 0 END AS l_violation
+      FROM q
+      GROUP BY GROUPING SETS ((nation, band), (nation))
+      ORDER BY generalized, nation, band"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "privacy_kanonymity" -> Tables.sql(privacySql(spark = true)),
     "profile_skew" -> Tables.sql(skewSql(spark = true)),
     "profile_columns" -> Tables.sql(ProfileSql),
     "validate_constraints" -> Tables.sql(ValidateSql),
@@ -190,6 +228,7 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    "privacy_kanonymity" -> privacySql(spark = false),
     "profile_skew" -> skewSql(spark = false),
     "profile_columns" -> ProfileSql,
     "validate_constraints" -> ValidateSql,

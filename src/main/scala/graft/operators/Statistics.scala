@@ -954,7 +954,44 @@ object Statistics {
                "b + c", spark)} AS chi2_cc_micro
       FROM t"""
 
+  /** Fleiss' kappa (Fleiss, Psychol. Bull. 1971) — agreement among
+    * MORE than two raters, the panel-annotation companion of Cohen's
+    * kappa: three deterministic binary raters (char length, word
+    * count, non-space mass — all engine-identical integer predicates).
+    * With per-item category counts (n_i1, n_i0), κ reduces to the pure
+    * integer rational (3N·A − 2B) / (2·(9N² − B)) where
+    * A = Σ(n_i1²+n_i0²) − 3N and B = S1²+S0² (common-denominator
+    * algebra of P̄ and P̄e) — emitted exactly in micro units. ONE
+    * narrow scan aggregates to 3 sums; the formula runs on a 1-row
+    * frame, so the 100 TB cost is the scan. */
+  private def fleissSql(spark: Boolean): String = s"""
+      WITH r AS (
+        SELECT (CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END
+              + CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 40
+                     THEN 1 ELSE 0 END
+              + CASE WHEN LENGTH(REPLACE(text, ' ', '')) >= 200
+                     THEN 1 ELSE 0 END) AS n1
+        FROM documents
+      ),
+      t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n1) AS BIGINT) AS s1,
+               CAST(SUM(3 - n1) AS BIGINT) AS s0,
+               CAST(SUM(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT) AS sq
+        FROM r
+      ),
+      k AS (
+        SELECT n, s1, s0, sq - 3 * n AS a, s1 * s1 + s0 * s0 AS b FROM t
+      )
+      SELECT n, s1, s0,
+             ${microDiv("a", "6 * n", spark)}           AS pbar_micro,
+             ${microDiv("b", "9 * n * n", spark)}       AS pbare_micro,
+             ${microDiv("3 * n * a - 2 * b", "2 * (9 * n * n - b)", spark)}
+               AS kappa_micro
+      FROM k"""
+
   val queries: Map[String, Q] = Map(
+    "stats_fleiss_kappa" -> Tables.sql(fleissSql(spark = true)),
     "stats_cohens_kappa" -> Tables.sql(kappaSql(spark = true)),
     "stats_mcnemar"      -> Tables.sql(mcnemarSql(spark = true)),
     "stats_bootstrap_poisson" -> ((spark, sfDir) => {
@@ -988,6 +1025,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_fleiss_kappa" -> fleissSql(spark = false),
     "stats_cohens_kappa" -> kappaSql(spark = false),
     "stats_mcnemar"      -> mcnemarSql(spark = false),
     "stats_bootstrap_poisson" -> bootstrapSql(spark = false),

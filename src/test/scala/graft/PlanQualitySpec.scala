@@ -530,6 +530,47 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ann_pq_adc: codebook/ADC lookups broadcast; scan side never cross-joins") {
+    val p = plan("ann_pq_adc")
+    // cb (640 rows) joins into encode, qd (40 rows) into the ADC scan —
+    // both must be broadcast hash joins, never a shuffle of the codes
+    assert(p.contains("BroadcastHashJoin"), s"codebook must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ is equi-join shaped end to end:\n$p")
+    // final rank window runs on the top-10 cut, not the corpus
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must cut before the rank window:\n$p")
+  }
+
+  test("privacy_kanonymity: both granularities come from one grouping-sets pass") {
+    val p = plan("privacy_kanonymity")
+    // Expand feeds a single aggregate chain — two separate scans of
+    // customer would double the 100 TB cost
+    assert(p.contains("Expand"), s"expected grouping-sets Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length <= 1,
+      s"customer must be scanned once:\n$p")
+  }
+
+  test("text_span_dedup / text_c4_filters: hash-aggregate shapes, no cartesian") {
+    Seq("text_span_dedup", "text_c4_filters").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-join/aggregate shaped:\n$p")
+      val exIdx = p.indexOf("Exchange")
+      assert(exIdx >= 0 && p.indexOf("HashAggregate", exIdx) > exIdx,
+        s"$q: no partial aggregate under the exchange:\n$p")
+    }
+  }
+
+  test("stats_cohens_kappa / fleiss: single-scan single-aggregate shapes") {
+    Seq("stats_cohens_kappa", "stats_fleiss_kappa").foreach { q =>
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(p).length == 1,
+        s"$q: documents must be scanned once:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("source_symlink_scan reads only the linked targets") {
     val df = SparkEntry.queries("source_symlink_scan")(spark, LocalSpark.sf)
     // 3 sources linked, one part file each (coalesce(1) fixture):

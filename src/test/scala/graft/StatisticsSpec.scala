@@ -247,6 +247,44 @@ class StatisticsSpec extends AnyFunSuite {
     assert(r.getLong(3) <= r.getLong(2))
   }
 
+  test("stats_fleiss_kappa: micro-unit kappa reproduces from the rater sums") {
+    val r = Statistics.queries("stats_fleiss_kappa")(spark, LocalSpark.sf).first()
+    val (n, s1, s0) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(s1 + s0 == 3 * n && n > 0)
+    // replay the common-denominator algebra against the double formula
+    val pbar = r.getLong(3) / 1e6
+    val pbare = r.getLong(4) / 1e6
+    val kappa = r.getLong(5) / 1e6
+    assert(pbar >= 1.0 / 3 - 1e-6 && pbar <= 1.0) // r=3 floor: P_i >= 1/3
+    assert(pbare >= 0.5 - 1e-6 && pbare <= 1.0)   // two categories: >= 1/2
+    assert(math.abs((pbar - pbare) / (1 - pbare) - kappa) < 5e-6)
+    // the three length-proxy raters agree far beyond chance
+    assert(kappa > 0.5, s"fleiss kappa $kappa")
+  }
+
+  test("privacy_kanonymity: violations and diversity reproduce from a recount") {
+    val rows = graft.operators.Profiling
+      .queries("privacy_kanonymity")(spark, LocalSpark.sf).collect()
+    val (gen, fine) = rows.partition(_.getInt(0) == 1)
+    assert(gen.nonEmpty && fine.nonEmpty)
+    // generalized rows cover every nation once with band = -1
+    assert(gen.forall(_.getLong(2) == -1L))
+    assert(gen.map(_.getInt(1)).distinct.length == gen.length)
+    // per-nation totals: fine classes partition the generalized class
+    val fineByNation = fine.groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(3)).sum)
+    gen.foreach { g =>
+      assert(g.getLong(3) == fineByNation(g.getInt(1)), s"nation ${g.getInt(1)}")
+    }
+    // flags are pure functions of n / n_seg
+    rows.foreach { r =>
+      assert((r.getInt(5) == 1) == (r.getLong(3) < 10))
+      assert((r.getInt(6) == 1) == (r.getLong(4) < 3))
+      assert(r.getLong(4) <= math.min(5L, r.getLong(3)))
+    }
+    // generalization can only merge classes: violations never increase
+    assert(gen.count(_.getInt(5) == 1) <= fine.count(_.getInt(5) == 1) || fine.forall(_.getInt(5) == 0))
+  }
+
   test("microDiv: split fixed-point divide is exact, sign-correct, overflow-safe") {
     Tables.register(spark, LocalSpark.sf)
     // drive the SQL kernel itself over value pairs including negatives
