@@ -246,6 +246,66 @@ object Graph {
       GROUP BY seed, node
       ORDER BY seed, node"""
 
+  /** One ALS half-step (Zhou et al., AAIM'08 — the distributed
+    * matrix-factorization recommender): with the rank-2 ITEM factors
+    * held fixed (deterministic integer init from the brand index, the
+    * broadcast dimension every real ALS iteration ships), each user's
+    * factor vector solves its own ridge normal equations
+    * (XᵀX + λI)u = Xᵀr in closed 2×2 form. Everything before the solve
+    * is one per-user aggregate of FIVE integer sufficient statistics
+    * (a11,a12,a22,b1,b2 — map-side combinable; this shape iterated,
+    * alternating sides, IS distributed ALS); the solve itself is
+    * scalar Cramer arithmetic per user row, emitted exactly in micro
+    * units via the sign-aware split divide (det > 0: the ridge term
+    * makes A positive definite). The brand-index window runs on the
+    * 25-row distinct-brand dimension, not the ratings. */
+  private def alsStepSql(spark: Boolean): String = {
+    val mdiv = Statistics.microDiv(_: String, _: String, spark)
+    s"""
+      WITH r AS (
+        SELECT o.o_custkey AS u, p.p_brand AS brand,
+               CAST(COUNT(*) AS BIGINT) AS rating
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY o.o_custkey, p.p_brand
+      ),
+      bi AS (
+        SELECT brand,
+               CAST(DENSE_RANK() OVER (ORDER BY brand) - 1 AS BIGINT) AS idx
+        FROM (SELECT DISTINCT brand FROM r) d
+      ),
+      f AS (SELECT brand, 1 + idx % 7 AS f1, 1 + idx % 5 AS f2 FROM bi),
+      s AS (
+        SELECT r.u,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(f.f1 * f.f1) AS BIGINT) + 1 AS a11,
+               CAST(SUM(f.f1 * f.f2) AS BIGINT) AS a12,
+               CAST(SUM(f.f2 * f.f2) AS BIGINT) + 1 AS a22,
+               CAST(SUM(r.rating * f.f1) AS BIGINT) AS b1,
+               CAST(SUM(r.rating * f.f2) AS BIGINT) AS b2
+        FROM r JOIN f ON r.brand = f.brand
+        GROUP BY r.u
+      ),
+      k AS (
+        SELECT u, n_items,
+               a11 * a22 - a12 * a12 AS det,
+               a22 * b1 - a12 * b2 AS n1,
+               a11 * b2 - a12 * b1 AS n2
+        FROM s
+      )
+      SELECT u AS custkey, n_items,
+             ${mdiv("n1", "det")} AS u1_micro,
+             ${mdiv("n2", "det")} AS u2_micro,
+             -- predicted affinity for the idx=16 brand (f = (3, 2)):
+             -- u·f stays inside ONE exact division of the Cramer
+             -- numerators, never a product of two truncated quotients
+             ${mdiv("n1 * 3 + n2 * 2", "det")} AS pred_b16_micro
+      FROM k
+      ORDER BY custkey
+      LIMIT 20"""
+  }
+
   // User-user collaborative filtering — the customer-side twin of
   // ItemSimSql over the (user, part) incidence. The scale lever is the
   // POPULARITY CAP: a part bought by u users contributes u² pairs to
@@ -567,6 +627,7 @@ object Graph {
       spark.sql("WITH z AS (SELECT 1)" + assortativitySql("asso_sym"))
     }),
     "recsys_user_cf" -> Tables.sql(UserCfSql),
+    "recsys_als_step" -> Tables.sql(alsStepSql(spark = true)),
     // Iterative driver loop over PERSISTED rounds: each peel is two
     // semi-joins + one aggregate on the previous round's cached edges,
     // and the 8 trajectory numbers are driver-side counts (the
@@ -847,6 +908,7 @@ object Graph {
     "graph_harmonic_centrality" -> (EdgeCte + SymCte + harmonicSql("sym")),
     "graph_assortativity" -> (EdgeCte + SymCte + assortativitySql("sym")),
     "recsys_user_cf" -> UserCfSql,
+    "recsys_als_step" -> alsStepSql(spark = false),
     "graph_kcore" -> kcoreSql(EdgeCte + """
       , sym0 AS (SELECT src, dst FROM e
                  UNION ALL SELECT dst AS src, src AS dst FROM e)"""),

@@ -342,7 +342,66 @@ object TextAnalysis {
       ORDER BY source"""
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): PageRank
+    * over the word co-occurrence graph — adjacency-window-1 edges with
+    * co-occurrence counts as weights, 3 damped iterations, top-20
+    * words. The iteration follows graph_pagerank's engine-exact
+    * discipline: ranks live on an integer 1e-6 grid (stored in DOUBLE,
+    * always integer-valued), per-edge contributions FLOOR-quantize
+    * before the order-independent SUM, damping is the FLOOR'd 17/20
+    * rational — so both engines replay the iteration bit-for-bit and
+    * the output is the exact integer grid value. Scale shape: the edge
+    * list aggregates once (map-side combined), each iteration is one
+    * equi-join + hash aggregate over (edge, rank) — O(E) per round,
+    * the word-graph E being vocab-bounded, not corpus-bounded. */
+  private def textrankSql(spark: Boolean): String = {
+    val tok =
+      if (spark) "FILTER(SPLIT(LOWER(text), ' '), w -> w <> '')"
+      else "LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')"
+    val el = if (spark) "ELEMENT_AT(toks, CAST(i AS INT))" else "toks[i]"
+    val el1 = if (spark) "ELEMENT_AT(toks, CAST(i + 1 AS INT))" else "toks[i + 1]"
+    val sz = if (spark) "SIZE" else "LEN"
+    val grid =
+      if (spark) "t LATERAL VIEW EXPLODE(SEQUENCE(1, n_tok - 1)) g AS i"
+      else "t, UNNEST(range(1, n_tok)) AS g(i)"
+    def iter(k: Int) = s"""
+      , pr$k AS (
+        SELECT d2.node AS node,
+               150000.0 + FLOOR(17.0 * COALESCE(c.s, 0.0) / 20.0) AS q
+        FROM wdeg d2 LEFT JOIN (
+          SELECT e.b AS node,
+                 CAST(SUM(FLOOR(CAST(p.q AS DOUBLE) * CAST(e.w AS DOUBLE)
+                                / CAST(d.wd AS DOUBLE))) AS DOUBLE) AS s
+          FROM e JOIN pr${k - 1} p ON e.a = p.node
+                 JOIN wdeg d ON e.a = d.node
+          GROUP BY e.b) c ON d2.node = c.node)"""
+    s"""
+      WITH t0 AS (SELECT doc_id, $tok AS toks FROM documents),
+      t AS (
+        SELECT doc_id, toks, CAST($sz(toks) AS BIGINT) AS n_tok
+        FROM t0 WHERE $sz(toks) >= 2
+      ),
+      pairs AS (
+        SELECT $el AS a, $el1 AS b FROM $grid
+      ),
+      e AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w
+        FROM (SELECT a, b FROM pairs WHERE a <> b
+              UNION ALL
+              SELECT b AS a, a AS b FROM pairs WHERE a <> b) s
+        GROUP BY a, b
+      ),
+      wdeg AS (SELECT a AS node, CAST(SUM(w) AS BIGINT) AS wd FROM e GROUP BY a),
+      pr0 AS (SELECT node, CAST(1000000 AS DOUBLE) AS q FROM wdeg)
+      ${iter(1)}${iter(2)}${iter(3)}
+      SELECT node AS word, CAST(q AS BIGINT) AS rank_q
+      FROM pr3
+      ORDER BY rank_q DESC, word
+      LIMIT 20"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_textrank" -> gsql(textrankSql(spark = true)),
     "text_c4_filters" -> gsql(c4Sql(spark = true)),
     "text_span_dedup" -> gsql(spanDedupSql(spark = true)),
     "text_skipgram_cooc" -> gsql(skipgramSql(spark = true)),
@@ -1142,6 +1201,7 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_textrank" -> textrankSql(spark = false),
     "text_c4_filters" -> c4Sql(spark = false),
     "text_span_dedup" -> spanDedupSql(spark = false),
     "text_skipgram_cooc" -> skipgramSql(spark = false),

@@ -463,6 +463,66 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("recsys_als_step: closed-form solve replays the ridge normal equations") {
+    val out = graft.operators.Graph
+      .queries("recsys_als_step")(spark, LocalSpark.sf).collect()
+    assert(out.length == 20)
+    Tables.register(spark, LocalSpark.sf)
+    val ratings = spark.table("lineitem")
+      .join(spark.table("orders"), $"l_orderkey" === $"o_orderkey")
+      .join(spark.table("part"), $"l_partkey" === $"p_partkey")
+      .groupBy($"o_custkey", $"p_brand").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brands = ratings.map(_._2).distinct.sorted
+    val f = brands.zipWithIndex.map { case (b, i) =>
+      b -> (1L + i % 7, 1L + i % 5)
+    }.toMap
+    def truncDiv(x: Long, d: Long) = if (x >= 0) x / d else -((-x) / d)
+    out.foreach { r =>
+      val u = r.getLong(0)
+      val mine = ratings.filter(_._1 == u)
+      assert(r.getLong(1) == mine.length)
+      val (a11, a12, a22, b1, b2) = mine.foldLeft((1L, 0L, 1L, 0L, 0L)) {
+        case ((p11, p12, p22, q1, q2), (_, brand, rating)) =>
+          val (f1, f2) = f(brand)
+          (p11 + f1 * f1, p12 + f1 * f2, p22 + f2 * f2,
+            q1 + rating * f1, q2 + rating * f2)
+      }
+      val det = a11 * a22 - a12 * a12
+      assert(det > 0) // ridge term keeps A positive definite
+      val n1 = a22 * b1 - a12 * b2
+      val n2 = a11 * b2 - a12 * b1
+      assert(r.getLong(2) == truncDiv(n1 * 1000000, det), s"user $u u1")
+      assert(r.getLong(3) == truncDiv(n2 * 1000000, det), s"user $u u2")
+      assert(r.getLong(4) == truncDiv((n1 * 3 + n2 * 2) * 1000000, det), s"user $u pred")
+    }
+  }
+
+  test("text_textrank: word ranks replay a driver-side weighted PageRank") {
+    val out = graft.operators.TextAnalysis
+      .queries("text_textrank")(spark, LocalSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.length == 20)
+    Tables.register(spark, LocalSpark.sf)
+    val docs = spark.table("documents").select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+    val pairs = docs.flatMap(t => t.dropRight(1).zip(t.drop(1))).filter(p => p._1 != p._2)
+    val edges = (pairs ++ pairs.map(_.swap)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val wdeg = edges.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    var pr = wdeg.keys.map(_ -> 1000000.0).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.toSeq
+        .map { case ((a, b), w) => b -> math.floor(pr(a) * w / wdeg(a)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      pr = wdeg.keys.map(n =>
+        n -> (150000.0 + math.floor(17.0 * contrib.getOrElse(n, 0.0) / 20.0))).toMap
+    }
+    val expect = pr.toSeq.map { case (w, q) => (w, q.toLong) }
+      .sortBy { case (w, q) => (-q, w) }.take(20)
+    assert(out.toSeq == expect, s"\n$out\nvs\n$expect")
+  }
+
   test("profile_skew: shares/percentiles reproduce from per-key counts") {
     val rows = graft.operators.Profiling
       .queries("profile_skew")(spark, LocalSpark.sf).collect()

@@ -81,6 +81,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "stats_logistic_irls"        -> "DoubleOperand", // 1e6-lit/(1.0+EXP(double))
     "pipeline_quality_classifier" -> "DoubleOperand", // same irlsIter chain
     "text_drift_psi"             -> "ExactGrid",     // FLOOR(n/100.0)->INT
+    "text_textrank"              -> "ExactGrid",     // FLOOR(17.0*s/20.0): 2-decimal exact (graph_pagerank rule)
     "text_langid_nb"             -> "DoubleOperand", // 1.0/CAST(... AS DOUBLE)
     "text_tokens"                -> "ExactGrid",     // CEIL(len/4.0): binary-exact divisor
     "window_rfm_segmentation"    -> "ExactGrid"      // FLOOR(us/86400000000.0)->BIGINT
