@@ -302,6 +302,7 @@ object Events {
     // the overlap band as a residual filter — per-user session counts
     // bound the pair fan-out, so the shape holds at any user count.
     "events_session_overlap" -> Tables.sql(overlapSql(spark = true)),
+    "events_interval_coverage" -> Tables.sql(coverageSql(spark = true)),
 
     // DAU/WAU/MAU active-user rollup with the DAU/MAU stickiness
     // ratio — the product-analytics staple. The raw scan compacts to
@@ -591,6 +592,75 @@ object Events {
   }
 
   /** Interval-overlap text (dialect split on the epoch-µs function). */
+  /** Interval-union coverage (the sweep-line / segment-merge primitive
+    * behind "total active time" metrics): per-user union of the
+    * click/view session intervals — each interval emits (+1 at start,
+    * −1 at end) deltas, a per-user cumulative window tracks open
+    * intervals, and covered time is the sum of inter-point gaps while
+    * any interval is open. Tie handling is provably order-free: rows
+    * sharing a timestamp contribute zero-length gaps whatever their
+    * within-tie permutation, and the LAST row of a tie group carries
+    * both the group-total running sum and the gap to the next distinct
+    * point — so the per-user totals are engine- and shuffle-order-
+    * independent WITHOUT needing a unique tiebreak column. Exact µs
+    * integers end to end. 100 TB shape: sessionize windows + one
+    * user-partitioned sweep window + hash aggregates — all partitioned
+    * by user, no global sort. */
+  private def coverageSql(spark: Boolean): String = {
+    val us = if (spark) "UNIX_MICROS" else "EPOCH_US"
+    s"""
+      WITH flagged AS (
+        SELECT user_id, event_type, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts > LAG(ts) OVER w + INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WHERE event_type IN ('click', 'view')
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      ),
+      numbered AS (
+        SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        FROM flagged
+      ),
+      sess AS (
+        SELECT user_id, event_type, sess_id,
+               $us(MIN(ts)) AS s, $us(MAX(ts)) AS e
+        FROM numbered GROUP BY user_id, event_type, sess_id
+        HAVING MAX(ts) > MIN(ts)
+      ),
+      pts AS (
+        SELECT user_id, s AS t, 1 AS delta FROM sess
+        UNION ALL
+        SELECT user_id, e AS t, -1 AS delta FROM sess
+      ),
+      sweep AS (
+        SELECT user_id,
+               CAST(SUM(delta) OVER (PARTITION BY user_id
+                 ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS open_after,
+               t, LEAD(t) OVER (PARTITION BY user_id ORDER BY t, delta DESC) AS nxt
+        FROM pts
+      ),
+      cov AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN open_after > 0 THEN nxt - t ELSE 0 END)
+                 AS BIGINT) AS covered_us
+        FROM sweep WHERE nxt IS NOT NULL
+        GROUP BY user_id
+      ),
+      tot AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(e - s) AS BIGINT) AS sum_len_us,
+               CAST(MAX(e) - MIN(s) AS BIGINT) AS span_us
+        FROM sess GROUP BY user_id
+      )
+      SELECT t.user_id, t.n_intervals, t.sum_len_us, c.covered_us,
+             t.sum_len_us - c.covered_us AS overlap_us, t.span_us
+      FROM tot t JOIN cov c ON t.user_id = c.user_id
+      ORDER BY t.user_id"""
+  }
+
   private def overlapSql(spark: Boolean): String = {
     val us = if (spark) "UNIX_MICROS" else "EPOCH_US"
     s"""
@@ -1037,6 +1107,7 @@ object Events {
     "events_changepoint" -> cusumSql(spark = false),
     "events_outliers_mad" -> madSql(spark = false),
     "events_session_overlap" -> overlapSql(spark = false),
+    "events_interval_coverage" -> coverageSql(spark = false),
     "events_interarrival" -> interarrivalSql(spark = false),
     "events_twap" -> twapSql(spark = false),
     "events_ses_forecast" -> sesSql(spark = false),

@@ -990,7 +990,82 @@ object Statistics {
                AS kappa_micro
       FROM k"""
 
+  /** Split-conformal prediction intervals (Vovk et al. 2005; Lei et
+    * al., JASA'18 — the distribution-free uncertainty wrapper modern
+    * ML pipelines bolt onto any point model): a 3-way hash split of
+    * the per-nation price~quantity data (fit / calibrate / test by
+    * l_orderkey mod 3), OLS fitted on the fit third from exact integer
+    * sums, q̂ = the ⌈0.9(n+1)⌉-th smallest absolute calibration
+    * residual (an ORDER STATISTIC — selected by rank, so the only
+    * float work is IEEE-identical score arithmetic both engines run on
+    * identical inputs), and empirical coverage of ŷ ± q̂ counted
+    * exactly on the held-out test third. At 100 TB: two aggregate
+    * passes plus one per-nation rank window on the calibration third;
+    * nothing global. */
+  private def conformalSql(spark: Boolean): String = {
+    val dv = if (spark) "DIV" else "//"
+    val mdiv = microDiv(_: String, _: String, spark)
+    s"""
+      WITH pts AS (
+        SELECT s_nationkey AS nk, l_orderkey % 3 AS fold,
+               CAST(ROUND(l_quantity) AS BIGINT)      AS x,
+               CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      ),
+      fit AS (
+        SELECT nk, COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE)     AS sx,
+               CAST(SUM(y) AS DOUBLE)     AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM pts WHERE fold = 0 GROUP BY nk
+      ),
+      model AS (
+        SELECT nk, CAST(n AS BIGINT) AS n_fit,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               (sy * sxx - sx * sxy) / (n * sxx - sx * sx) AS a
+        FROM fit
+      ),
+      cal AS (
+        SELECT p.nk, ABS(CAST(p.y AS DOUBLE) - (m.a + m.b * p.x)) AS score
+        FROM pts p JOIN model m ON p.nk = m.nk WHERE p.fold = 1
+      ),
+      caln AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal GROUP BY nk),
+      ranked AS (
+        SELECT nk, score,
+               -- score-only ordering: tied scores are EQUAL values, so
+               -- whichever tied row lands on rank k yields the same q̂
+               CAST(ROW_NUMBER() OVER (PARTITION BY nk
+                 ORDER BY score) AS BIGINT) AS rn
+        FROM cal
+      ),
+      qhat AS (
+        SELECT r.nk, MIN(r.score) AS q
+        FROM ranked r JOIN caln c ON r.nk = c.nk
+        WHERE r.rn = (9 * (c.n_cal + 1) + 9) $dv 10
+        GROUP BY r.nk
+      ),
+      test AS (
+        SELECT p.nk,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN ABS(CAST(p.y AS DOUBLE) - (m.a + m.b * p.x))
+                              <= q.q THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        FROM pts p JOIN model m ON p.nk = m.nk JOIN qhat q ON p.nk = q.nk
+        WHERE p.fold = 2
+        GROUP BY p.nk
+      )
+      SELECT CAST(m.nk AS BIGINT) AS nation, m.n_fit, c.n_cal,
+             t.n_test, t.n_covered,
+             ROUND(q.q, 6) AS qhat,
+             ${mdiv("t.n_covered", "t.n_test")} AS coverage_micro
+      FROM model m JOIN caln c ON m.nk = c.nk
+                   JOIN qhat q ON m.nk = q.nk
+                   JOIN test t ON m.nk = t.nk
+      ORDER BY nation"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_conformal" -> Tables.sql(conformalSql(spark = true)),
     "stats_fleiss_kappa" -> Tables.sql(fleissSql(spark = true)),
     "stats_cohens_kappa" -> Tables.sql(kappaSql(spark = true)),
     "stats_mcnemar"      -> Tables.sql(mcnemarSql(spark = true)),
@@ -1025,6 +1100,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_conformal" -> conformalSql(spark = false),
     "stats_fleiss_kappa" -> fleissSql(spark = false),
     "stats_cohens_kappa" -> kappaSql(spark = false),
     "stats_mcnemar"      -> mcnemarSql(spark = false),

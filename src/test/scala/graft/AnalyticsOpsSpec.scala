@@ -463,6 +463,48 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_interval_coverage: sweep totals replay a driver-side interval union") {
+    val out = graft.operators.Events
+      .queries("events_interval_coverage")(spark, LocalSpark.sf).collect()
+    assert(out.nonEmpty)
+    Tables.register(spark, LocalSpark.sf)
+    // rebuild the session intervals independently, then union them
+    val evs = spark.table("events")
+      .where($"event_type".isin("click", "view"))
+      .select($"user_id", $"event_type", unix_micros($"ts").as("t"), $"event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val dayUs = 86400000000L
+    val sess = evs.groupBy(e => (e._1, e._2)).values.flatMap { g =>
+      val ts = g.sortBy(e => (e._3, e._4)).map(_._3)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var (s, e) = (ts.head, ts.head)
+      ts.tail.foreach { t =>
+        if (t > e + dayUs) { buf += ((s, e)); s = t; e = t } else e = t
+      }
+      buf += ((s, e))
+      buf.filter(i => i._2 > i._1).map(i => (g.head._1, i._1, i._2))
+    }.toSeq
+    def union(iv: Seq[(Long, Long)]): Long = {
+      val sorted = iv.sorted
+      var (cov, cur) = (0L, Long.MinValue)
+      sorted.foreach { case (s, e) =>
+        if (s > cur) { cov += e - s; cur = e }
+        else if (e > cur) { cov += e - cur; cur = e }
+      }
+      cov
+    }
+    val byUser = sess.groupBy(_._1)
+    out.foreach { r =>
+      val u = r.getLong(0)
+      val iv = byUser(u).map(i => (i._2, i._3))
+      assert(r.getLong(1) == iv.length, s"user $u n_intervals")
+      assert(r.getLong(2) == iv.map(i => i._2 - i._1).sum, s"user $u sum_len")
+      assert(r.getLong(3) == union(iv), s"user $u covered")
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+      assert(r.getLong(3) <= r.getLong(5)) // covered <= span
+    }
+  }
+
   test("recsys_als_step: closed-form solve replays the ridge normal equations") {
     val out = graft.operators.Graph
       .queries("recsys_als_step")(spark, LocalSpark.sf).collect()

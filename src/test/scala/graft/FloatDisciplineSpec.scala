@@ -130,6 +130,8 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "source_rcfile_scan", // ROUND(bal*100)->BIGINT: exact cents grid
     "source_schema_evolution", // ROUND(price*100)->BIGINT: cents grid
     "uniontype_encode",   // ROUND(price*100)->BIGINT: exact cents grid
+    "stats_conformal", // ROUND(q̂,6): an order statistic of bit-identical
+                       // IEEE scores (rule-1 doubles end to end)
     "stats_anova", "stats_chisq", "stats_corr_matrix", "stats_cuped",
     "stats_delta_method", "stats_gini", "stats_hill", "stats_kendall",
     "stats_kruskal", "stats_ks", "stats_logistic_irls",

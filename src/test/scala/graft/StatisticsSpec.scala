@@ -285,6 +285,37 @@ class StatisticsSpec extends AnyFunSuite {
     assert(gen.count(_.getInt(5) == 1) <= fine.count(_.getInt(5) == 1) || fine.forall(_.getInt(5) == 0))
   }
 
+  test("stats_conformal: q-hat is the order statistic; coverage near the 90% target") {
+    val rows = Statistics.queries("stats_conformal")(spark, LocalSpark.sf).collect()
+    assert(rows.nonEmpty)
+    Tables.register(spark, LocalSpark.sf)
+    val pts = spark.table("lineitem")
+      .join(spark.table("supplier"), $"l_suppkey" === $"s_suppkey")
+      .select($"s_nationkey".cast("long").as("nk"), ($"l_orderkey" % 3).as("fold"),
+        round($"l_quantity").cast("long").as("x"),
+        round($"l_extendedprice").cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { r =>
+      val nk = r.getLong(0)
+      val mine = pts.filter(_._1 == nk)
+      val fit = mine.filter(_._2 == 0)
+      val (n, sx, sy) = (fit.length.toDouble, fit.map(_._3).sum.toDouble, fit.map(_._4).sum.toDouble)
+      val sxx = fit.map(p => p._3 * p._3).sum.toDouble
+      val sxy = fit.map(p => p._3 * p._4).sum.toDouble
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = (sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+      val scores = mine.filter(_._2 == 1)
+        .map(p => math.abs(p._4 - (a + b * p._3))).sorted
+      val k = ((9 * (scores.length + 1) + 9) / 10) - 1
+      assert(math.abs(r.getDouble(5) - scores(k)) < 1e-6,
+        s"nation $nk qhat ${r.getDouble(5)} vs ${scores(k)}")
+      // finite-sample conformal guarantee: coverage ≈ 90%, slack for
+      // the small per-nation test folds at sf0.001
+      val cov = r.getLong(6) / 1e6
+      assert(cov > 0.70 && cov <= 1.0, s"nation $nk coverage $cov")
+    }
+  }
+
   test("microDiv: split fixed-point divide is exact, sign-correct, overflow-safe") {
     Tables.register(spark, LocalSpark.sf)
     // drive the SQL kernel itself over value pairs including negatives
