@@ -456,7 +456,59 @@ object Similarity {
       FROM top ORDER BY rank"""
   }
 
+  /** Quantile normalization across embedding dimensions (Bolstad et
+    * al., Bioinformatics'03 — the microarray-era distribution equalizer,
+    * now standard feature preprocessing): every dimension's values are
+    * replaced by the cross-dimension mean at their RANK, making all 64
+    * per-dimension distributions literally identical. All-integer: the
+    * 1e-6 quantize grid, per-dim rank windows with a (value, vec_id)
+    * total order, rank-group sums, sign-aware truncated means. The
+    * output is the per-dim distribution signature — 64 rows whose
+    * stats columns must all agree, which IS the operator's contract.
+    * 100 TB shape: one narrow explode, 64 independent per-dim window
+    * sorts (partition-parallel), one rank-keyed aggregate whose group
+    * count equals the row count per dim — never a global sort. */
+  private def quantileNormSql(spark: Boolean): String = {
+    val x =
+      if (spark) """
+        SELECT vec_id, CAST(pos AS INT) AS dim,
+               CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        FROM embeddings LATERAL VIEW POSEXPLODE(embedding) pe AS pos, v"""
+      else """
+        SELECT vec_id, CAST(u.i - 1 AS INT) AS dim,
+               CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        FROM embeddings, UNNEST(RANGE(1, 65)) AS u(i)"""
+    val dv = if (spark) "DIV" else "//"
+    s"""
+      WITH x AS ($x),
+      rk AS (
+        SELECT vec_id, dim, qv,
+               CAST(ROW_NUMBER() OVER (PARTITION BY dim
+                 ORDER BY qv, vec_id) AS BIGINT) AS r
+        FROM x
+      ),
+      ref AS (
+        SELECT r,
+               CASE WHEN SUM(qv) >= 0 THEN SUM(qv) $dv 64
+                    ELSE -((-SUM(qv)) $dv 64) END AS refv
+        FROM rk GROUP BY r
+      ),
+      norm AS (
+        SELECT rk.vec_id, rk.dim, ref.refv
+        FROM rk JOIN ref ON rk.r = ref.r
+      )
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(refv) AS BIGINT) AS sum_norm,
+             CAST(MIN(refv) AS BIGINT) AS min_norm,
+             CAST(MAX(refv) AS BIGINT) AS max_norm
+      FROM norm
+      GROUP BY dim
+      ORDER BY dim"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "embed_quantile_norm" -> gsql(quantileNormSql(spark = true)),
     "eval_retrieval" -> gsql(evalRetrievalSql(spark = true)),
     "ann_pq_adc" -> gsql(pqAdcSql(spark = true)),
     "pipeline_rag" -> gsql(ragSql(spark = true)),
@@ -783,6 +835,7 @@ object Similarity {
       )"""
 
   val oracle: Map[String, String] = Map(
+    "embed_quantile_norm" -> quantileNormSql(spark = false),
     "eval_retrieval" -> evalRetrievalSql(spark = false),
     "ann_pq_adc" -> pqAdcSql(spark = false),
     "embed_pca_power" -> pcaSql(spark = false),

@@ -1064,7 +1064,76 @@ object Statistics {
       ORDER BY nation"""
   }
 
+  /** One hard-EM Dawid–Skene round (Dawid & Skene, JRSS-C 1979 — the
+    * truth-inference model behind every crowd-labeling pipeline):
+    * initialize labels by majority vote of the three binary raters,
+    * estimate each rater's accuracy against the majority, then relabel
+    * every item by the accuracy-weighted likelihood argmax. The
+    * likelihood compare is EXACT integer arithmetic: per-rater weights
+    * are micro-unit accuracies (bounded ≤ 1e6 regardless of corpus
+    * size, so the 3-way product stays ≤ 1e18 in BIGINT at ANY scale —
+    * raw agreement counts would overflow at sf≳100), and
+    * Π w_j(y=1) vs Π w_j(y=0) needs no division at all. Ties keep the
+    * majority label. Shape: one aggregate to 4 numbers (broadcast), a
+    * narrow relabel map, one final aggregate — the full EM loop is
+    * this query iterated with the same broadcast pattern. */
+  private def dawidSkeneSql(spark: Boolean): String = {
+    val mdiv = microDiv(_: String, _: String, spark)
+    def w(v: String, acc: String, y: Int) =
+      s"(CASE WHEN $v = $y THEN $acc ELSE 1000000 - $acc END)"
+    def lik(y: Int) =
+      s"${w("v1", "w1", y)} * ${w("v2", "w2", y)} * ${w("v3", "w3", y)}"
+    s"""
+      WITH r AS (
+        SELECT doc_id,
+               CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS v1,
+               CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 40
+                    THEN 1 ELSE 0 END AS v2,
+               -- rater 3 votes on an INDEPENDENT signal (language), so
+               -- its accuracy-vs-majority is genuinely noisy and the
+               -- EM reweighting has real work to do (a third length
+               -- rater agreed with the majority perfectly — weight 1e6
+               -- — and degenerately dictated every relabel)
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS v3
+        FROM documents
+      ),
+      m AS (
+        SELECT doc_id, v1, v2, v3,
+               CASE WHEN v1 + v2 + v3 >= 2 THEN 1 ELSE 0 END AS y0
+        FROM r
+      ),
+      acc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN v1 = y0 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+               CAST(SUM(CASE WHEN v2 = y0 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+               CAST(SUM(CASE WHEN v3 = y0 THEN 1 ELSE 0 END) AS BIGINT) AS a3
+        FROM m
+      ),
+      wts AS (
+        SELECT n, a1, a2, a3,
+               ${mdiv("a1", "n")} AS w1,
+               ${mdiv("a2", "n")} AS w2,
+               ${mdiv("a3", "n")} AS w3
+        FROM acc
+      ),
+      rel AS (
+        SELECT m.doc_id, m.y0,
+               CASE WHEN ${lik(1)} > ${lik(0)} THEN 1
+                    WHEN ${lik(1)} < ${lik(0)} THEN 0
+                    ELSE m.y0 END AS y1
+        FROM m CROSS JOIN wts
+      )
+      SELECT w.n, w.a1, w.a2, w.a3, w.w1 AS acc1_micro, w.w2 AS acc2_micro,
+             w.w3 AS acc3_micro,
+             CAST(SUM(rel.y1) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN rel.y1 <> rel.y0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flipped
+      FROM rel CROSS JOIN wts w
+      GROUP BY w.n, w.a1, w.a2, w.a3, w.w1, w.w2, w.w3"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_dawid_skene" -> Tables.sql(dawidSkeneSql(spark = true)),
     "stats_conformal" -> Tables.sql(conformalSql(spark = true)),
     "stats_fleiss_kappa" -> Tables.sql(fleissSql(spark = true)),
     "stats_cohens_kappa" -> Tables.sql(kappaSql(spark = true)),
@@ -1100,6 +1169,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_dawid_skene" -> dawidSkeneSql(spark = false),
     "stats_conformal" -> conformalSql(spark = false),
     "stats_fleiss_kappa" -> fleissSql(spark = false),
     "stats_cohens_kappa" -> kappaSql(spark = false),

@@ -463,6 +463,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_quantile_norm: every dimension carries the identical post-norm distribution") {
+    val rows = graft.operators.Similarity
+      .queries("embed_quantile_norm")(spark, LocalSpark.sf).collect()
+    assert(rows.length == 64)
+    // the operator's contract: rank-replacement equalizes distributions
+    assert(rows.map(_.getLong(2)).distinct.length == 1, "sum_norm differs by dim")
+    assert(rows.map(_.getLong(3)).distinct.length == 1, "min_norm differs by dim")
+    assert(rows.map(_.getLong(4)).distinct.length == 1, "max_norm differs by dim")
+    // reference curve replay on one rank: the cross-dim truncated mean
+    // of per-dim minima equals the reported min
+    Tables.register(spark, LocalSpark.sf)
+    val vecs = spark.table("embeddings").select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v.toDouble * 1e6).toLong))
+    val mins = (0 until 64).map(d => vecs.map(_(d)).min)
+    val s = mins.sum
+    val expectMin = if (s >= 0) s / 64 else -((-s) / 64)
+    assert(rows.head.getLong(3) == expectMin)
+  }
+
   test("events_interval_coverage: sweep totals replay a driver-side interval union") {
     val out = graft.operators.Events
       .queries("events_interval_coverage")(spark, LocalSpark.sf).collect()

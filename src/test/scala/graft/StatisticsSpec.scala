@@ -316,6 +316,41 @@ class StatisticsSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_dawid_skene: hard-EM round replays driver-side; noisy rater downweighted") {
+    val r = Statistics.queries("stats_dawid_skene")(spark, LocalSpark.sf).first()
+    Tables.register(spark, LocalSpark.sf)
+    val votes = spark.table("documents")
+      .select($"n_chars", $"text", $"lang").collect().map { row =>
+        val text = row.getString(1)
+        val v1 = if (row.getLong(0) >= 250) 1 else 0
+        val v2 = if (text.count(_ == ' ') + 1 >= 40) 1 else 0 // spaces+1 = words
+        val v3 = if (row.getString(2) == "en") 1 else 0
+        (v1, v2, v3)
+      }
+    val y0 = votes.map { case (a, b, c) => if (a + b + c >= 2) 1 else 0 }
+    val n = votes.length.toLong
+    val accs = Seq(
+      votes.map(_._1).zip(y0).count(p => p._1 == p._2).toLong,
+      votes.map(_._2).zip(y0).count(p => p._1 == p._2).toLong,
+      votes.map(_._3).zip(y0).count(p => p._1 == p._2).toLong)
+    assert(r.getLong(0) == n)
+    assert(Seq(r.getLong(1), r.getLong(2), r.getLong(3)) == accs)
+    val w = accs.map(_ * 1000000 / n)
+    assert(Seq(r.getLong(4), r.getLong(5), r.getLong(6)) == w)
+    def lik(v: (Int, Int, Int), y: Int) =
+      Seq(v._1, v._2, v._3).zip(w).map { case (vi, wi) =>
+        if (vi == y) wi else 1000000 - wi
+      }.product
+    val y1 = votes.zip(y0).map { case (v, y) =>
+      val (l1, l0) = (lik(v, 1), lik(v, 0))
+      if (l1 > l0) 1 else if (l1 < l0) 0 else y
+    }
+    assert(r.getLong(7) == y1.count(_ == 1))
+    assert(r.getLong(8) == y1.zip(y0).count(p => p._1 != p._2))
+    // the independent-signal rater must look noisy vs the majority
+    assert(w(2) < 700000 && w(0) > 800000 && w(1) > 800000)
+  }
+
   test("microDiv: split fixed-point divide is exact, sign-correct, overflow-safe") {
     Tables.register(spark, LocalSpark.sf)
     // drive the SQL kernel itself over value pairs including negatives
