@@ -189,7 +189,39 @@ object Curation {
       ORDER BY c.x"""
   }
 
+  /** Curriculum ordering (Bengio et al., ICML'09) with source
+    * interleaving — the data-ORDER op for training: rank each source's
+    * documents easy→hard (difficulty proxy: char length, integer), then
+    * emit the global order (rank, source) so consecutive positions
+    * rotate through sources at matched difficulty (the anti-"one giant
+    * source block" property every mixed-corpus schedule wants). The
+    * head-of-curriculum cut happens via ORDER BY + LIMIT — planned as
+    * distributed TakeOrderedAndProject — BEFORE the position window, so
+    * the unpartitioned ROW_NUMBER only ever sees the 50-row head. At
+    * 100 TB: per-source rank windows (source-partitioned), one top-k
+    * cut; the full ordered corpus would be written out by the same
+    * sort-on-(rank, source) as a distributed write, no single point. */
+  private val CurriculumSql = """
+      WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY n_chars, doc_id) AS BIGINT) AS rank_in_source
+        FROM documents
+      ),
+      head AS (
+        SELECT doc_id, source, n_chars, rank_in_source
+        FROM ranked
+        ORDER BY rank_in_source, source, doc_id
+        LIMIT 50
+      )
+      SELECT CAST(ROW_NUMBER() OVER
+               (ORDER BY rank_in_source, source, doc_id) AS BIGINT) AS position,
+             source, doc_id, rank_in_source, n_chars
+      FROM head
+      ORDER BY position"""
+
   val queries: Map[String, Q] = Map(
+    "curation_curriculum" -> gsql(CurriculumSql),
     "text_drift_psi" -> gsql(DriftPsiSql),
     // Fixed-size token chunking with overlap: 64-token chunks on a
     // 48-token stride (16-token overlap), the standard context-window
@@ -471,6 +503,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "curation_curriculum" -> CurriculumSql,
     "curation_temperature_mix" -> TempMixSql,
     "pipeline_train_report" -> trainReportSql(spark = false),
     "text_drift_psi" -> DriftPsiSql,

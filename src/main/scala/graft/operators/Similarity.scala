@@ -507,7 +507,44 @@ object Similarity {
       ORDER BY dim"""
   }
 
+  /** Hard-negative mining for contrastive/triplet training (Schroff et
+    * al. CVPR'15 FaceNet; the batch-mining staple): per anchor, the
+    * top-3 SAME-label neighbors (positives) and the top-3
+    * DIFFERENT-label neighbors by cosine (hard negatives — the
+    * impostors closest to the anchor, exactly the pairs a triplet loss
+    * learns most from). One scored join, one window partitioned by
+    * (anchor, polarity); ann_cosine_topk's pinned ROUND(cos,6)
+    * ordering; ranks integer. Same bounded-anchor brute-force shape as
+    * eval_retrieval — at 100 TB the candidate generator swaps to the
+    * LSH/IVF path per polarity and this mining layer is unchanged. */
+  private def hardNegSql(spark: Boolean): String = {
+    val cos =
+      if (spark) "COSINE_SIM(q.qe, e.embedding)"
+      else "LIST_COSINE_SIMILARITY(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))"
+    s"""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+        FROM embeddings WHERE vec_id < 10
+      ),
+      scored AS (
+        SELECT q.qid, e.vec_id AS nid,
+               CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS is_pos,
+               ROUND($cos, 6) AS cos
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+      ),
+      ranked AS (
+        SELECT qid, nid, is_pos, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid, is_pos
+                 ORDER BY cos DESC, nid) AS INT) AS rn
+        FROM scored
+      )
+      SELECT qid, nid, is_pos, cos, rn
+      FROM ranked WHERE rn <= 3
+      ORDER BY qid, is_pos DESC, rn"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "embed_hard_negatives" -> gsql(hardNegSql(spark = true)),
     "embed_quantile_norm" -> gsql(quantileNormSql(spark = true)),
     "eval_retrieval" -> gsql(evalRetrievalSql(spark = true)),
     "ann_pq_adc" -> gsql(pqAdcSql(spark = true)),
@@ -835,6 +872,7 @@ object Similarity {
       )"""
 
   val oracle: Map[String, String] = Map(
+    "embed_hard_negatives" -> hardNegSql(spark = false),
     "embed_quantile_norm" -> quantileNormSql(spark = false),
     "eval_retrieval" -> evalRetrievalSql(spark = false),
     "ann_pq_adc" -> pqAdcSql(spark = false),

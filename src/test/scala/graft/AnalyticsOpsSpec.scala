@@ -463,6 +463,44 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curation_curriculum: difficulty never decreases per source; head interleaves sources") {
+    val rows = graft.operators.Curation
+      .queries("curation_curriculum")(spark, LocalSpark.sf).collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 50L))
+    // per-source difficulty (n_chars) is monotone in rank
+    rows.groupBy(_.getString(1)).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(4)).sameElements(sorted.map(_.getLong(4)).sorted))
+    }
+    // interleave property: the first |sources| positions are rank-1
+    // docs of distinct sources — no source block at the head
+    val nSources = rows.map(_.getString(1)).distinct.length
+    val head = rows.take(nSources)
+    assert(head.forall(_.getLong(3) == 1L), "head must be rank-1 rows")
+    assert(head.map(_.getString(1)).distinct.length == nSources)
+  }
+
+  test("embed_hard_negatives: positives same-label, negatives different, both cosine-ordered") {
+    val rows = graft.operators.Similarity
+      .queries("embed_hard_negatives")(spark, LocalSpark.sf).collect()
+    assert(rows.length == 60) // 10 anchors × (3 pos + 3 neg)
+    Tables.register(spark, LocalSpark.sf)
+    val labels = spark.table("embeddings").select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (qid, g) =>
+      val (pos, neg) = g.partition(_.getInt(2) == 1)
+      assert(pos.length == 3 && neg.length == 3)
+      pos.foreach(r => assert(labels(r.getLong(1)) == labels(qid)))
+      neg.foreach(r => assert(labels(r.getLong(1)) != labels(qid)))
+      Seq(pos, neg).foreach { side =>
+        val byRank = side.sortBy(_.getInt(4))
+        assert(byRank.map(_.getDouble(3)).sameElements(
+          byRank.map(_.getDouble(3)).sortBy(-(_: Double))), "cos must fall with rank")
+      }
+    }
+  }
+
   test("embed_quantile_norm: every dimension carries the identical post-norm distribution") {
     val rows = graft.operators.Similarity
       .queries("embed_quantile_norm")(spark, LocalSpark.sf).collect()
