@@ -101,6 +101,18 @@ object Graph {
   // applied as floor(17*sum/20) — 17*sum stays < 2^53 so the double
   // arithmetic is exact; dangling-safe via LEFT JOIN (a node with no
   // in-edges keeps the 0.15 teleport mass)
+  /** PPR twin of prIter: restart mass returns to the seed only. */
+  private def pprIter(k: Int): String = s"""
+      , ppr$k AS (
+        SELECT d2.node AS node,
+               CASE WHEN d2.node = sd.s THEN 150000.0 ELSE 0.0 END
+                 + FLOOR(17.0 * COALESCE(c.sm, 0.0) / 20.0) AS q
+        FROM deg d2 CROSS JOIN seed sd LEFT JOIN (
+          SELECT s.dst AS node,
+                 CAST(SUM(FLOOR(CAST(p.q AS DOUBLE) / CAST(d.degree AS DOUBLE))) AS DOUBLE) AS sm
+          FROM sym s JOIN ppr${k - 1} p ON s.src = p.node JOIN deg d ON s.src = d.node
+          GROUP BY s.dst) c ON d2.node = c.node)"""
+
   private def prIter(k: Int): String = s"""
       , pr$k AS (
         SELECT d2.node AS node, 150000.0 + FLOOR(17.0 * COALESCE(c.s, 0.0) / 20.0) AS q
@@ -851,6 +863,46 @@ object Graph {
 
     // 3 unrolled quantized-PageRank iterations, top-20 nodes; the
     // oracle replays the identical iteration, so values match exactly
+    // Personalized PageRank (Jeh & Widom WWW'03; the recommendation /
+    // local-ranking variant): the restart mass returns to the SEED
+    // node instead of spreading uniformly, so scores measure proximity
+    // to the seed. Same exact integer-grid iteration discipline as
+    // graph_pagerank (quantized contributions, FLOOR'd 17/20 damping —
+    // both engines replay bit-for-bit); the seed (MIN node id) is one
+    // collected scalar — driver state, as in any PPR service. Sparsity
+    // note: q starts as a one-hot and stays sparse for small k; the
+    // plan is the same O(E)-per-round equi-join as global PageRank.
+    "graph_ppr" -> ((spark, sfDir) => {
+      val e = edges(spark, sfDir).persist()
+      val sym = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree")).persist()
+      // seed at the max-degree hub (tie-break min id): a one-hot start
+      // from a degree-1 leaf reaches 2 nodes in 3 rounds — the hub
+      // neighborhood is what a PPR recommendation query looks like
+      val seed = deg.orderBy(col("degree").desc, col("node")).first().getLong(0)
+      var pr = deg.select(col("node"),
+        when(col("node") === seed, lit(1000000.0)).otherwise(lit(0.0)).as("q"))
+      for (_ <- 1 to 3) {
+        val contrib = sym
+          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .join(deg.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("cnode"))
+          .agg(sum(floor(col("q") / col("degree"))).cast("double").as("s"))
+        pr = deg.select(col("node"))
+          .join(contrib, col("node") === col("cnode"), "left")
+          .select(col("node"),
+            (when(col("node") === seed, lit(150000.0)).otherwise(lit(0.0)) +
+              floor(lit(17.0) * coalesce(col("s"), lit(0.0)) / lit(20.0))).as("q"))
+      }
+      pr.select(col("node"), col("q").cast("bigint").as("ppr_q"))
+        .where(col("ppr_q") > 0)
+        .orderBy(col("ppr_q").desc, col("node"))
+        .limit(20)
+    }),
+
     "graph_pagerank" -> ((spark, sfDir) => {
       val e = edges(spark, sfDir).persist()
       val sym = e.select(col("src"), col("dst"))
@@ -999,6 +1051,18 @@ object Graph {
       FROM ne JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b
       ORDER BY ne.aa_q DESC, node_a, node_b
       LIMIT 20"""),
+
+    "graph_ppr" -> (EdgeCte + """
+      , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+      , deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src)
+      , seed AS (SELECT node AS s FROM deg ORDER BY degree DESC, node LIMIT 1)
+      , ppr0 AS (SELECT d.node, CASE WHEN d.node = sd.s THEN CAST(1000000 AS DOUBLE)
+                                     ELSE CAST(0 AS DOUBLE) END AS q
+                 FROM deg d CROSS JOIN seed sd)""" +
+      pprIter(1) + pprIter(2) + pprIter(3) + """
+      SELECT node, CAST(q AS BIGINT) AS ppr_q
+      FROM ppr3 WHERE CAST(q AS BIGINT) > 0
+      ORDER BY ppr_q DESC, node LIMIT 20"""),
 
     "graph_pagerank" -> (EdgeCte + """
       , sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)

@@ -1132,7 +1132,62 @@ object Statistics {
       GROUP BY w.n, w.a1, w.a2, w.a3, w.w1, w.w2, w.w3"""
   }
 
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975 — the standard
+    * nonparametric monotone-trend test for time series, the hypothesis
+    * companion of stats_theilsen's slope): per event type, S = Σ_{i<j}
+    * sign(x_j − x_i) over the daily-count series, with the
+    * tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]
+    * / 18. S and the variance NUMERATOR are exact integers (the /18 is
+    * carried exactly by emitting 18·Var — micro units would truncate);
+    * the z statistic (continuity-corrected) is the one IEEE chain,
+    * ROUNDed. The pairwise sum runs as a per-type self-join on the
+    * DAILY grid — O(days²) per type, bounded by the calendar, never by
+    * event volume; at 100 TB the daily compaction is the only
+    * data-scale pass. */
+  private val MannKendallSql = """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+      ),
+      s AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY a.event_type
+      ),
+      n AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily
+        GROUP BY event_type
+      ),
+      ties AS (
+        SELECT event_type,
+               CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+              FROM daily GROUP BY event_type, x) g
+        WHERE t > 1
+        GROUP BY event_type
+      ),
+      k AS (
+        SELECT n.event_type, n.n, s.s_stat,
+               n.n * (n.n - 1) * (2 * n.n + 5) - COALESCE(t.tie_term, 0)
+                 AS var18
+        FROM n JOIN s ON n.event_type = s.event_type
+               LEFT JOIN ties t ON n.event_type = t.event_type
+      )
+      SELECT event_type, n, s_stat, var18,
+             ROUND(CASE WHEN s_stat > 0
+                          THEN (CAST(s_stat AS DOUBLE) - 1e0)
+                               / SQRT(CAST(var18 AS DOUBLE) / 18e0)
+                        WHEN s_stat < 0
+                          THEN (CAST(s_stat AS DOUBLE) + 1e0)
+                               / SQRT(CAST(var18 AS DOUBLE) / 18e0)
+                        ELSE 0e0 END, 6) AS z_stat
+      FROM k ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
+    "stats_mann_kendall" -> Tables.sql(MannKendallSql),
     "stats_dawid_skene" -> Tables.sql(dawidSkeneSql(spark = true)),
     "stats_conformal" -> Tables.sql(conformalSql(spark = true)),
     "stats_fleiss_kappa" -> Tables.sql(fleissSql(spark = true)),
@@ -1169,6 +1224,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_mann_kendall" -> MannKendallSql,
     "stats_dawid_skene" -> dawidSkeneSql(spark = false),
     "stats_conformal" -> conformalSql(spark = false),
     "stats_fleiss_kappa" -> fleissSql(spark = false),

@@ -463,6 +463,62 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_ppr: bit-exact driver replay of the personalized iteration") {
+    val out = graft.operators.Graph
+      .queries("graph_ppr")(spark, LocalSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.nonEmpty)
+    Tables.register(spark, LocalSpark.sf)
+    val io = spark.table("lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = io.as("a").join(io.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("s"), $"b.p".as("d")).count()
+      .where($"count" >= 2).select("s", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = e ++ e.map(_.swap)
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val seed = deg.toSeq.map { case (n, dd) => (-dd, n) }.min._2
+    var pr = deg.keys.map(n => n -> (if (n == seed) 1000000.0 else 0.0)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = sym.map { case (s, d) => d -> math.floor(pr(s) / deg(s)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      pr = deg.keys.map(n => n ->
+        ((if (n == seed) 150000.0 else 0.0) +
+          math.floor(17.0 * contrib.getOrElse(n, 0.0) / 20.0))).toMap
+    }
+    val expect = pr.toSeq.map { case (n, q) => (n, q.toLong) }
+      .filter(_._2 > 0).sortBy { case (n, q) => (-q, n) }.take(20)
+    assert(out.toSeq == expect, s"\n${out.toSeq}\nvs\n$expect")
+  }
+
+  test("stats_mann_kendall: S and tie-corrected variance replay driver-side") {
+    val rows = graft.operators.Statistics
+      .queries("stats_mann_kendall")(spark, LocalSpark.sf).collect()
+    assert(rows.nonEmpty)
+    Tables.register(spark, LocalSpark.sf)
+    val daily = spark.table("events")
+      .groupBy($"event_type", to_date($"ts").as("d")).count()
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val xs = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
+      val n = xs.length.toLong
+      assert(r.getLong(1) == n)
+      val s = (for (i <- xs.indices; j <- i + 1 until xs.length)
+        yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+      assert(r.getLong(2) == s, s"$t S")
+      val tie = xs.groupBy(identity).values.map(_.length.toLong)
+        .filter(_ > 1).map(tt => tt * (tt - 1) * (2 * tt + 5)).sum
+      assert(r.getLong(3) == n * (n - 1) * (2 * n + 5) - tie, s"$t var18")
+      val z = r.getDouble(4)
+      val expectZ =
+        if (s > 0) (s - 1.0) / math.sqrt(r.getLong(3) / 18.0)
+        else if (s < 0) (s + 1.0) / math.sqrt(r.getLong(3) / 18.0)
+        else 0.0
+      assert(math.abs(z - expectZ) < 1e-5, s"$t z")
+    }
+  }
+
   test("curation_curriculum: difficulty never decreases per source; head interleaves sources") {
     val rows = graft.operators.Curation
       .queries("curation_curriculum")(spark, LocalSpark.sf).collect()

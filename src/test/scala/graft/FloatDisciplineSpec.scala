@@ -72,6 +72,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "graph_adamic_adar"          -> "DoubleOperand", // 1e6-lit/LN(double); CAST DOUBLE/1e6-lit
     "graph_mst_boruvka"          -> "ExactGrid",     // FLOOR(1000000.0/w)->BIGINT, frac >= 1/w
     "graph_pagerank"             -> "ExactGrid",     // FLOOR(17.0*s/20.0): 2-decimal exact
+    "graph_ppr"                  -> "ExactGrid",     // same FLOOR(17.0*s/20.0) grid
     "graph_sssp"                 -> "ExactGrid",     // FLOOR(1000000.0/w)->BIGINT
     "math_fns"                   -> "ExactGrid",     // p_size/100.0: 2-decimal exact pre-EXP
     "pack_sequences"             -> "ExactGrid",     // CEIL(n/2048.0): binary-exact divisor
@@ -136,6 +137,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "stats_anova", "stats_chisq", "stats_corr_matrix", "stats_cuped",
     "stats_delta_method", "stats_gini", "stats_hill", "stats_kendall",
     "stats_kruskal", "stats_ks", "stats_logistic_irls",
+    "stats_mann_kendall", // ROUND(z,6): one IEEE chain on exact integers
     "stats_mannwhitney", "stats_ols2", "stats_proportion_ztest",
     "stats_regression", "stats_spearman", "stats_theilsen", "stats_ttest",
     "text_bm25_topk", "text_drift_psi", "text_entropy", "text_langid",
