@@ -65,14 +65,51 @@ object Similarity {
     * difference (graft `jaro_winkler` vs DuckDB's
     * `jaro_winkler_similarity` — kernels validated bit-identical, see
     * expressions.scala). */
-  private def linkFuzzySql: String = """
-      WITH dirty AS (
+  /** The linkage fixture's dirty side — ONE spelling shared by
+    * link_fuzzy_match and link_blocking_metrics so the corruption and
+    * blocking key cannot drift between the matcher and its evaluator. */
+  private val DirtyCte = """dirty AS (
         SELECT p_partkey AS did,
                CONCAT(SUBSTR(p_name, 1, 3), SUBSTR(p_name, 5, 1),
                       SUBSTR(p_name, 4, 1), SUBSTR(p_name, 6)) AS dname,
                SUBSTR(p_name, 1, 3) AS blk, LENGTH(p_name) AS len
         FROM part WHERE p_partkey % 5 = 0
-      ), cand AS (
+      )"""
+
+  /** Blocking-scheme evaluation (Christen, TKDE'12 survey metrics):
+    * REDUCTION RATIO (how much of the |D|×|P| all-pairs space the
+    * blocking key prunes) and PAIR COMPLETENESS (what fraction of true
+    * matches survive into the candidate set — blocking recall). The
+    * ground truth is the fixture's own identity (did = pid by
+    * construction). Pure integer counts + exact micro ratios; the
+    * candidate count is ONE aggregate over the same blocked equi-join
+    * the matcher runs — evaluating a blocking scheme costs one pass,
+    * which is why you measure before you pay for the scorer at 100 TB. */
+  private def blockingMetricsSql(spark: Boolean): String = {
+    val mdiv = Statistics.microDiv(_: String, _: String, spark)
+    s"""
+      WITH $DirtyCte,
+      cand AS (
+        SELECT d.did, p.p_partkey AS pid
+        FROM dirty d JOIN part p
+          ON SUBSTR(p.p_name, 1, 3) = d.blk AND LENGTH(p.p_name) = d.len
+      ),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+               CAST(SUM(CASE WHEN did = pid THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_true_in_cand
+        FROM cand
+      ),
+      d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM dirty),
+      p AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM part)
+      SELECT nd, np, n_cand, n_true_in_cand,
+             ${mdiv("nd * np - n_cand", "nd * np")} AS reduction_micro,
+             ${mdiv("n_true_in_cand", "nd")} AS completeness_micro
+      FROM m CROSS JOIN d CROSS JOIN p"""
+  }
+
+  private def linkFuzzySql: String = s"""
+      WITH $DirtyCte, cand AS (
         SELECT d.did, p.p_partkey AS pid,
                damerau_levenshtein(d.dname, p.p_name) AS dist
         FROM dirty d JOIN part p
@@ -544,6 +581,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "link_blocking_metrics" -> gsql(blockingMetricsSql(spark = true)),
     "embed_hard_negatives" -> gsql(hardNegSql(spark = true)),
     "embed_quantile_norm" -> gsql(quantileNormSql(spark = true)),
     "eval_retrieval" -> gsql(evalRetrievalSql(spark = true)),
@@ -872,6 +910,7 @@ object Similarity {
       )"""
 
   val oracle: Map[String, String] = Map(
+    "link_blocking_metrics" -> blockingMetricsSql(spark = false),
     "embed_hard_negatives" -> hardNegSql(spark = false),
     "embed_quantile_norm" -> quantileNormSql(spark = false),
     "eval_retrieval" -> evalRetrievalSql(spark = false),

@@ -400,7 +400,59 @@ object TextAnalysis {
       LIMIT 20"""
   }
 
+  /** Near-copy SEARCH — the single-query path of fuzzy dedup (find
+    * documents containing material from THIS document), the plagiarism
+    * / contamination-probe access pattern: the query docs' distinct
+    * 5-gram sets are tiny and BROADCAST, so the corpus-side probe is a
+    * map-side join + one aggregate — the corpus never shuffles for
+    * candidates (plan-gated; contrast the dedup family's symmetric
+    * self-joins). Shared-gram counts and the containment ratio
+    * (|Q∩D| / |Q|, exact micro units) rank the hits. */
+  private def nearCopiesSql(spark: Boolean): String = {
+    val tok =
+      if (spark) "FILTER(SPLIT(LOWER(text), ' '), w -> w <> '')"
+      else "LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')"
+    val sz = if (spark) "SIZE" else "LEN"
+    val grid =
+      if (spark) "t LATERAL VIEW EXPLODE(SEQUENCE(1, n_tok - 4)) g AS i"
+      else "t, UNNEST(range(1, n_tok - 3)) AS g(i)"
+    val gram =
+      if (spark) "ARRAY_JOIN(SLICE(toks, i, 5), ' ')"
+      else "ARRAY_TO_STRING(toks[i : i + 4], ' ')"
+    val mdiv = Statistics.microDiv(_: String, _: String, spark)
+    s"""
+      WITH t AS (
+        SELECT doc_id, toks, CAST($sz(toks) AS BIGINT) AS n_tok
+        FROM (SELECT doc_id, $tok AS toks FROM documents) x
+        WHERE $sz(toks) >= 5
+      ),
+      grams AS (
+        SELECT doc_id, $gram AS gram FROM $grid
+      ),
+      q AS (
+        SELECT DISTINCT doc_id AS qid, gram FROM grams
+        WHERE doc_id IN (8, 45, 98)
+      ),
+      nq AS (
+        SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_query_grams
+        FROM q GROUP BY qid
+      ),
+      cand AS (
+        SELECT q.qid, g.doc_id,
+               CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS shared
+        FROM grams g JOIN q ON g.gram = q.gram
+        WHERE g.doc_id <> q.qid
+        GROUP BY q.qid, g.doc_id
+      )
+      SELECT c.qid, c.doc_id, c.shared, n.n_query_grams,
+             ${mdiv("c.shared", "n.n_query_grams")} AS containment_micro
+      FROM cand c JOIN nq n ON c.qid = n.qid
+      ORDER BY c.shared DESC, c.qid, c.doc_id
+      LIMIT 10"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "search_near_copies" -> gsql(nearCopiesSql(spark = true)),
     "text_textrank" -> gsql(textrankSql(spark = true)),
     "text_c4_filters" -> gsql(c4Sql(spark = true)),
     "text_span_dedup" -> gsql(spanDedupSql(spark = true)),
@@ -1201,6 +1253,7 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "search_near_copies" -> nearCopiesSql(spark = false),
     "text_textrank" -> textrankSql(spark = false),
     "text_c4_filters" -> c4Sql(spark = false),
     "text_span_dedup" -> spanDedupSql(spark = false),

@@ -463,6 +463,43 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("search_near_copies: containment replays from a driver-side gram recount") {
+    val rows = graft.operators.TextAnalysis
+      .queries("search_near_copies")(spark, LocalSpark.sf).collect()
+    Tables.register(spark, LocalSpark.sf)
+    val grams = spark.table("documents").select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        r.getLong(0) -> toks.sliding(5).filter(_.length == 5)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    val qids = Set(8L, 45L, 98L)
+    rows.foreach { r =>
+      val (qid, did, shared, nq, cont) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(qids.contains(qid) && did != qid)
+      assert(nq == grams(qid).size)
+      assert(shared == (grams(qid) & grams(did)).size, s"($qid,$did)")
+      assert(cont == BigInt(shared) * 1000000 / nq)
+    }
+  }
+
+  test("link_blocking_metrics: counts replay; completeness is total on this corruption") {
+    val r = graft.operators.Similarity
+      .queries("link_blocking_metrics")(spark, LocalSpark.sf).first()
+    val (nd, np, nCand, nTrue) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    Tables.register(spark, LocalSpark.sf)
+    assert(np == spark.table("part").count())
+    assert(nd == spark.table("part").where($"p_partkey" % 5 === 0).count())
+    // the 3-prefix + length key survives the swap corruption by
+    // construction, so every true match must be in the candidates
+    assert(nTrue == nd)
+    assert(r.getLong(5) == 1000000L)
+    assert(nCand >= nd && nCand < nd * np)
+    assert(r.getLong(4) == (BigInt(nd) * np - nCand) * 1000000 / (BigInt(nd) * np))
+  }
+
   test("graph_ppr: bit-exact driver replay of the personalized iteration") {
     val out = graft.operators.Graph
       .queries("graph_ppr")(spark, LocalSpark.sf).collect()

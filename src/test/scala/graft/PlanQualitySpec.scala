@@ -571,6 +571,12 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("search_near_copies: query grams broadcast — the corpus never shuffles for candidates") {
+    val p = plan("search_near_copies")
+    assert(p.contains("BroadcastHashJoin"), s"query gram set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("source_symlink_scan reads only the linked targets") {
     val df = SparkEntry.queries("source_symlink_scan")(spark, LocalSpark.sf)
     // 3 sources linked, one part file each (coalesce(1) fixture):
