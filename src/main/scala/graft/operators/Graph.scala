@@ -289,7 +289,10 @@ object Graph {
       ),
       f AS (SELECT brand, 1 + idx % 7 AS f1, 1 + idx % 5 AS f2 FROM bi),
       s AS (
-        SELECT r.u,
+        -- the 25-row factor table must broadcast: its window-derived
+        -- lineage defeats size estimation and planned a sort-merge
+        -- join of the ratings. The hint is a comment to DuckDB.
+        SELECT /*+ BROADCAST(f) */ r.u,
                CAST(COUNT(*) AS BIGINT) AS n_items,
                CAST(SUM(f.f1 * f.f1) AS BIGINT) + 1 AS a11,
                CAST(SUM(f.f1 * f.f2) AS BIGINT) AS a12,

@@ -571,6 +571,14 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("recsys_als_step: the factor dimension broadcasts — ratings never sort-merge") {
+    val p = plan("recsys_als_step")
+    assert(!p.contains("SortMergeJoin"),
+      s"window-derived factor table lost its broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("search_near_copies: query grams broadcast — the corpus never shuffles for candidates") {
     val p = plan("search_near_copies")
     assert(p.contains("BroadcastHashJoin"), s"query gram set must broadcast:\n$p")
