@@ -270,6 +270,16 @@ object Events {
     // because it is the partition key.
     "events_decay_feature" -> Tables.sql(DecaySql),
 
+    // Forecast backtest — the EVALUATION layer the forecasting ops
+    // (ses_forecast/des_brown/decay_feature) feed: one-step-ahead
+    // errors of the truncated half-weight EWMA predictor vs the naive
+    // x_{t-1} baseline over the per-type observed-hour count series.
+    // Everything rides in 16ths (weights 8+4+2+2 sum to 16), so errors
+    // are exact BIGINTs and MAE/bias/skill are exact micro ratios —
+    // no float ever enters. Per-type partitioned LAG windows + one
+    // aggregate; hour-scale data after the first reduce.
+    "events_forecast_backtest" -> Tables.sql(backtestSql(spark = true)),
+
     // Lag-k autocorrelation (k = 1..7) of the daily event count — the
     // seasonality probe behind rate-anomaly thresholds. Daily counts
     // are exact integers; each lag's cross-products reduce via exact
@@ -998,6 +1008,46 @@ object Events {
   }
 
   // one SQL text, both engines
+  /** events_forecast_backtest text (dialect split: µs + integer div). */
+  private def backtestSql(spark: Boolean): String = {
+    val us = if (spark) "UNIX_MICROS" else "EPOCH_US"
+    val dv = if (spark) "DIV" else "//"
+    val mdiv = graft.operators.Statistics.microDiv(_: String, _: String, spark)
+    s"""
+      WITH hourly AS (
+        SELECT event_type, $us(ts) $dv 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, $us(ts) $dv 3600000000
+      ),
+      lagged AS (
+        SELECT event_type, x,
+               LAG(x, 1) OVER w AS l1, LAG(x, 2) OVER w AS l2,
+               LAG(x, 3) OVER w AS l3, LAG(x, 4) OVER w AS l4
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h)
+      ),
+      err AS (
+        SELECT event_type,
+               16 * x - (8 * l1 + 4 * l2 + 2 * l3 + 2 * l4) AS e16,
+               16 * (x - l1) AS n16
+        FROM lagged WHERE l4 IS NOT NULL
+      ),
+      agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_evals,
+               CAST(SUM(ABS(e16)) AS BIGINT) AS sae16,
+               CAST(SUM(e16) AS BIGINT) AS se16,
+               CAST(SUM(ABS(n16)) AS BIGINT) AS snaive16
+        FROM err GROUP BY event_type
+      )
+      SELECT event_type, n_evals,
+             ${mdiv("sae16", "16 * n_evals")} AS mae_micro,
+             ${mdiv("se16", "16 * n_evals")} AS bias_micro,
+             ${mdiv("snaive16", "16 * n_evals")} AS naive_mae_micro,
+             ${mdiv("snaive16 - sae16", "snaive16")} AS skill_micro
+      FROM agg ORDER BY event_type"""
+  }
+
   private lazy val DecaySql = """
       SELECT user_id, event_id,
              ROUND(value + 0.5 * COALESCE(l1, 0.0) + 0.25 * COALESCE(l2, 0.0)
@@ -1098,6 +1148,7 @@ object Events {
     "events_funnel" -> FunnelSql,
     "events_cohort_retention" -> cohortSql(spark = false),
     "events_decay_feature" -> DecaySql,
+    "events_forecast_backtest" -> backtestSql(spark = false),
     "events_rate_anomaly" -> anomalySql(spark = false),
     "events_markov_transitions" -> MarkovSql,
     "events_top_paths" -> TopPathsSql,

@@ -463,6 +463,33 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_forecast_backtest: errors replay in 16ths; EWMA beats naive") {
+    val rows = graft.operators.Events
+      .queries("events_forecast_backtest")(spark, LocalSpark.sf).collect()
+    assert(rows.length == 5)
+    Tables.register(spark, LocalSpark.sf)
+    val hourly = spark.table("events")
+      .groupBy($"event_type", (unix_micros($"ts") / 3600000000L).cast("long").as("h"))
+      .count().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def truncDiv(x: Long, d: Long) = if (x >= 0) x / d else -((-x) / d)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val xs = hourly.filter(_._1 == t).sortBy(_._2).map(_._3)
+      val errs = (4 until xs.length).map { i =>
+        16 * xs(i) - (8 * xs(i - 1) + 4 * xs(i - 2) + 2 * xs(i - 3) + 2 * xs(i - 4))
+      }
+      val naive = (4 until xs.length).map(i => 16 * (xs(i) - xs(i - 1)))
+      assert(r.getLong(1) == errs.length)
+      assert(r.getLong(2) == truncDiv(errs.map(math.abs).sum * 1000000, 16 * errs.length))
+      assert(r.getLong(3) == truncDiv(errs.sum * 1000000, 16 * errs.length))
+      assert(r.getLong(4) == truncDiv(naive.map(math.abs).sum * 1000000, 16 * errs.length))
+      // exact skill replay; whether EWMA beats naive is data-dependent
+      // at sf0.001's sparse hour grid (it does at sf0.1: +17-20%)
+      val (sae, sn) = (errs.map(math.abs).sum, naive.map(math.abs).sum)
+      assert(r.getLong(5) == truncDiv((sn - sae) * 1000000, sn), s"$t skill")
+    }
+  }
+
   test("search_near_copies: containment replays from a driver-side gram recount") {
     val rows = graft.operators.TextAnalysis
       .queries("search_near_copies")(spark, LocalSpark.sf).collect()
