@@ -393,6 +393,30 @@ object Dedup {
     // large-star/small-star, O(log n)-ish rounds, reliable checkpoints).
     // Output: (doc_id, cluster, csize) for every doc in ≥1 pair;
     // singletons are implicitly their own cluster.
+    // Cluster-size distribution of the near-dup component graph — the
+    // report a dedup run is judged by (how much mass sits in big
+    // boilerplate clusters vs pairs): histogram of component sizes
+    // plus the out-of-graph singleton row (docs with no duplicate at
+    // all = corpus minus CC nodes — pair-graph components are always
+    // size ≥ 2). Same CC machinery, one extra aggregate.
+    "dedup_cluster_stats" -> ((spark, sfDir) => {
+      val pairs = gsql(MinhashPairsSql)(spark, sfDir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val (labels, _) = connectedComponents(spark, pairs)
+      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+      val hist = sizes.groupBy(col("csize"))
+        .agg(count(lit(1)).cast("bigint").as("n_components"),
+          sum(col("csize")).cast("bigint").as("n_docs"))
+      val nNodes = labels.count()
+      val nDocs = spark.table("documents").count()
+      import spark.implicits._
+      val singletons = Seq((1L, nDocs - nNodes, nDocs - nNodes))
+        .toDF("csize", "n_components", "n_docs")
+      hist.select(col("csize").cast("bigint"), col("n_components"), col("n_docs"))
+        .union(singletons)
+        .orderBy(col("csize"))
+    }),
+
     "dedup_clusters" -> ((spark, sfDir) => {
       // the UNSORTED pair set — the symmetric-edge canonicalization would
       // discard dedup_minhash_lsh's final ORDER BY range exchange unused
@@ -766,6 +790,28 @@ object Dedup {
       SELECT doc_id, cluster, CAST(n_uniq AS INT) AS n_uniq,
              CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS kept
       FROM al ORDER BY doc_id""",
+
+    "dedup_cluster_stats" -> s"""
+      WITH RECURSIVE $OraclePairsCte, edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM good
+        UNION ALL SELECT doc_b, doc_a FROM good
+      ), cc AS (
+        SELECT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
+      ), lab AS (
+        SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
+      ), sizes AS (
+        SELECT comp, CAST(COUNT(*) AS BIGINT) AS csize FROM lab GROUP BY comp
+      )
+      SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components,
+             CAST(SUM(csize) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY csize
+      UNION ALL
+      SELECT 1 AS csize,
+             (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM lab),
+             (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM lab)
+      ORDER BY csize""",
 
     "dedup_clusters" -> s"""
       WITH RECURSIVE $OraclePairsCte, edges AS (

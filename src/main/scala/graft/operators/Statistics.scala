@@ -1186,7 +1186,41 @@ object Statistics {
                         ELSE 0e0 END, 6) AS z_stat
       FROM k ORDER BY event_type"""
 
+  /** Lincoln–Petersen capture–recapture (Petersen 1896; Seber's
+    * estimation framework — the two-independent-samples population
+    * estimator, here the cheap distinct-count audit: two INDEPENDENT
+    * deterministic hash samples of the key and N̂ = n_A·n_B / n_AB).
+    * Sample membership uses two different Knuth/xxhash odd multipliers
+    * over the overflow-guarded (k % 2^31) reduction — the suite's
+    * standard engine-identical sampling spelling — so both engines
+    * draw byte-identical marks. All counts integer, N̂ and its error
+    * exact micro rationals. ONE scan, two CASE-counted marks: the
+    * shape that audits a 100 TB key census for the price of a count. */
+  private def captureRecaptureSql(spark: Boolean): String = {
+    val mdiv = microDiv(_: String, _: String, spark)
+    def mark(mult: String, frac: Int) =
+      s"CASE WHEN ((o_orderkey % 2147483648) * $mult) % 4294967296 < 4294967296 / $frac THEN 1 ELSE 0 END"
+    s"""
+      WITH m AS (
+        SELECT ${mark("2654435761", 10)} AS in_a,
+               ${mark("2246822519", 7)}  AS in_b
+        FROM orders
+      ),
+      t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(in_a) AS BIGINT) AS n_a,
+               CAST(SUM(in_b) AS BIGINT) AS n_b,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_ab
+        FROM m
+      )
+      SELECT n_true, n_a, n_b, n_ab,
+             ${mdiv("n_a * n_b", "n_ab")} AS n_hat_micro,
+             ${mdiv("n_a * n_b", "n_ab")} - n_true * 1000000 AS err_micro
+      FROM t"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_capture_recapture" -> Tables.sql(captureRecaptureSql(spark = true)),
     "stats_mann_kendall" -> Tables.sql(MannKendallSql),
     "stats_dawid_skene" -> Tables.sql(dawidSkeneSql(spark = true)),
     "stats_conformal" -> Tables.sql(conformalSql(spark = true)),
@@ -1224,6 +1258,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_capture_recapture" -> captureRecaptureSql(spark = false),
     "stats_mann_kendall" -> MannKendallSql,
     "stats_dawid_skene" -> dawidSkeneSql(spark = false),
     "stats_conformal" -> conformalSql(spark = false),

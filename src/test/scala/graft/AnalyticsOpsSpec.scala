@@ -463,6 +463,40 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_cluster_stats: histogram accounts for every document exactly once") {
+    val rows = graft.operators.Dedup
+      .queries("dedup_cluster_stats")(spark, LocalSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    Tables.register(spark, LocalSpark.sf)
+    val nDocs = spark.table("documents").count()
+    assert(rows.map(_._3).sum == nDocs, "every doc in exactly one component")
+    rows.foreach { case (csize, nComp, nDocsIn) =>
+      assert(nDocsIn == csize * nComp)
+      assert(csize >= 1)
+    }
+    // pair-graph components are size >= 2; size-1 row is the out-of-graph rest
+    assert(rows.count(_._1 == 1L) == 1)
+  }
+
+  test("stats_capture_recapture: marks replay; Lincoln-Petersen lands near truth") {
+    val r = graft.operators.Statistics
+      .queries("stats_capture_recapture")(spark, LocalSpark.sf).first()
+    Tables.register(spark, LocalSpark.sf)
+    val keys = spark.table("orders").select($"o_orderkey").collect().map(_.getLong(0))
+    def mark(k: Long, mult: Long, frac: Long) =
+      ((k % 2147483648L) * mult) % 4294967296L < 4294967296L / frac
+    val a = keys.count(mark(_, 2654435761L, 10)).toLong
+    val b = keys.count(mark(_, 2246822519L, 7)).toLong
+    val ab = keys.count(k => mark(k, 2654435761L, 10) && mark(k, 2246822519L, 7)).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((keys.length.toLong, a, b, ab)))
+    assert(r.getLong(4) == BigInt(a) * b * 1000000 / ab)
+    // the estimator should land within ~25% of truth even at sf0.001
+    val err = math.abs(r.getLong(5)) / 1e6 / keys.length
+    assert(err < 0.25, s"relative error $err")
+  }
+
   test("events_forecast_backtest: errors replay in 16ths; EWMA beats naive") {
     val rows = graft.operators.Events
       .queries("events_forecast_backtest")(spark, LocalSpark.sf).collect()
