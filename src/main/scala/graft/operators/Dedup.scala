@@ -393,6 +393,51 @@ object Dedup {
     // large-star/small-star, O(log n)-ish rounds, reliable checkpoints).
     // Output: (doc_id, cluster, csize) for every doc in ≥1 pair;
     // singletons are implicitly their own cluster.
+    // The DEDUP FUNNEL REPORT — the two-stage pipeline a production
+    // dedup run publishes: exact-digest removal, then near-dup
+    // component collapse over the exact SURVIVORS, each stage with
+    // in/removed/out counts and the token mass removed. Composes the
+    // validated pieces (digest groupBy, MinHash-LSH pairs, reliable-
+    // checkpoint CC) into one statement-equivalent report; the stage
+    // scalars are bounded driver state (the graph_triangles rule — a
+    // 2-row result is not a row-scale collect). Oracle chains the
+    // independent DuckDB formulations end to end.
+    "pipeline_dedup_report" -> ((spark, sfDir) => {
+      val pairsAll = gsql(MinhashPairsSql)(spark, sfDir)
+      val d = spark.sql(
+        """SELECT doc_id, MD5(CAST(text AS BINARY)) AS h,
+                  CAST(SIZE(TOKENIZE(text)) AS BIGINT) AS ntok
+           FROM documents""").persist()
+      val reps = d.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val exactRemoved = d.join(reps, Seq("doc_id"), "left_anti").persist()
+      val nDocs = d.count()
+      val nEx = exactRemoved.count()
+      val tokEx = exactRemoved.agg(coalesce(sum(col("ntok")), lit(0L)))
+        .first().getLong(0)
+      // near-dup pass over exact survivors only: both pair endpoints
+      // must be representatives
+      val pr = pairsAll
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .join(reps.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(reps.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+      val (labels, _) = connectedComponents(spark, pr.select("src", "dst"))
+      val keep = labels.groupBy(col("comp")).agg(min(col("node")).as("keep"))
+      val nearRemoved = labels
+        .join(keep, labels("node") === keep("keep"), "left_anti").persist()
+      val nNear = nearRemoved.count()
+      val tokNear = nearRemoved
+        .join(d, nearRemoved("node") === d("doc_id"))
+        .agg(coalesce(sum(col("ntok")), lit(0L))).first().getLong(0)
+      exactRemoved.unpersist(); nearRemoved.unpersist(); d.unpersist()
+      import spark.implicits._
+      Seq(
+        ("1_exact", nDocs, nEx, nDocs - nEx, tokEx),
+        ("2_near", nDocs - nEx, nNear, nDocs - nEx - nNear, tokNear))
+        .toDF("stage", "n_in", "n_removed", "n_out", "tokens_removed")
+        .orderBy(col("stage"))
+    }),
+
     // Cluster-size distribution of the near-dup component graph — the
     // report a dedup run is judged by (how much mass sits in big
     // boilerplate clusters vs pairs): histogram of component sizes
@@ -790,6 +835,55 @@ object Dedup {
       SELECT doc_id, cluster, CAST(n_uniq AS INT) AS n_uniq,
              CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS kept
       FROM al ORDER BY doc_id""",
+
+    // funnel report: digest stage in plain SQL, near stage as the
+    // recursive components over survivor-filtered pairs
+    "pipeline_dedup_report" -> s"""
+      WITH RECURSIVE $OraclePairsCte, d AS (
+        SELECT doc_id, MD5(text) AS h,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                    w -> w <> '')) AS BIGINT) AS ntok
+        FROM documents
+      ), reps AS (
+        SELECT MIN(doc_id) AS doc_id FROM d GROUP BY h
+      ), exact_removed AS (
+        SELECT d.doc_id, d.ntok FROM d
+        LEFT JOIN reps r ON d.doc_id = r.doc_id WHERE r.doc_id IS NULL
+      ), goodr AS (
+        SELECT g.doc_a, g.doc_b FROM good g
+        JOIN reps a ON g.doc_a = a.doc_id
+        JOIN reps b ON g.doc_b = b.doc_id
+      ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM goodr
+        UNION ALL SELECT doc_b, doc_a FROM goodr
+      ), cc AS (
+        SELECT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
+      ), lab AS (
+        SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
+      ), nearkeep AS (
+        SELECT MIN(node) AS keep FROM lab GROUP BY comp
+      ), near_removed AS (
+        SELECT l.node FROM lab l
+        LEFT JOIN nearkeep k ON l.node = k.keep WHERE k.keep IS NULL
+      ), s AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_removed) AS n_ex,
+               (SELECT CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+                FROM exact_removed) AS tok_ex,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM near_removed) AS n_near,
+               (SELECT CAST(COALESCE(SUM(d2.ntok), 0) AS BIGINT)
+                FROM near_removed nr JOIN d d2 ON nr.node = d2.doc_id) AS tok_near
+      )
+      SELECT '1_exact' AS stage, n_docs AS n_in, n_ex AS n_removed,
+             n_docs - n_ex AS n_out, tok_ex AS tokens_removed
+      FROM s
+      UNION ALL
+      SELECT '2_near', n_docs - n_ex, n_near,
+             n_docs - n_ex - n_near, tok_near
+      FROM s
+      ORDER BY stage""",
 
     "dedup_cluster_stats" -> s"""
       WITH RECURSIVE $OraclePairsCte, edges AS (

@@ -463,6 +463,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_dedup_report: funnel stages chain and agree with the standalone ops") {
+    val rows = graft.operators.Dedup
+      .queries("pipeline_dedup_report")(spark, LocalSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq("1_exact", "2_near"))
+    val (ex, near) = (rows(0), rows(1))
+    // stages chain: near's input is exact's output
+    assert(ex._2 - ex._3 == ex._4 && ex._4 == near._2)
+    assert(near._2 - near._3 == near._4)
+    Tables.register(spark, LocalSpark.sf)
+    assert(ex._2 == spark.table("documents").count())
+    // exact stage agrees with dedup_exact's digest groups
+    val dupExtra = graft.operators.Dedup
+      .queries("dedup_exact")(spark, LocalSpark.sf)
+      .agg(sum($"dup_cnt" - 1)).first().getLong(0)
+    assert(ex._3 == dupExtra, "exact removals = sum(dup_cnt - 1)")
+    // token mass only removed when docs are removed
+    assert((ex._3 == 0) == (ex._5 == 0))
+    assert((near._3 == 0) == (near._5 == 0))
+  }
+
   test("dedup_cluster_stats: histogram accounts for every document exactly once") {
     val rows = graft.operators.Dedup
       .queries("dedup_cluster_stats")(spark, LocalSpark.sf).collect()
