@@ -438,6 +438,33 @@ object Dedup {
         .orderBy(col("stage"))
     }),
 
+    // Dedup-AWARE sampling: draw each document with probability
+    // 1/csize of its near-dup cluster, so duplicated content carries
+    // the same expected mass as unique content (the sampling-side
+    // alternative to hard removal — train-data mixing pipelines use it
+    // to keep SOME boilerplate without letting it dominate). The draw
+    // is the suite's engine-identical multiplicative hash with the
+    // keep rule u·csize < 2^32 — pure integer compare, exact in both
+    // engines. Per-csize keep counts report the realized thinning.
+    "curation_dedup_aware_sample" -> ((spark, sfDir) => {
+      val pairs = gsql(MinhashPairsSql)(spark, sfDir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val (labels, _) = connectedComponents(spark, pairs)
+      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+      val docCsize = spark.table("documents").select(col("doc_id"))
+        .join(labels.join(sizes, "comp")
+          .select(col("node").as("doc_id"), col("csize")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("csize"), lit(1L)).as("csize"))
+      docCsize
+        .withColumn("u",
+          ((col("doc_id") % 2147483648L) * 2654435761L) % 4294967296L)
+        .groupBy(col("csize").cast("bigint").as("csize"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(when(col("u") * col("csize") < 4294967296L, 1L).otherwise(0L))
+            .cast("bigint").as("n_kept"))
+        .orderBy(col("csize"))
+    }),
+
     // Cluster-size distribution of the near-dup component graph — the
     // report a dedup run is judged by (how much mass sits in big
     // boilerplate clusters vs pairs): histogram of component sizes
@@ -884,6 +911,30 @@ object Dedup {
              n_docs - n_ex - n_near, tok_near
       FROM s
       ORDER BY stage""",
+
+    "curation_dedup_aware_sample" -> s"""
+      WITH RECURSIVE $OraclePairsCte, edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM good
+        UNION ALL SELECT doc_b, doc_a FROM good
+      ), cc AS (
+        SELECT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
+      ), lab AS (
+        SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
+      ), sizes AS (
+        SELECT comp, CAST(COUNT(*) AS BIGINT) AS csize FROM lab GROUP BY comp
+      ), dc AS (
+        SELECT d.doc_id, COALESCE(s.csize, 1) AS csize,
+               ((d.doc_id % 2147483648) * 2654435761) % 4294967296 AS u
+        FROM documents d
+        LEFT JOIN (SELECT l.node, z.csize FROM lab l
+                   JOIN sizes z ON l.comp = z.comp) s ON d.doc_id = s.node
+      )
+      SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN u * csize < 4294967296 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept
+      FROM dc GROUP BY csize ORDER BY csize""",
 
     "dedup_cluster_stats" -> s"""
       WITH RECURSIVE $OraclePairsCte, edges AS (

@@ -1219,7 +1219,63 @@ object Statistics {
       FROM t"""
   }
 
+  /** Wald's SPRT (Wald, Ann. Math. Stat. 1945 — the always-valid
+    * sequential test modern experimentation platforms descend from):
+    * weekly looks at the cumulative 'F'-status rate, testing
+    * H0: p=1/4 vs H1: p=1/3 at α=β=0.05 (boundaries ±ln 19). The
+    * sufficient statistics are exact integer cumulative (n, s) window
+    * sums; the LLR s·ln(4/3) + (n−s)·ln(8/9) is one IEEE chain per
+    * look on identical integers (ROUNDed), and the decision compare
+    * happens on those bit-identical doubles. First 12 looks with the
+    * first-crossing flag. 100 TB shape: one date-bucketed aggregate,
+    * one tiny look-indexed window — the scan is the cost, the
+    * sequential analysis is O(looks). */
+  private def sprtSql(spark: Boolean): String = {
+    val day =
+      if (spark) "DATEDIFF(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+      else "CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INT)"
+    val dv = if (spark) "DIV" else "//"
+    s"""
+      WITH wk AS (
+        SELECT $day $dv 7 AS look,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS s
+        FROM orders GROUP BY $day $dv 7
+      ),
+      cum AS (
+        SELECT look,
+               CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+               CAST(SUM(s) OVER w AS BIGINT) AS cum_s,
+               CAST(ROW_NUMBER() OVER (ORDER BY look) AS INT) AS look_no
+        FROM wk
+        WINDOW w AS (ORDER BY look ROWS UNBOUNDED PRECEDING)
+      ),
+      scored AS (
+        SELECT look_no, look, cum_n, cum_s,
+               cum_s * LN(4e0 / 3e0) + (cum_n - cum_s) * LN(8e0 / 9e0) AS llr
+        FROM cum WHERE look_no <= 12
+      ),
+      dec AS (
+        SELECT look_no, look, cum_n, cum_s, llr,
+               CASE WHEN llr >= LN(19e0) THEN 'accept_h1'
+                    WHEN llr <= -LN(19e0) THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM scored
+      ),
+      firstx AS (
+        SELECT MIN(look_no) AS x FROM dec WHERE decision <> 'continue'
+      )
+      SELECT d.look_no, CAST(d.look AS BIGINT) AS look_week,
+             d.cum_n, d.cum_s,
+             ROUND(d.llr, 6) AS llr, d.decision,
+             CASE WHEN d.look_no = f.x THEN 1 ELSE 0 END AS is_first_crossing
+      FROM dec d CROSS JOIN firstx f
+      ORDER BY d.look_no"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_sprt" -> Tables.sql(sprtSql(spark = true)),
     "stats_capture_recapture" -> Tables.sql(captureRecaptureSql(spark = true)),
     "stats_mann_kendall" -> Tables.sql(MannKendallSql),
     "stats_dawid_skene" -> Tables.sql(dawidSkeneSql(spark = true)),
@@ -1258,6 +1314,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_sprt" -> sprtSql(spark = false),
     "stats_capture_recapture" -> captureRecaptureSql(spark = false),
     "stats_mann_kendall" -> MannKendallSql,
     "stats_dawid_skene" -> dawidSkeneSql(spark = false),

@@ -110,6 +110,10 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "dedup_clusters", "dedup_containment", "dedup_edit_verify",
     "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_keep_best",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic",
+    // inherit OraclePairsCte's ROUND(jaccard) — the dedup pair rule;
+    // their own projections are pure integers
+    "dedup_cluster_stats", "pipeline_dedup_report",
+    "curation_dedup_aware_sample",
     "text_decontaminate_fuzzy", // ROUND(MAX(jaccard)): minhash_lsh rule
     "embed_pca_power", "embed_quantize_int8", "embed_winsorize",
     "events_active_users", "events_attribution", "events_autocorr",
@@ -138,6 +142,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "stats_delta_method", "stats_gini", "stats_hill", "stats_kendall",
     "stats_kruskal", "stats_ks", "stats_logistic_irls",
     "stats_mann_kendall", // ROUND(z,6): one IEEE chain on exact integers
+    "stats_sprt", // ROUND(llr,6): LN chain on exact integer (n, s)
     "stats_mannwhitney", "stats_ols2", "stats_proportion_ztest",
     "stats_regression", "stats_spearman", "stats_theilsen", "stats_ttest",
     "text_bm25_topk", "text_drift_psi", "text_entropy", "text_langid",

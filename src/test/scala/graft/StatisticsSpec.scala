@@ -351,6 +351,45 @@ class StatisticsSpec extends AnyFunSuite {
     assert(w(2) < 700000 && w(0) > 800000 && w(1) > 800000)
   }
 
+  test("stats_sprt: LLR replays from cumulative counts; first crossing flagged once") {
+    val rows = Statistics.queries("stats_sprt")(spark, LocalSpark.sf).collect()
+    assert(rows.length == 12)
+    val bound = math.log(19.0)
+    var seenCross = false
+    rows.sortBy(_.getInt(0)).foreach { r =>
+      val (n, s) = (r.getLong(2), r.getLong(3))
+      assert(s <= n)
+      val llr = s * math.log(4.0 / 3.0) + (n - s) * math.log(8.0 / 9.0)
+      assert(math.abs(r.getDouble(4) - llr) < 1e-5)
+      val dec = r.getString(5)
+      assert(dec == (if (llr >= bound) "accept_h1"
+                     else if (llr <= -bound) "accept_h0" else "continue"))
+      if (r.getInt(6) == 1) {
+        assert(!seenCross && dec != "continue", "flag = FIRST non-continue look")
+        seenCross = true
+      }
+    }
+    // cum_n is monotone across looks
+    val ns = rows.sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(ns.sameElements(ns.sorted))
+  }
+
+  test("curation_dedup_aware_sample: keep rates track 1/csize; draws replay") {
+    val rows = graft.operators.Dedup
+      .queries("curation_dedup_aware_sample")(spark, LocalSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.exists(_._1 > 1), "corpus must have dup clusters")
+    Tables.register(spark, LocalSpark.sf)
+    assert(rows.map(_._2).sum == spark.table("documents").count())
+    rows.foreach { case (csize, n, kept) =>
+      assert(kept <= n)
+      // binomial(n, 1/csize): within 5 sigma of expectation
+      val exp = n.toDouble / csize
+      val sd = math.sqrt(n.toDouble * (1.0 / csize) * (1 - 1.0 / csize))
+      assert(math.abs(kept - exp) <= 5 * sd + 1, s"csize $csize: $kept vs $exp")
+    }
+  }
+
   test("microDiv: split fixed-point divide is exact, sign-correct, overflow-safe") {
     Tables.register(spark, LocalSpark.sf)
     // drive the SQL kernel itself over value pairs including negatives
