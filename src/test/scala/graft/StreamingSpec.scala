@@ -485,4 +485,57 @@ class StreamingSpec extends AnyFunSuite {
         s"merged MV diverged from recompute:\n${got.mkString("\n")}\nvs\n${want.mkString("\n")}")
     } finally q.stop()
   }
+
+  test("streaming interval coverage: merged-interval state matches the batch sweep") {
+    // events_interval_coverage's streaming twin: per-user state is the
+    // MERGED interval list (the canonical form — bounded by coverage
+    // structure, not event count), each arrival [t, t+5min] unions in,
+    // and the emitted covered_us must equal the batch sweep-line union
+    // over everything seen so far.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val win = 5 * 60 * 1000000L // 5 min in µs
+    def merge(iv: List[(Long, Long)]): List[(Long, Long)] = {
+      val sorted = iv.sortBy(_._1)
+      sorted.drop(1).foldLeft(List(sorted.head)) { (acc, i) =>
+        val h = acc.head
+        if (i._1 <= h._2) (h._1, math.max(h._2, i._2)) :: acc.tail
+        else i :: acc
+      }.reverse
+    }
+    val covered = input.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[List[(Long, Long)]]) =>
+          val arrivals = evs.map { e =>
+            val t = e.ts.getTime * 1000L
+            (t, t + win)
+          }.toList
+          val merged = merge(state.getOption.getOrElse(Nil) ++ arrivals)
+          state.update(merged)
+          Iterator((uid, merged.map(i => i._2 - i._1).sum))
+      }
+    val q = covered.writeStream.format("memory").queryName("iv_cov")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // user 7: overlapping [0,5], [3,8]; user 8: disjoint [0,5], [20,25]
+      input.addData(Ev(ts(0), 7, 1.0), Ev(ts(3), 7, 1.0), Ev(ts(0), 8, 1.0))
+      q.processAllAvailable()
+      // late second batch extends 7 ([7,12] bridges) and adds 8's island
+      input.addData(Ev(ts(7), 7, 1.0), Ev(ts(20), 8, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("iv_cov").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).max).toMap
+      // batch truth: 7 covers [0,12]+5min = 12 min; 8 covers 2 islands
+      assert(got(7L) == 12L * 60 * 1000000, got.toString)
+      assert(got(8L) == 10L * 60 * 1000000, got.toString)
+      // cross-check against the BATCH union on the same points
+      def batchUnion(starts: Seq[Int]) =
+        merge(starts.map(m => (m * 60000000L, m * 60000000L + win)).toList)
+          .map(i => i._2 - i._1).sum
+      assert(got(7L) == batchUnion(Seq(0, 3, 7)))
+      assert(got(8L) == batchUnion(Seq(0, 20)))
+    } finally q.stop()
+  }
 }
