@@ -280,6 +280,15 @@ object Events {
     // aggregate; hour-scale data after the first reduce.
     "events_forecast_backtest" -> Tables.sql(backtestSql(spark = true)),
 
+    // Local-maxima peak detection over the hourly count series: a peak
+    // is strictly above both ±1/±2 neighbors (strictness makes the set
+    // deterministic — plateaus are not peaks) with integer PROMINENCE
+    // = height above the tallest neighbor; the ≥3 floor keeps only
+    // real spikes. Pure per-type LAG/LEAD windows on the hour grid —
+    // integer comparisons end to end, hour-scale data after the first
+    // reduce.
+    "events_peaks" -> Tables.sql(peaksSql(spark = true)),
+
     // Lag-k autocorrelation (k = 1..7) of the daily event count — the
     // seasonality probe behind rate-anomaly thresholds. Daily counts
     // are exact integers; each lag's cross-products reduce via exact
@@ -1008,6 +1017,33 @@ object Events {
   }
 
   // one SQL text, both engines
+  /** events_peaks text (dialect split: µs + integer div). */
+  private def peaksSql(spark: Boolean): String = {
+    val us = if (spark) "UNIX_MICROS" else "EPOCH_US"
+    val dv = if (spark) "DIV" else "//"
+    s"""
+      WITH hourly AS (
+        SELECT event_type, $us(ts) $dv 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, $us(ts) $dv 3600000000
+      ),
+      ctx AS (
+        SELECT event_type, h, x,
+               LAG(x, 1) OVER w AS l1, LAG(x, 2) OVER w AS l2,
+               LEAD(x, 1) OVER w AS r1, LEAD(x, 2) OVER w AS r2
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h)
+      )
+      SELECT event_type, CAST(h AS BIGINT) AS hour_no, x AS height,
+             x - GREATEST(l1, l2, r1, r2) AS prominence
+      FROM ctx
+      WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+        AND r1 IS NOT NULL AND r2 IS NOT NULL
+        AND x > l1 AND x > l2 AND x > r1 AND x > r2
+        AND x - GREATEST(l1, l2, r1, r2) >= 3
+      ORDER BY event_type, hour_no"""
+  }
+
   /** events_forecast_backtest text (dialect split: µs + integer div). */
   private def backtestSql(spark: Boolean): String = {
     val us = if (spark) "UNIX_MICROS" else "EPOCH_US"
@@ -1149,6 +1185,7 @@ object Events {
     "events_cohort_retention" -> cohortSql(spark = false),
     "events_decay_feature" -> DecaySql,
     "events_forecast_backtest" -> backtestSql(spark = false),
+    "events_peaks" -> peaksSql(spark = false),
     "events_rate_anomaly" -> anomalySql(spark = false),
     "events_markov_transitions" -> MarkovSql,
     "events_top_paths" -> TopPathsSql,

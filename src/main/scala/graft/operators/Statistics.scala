@@ -1274,7 +1274,73 @@ object Statistics {
       ORDER BY d.look_no"""
   }
 
+  /** Sample-ratio-mismatch check (Fabijan et al., KDD'19 diagnoses —
+    * the FIRST gate every experimentation platform runs before reading
+    * a metric): arm counts vs the designed 1:1 split, overall and per
+    * stratum, χ² = (n0−n1)²/(n0+n1) in exact micro units with the flag
+    * at the 1-df 95% critical value (3.841459 — compared in integer
+    * micro so no float enters the verdict). One conditional aggregate
+    * pass; strata rows are O(groups). */
+  private def srmSql(spark: Boolean): String = {
+    val mdiv = microDiv(_: String, _: String, spark)
+    def arm(tbl: String) = s"""
+        SELECT $tbl AS stratum,
+               CAST(SUM(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM orders"""
+    s"""
+      WITH g AS (
+        ${arm("'_overall'")}
+        UNION ALL
+        ${arm("o_orderpriority")} GROUP BY o_orderpriority
+      )
+      SELECT stratum, n0, n1,
+             ${mdiv("(n0 - n1) * (n0 - n1)", "n0 + n1")} AS chi2_micro,
+             CASE WHEN ${mdiv("(n0 - n1) * (n0 - n1)", "n0 + n1")} > 3841459
+                  THEN 1 ELSE 0 END AS srm_flag
+      FROM g ORDER BY stratum"""
+  }
+
+  /** Difference-in-differences (Card & Krueger AER'94 popularized it;
+    * the quasi-experimental workhorse): 2×2 cells of (pre/post ×
+    * control/treat) mean order value in exact cents, DiD =
+    * (post₁−pre₁) − (post₀−pre₀). Cell means are truncated micro-cent
+    * rationals (split divide), so the estimator is a pure integer
+    * expression both engines compute identically — on a uniform
+    * assignment the true effect is 0 and the estimate lands at noise
+    * scale. ONE conditional-aggregate pass to 4 cells. */
+  private def didSql(spark: Boolean): String = {
+    val mdiv = microDiv(_: String, _: String, spark)
+    def cell(arm: Int, post: Int, what: String) = s"""
+        SUM(CASE WHEN o_custkey % 2 = $arm
+                 AND CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                          THEN 1 ELSE 0 END = $post
+                 THEN $what ELSE 0 END)"""
+    def n(a: Int, p: Int) = s"CAST(${cell(a, p, "1")} AS BIGINT)"
+    def c(a: Int, p: Int) =
+      s"CAST(${cell(a, p, "CAST(ROUND(o_totalprice * 100) AS BIGINT)")} AS BIGINT)"
+    def mean(a: Int, p: Int) = mdiv(s"c$a$p", s"n$a$p")
+    s"""
+      WITH t AS (
+        SELECT ${n(0, 0)} AS n00, ${c(0, 0)} AS c00,
+               ${n(0, 1)} AS n01, ${c(0, 1)} AS c01,
+               ${n(1, 0)} AS n10, ${c(1, 0)} AS c10,
+               ${n(1, 1)} AS n11, ${c(1, 1)} AS c11
+        FROM orders
+      )
+      SELECT n00, n01, n10, n11,
+             ${mean(0, 0)} AS mean_ctrl_pre_microcents,
+             ${mean(0, 1)} AS mean_ctrl_post_microcents,
+             ${mean(1, 0)} AS mean_treat_pre_microcents,
+             ${mean(1, 1)} AS mean_treat_post_microcents,
+             (${mean(1, 1)} - ${mean(1, 0)}) - (${mean(0, 1)} - ${mean(0, 0)})
+               AS did_microcents
+      FROM t"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_did" -> Tables.sql(didSql(spark = true)),
+    "stats_srm" -> Tables.sql(srmSql(spark = true)),
     "stats_sprt" -> Tables.sql(sprtSql(spark = true)),
     "stats_capture_recapture" -> Tables.sql(captureRecaptureSql(spark = true)),
     "stats_mann_kendall" -> Tables.sql(MannKendallSql),
@@ -1314,6 +1380,8 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_did" -> didSql(spark = false),
+    "stats_srm" -> srmSql(spark = false),
     "stats_sprt" -> sprtSql(spark = false),
     "stats_capture_recapture" -> captureRecaptureSql(spark = false),
     "stats_mann_kendall" -> MannKendallSql,

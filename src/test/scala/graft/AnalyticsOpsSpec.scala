@@ -518,6 +518,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(err < 0.25, s"relative error $err")
   }
 
+  test("events_peaks: strict local maxima with prominence replay driver-side") {
+    val rows = graft.operators.Events
+      .queries("events_peaks")(spark, LocalSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    Tables.register(spark, LocalSpark.sf)
+    val hourly = spark.table("events")
+      .groupBy($"event_type", (unix_micros($"ts") / 3600000000L).cast("long").as("h"))
+      .count().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = hourly.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val xs = g.sortBy(_._2)
+      (2 until xs.length - 2).flatMap { i =>
+        val x = xs(i)._3
+        val nb = Seq(xs(i - 1)._3, xs(i - 2)._3, xs(i + 1)._3, xs(i + 2)._3)
+        // the SQL neighbors are LAG/LEAD over the OBSERVED grid, which
+        // this sorted-sequence replay reproduces exactly
+        if (nb.forall(x > _) && x - nb.max >= 3)
+          Some((t, xs(i)._2, x, x - nb.max))
+        else None
+      }
+    }.sortBy(p => (p._1, p._2))
+    assert(rows.toSeq == expect, s"${rows.length} vs ${expect.length}")
+  }
+
   test("events_forecast_backtest: errors replay in 16ths; EWMA beats naive") {
     val rows = graft.operators.Events
       .queries("events_forecast_backtest")(spark, LocalSpark.sf).collect()

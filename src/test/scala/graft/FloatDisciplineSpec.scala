@@ -102,6 +102,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "acid_stream_ingest", // ROUND(value*1000)->BIGINT: exact milli grid
     "acid_auto_compact",  // ROUND(qty/price*100)->BIGINT: exact cents grid
     "stats_bootstrap_poisson", // ROUND(price*100)->BIGINT: exact cents grid
+    "stats_did",               // ROUND(price*100)->BIGINT: exact cents grid
     "stats_bootstrap_median",  // same cents grid
     "pipeline_rag", // ROUNDs order the retrieval legs only (hybrid_rrf
                     // rule: bit-identical doubles); projection is integer

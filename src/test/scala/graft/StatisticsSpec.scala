@@ -390,6 +390,35 @@ class StatisticsSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_srm / stats_did: cells replay from conditional counts") {
+    Tables.register(spark, LocalSpark.sf)
+    val orders = spark.table("orders")
+      .select($"o_custkey", $"o_orderpriority",
+        ($"o_orderdate" >= lit("1998-01-01 00:00:00").cast("timestamp")).as("post"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getBoolean(2), r.getLong(3)))
+    // SRM overall row
+    val srm = Statistics.queries("stats_srm")(spark, LocalSpark.sf)
+      .where($"stratum" === "_overall").first()
+    val n0 = orders.count(_._1 % 2 == 0).toLong
+    val n1 = orders.length - n0
+    assert((srm.getLong(1), srm.getLong(2)) == ((n0, n1)))
+    assert(srm.getLong(3) == BigInt((n0 - n1) * (n0 - n1)) * 1000000 / (n0 + n1))
+    // DiD cells
+    val did = Statistics.queries("stats_did")(spark, LocalSpark.sf).first()
+    def cell(arm: Int, post: Boolean) =
+      orders.filter(o => o._1 % 2 == arm && o._3 == post)
+    def m(arm: Int, post: Boolean) = {
+      val c = cell(arm, post)
+      (BigInt(c.map(_._4).sum) * 1000000 / c.length).toLong
+    }
+    assert(did.getLong(0) == cell(0, false).length)
+    assert(did.getLong(3) == cell(1, true).length)
+    assert(did.getLong(4) == m(0, false) && did.getLong(7) == m(1, true))
+    assert(did.getLong(8) == (m(1, true) - m(1, false)) - (m(0, true) - m(0, false)))
+  }
+
   test("microDiv: split fixed-point divide is exact, sign-correct, overflow-safe") {
     Tables.register(spark, LocalSpark.sf)
     // drive the SQL kernel itself over value pairs including negatives
