@@ -220,7 +220,72 @@ object Curation {
       FROM head
       ORDER BY position"""
 
+  /** Token-budget apportionment + fill — the mixing step that turns
+    * "train on 20k tokens with proportional source representation"
+    * into an exact plan: per-source quotas by the LARGEST-REMAINDER
+    * method (Hamilton's apportionment — pure integer: floor shares,
+    * then the Σremainder largest fractional parts get +1, so quotas
+    * sum to the budget EXACTLY), then each source fills greedily by
+    * quality rank (word count desc) under its quota via a running-sum
+    * window cut. Everything integer; the apportionment windows run on
+    * the 20-row source dimension, the fill window is
+    * source-partitioned. */
+  private def quotaFillSql(spark: Boolean): String = {
+    val dv = if (spark) "DIV" else "//"
+    s"""
+      WITH d AS (
+        SELECT source, doc_id,
+               CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                 AS BIGINT) AS wc
+        FROM documents
+      ),
+      src AS (
+        SELECT source, CAST(SUM(wc) AS BIGINT) AS n_s,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM d GROUP BY source
+      ),
+      tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM src),
+      base AS (
+        SELECT source, n_s, n_docs,
+               (20000 * n_s) $dv n AS q0,
+               (20000 * n_s) % n AS rem
+        FROM src CROSS JOIN tot
+      ),
+      rk AS (
+        SELECT source, n_s, n_docs, q0, rem,
+               CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rr
+        FROM base
+      ),
+      short AS (SELECT 20000 - CAST(SUM(q0) AS BIGINT) AS k FROM base),
+      quota AS (
+        SELECT source, n_s, n_docs,
+               q0 + CASE WHEN rr <= k THEN 1 ELSE 0 END AS quota
+        FROM rk CROSS JOIN short
+      ),
+      fill AS (
+        SELECT source, doc_id, wc,
+               CAST(SUM(wc) OVER (PARTITION BY source
+                 ORDER BY wc DESC, doc_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cum
+        FROM d
+      ),
+      taken AS (
+        SELECT f.source,
+               CAST(COUNT(*) AS BIGINT) AS docs_taken,
+               CAST(SUM(f.wc) AS BIGINT) AS tokens_taken
+        FROM fill f JOIN quota q ON f.source = q.source
+        WHERE f.cum <= q.quota
+        GROUP BY f.source
+      )
+      SELECT q.source, q.n_docs, q.n_s AS total_tokens, q.quota,
+             COALESCE(t.docs_taken, 0) AS docs_taken,
+             COALESCE(t.tokens_taken, 0) AS tokens_taken
+      FROM quota q LEFT JOIN taken t ON q.source = t.source
+      ORDER BY q.source"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "curation_quota_fill" -> gsql(quotaFillSql(spark = true)),
     "curation_curriculum" -> gsql(CurriculumSql),
     "text_drift_psi" -> gsql(DriftPsiSql),
     // Fixed-size token chunking with overlap: 64-token chunks on a
@@ -503,6 +568,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "curation_quota_fill" -> quotaFillSql(spark = false),
     "curation_curriculum" -> CurriculumSql,
     "curation_temperature_mix" -> TempMixSql,
     "pipeline_train_report" -> trainReportSql(spark = false),

@@ -223,4 +223,35 @@ class CurationSpec extends AnyFunSuite {
         phone.findFirstIn(s).isEmpty, "no residual PII after scrubbing")
     }
   }
+
+  test("curation_quota_fill: Hamilton quotas sum exactly; fills maximal under quota") {
+    val rows = graft.operators.Curation
+      .queries("curation_quota_fill")(spark, LocalSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // apportionment: quotas sum to the budget EXACTLY (the property
+    // floor-only shares lack), and each quota is floor or floor+1
+    assert(rows.map(_._4).sum == 20000L)
+    val n = rows.map(_._3).sum
+    rows.foreach { case (src, _, ns, quota, taken, tok) =>
+      val q0 = 20000L * ns / n
+      assert(quota == q0 || quota == q0 + 1, s"$src quota $quota vs floor $q0")
+      assert(tok <= quota, s"$src fill exceeds quota")
+      assert(taken >= 0 && tok >= 0)
+    }
+    // fill maximality: the next-ranked doc would not have fit
+    Tables.register(spark, LocalSpark.sf)
+    import org.apache.spark.sql.functions._
+    val docs = spark.table("documents")
+      .select($"source", $"doc_id",
+        (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+          .cast("long").as("wc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (src, _, _, quota, taken, tok) =>
+      val ranked = docs.filter(_._1 == src).sortBy(d => (-d._3, d._2))
+      assert(ranked.take(taken.toInt).map(_._3).sum == tok, s"$src tokens")
+      if (taken.toInt < ranked.length)
+        assert(tok + ranked(taken.toInt)._3 > quota, s"$src fill not maximal")
+    }
+  }
 }
