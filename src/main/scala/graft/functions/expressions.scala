@@ -611,6 +611,43 @@ case class CharNGrams(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** deflate_len(text) → compressed byte length of the UTF-8 bytes at
+  * zlib level 6 — the raw material of the COMPRESSION-RATIO quality
+  * signal (used by Gopher-class corpus filters: near-1 ratios are
+  * high-entropy noise, tiny ratios are boilerplate repetition).
+  * Deterministic for a given JDK zlib (same JVM ⇒ same bytes), but NOT
+  * engine-portable — the consuming query is a rows-only harness entry
+  * (the JDK-codec class, like the multimodal decoders) and its
+  * contracts are pinned by invariant tests, not a DuckDB oracle.
+  * Allocation-light: one Deflater per call, streamed into a reused
+  * stack buffer, only the LENGTH retained. */
+case class DeflateLen(child: Expression)
+    extends UnaryExpression with Bridge.GraftExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
+
+  def kernel(input: UTF8String): Int = {
+    val bytes = input.getBytes
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](512)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  override def nullSafeEval(input: Any): Any = kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("deflateLen", this, classOf[DeflateLen].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): DeflateLen =
+    copy(child = c)
+}
+
 /** The published top-30 character-trigram profiles behind the trigram
   * language scorer (Cavnar–Trenkle SDAIR'94 method; gram lists from
   * public frequency tables). One definition shared by the fused kernel
@@ -1119,6 +1156,7 @@ object GraftFunctions {
     "tokenize" -> (es => Tokenize(es.head)),
     "shingle_set" -> (es => ShingleSet(es(0), intArg(es(1)))),
     "char_ngrams" -> (es => CharNGrams(es(0), intArg(es(1)))),
+    "deflate_len" -> (es => DeflateLen(es.head)),
     "lang_trigram_scores" -> (es => LangTrigramScores(es.head)),
     "stopword_ratio" -> (es => StopwordRatio(es(0), es(1))),
     "lsh_buckets" -> (es => LshBuckets(es(0), intArg(es(1)), intArg(es(2)))),

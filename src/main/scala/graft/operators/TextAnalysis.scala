@@ -452,6 +452,29 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    // Compression-ratio quality signal (the Gopher-class filter:
+    // deflate(text)/len near 1 = high-entropy noise, tiny = boilerplate
+    // repetition) via the codegen'd DEFLATE_LEN kernel. JDK-zlib
+    // determinism is same-JVM, not engine-portable, so this is a
+    // rows-only harness entry (the multimodal-codec class); its
+    // contracts are pinned by invariants in ExpressionsSpec. Integer
+    // arithmetic end to end; pure narrow map + per-source aggregate.
+    "text_compression_quality" -> gsql("""
+      WITH r AS (
+        SELECT source,
+               (CAST(DEFLATE_LEN(text) AS BIGINT) * 1000000)
+                 DIV LENGTH(text) AS ratio_micro
+        FROM documents WHERE LENGTH(text) > 0
+      )
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ratio_micro) DIV COUNT(*) AS BIGINT) AS mean_ratio_micro,
+             CAST(SUM(CASE WHEN ratio_micro < 250000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_repetitive,
+             CAST(SUM(CASE WHEN ratio_micro > 950000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_noise
+      FROM r GROUP BY source ORDER BY source"""),
+
     "search_near_copies" -> gsql(nearCopiesSql(spark = true)),
     "text_textrank" -> gsql(textrankSql(spark = true)),
     "text_c4_filters" -> gsql(c4Sql(spark = true)),

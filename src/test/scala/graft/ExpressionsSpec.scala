@@ -373,4 +373,28 @@ class ExpressionsSpec extends AnyFunSuite {
     // words following 'data': rocks×2, flows×1 → top2
     assert(got.toSeq == Seq(("rocks", 2L), ("flows", 1L)))
   }
+
+  test("deflate_len: compression-ratio signal separates repetition from entropy") {
+    graft.functions.GraftFunctions.register(spark)
+    def dl(expr: String): Int =
+      spark.sql(s"SELECT deflate_len($expr)").first().getInt(0)
+    val rep = dl("repeat('spark ', 200)")        // 1200 bytes of boilerplate
+    val mixed = dl("repeat('the cat sat on a mat and then ran off ', 30)")
+    // pseudo-random hex: high entropy, near-incompressible per byte
+    val noise = dl("concat_ws('', transform(sequence(1, 150), i -> md5(cast(i as string))))")
+    assert(rep < 60, s"repetition must crush: $rep")
+    assert(noise > 2000, s"4800 hex chars of noise stay large: $noise")
+    assert(rep < mixed && mixed < noise, s"$rep < $mixed < $noise ordering")
+    // determinism within the JVM (the rows-only contract)
+    assert(dl("repeat('spark ', 200)") == rep)
+    // the quality query: every doc accounted, flags within bounds
+    Tables.register(spark, LocalSpark.sf)
+    val rows = graft.operators.TextAnalysis
+      .queries("text_compression_quality")(spark, LocalSpark.sf).collect()
+    assert(rows.map(_.getLong(1)).sum == spark.table("documents").count())
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(2) < 2000000)
+      assert(r.getLong(3) + r.getLong(4) <= r.getLong(1))
+    }
+  }
 }

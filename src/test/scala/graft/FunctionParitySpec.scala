@@ -179,6 +179,11 @@ class FunctionParitySpec extends AnyFunSuite {
       "char_ngrams" -> (("SELECT char_ngrams('The cat', 3)",
         v => v.asInstanceOf[scala.collection.Seq[_]].toSeq ==
           Seq("the", "he ", "e c", " ca", "cat"))),
+      // invariant, not a byte golden: zlib output length is JDK-
+      // implementation-specific, but 1000 repeats of one char MUST
+      // crush far below the input size on any zlib
+      "deflate_len" -> (("SELECT deflate_len(repeat('a', 1000))",
+        v => { val n = v.asInstanceOf[Int]; n > 0 && n < 50 })),
       "lang_trigram_scores" -> (("SELECT lang_trigram_scores('the cat sat').t_en",
         // grams = 9, EN profile hits = {'the','he ','at '} = 3
         v => v.asInstanceOf[Double] == 3.0 / 9.0)),
