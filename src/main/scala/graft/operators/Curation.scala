@@ -564,10 +564,62 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_tok")).cast("long").as("seq_tokens"))
         .orderBy("seq_id")
+    }),
+
+    // Balanced training-shard assignment by the folded sorted-modulo
+    // rule: global rank by size desc (the DISTRIBUTED sort +
+    // zipWithIndex rank — pack_sequences' rule: never a single-
+    // partition window), shard = rank % 8, so each shard receives one
+    // doc from every consecutive size-8 band and token totals stay
+    // within a band-width of each other. Per-shard imbalance vs the
+    // perfect 1/8 share in exact micro units.
+    "pack_shards" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      GraftFunctions.register(spark)
+      import spark.implicits._
+      val docs = spark.sql("""
+        SELECT doc_id, n_tok FROM (
+          SELECT doc_id, SIZE(TOKENIZE(text)) AS n_tok
+          FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents))
+        WHERE n_tok > 0""")
+      val ranked = docs.orderBy(col("n_tok").desc, col("doc_id"))
+        .rdd.zipWithIndex
+        .map { case (r, i) => (r.getLong(0), r.getInt(1), i) }
+        .toDF("doc_id", "n_tok", "idx")
+      val shards = ranked
+        .groupBy((col("idx") % 8).cast("bigint").as("shard"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_tok")).cast("long").as("tokens"))
+      val total = docs.agg(sum(col("n_tok"))).head.getLong(0)
+      // integer DIV, not `/` (which is double division on longs)
+      shards
+        .withColumn("imbalance_micro",
+          expr(s"CAST(tokens * 8000000 DIV ${total}L - 1000000 AS BIGINT)"))
+        .orderBy(col("shard"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "pack_shards" -> """
+      WITH t AS (
+        SELECT doc_id,
+               LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> ''))
+                 AS n_tok
+        FROM documents
+      ), r AS (
+        SELECT doc_id, n_tok,
+               ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS idx
+        FROM t WHERE n_tok > 0
+      ), s AS (
+        SELECT CAST(idx % 8 AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens
+        FROM r GROUP BY idx % 8
+      ), tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM s)
+      SELECT shard, n_docs, tokens,
+             CAST(tokens * 8000000 // t - 1000000 AS BIGINT) AS imbalance_micro
+      FROM s CROSS JOIN tot
+      ORDER BY shard""",
     "curation_quota_fill" -> quotaFillSql(spark = false),
     "curation_curriculum" -> CurriculumSql,
     "curation_temperature_mix" -> TempMixSql,

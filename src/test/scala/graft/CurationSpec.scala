@@ -224,6 +224,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_shards: folded assignment balances tokens within a size-band") {
+    val rows = graft.operators.Curation
+      .queries("pack_shards")(spark, LocalSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0L to 7L))
+    // doc counts differ by at most 1 (round-robin over the rank)
+    val counts = rows.map(_._2)
+    assert(counts.max - counts.min <= 1)
+    // token totals: the folded rule bounds shard spread by roughly one
+    // size-band; 2% is generous at any SF
+    val tokens = rows.map(_._3)
+    val mean = tokens.sum.toDouble / 8
+    tokens.foreach(t => assert(math.abs(t - mean) / mean < 0.02, s"$t vs $mean"))
+    // imbalance column replays from the totals
+    rows.foreach { case (_, _, t, imb) =>
+      assert(imb == t * 8000000L / tokens.sum - 1000000L)
+    }
+    Tables.register(spark, LocalSpark.sf)
+    import org.apache.spark.sql.functions._
+    val total = spark.table("documents")
+      .select(size(filter(split(lower($"text"), " "), w => w =!= ""))
+        .cast("long").as("n")).where($"n" > 0)
+      .agg(sum($"n")).first().getLong(0)
+    assert(tokens.sum == total)
+  }
+
   test("curation_quota_fill: Hamilton quotas sum exactly; fills maximal under quota") {
     val rows = graft.operators.Curation
       .queries("curation_quota_fill")(spark, LocalSpark.sf).collect()
