@@ -1338,7 +1338,49 @@ object Statistics {
       FROM t"""
   }
 
+  /** Model calibration audit (reliability table + expected calibration
+    * error; Guo et al. ICML'17 made ECE the standard report): the
+    * fitted IRLS logistic (SAME cells/iteration chain as
+    * stats_logistic_irls — single-spelling rule) scored against the
+    * exact empirical rate of each discount cell. Confidence is the
+    * FLOOR-quantized fitted probability, accuracy the exact integer
+    * rational, ECE the n-weighted gap — all micro units; the ECE
+    * window runs over the 11-row cell table. */
+  private def calibrationSql(spark: Boolean): String = {
+    val mdiv = microDiv(_: String, _: String, spark)
+    s"""
+      WITH cells AS (
+        SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS sy
+        FROM lineitem GROUP BY CAST(ROUND(l_discount * 100) AS BIGINT)
+      ),
+      b0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1)
+      ${irlsIter(1)}${irlsIter(2)},
+      fin AS (
+        SELECT x, n, sy,
+               CAST(FLOOR(ROUND(1.0 / (1.0 + EXP(-(b.b0 + b.b1 * x))), 9)
+                    * 1000000) AS BIGINT) AS conf_micro
+        FROM cells CROSS JOIN b2 b
+      ),
+      g AS (
+        SELECT x, n, sy, conf_micro,
+               ${mdiv("sy", "n")} AS acc_micro
+        FROM fin
+      )
+      SELECT x AS discount_pct, n, sy, conf_micro, acc_micro,
+             ABS(conf_micro - acc_micro) AS gap_micro,
+             -- integer DIV: `/` is double division in both engines and
+             -- their double->BIGINT casts disagree (trunc vs round)
+             CAST(SUM(n * ABS(conf_micro - acc_micro)) OVER ()
+                  ${if (spark) "DIV" else "//"} SUM(n) OVER () AS BIGINT)
+               AS ece_micro
+      FROM g
+      ORDER BY discount_pct"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_calibration" -> Tables.sql(calibrationSql(spark = true)),
     "stats_did" -> Tables.sql(didSql(spark = true)),
     "stats_srm" -> Tables.sql(srmSql(spark = true)),
     "stats_sprt" -> Tables.sql(sprtSql(spark = true)),
@@ -1380,6 +1422,7 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_calibration" -> calibrationSql(spark = false),
     "stats_did" -> didSql(spark = false),
     "stats_srm" -> srmSql(spark = false),
     "stats_sprt" -> sprtSql(spark = false),

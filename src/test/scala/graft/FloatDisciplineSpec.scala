@@ -144,6 +144,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "stats_kruskal", "stats_ks", "stats_logistic_irls",
     "stats_mann_kendall", // ROUND(z,6): one IEEE chain on exact integers
     "stats_sprt", // ROUND(llr,6): LN chain on exact integer (n, s)
+    "stats_calibration", // ROUND(p,9) + cents grid: the irls rule
     "stats_mannwhitney", "stats_ols2", "stats_proportion_ztest",
     "stats_regression", "stats_spearman", "stats_theilsen", "stats_ttest",
     "text_bm25_topk", "text_drift_psi", "text_entropy", "text_langid",

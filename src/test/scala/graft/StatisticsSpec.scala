@@ -419,6 +419,26 @@ class StatisticsSpec extends AnyFunSuite {
     assert(did.getLong(8) == (m(1, true) - m(1, false)) - (m(0, true) - m(0, false)))
   }
 
+  test("stats_calibration: ECE replays from the reliability rows; fit is calibrated") {
+    val rows = Statistics.queries("stats_calibration")(spark, LocalSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == 11)
+    rows.foreach { case (_, n, sy, conf, acc, gap, _) =>
+      assert(sy <= n)
+      assert(acc == BigInt(sy) * 1000000 / n)
+      assert(conf >= 0 && conf <= 1000000)
+      assert(gap == math.abs(conf - acc))
+    }
+    val eces = rows.map(_._7).distinct
+    assert(eces.length == 1) // constant column
+    val expect = rows.map(r => r._2 * r._6).sum / rows.map(_._2).sum
+    assert(eces.head == expect, s"${eces.head} vs $expect")
+    // an IRLS fit evaluated on its own training cells must be well
+    // calibrated — a few percent, not tens
+    assert(eces.head < 50000, s"ECE ${eces.head / 1e4}%")
+  }
+
   test("microDiv: split fixed-point divide is exact, sign-correct, overflow-safe") {
     Tables.register(spark, LocalSpark.sf)
     // drive the SQL kernel itself over value pairs including negatives
