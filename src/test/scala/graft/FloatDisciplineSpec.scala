@@ -80,6 +80,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "sample_coreset"             -> "DoubleOperand",
     "sample_neyman"              -> "ExactGrid",     // FLOOR(...)->BIGINT quantizations
     "stats_logistic_irls"        -> "DoubleOperand", // 1e6-lit/(1.0+EXP(double))
+    "stats_calibration"          -> "DoubleOperand", // same irls sigmoid chain
     "pipeline_quality_classifier" -> "DoubleOperand", // same irlsIter chain
     "text_drift_psi"             -> "ExactGrid",     // FLOOR(n/100.0)->INT
     "text_textrank"              -> "ExactGrid",     // FLOOR(17.0*s/20.0): 2-decimal exact (graph_pagerank rule)
