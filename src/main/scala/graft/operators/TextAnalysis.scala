@@ -797,6 +797,7 @@ object TextAnalysis {
     // logs and exact DECIMAL sums (reduction-order-free); the rank
     // window runs over the vocabulary table, not the corpus.
     "text_zipf_slope" -> gsql(zipfSql(spark = true)),
+    "text_heaps_law" -> gsql(heapsSql(spark = true)),
 
     // PMI collocation mining (Church & Hanks, CL'90): pointwise mutual
     // information ln(p(w1,w2) / (p(w1)·p(w2))) over corpus bigrams,
@@ -1044,6 +1045,77 @@ object TextAnalysis {
 
   /** Whole text_zipf_slope statement — parameterized on the tokenizer
     * spelling; the rank/OLS SQL is textually identical. */
+  /** Heaps' law fit (Heaps 1978; Herdan 1960) — vocabulary growth
+    * V(n) ≈ K·n^β, the companion of text_zipf_slope and the corpus
+    * statistic that predicts how much NEW vocabulary another 10× of
+    * data buys. The trick that makes it one pass: vocab at checkpoint
+    * c = #tokens whose FIRST-occurrence doc ≤ c (a MIN-per-token
+    * aggregate), so no prefix re-scans; 10 doc-id checkpoints give the
+    * (ln n, ln V) points and β comes from the zipf-style quantized
+    * OLS (ln terms ROUND to the 1e-9 grid, sums through exact
+    * DECIMAL). The checkpoint theta-join has a 10-row side — bounded,
+    * never data×data. The vocabulary UNIT is word BIGRAMS: the
+    * synthetic corpus's unigram vocabulary (31 words) saturates at the
+    * first checkpoint (β would be exactly 0), while the bigram space
+    * keeps discovering new types — the same choice a real Heaps audit
+    * makes when the tokenizer's base vocab is closed. Synthetic-corpus
+    * caveat (the langid convention: the MACHINERY is the contract):
+    * even the bigram space of the 31-word soup nears saturation, so β
+    * here is small-positive, not the ≈0.5 of natural text. */
+  private def heapsSql(spark: Boolean): String = {
+    val wCte =
+      if (spark) """
+      t0 AS (SELECT doc_id, TOKENIZE(text) AS toks FROM documents),
+      t AS (SELECT doc_id, toks, SIZE(toks) AS n_tok FROM t0 WHERE SIZE(toks) >= 2),
+      w AS (SELECT doc_id,
+                   CONCAT(ELEMENT_AT(toks, CAST(i AS INT)), ' ',
+                          ELEMENT_AT(toks, CAST(i + 1 AS INT))) AS tok
+            FROM t LATERAL VIEW EXPLODE(SEQUENCE(1, n_tok - 1)) g AS i)"""
+      else """
+      t0 AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+            FROM documents),
+      t AS (SELECT doc_id, toks, LEN(toks) AS n_tok FROM t0 WHERE LEN(toks) >= 2),
+      w AS (SELECT doc_id, CONCAT(toks[i], ' ', toks[i + 1]) AS tok
+            FROM t, UNNEST(range(1, n_tok)) AS g(i))"""
+    val dv = if (spark) "DIV" else "//"
+    val ks =
+      if (spark) "(SELECT 1) z LATERAL VIEW EXPLODE(SEQUENCE(1, 10)) g AS k"
+      else "(SELECT 1) z, UNNEST(range(1, 11)) AS g(k)"
+    s"""
+      WITH $wCte
+      , wc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+               FROM w GROUP BY doc_id)
+      , first AS (SELECT tok, MIN(doc_id) AS d0 FROM w GROUP BY tok)
+      , md AS (SELECT MAX(doc_id) AS m FROM wc)
+      , cp AS (SELECT (md.m * k) $dv 10 AS c FROM md, $ks)
+      , pts AS (
+        SELECT cp.c,
+               (SELECT CAST(SUM(nt) AS BIGINT) FROM wc
+                WHERE wc.doc_id <= cp.c) AS n_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM first
+                WHERE first.d0 <= cp.c) AS vocab
+        FROM cp
+      )
+      , xy AS (SELECT ROUND(LN(CAST(n_tokens AS DOUBLE)), 9) AS x,
+                      ROUND(LN(CAST(vocab AS DOUBLE)), 9) AS y
+               FROM pts WHERE n_tokens > 0 AND vocab > 0)
+      , s AS (SELECT COUNT(*) AS n,
+                CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+              FROM xy)
+      , tot AS (SELECT MAX(n_tokens) AS total_tokens, MAX(vocab) AS total_vocab
+                FROM pts)
+      SELECT CAST(s.n AS BIGINT) AS n_checkpoints,
+             tot.total_tokens, tot.total_vocab,
+             ROUND((s.n * s.sxy - s.sx * s.sy)
+                   / (s.n * s.sxx - s.sx * s.sx), 6) AS heaps_beta,
+             ROUND((s.sy - ((s.n * s.sxy - s.sx * s.sy)
+                   / (s.n * s.sxx - s.sx * s.sx)) * s.sx) / s.n, 6) AS ln_k
+      FROM s CROSS JOIN tot"""
+  }
+
   private def zipfSql(spark: Boolean): String = {
     val wCte =
       if (spark) """
@@ -1552,6 +1624,7 @@ object TextAnalysis {
     "text_tfidf_keywords" -> tfidfSql(spark = false),
 
     // identical statement modulo the DuckDB tokenizer spelling
-    "text_zipf_slope" -> zipfSql(spark = false)
+    "text_zipf_slope" -> zipfSql(spark = false),
+    "text_heaps_law" -> heapsSql(spark = false)
   )
 }

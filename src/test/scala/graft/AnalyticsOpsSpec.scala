@@ -484,6 +484,40 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert((near._3 == 0) == (near._5 == 0))
   }
 
+  test("text_heaps_law: OLS replays from driver-side checkpoint counts") {
+    val r = graft.operators.TextAnalysis
+      .queries("text_heaps_law")(spark, LocalSpark.sf).first()
+    Tables.register(spark, LocalSpark.sf)
+    val docs = spark.table("documents").select("doc_id", "text").collect()
+      .map(row => row.getLong(0) ->
+        row.getString(1).toLowerCase.split(" ").filter(_.nonEmpty))
+      .filter(_._2.length >= 2)
+    val bigrams = docs.flatMap { case (d, toks) =>
+      toks.dropRight(1).zip(toks.drop(1)).map(p => (d, s"${p._1} ${p._2}"))
+    }
+    val first = bigrams.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val m = docs.map(_._1).max
+    val pts = (1 to 10).map { k =>
+      val c = m * k / 10
+      val nTok = bigrams.count(_._1 <= c).toLong
+      val vocab = first.values.count(_ <= c).toLong
+      (nTok, vocab)
+    }.filter(p => p._1 > 0 && p._2 > 0)
+    assert(r.getLong(0) == pts.length)
+    assert(r.getLong(1) == pts.map(_._1).max && r.getLong(2) == pts.map(_._2).max)
+    def q9(v: Double) = math.rint(v * 1e9) / 1e9
+    val xs = pts.map(p => q9(math.log(p._1.toDouble)))
+    val ys = pts.map(p => q9(math.log(p._2.toDouble)))
+    val n = pts.length
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => q9(a * b) }.sum
+    val sxx = xs.map(a => q9(a * a)).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getDouble(3) - beta) < 1e-5, s"${r.getDouble(3)} vs $beta")
+    assert(r.getDouble(3) >= 0.0, "vocab growth can't be negative")
+    assert(r.getLong(2) <= r.getLong(1))
+  }
+
   test("dedup_cluster_stats: histogram accounts for every document exactly once") {
     val rows = graft.operators.Dedup
       .queries("dedup_cluster_stats")(spark, LocalSpark.sf).collect()

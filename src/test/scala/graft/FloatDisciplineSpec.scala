@@ -152,7 +152,9 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "text_langid_nb", "text_langid_trigram", "text_perplexity",
     "text_pmi_bigrams", "text_quality", "text_rake", "text_readability",
     "text_repetition", "text_skipgram_cooc", "text_source_similarity",
-    "text_tfidf_keywords", "text_zipf_slope", "window_abc_analysis",
+    "text_tfidf_keywords", "text_zipf_slope",
+    "text_heaps_law", // ROUND(ln,9) grid + DECIMAL sums: the zipf rule
+    "window_abc_analysis",
     "window_drawdown", "window_monthly_trend", "window_rolling_stats"
   )
 
