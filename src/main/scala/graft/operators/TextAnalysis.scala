@@ -797,7 +797,22 @@ object TextAnalysis {
     // logs and exact DECIMAL sums (reduction-order-free); the rank
     // window runs over the vocabulary table, not the corpus.
     "text_zipf_slope" -> gsql(zipfSql(spark = true)),
-    "text_heaps_law" -> gsql(heapsSql(spark = true)),
+    "text_heaps_law" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      GraftFunctions.register(spark)
+      // materialize the 10 checkpoint points ONCE and fit on a local
+      // frame (the BPE rebuild pattern — 10 rows IS driver state): the
+      // single-statement spelling re-derived the bigram explode under
+      // Catalyst CTE inlining (xy + tot each re-expand pts → 24 corpus
+      // scans; the scalar-subquery variant hit 66 — both measured)
+      import spark.implicits._
+      val pts = spark
+        .sql(heapsSql(spark = true) + " SELECT c, n_tokens, vocab FROM pts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("c", "n_tokens", "vocab")
+      pts.createOrReplaceTempView("heaps_pts")
+      spark.sql("WITH z AS (SELECT 1)" + heapsFitTail("heaps_pts"))
+    }),
 
     // PMI collocation mining (Church & Hanks, CL'90): pointwise mutual
     // information ln(p(w1,w2) / (p(w1)·p(w2))) over corpus bigrams,
@@ -1062,6 +1077,33 @@ object TextAnalysis {
     * caveat (the langid convention: the MACHINERY is the contract):
     * even the bigram space of the 31-word soup nears saturation, so β
     * here is small-positive, not the ≈0.5 of natural text. */
+  /** The OLS tail of the Heaps fit over a points table `(c, n_tokens,
+    * vocab)` — ONE spelling consumed composed-into-the-oracle and
+    * standalone by the Spark side, which PERSISTS the 10-row points
+    * frame first: the single-statement spelling re-derived the explode
+    * chain under Catalyst CTE inlining (xy and tot each re-expand pts
+    * → 24 corpus scans; the scalar-subquery variant hit 66 — measured).
+    * The graph/BPE persist rule. */
+  private def heapsFitTail(table: String): String = s"""
+      , xy AS (SELECT ROUND(LN(CAST(n_tokens AS DOUBLE)), 9) AS x,
+                      ROUND(LN(CAST(vocab AS DOUBLE)), 9) AS y
+               FROM $table WHERE n_tokens > 0 AND vocab > 0)
+      , s AS (SELECT COUNT(*) AS n,
+                CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+              FROM xy)
+      , tot AS (SELECT MAX(n_tokens) AS total_tokens, MAX(vocab) AS total_vocab
+                FROM $table)
+      SELECT CAST(s.n AS BIGINT) AS n_checkpoints,
+             tot.total_tokens, tot.total_vocab,
+             ROUND((s.n * s.sxy - s.sx * s.sy)
+                   / (s.n * s.sxx - s.sx * s.sx), 6) AS heaps_beta,
+             ROUND((s.sy - ((s.n * s.sxy - s.sx * s.sy)
+                   / (s.n * s.sxx - s.sx * s.sx)) * s.sx) / s.n, 6) AS ln_k
+      FROM s CROSS JOIN tot"""
+
   private def heapsSql(spark: Boolean): String = {
     val wCte =
       if (spark) """
@@ -1086,35 +1128,33 @@ object TextAnalysis {
       , wc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
                FROM w GROUP BY doc_id)
       , first AS (SELECT tok, MIN(doc_id) AS d0 FROM w GROUP BY tok)
-      , md AS (SELECT MAX(doc_id) AS m FROM wc)
+      -- max doc id from the BASE table (no tokenize): referencing wc
+      -- here would re-derive the whole explode chain under Catalyst
+      -- CTE inlining (measured: the scalar-subquery spelling of `pts`
+      -- planned 66 parquet scans — 20 corpus re-tokenizations)
+      , md AS (SELECT MAX(doc_id) AS m FROM documents)
       , cp AS (SELECT (md.m * k) $dv 10 AS c FROM md, $ks)
-      , pts AS (
-        SELECT cp.c,
-               (SELECT CAST(SUM(nt) AS BIGINT) FROM wc
-                WHERE wc.doc_id <= cp.c) AS n_tokens,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM first
-                WHERE first.d0 <= cp.c) AS vocab
-        FROM cp
+      -- checkpoint aggregation as JOINS against the 10-row side, so
+      -- wc and first are each referenced (and derived) exactly once
+      , ptsA AS (
+        SELECT cp.c, CAST(SUM(wc.nt) AS BIGINT) AS n_tokens
+        FROM cp JOIN wc ON wc.doc_id <= cp.c GROUP BY cp.c
       )
-      , xy AS (SELECT ROUND(LN(CAST(n_tokens AS DOUBLE)), 9) AS x,
-                      ROUND(LN(CAST(vocab AS DOUBLE)), 9) AS y
-               FROM pts WHERE n_tokens > 0 AND vocab > 0)
-      , s AS (SELECT COUNT(*) AS n,
-                CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
-                CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
-                CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
-                CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
-              FROM xy)
-      , tot AS (SELECT MAX(n_tokens) AS total_tokens, MAX(vocab) AS total_vocab
-                FROM pts)
-      SELECT CAST(s.n AS BIGINT) AS n_checkpoints,
-             tot.total_tokens, tot.total_vocab,
-             ROUND((s.n * s.sxy - s.sx * s.sy)
-                   / (s.n * s.sxx - s.sx * s.sx), 6) AS heaps_beta,
-             ROUND((s.sy - ((s.n * s.sxy - s.sx * s.sy)
-                   / (s.n * s.sxx - s.sx * s.sx)) * s.sx) / s.n, 6) AS ln_k
-      FROM s CROSS JOIN tot"""
+      , ptsB AS (
+        SELECT cp.c, CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM cp JOIN first f ON f.d0 <= cp.c GROUP BY cp.c
+      )
+      , pts AS (
+        SELECT a.c, a.n_tokens, b.vocab
+        FROM ptsA a JOIN ptsB b ON a.c = b.c
+      )"""
   }
+
+  /** Oracle: one statement (DuckDB derives each CTE once). Spark runs
+    * heapsSql's prefix alone, PERSISTS the 10-row points frame, and
+    * fits on the materialization — see heapsFitTail's scaladoc. */
+  private def heapsOracle: String =
+    heapsSql(spark = false) + heapsFitTail("pts")
 
   private def zipfSql(spark: Boolean): String = {
     val wCte =
@@ -1625,6 +1665,6 @@ object TextAnalysis {
 
     // identical statement modulo the DuckDB tokenizer spelling
     "text_zipf_slope" -> zipfSql(spark = false),
-    "text_heaps_law" -> heapsSql(spark = false)
+    "text_heaps_law" -> heapsOracle
   )
 }

@@ -579,6 +579,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("text_heaps_law: the fit runs on the materialized 10-point frame, not re-derived CTEs") {
+    val p = plan("text_heaps_law")
+    // the returned (fit) plan must be corpus-free: the single-statement
+    // spelling re-expanded the bigram explode 2× per consumer under
+    // CTE inlining (24 scans measured; 66 with scalar subqueries)
+    assert(!p.contains("Scan parquet"),
+      s"Heaps fit re-derives the corpus:\n$p")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"), p)
+  }
+
   test("search_near_copies: query grams broadcast — the corpus never shuffles for candidates") {
     val p = plan("search_near_copies")
     assert(p.contains("BroadcastHashJoin"), s"query gram set must broadcast:\n$p")
