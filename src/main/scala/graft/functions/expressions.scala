@@ -619,8 +619,10 @@ case class CharNGrams(child: Expression, n: Int)
   * engine-portable — the consuming query is a rows-only harness entry
   * (the JDK-codec class, like the multimodal decoders) and its
   * contracts are pinned by invariant tests, not a DuckDB oracle.
-  * Allocation-light: one Deflater per call, streamed into a reused
-  * stack buffer, only the LENGTH retained. */
+  * Allocation-light: one thread-local Deflater per executor thread
+  * (native Deflater construction is expensive; reset() between rows is
+  * cheap), streamed into a thread-local buffer, only the LENGTH
+  * retained. */
 case class DeflateLen(child: Expression)
     extends UnaryExpression with Bridge.GraftExpectsInputTypes {
   override def dataType: DataType = IntegerType
@@ -628,15 +630,14 @@ case class DeflateLen(child: Expression)
 
   def kernel(input: UTF8String): Int = {
     val bytes = input.getBytes
-    val d = new java.util.zip.Deflater(6)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](512)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = DeflateLen.deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = DeflateLen.buf.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   override def nullSafeEval(input: Any): Any = kernel(input.asInstanceOf[UTF8String])
@@ -646,6 +647,16 @@ case class DeflateLen(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): DeflateLen =
     copy(child = c)
+}
+
+object DeflateLen {
+  // executor-thread-lifetime native state; never end()'d — the handful
+  // of task threads each hold exactly one Deflater for the JVM's life,
+  // a bounded cost that beats per-row native construct/destroy
+  private[functions] val deflater: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6))
+  private[functions] val buf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](512))
 }
 
 /** The published top-30 character-trigram profiles behind the trigram

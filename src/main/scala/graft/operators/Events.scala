@@ -621,7 +621,11 @@ object Events {
     * within-tie permutation, and the LAST row of a tie group carries
     * both the group-total running sum and the gap to the next distinct
     * point — so the per-user totals are engine- and shuffle-order-
-    * independent WITHOUT needing a unique tiebreak column. Exact µs
+    * independent WITHOUT needing a unique tiebreak column. (The
+    * sessionize stage upstream is a different story: its running-sum
+    * window orders by (ts, event_id) — matching the flagged window —
+    * so sess_id is a deterministic function of the data even when two
+    * events of one (user, type) share a timestamp.) Exact µs
     * integers end to end. 100 TB shape: sessionize windows + one
     * user-partitioned sweep window + hash aggregates — all partitioned
     * by user, no global sort. */
@@ -629,7 +633,7 @@ object Events {
     val us = if (spark) "UNIX_MICROS" else "EPOCH_US"
     s"""
       WITH flagged AS (
-        SELECT user_id, event_type, ts,
+        SELECT user_id, event_type, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                       OR ts > LAG(ts) OVER w + INTERVAL 1 DAY
                     THEN 1 ELSE 0 END AS new_sess
@@ -638,7 +642,7 @@ object Events {
       ),
       numbered AS (
         SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id, event_type
-                    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
         FROM flagged
       ),
       sess AS (
@@ -684,7 +688,7 @@ object Events {
     val us = if (spark) "UNIX_MICROS" else "EPOCH_US"
     s"""
       WITH flagged AS (
-        SELECT user_id, event_type, ts,
+        SELECT user_id, event_type, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                       OR ts > LAG(ts) OVER w + INTERVAL 1 DAY
                     THEN 1 ELSE 0 END AS new_sess
@@ -693,7 +697,7 @@ object Events {
       ),
       numbered AS (
         SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id, event_type
-                    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
         FROM flagged
       ),
       sess AS (

@@ -873,8 +873,12 @@ object Graph {
     // graph_pagerank (quantized contributions, FLOOR'd 17/20 damping —
     // both engines replay bit-for-bit); the seed (MIN node id) is one
     // collected scalar — driver state, as in any PPR service. Sparsity
-    // note: q starts as a one-hot and stays sparse for small k; the
-    // plan is the same O(E)-per-round equi-join as global PageRank.
+    // IS the plan: mass starts one-hot and stays concentrated near the
+    // seed, so each round joins only the FRONTIER (q > 0 rows) against
+    // the edge list — round-1 cost is O(deg(seed)), not O(E). The
+    // filter is result-invariant: a zero-mass node contributes
+    // floor(0/degree) = 0, exactly what the coalesce(s, 0) on the
+    // receive side already supplies for absent rows.
     "graph_ppr" -> ((spark, sfDir) => {
       val e = edges(spark, sfDir).persist()
       val sym = e.select(col("src"), col("dst"))
@@ -890,7 +894,8 @@ object Graph {
         when(col("node") === seed, lit(1000000.0)).otherwise(lit(0.0)).as("q"))
       for (_ <- 1 to 3) {
         val contrib = sym
-          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .join(pr.where(col("q") > 0).withColumnRenamed("node", "src"),
+            Seq("src"))
           .join(deg.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst").as("cnode"))
           .agg(sum(floor(col("q") / col("degree"))).cast("double").as("s"))
@@ -926,8 +931,12 @@ object Graph {
             (lit(150000.0) +
               floor(lit(17.0) * coalesce(col("s"), lit(0.0)) / lit(20.0))).as("q"))
       }
-      pr.select(col("node"), col("q").cast("bigint").as("pr_q"),
-          round(col("q").cast("double") / lit(1000000.0), 6).as("pr"))
+      // exact-integer projection only: pr_q IS the score on the 1e-6
+      // grid. The display-double ROUND twin was dropped in round 9 —
+      // the int-over-1e6 quotient class cost two earlier rounds
+      // (graph_sssp) to engine-divergent decimal/double division, and
+      // a consumer can always divide at presentation time.
+      pr.select(col("node"), col("q").cast("bigint").as("pr_q"))
         .orderBy(col("pr_q").desc, col("node"))
         .limit(20)
     })
@@ -1072,7 +1081,7 @@ object Graph {
       , deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src)
       , pr0 AS (SELECT node, CAST(1000000 AS DOUBLE) AS q FROM deg)""" +
       prIter(1) + prIter(2) + prIter(3) + """
-      SELECT node, CAST(q AS BIGINT) AS pr_q, ROUND(CAST(q AS DOUBLE) / 1000000.0, 6) AS pr
+      SELECT node, CAST(q AS BIGINT) AS pr_q
       FROM pr3 ORDER BY pr_q DESC, node LIMIT 20""")
   )
 }

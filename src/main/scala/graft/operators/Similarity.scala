@@ -84,7 +84,12 @@ object Similarity {
     * construction). Pure integer counts + exact micro ratios; the
     * candidate count is ONE aggregate over the same blocked equi-join
     * the matcher runs — evaluating a blocking scheme costs one pass,
-    * which is why you measure before you pay for the scorer at 100 TB. */
+    * which is why you measure before you pay for the scorer at 100 TB.
+    * Scale bound: the nd·np denominator keeps the two-level microDiv
+    * exact while nd·np < 9.2e15 (e.g. 1e8 dirty × 9e7 clean); past
+    * that the product itself nears BIGINT range and the reduction
+    * ratio should be computed in DECIMAL(38) — documented here, per
+    * the microDiv contract, rather than left to wrap. */
   private def blockingMetricsSql(spark: Boolean): String = {
     val mdiv = Statistics.microDiv(_: String, _: String, spark)
     s"""

@@ -873,19 +873,37 @@ object Statistics {
       ORDER BY replica_id"""
 
   /** Micro-unit fixed-point quotient trunc(1e6·x/d) without the x*1e6
-    * BIGINT overflow: split |x| = q·d + r, so 1e6·x/d = 1e6·q + 1e6·r/d
-    * with r < d — r·1e6 stays in BIGINT for any d < 9.2e12, extending
-    * the safe numerator range 1e6× over the naive (x*1e6)/d spelling.
-    * Contract: the RESULT must fit, i.e. |x/d| < 9.2e12 — always true
-    * for the ratio statistics this serves (shares, probabilities,
-    * kappa — all |ratio| ≤ n). Truncation toward zero on NONNEGATIVE
-    * operands is identical in Spark `DIV` and DuckDB `//`; the CASE
-    * re-applies the sign so negative numerators (kappa < 0 is legal)
-    * never touch the engines' divergent negative-division semantics. */
+    * BIGINT overflow, via a TWO-LEVEL split (round-9 upgrade from the
+    * one-level r*1e6 spelling). Level 1: |x| = q·d + r with r < d, so
+    * 1e6·x/d = 1e6·q + 1e6·r/d. Level 2: 1e6·r/d = 1000·⌊1000r/d⌋ +
+    * ⌊1000·((1000r) mod d)/d⌋ — exact because 1000r = q₁d + r₁ gives
+    * 1e6·r = 1000·q₁·d + 1000·r₁ and both remainders are < d. Each
+    * intermediate multiplies a (< d) remainder by only 1000, so the
+    * split is overflow-free for any d < 9.2e15 (the one-level spelling
+    * capped at 9.2e12). For the quadratic-denominator callers (Cohen's
+    * kappa pe = E/n², Fleiss' P̄e over 9n², link_blocking_metrics'
+    * nd·np) that admits per-group n up to ~9.6e7 (kappa) / ~3.2e7
+    * (Fleiss) rows; beyond that the callers' own n*n BIGINT products
+    * are the binding bound (overflow at n ≥ 3.04e9) and the honest
+    * re-spelling at that scale is DECIMAL(38)/HUGEINT numerators, not
+    * a deeper split — both bounds are now documented at the call
+    * sites rather than claimed away. Contract: the RESULT must fit,
+    * i.e. |x/d| < 9.2e12 — always true for the ratio statistics this
+    * serves (shares, probabilities, kappa — all |ratio| ≤ n).
+    * Truncation toward zero on NONNEGATIVE operands is identical in
+    * Spark `DIV` and DuckDB `//`; the CASE re-applies the sign so
+    * negative numerators (kappa < 0 is legal) never touch the
+    * engines' divergent negative-division semantics. */
   private[graft] def microDiv(x: String, d: String, spark: Boolean): String = {
     val dv = if (spark) "DIV" else "//"
-    def pos(ax: String) =
-      s"(($ax $dv ($d)) * 1000000 + ((($ax) % ($d)) * 1000000) $dv ($d))"
+    // r  = ax mod d   (< d);  q1 = 1000r div d;  r1 = 1000r mod d
+    def pos(ax: String) = {
+      val r  = s"(($ax) % ($d))"
+      val kr = s"($r * 1000)"
+      s"(($ax $dv ($d)) * 1000000" +
+        s" + ($kr $dv ($d)) * 1000" +
+        s" + (($kr % ($d)) * 1000) $dv ($d))"
+    }
     s"""CASE WHEN ($x) >= 0 THEN ${pos(s"($x)")}
              ELSE -${pos(s"(-($x))")} END"""
   }
@@ -900,7 +918,12 @@ object Statistics {
     * E = (a+b)(a+c) + (c+d)(b+d) — a pure integer rational, emitted in
     * exact micro units via the overflow-safe split divide. ONE hash
     * aggregate to 4 counts (map-side combined at any corpus size),
-    * then scalar math on the 1-row frame: the 100 TB cost is the scan. */
+    * then scalar math on the 1-row frame: the 100 TB cost is the scan.
+    * Scale bound (documented, not silent): the n² denominator keeps
+    * the two-level microDiv exact for n < 9.6e7 documents, and the n*n
+    * BIGINT product itself overflows at n ≥ 3.04e9 — past ~100M docs
+    * this statistic should be re-spelled over DECIMAL(38) numerators
+    * (or computed per-shard and pooled), not trusted blindly. */
   private def kappaSql(spark: Boolean): String = s"""
       WITH r AS (
         SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS ra,
@@ -1040,9 +1063,14 @@ object Statistics {
         FROM cal
       ),
       qhat AS (
+        -- LEAST(rank, n_cal): when a calibration fold has n_cal < 9
+        -- the conformal rank ceil(0.9*(n_cal+1)) exceeds n_cal; the
+        -- clamp falls back to the max score (the conservative
+        -- small-sample choice, q̂ = +inf truncated to the observed
+        -- sup) instead of silently dropping the group via the joins
         SELECT r.nk, MIN(r.score) AS q
         FROM ranked r JOIN caln c ON r.nk = c.nk
-        WHERE r.rn = (9 * (c.n_cal + 1) + 9) $dv 10
+        WHERE r.rn = LEAST((9 * (c.n_cal + 1) + 9) $dv 10, c.n_cal)
         GROUP BY r.nk
       ),
       test AS (

@@ -127,7 +127,9 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "events_survival_km", "feature_scale", "graph_adamic_adar",
     "graph_assoc_rules", "graph_assortativity", "graph_local_clustering",
     "join_hive_bucketed_colocated", // ROUND(price*100)->BIGINT: cents grid
-    "graph_modularity", "graph_pagerank", "join_pit_scd2",
+    // graph_pagerank: un-pinned round 9 — the ROUND(q/1e6) display
+    // twin was removed; the projection is pure exact-integer pr_q now
+    "graph_modularity", "join_pit_scd2",
     "link_jaro_winkler", "math_fns", "pipeline_curate",
     "pipeline_curate_ppl", "pipeline_train_report", "profile_benford",
     "pipeline_quality_classifier", // ROUND(coef, 6): irls rule

@@ -458,6 +458,27 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("graph_ppr joins only the frontier (q > 0), not the full pr vector") {
+    val df = SparkEntry.queries("graph_ppr")(spark, LocalSpark.sf)
+    val p = df.queryExecution.optimizedPlan.toString()
+    // personalized PageRank's whole point is locality: each contrib
+    // join must see only the q > 0 frontier, so round-1 cost is
+    // O(deg(seed)), not O(E). Catalyst rewrites the three source-level
+    // frontier filters into (a) round 1: the one-hot CASE folds to a
+    // seed-EQUALITY predicate pushed onto the edge-scan side (src =
+    // seed — an even tighter plan than the filter as written), and
+    // (b) rounds 2-3: the composed-expression filter (... ELSE 0.0 END
+    // + floor(17·s/20)) > 0.0 sitting under each contrib join.
+    val seedEquality =
+      "Filter \\(\\(\\(src#\\d+L? = \\d+\\) <=> true\\)".r.findAllIn(p).length
+    val frontierFilters =
+      "ELSE 0\\.0 END \\+ cast\\(FLOOR[^\\n]* > 0\\.0\\)".r.findAllIn(p).length
+    assert(seedEquality >= 1 && frontierFilters >= 2,
+      s"expected the folded seed-equality pushdown (found $seedEquality) " +
+        s"and >=2 composed frontier filters (found $frontierFilters):\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("embed_pca_power: matrix-vector joins stay equi on vec_id/dim, no cartesian") {
     val p = plan("embed_pca_power")
     // the factored X'(Xv) form must never materialize the d² Gram
