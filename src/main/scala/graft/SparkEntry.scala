@@ -37,7 +37,9 @@ object SparkEntry {
     QueryModule(graft.sources.SymlinkTextIO.queries,
       graft.sources.SymlinkTextIO.oracle),
     QueryModule(graft.sources.SchemaEvolutionIO.queries,
-      graft.sources.SchemaEvolutionIO.oracle)
+      graft.sources.SchemaEvolutionIO.oracle),
+    QueryModule(graft.sources.ExportImport.queries,
+      graft.sources.ExportImport.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

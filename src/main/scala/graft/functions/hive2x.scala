@@ -131,7 +131,38 @@ object Hive2x {
       s"extract_union(u[, literal tag index]), got $other")
   }
 
+  /** Hive ≤2.2 `GROUPING__ID` compatibility (SURVEY §7.3#1; the
+    * semantics changed in Hive 2.3 via HIVE-16102): the legacy number
+    * sets bit i (i = 0 for the FIRST GROUP BY column = LEAST
+    * significant) to 1 when that column IS part of the row's grouping
+    * set — both the bit ORDER and the bit MEANING are inverted
+    * relative to the SQL-standard `grouping_id()` that Spark, Hive
+    * ≥2.3, and DuckDB implement (first column MOST significant, 1 =
+    * aggregated away). `hive_grouping_id(grouping_id(), n)` re-derives
+    * the legacy integer so a migrating query that compares against or
+    * stores Hive-1.2 GROUPING__ID values keeps reading the same
+    * numbers. Pure shift/and/add algebra over built-ins — stays in
+    * whole-stage codegen, no new eval kernel. */
+  def hiveGroupingId(es: Seq[Expression]): Expression = {
+    require(es.length == 2, "hive_grouping_id(grouping_id(), n_group_cols)")
+    val g = Cast(es(0), LongType)
+    val n = es(1) match {
+      case Literal(v, _) => v.asInstanceOf[Number].intValue()
+      case other => throw new IllegalArgumentException(
+        s"n_group_cols must be an integer literal, got $other")
+    }
+    require(n >= 1 && n <= 62, s"n_group_cols must be in [1, 62], got $n")
+    (0 until n).map { i =>
+      // standard bit (n-1-i) of g, inverted, re-placed at legacy bit i
+      Multiply(
+        Subtract(Literal(1L),
+          BitwiseAnd(ShiftRight(g, Literal(n - 1 - i)), Literal(1L))),
+        Literal(1L << i)): Expression
+    }.reduce(Add(_, _))
+  }
+
   val builders: Map[String, Seq[Expression] => Expression] = Map(
+    "hive_grouping_id"  -> hiveGroupingId,
     "create_union"      -> createUnion,
     "union_tag"         -> unionTag,
     "extract_union"     -> extractUnion,

@@ -466,6 +466,26 @@ object Aggregates {
       GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY status, priority"""),
 
+    // Hive ≤2.2 GROUPING__ID compatibility (SURVEY §7.3#1, HIVE-16102):
+    // hive_grouping_id(grouping_id(), n) re-derives the legacy
+    // bit-reversed/meaning-inverted integer; the oracle rebuilds the
+    // same number from per-column GROUPING() bits, so the row-level
+    // compare proves the shim agrees with the legacy definition.
+    "agg_hive_grouping_id" -> ((spark, sfDir) => {
+      graft.functions.GraftFunctions.register(spark)
+      Tables.sql("""
+      SELECT COALESCE(o_orderstatus, '<all>') AS status,
+             COALESCE(o_orderpriority, '<all>') AS priority,
+             CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+               AS BIGINT) AS gid_std,
+             CAST(hive_grouping_id(grouping_id(), 2) AS BIGINT)
+               AS gid_hive_legacy,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""")(spark, sfDir)
+    }),
+
     // Variance family + correlation (GenericUDAFVariance/Std/Corr/Covar).
     // Values are O(1)-O(100) so round(6) is safely inside double
     // precision; both engines use numerically-stable merge formulas.
@@ -793,6 +813,21 @@ object Aggregates {
     "agg_cube" -> """
       SELECT COALESCE(o_orderstatus, '<all>') AS status,
              COALESCE(o_orderpriority, '<all>') AS priority,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+
+    // legacy GROUPING__ID: bit i (first col = least significant) = 1
+    // when col_i IS grouped — the inverse of the standard bit
+    "agg_hive_grouping_id" -> """
+      SELECT COALESCE(o_orderstatus, '<all>') AS status,
+             COALESCE(o_orderpriority, '<all>') AS priority,
+             CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+               AS BIGINT) AS gid_std,
+             CAST((1 - GROUPING(o_orderstatus)) * 1
+                + (1 - GROUPING(o_orderpriority)) * 2 AS BIGINT)
+               AS gid_hive_legacy,
              COUNT(*) AS n
       FROM orders
       GROUP BY CUBE(o_orderstatus, o_orderpriority)

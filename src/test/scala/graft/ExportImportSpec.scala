@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.ExportImport
+
+/** EXPORT/IMPORT bundle round-trips (SURVEY.md §2.3 TOK_EXPORT /
+  * TOK_IMPORT): data + metadata dump, re-import under a new database
+  * with partitions recovered — Hive ExportSemanticAnalyzer territory. */
+class ExportImportSpec extends AnyFunSuite {
+  lazy val spark = LocalSpark.spark
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft_exim").toString
+
+  test("partitioned export round-trips through external import") {
+    Tables.register(spark, LocalSpark.sf)
+    val orders = spark.table("orders")
+    val dest = s"${freshDir()}/bundle"
+    ExportImport.exportTable(orders, dest, Seq("o_orderstatus"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dest, "_graft_metadata.json")))
+
+    val imported = ExportImport.importTable(
+      spark, dest, "graft_exim_test.orders_rt", overwrite = true)
+    assert(imported.count() == orders.count())
+    // partitions recovered into the catalog
+    val parts = spark.sql("SHOW PARTITIONS graft_exim_test.orders_rt")
+      .collect().map(_.getString(0)).toSet
+    val statuses = orders.select("o_orderstatus").distinct()
+      .collect().map(r => s"o_orderstatus=${r.getString(0)}").toSet
+    assert(parts == statuses, s"$parts vs $statuses")
+    // schema preserved exactly (partition col moves to the end)
+    assert(imported.columns.toSet == orders.columns.toSet)
+    // values identical: compare an exact aggregate
+    val a = orders.agg(sum("o_orderkey"), count(lit(1))).head
+    val b = imported.agg(sum("o_orderkey"), count(lit(1))).head
+    assert(a == b)
+    // partition pruning works against the imported table
+    val pruned = spark.table("graft_exim_test.orders_rt")
+      .where(col("o_orderstatus") === "F")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"))
+  }
+
+  test("unpartitioned export round-trips, types preserved from manifest") {
+    Tables.register(spark, LocalSpark.sf)
+    val nation = spark.table("nation")
+    val dest = s"${freshDir()}/bundle"
+    ExportImport.exportTable(nation, dest)
+    val imported = ExportImport.importTable(
+      spark, dest, "graft_exim_test.nation_rt", overwrite = true)
+    assert(imported.schema == nation.schema)
+    assert(imported.count() == 25)
+  }
+
+  test("managed import copies into warehouse storage and drops the stage") {
+    Tables.register(spark, LocalSpark.sf)
+    val region = spark.table("region")
+    val dest = s"${freshDir()}/bundle"
+    ExportImport.exportTable(region, dest, Seq("r_name"))
+    val imported = ExportImport.importTableManaged(
+      spark, dest, "graft_exim_test.region_managed", overwrite = true)
+    assert(imported.count() == 5)
+    // stage table cleaned up
+    val tables = spark.sql("SHOW TABLES IN graft_exim_test")
+      .collect().map(_.getString(1)).toSet
+    assert(!tables.exists(_.contains("graft_import_stage")), tables.toString)
+    // managed: location is under the warehouse, not the bundle
+    val loc = spark.sql("DESCRIBE EXTENDED graft_exim_test.region_managed")
+      .collect().find(_.getString(0) == "Location").map(_.getString(1)).get
+    assert(!loc.contains(dest) &&
+      loc.contains(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")), loc)
+  }
+
+  test("import refuses a directory that is not a bundle") {
+    val notABundle = freshDir()
+    val e = intercept[IllegalArgumentException] {
+      ExportImport.importTable(spark, notABundle, "graft_exim_test.nope")
+    }
+    assert(e.getMessage.contains("_graft_metadata.json"))
+  }
+
+  test("export refuses to overwrite an existing bundle's data") {
+    Tables.register(spark, LocalSpark.sf)
+    val region = spark.table("region")
+    val dest = s"${freshDir()}/bundle"
+    ExportImport.exportTable(region, dest)
+    intercept[Exception] { ExportImport.exportTable(region, dest) }
+  }
+}

@@ -138,6 +138,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "sample_neyman", "sample_weighted_aes", "search_hybrid_rrf",
     "sort_array_struct",  // ROUND(bal*100)->BIGINT: exact cents grid
     "source_rcfile_scan", // ROUND(bal*100)->BIGINT: exact cents grid
+    "source_export_import", // ROUND(price*100)->BIGINT: cents grid
     "source_schema_evolution", // ROUND(price*100)->BIGINT: cents grid
     "uniontype_encode",   // ROUND(price*100)->BIGINT: exact cents grid
     "stats_conformal", // ROUND(q̂,6): an order statistic of bit-identical

@@ -237,7 +237,11 @@ class FunctionParitySpec extends AnyFunSuite {
       "union_tag" -> (("SELECT union_tag(create_union(1, 'dead', 42L))",
         v => v == 1)),
       "extract_union" -> (("SELECT extract_union(create_union(0, 'live', 42L), 0)",
-        v => v.toString == "live"))
+        v => v.toString == "live")),
+      // standard gid 1 over (a, b) = "b aggregated, a grouped" →
+      // legacy sets ONLY bit 0 (first col, least significant) = 1
+      "hive_grouping_id" -> (("SELECT hive_grouping_id(1L, 2)",
+        v => v == 1L))
     )
     val registered = GraftFunctions.builders.keySet ++
       Set("ngrams_topk", "context_ngrams")
