@@ -12,16 +12,25 @@ object Verify {
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // The correctness harness runs on the REAL Hive-metastore catalog
+    // (BASELINE.json's prescribed "Spark SQL + Hive metastore"
+    // architecture): every catalog-routed row — CREATE DATABASE/TABLE,
+    // saveAsTable, ACID tables, bucketed SMB tables, EXPORT/IMPORT
+    // registration, ANALYZE stats — executes against an embedded-Derby
+    // metastore, not the in-memory shim. Fresh metastore + warehouse
+    // per run (one JVM per run, so embedded Derby's single-process
+    // constraint never bites).
+    val wh = Files.createTempDirectory("graft-wh").toString
+    System.setProperty("derby.stream.error.file", s"$wh/derby.log")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // fresh warehouse per run: the in-memory catalog forgets tables
-      // between JVMs but a persistent warehouse dir does not, and a
-      // stale managed-table location fails CREATE TABLE
-      .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft-wh").toString)
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$wh/metastore_db;create=true")
+      .enableHiveSupport()
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -967,6 +967,35 @@ object Relational {
         ORDER BY status""")
     }),
 
+    // Catalog-routed table lifecycle + ANALYZE (SURVEY §2.3
+    // TOK_ANALYZE; Hive `QL/metadata/Hive.java` catalog writes): the
+    // row registers a managed table in the session catalog — the REAL
+    // Hive metastore in the verify harness (Verify builds the session
+    // with enableHiveSupport over embedded Derby) — runs both ANALYZE
+    // forms against it, and aggregates THROUGH the catalog table.
+    // Equality with the raw-parquet oracle proves the catalog write
+    // path round-trips values exactly; stats consumption itself is
+    // pinned by MetastoreCatalogSpec (cross-JVM) and ExtensionsSpec.
+    "catalog_metastore_stats" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+      spark.table("supplier").write.mode("overwrite")
+        .saveAsTable("graft_db.supplier_cat")
+      spark.sql("ANALYZE TABLE graft_db.supplier_cat COMPUTE STATISTICS")
+      spark.sql("""ANALYZE TABLE graft_db.supplier_cat COMPUTE STATISTICS
+                   FOR COLUMNS s_suppkey, s_nationkey, s_acctbal""")
+      spark.sql("""
+        SELECT s_nationkey AS nation,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_bal_cents,
+               CAST(MIN(s_suppkey) AS BIGINT) AS min_supp,
+               CAST(MAX(s_suppkey) AS BIGINT) AS max_supp
+        FROM graft_db.supplier_cat
+        GROUP BY s_nationkey
+        ORDER BY nation""")
+    }),
+
     // Skyline / Pareto frontier (Börzsönyi et al. ICDE'01): orders not
     // dominated on (totalprice, orderdate) — "no other order is both
     // pricier and more recent". Spelled as the scale-safe two-level
@@ -1317,6 +1346,17 @@ object Relational {
       WHERE l.l_orderkey <= 2000
       GROUP BY o.o_orderstatus
       ORDER BY status""",
+
+    "catalog_metastore_stats" -> """
+      SELECT s_nationkey AS nation,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_bal_cents,
+             CAST(MIN(s_suppkey) AS BIGINT) AS min_supp,
+             CAST(MAX(s_suppkey) AS BIGINT) AS max_supp
+      FROM supplier
+      GROUP BY s_nationkey
+      ORDER BY nation""",
 
     "topk_per_key" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
