@@ -71,6 +71,14 @@ object MetastoreLifecycle {
                  FROM graft_ms.sales GROUP BY ds""")
     spark.sql("ANALYZE TABLE graft_ms.sales COMPUTE STATISTICS")
     spark.sql("ANALYZE TABLE graft_ms.sales COMPUTE STATISTICS FOR ALL COLUMNS")
+    // PERSISTENT function (SURVEY §2.8 "persistent fns via metastore
+    // CREATE FUNCTION"): a migrating user's permanent Hive UDFs are
+    // metastore objects; registering one of Hive's own GenericUDF
+    // classes exercises both the catalog entry and Spark's Hive-UDF
+    // adapter when the next JVM resolves it
+    spark.sql("DROP FUNCTION IF EXISTS graft_ms.hive_upper")
+    spark.sql("""CREATE FUNCTION graft_ms.hive_upper AS
+                 'org.apache.hadoop.hive.ql.udf.generic.GenericUDFUpper'""")
   }
 
   private def read(spark: SparkSession): Unit = {
@@ -97,6 +105,10 @@ object MetastoreLifecycle {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     require(desc.get("min").contains("1") && desc.get("max").contains("5") &&
       desc.get("distinct_count").contains("5"), s"column stats lost: $desc")
+    // persistent Hive UDF rediscovered from the metastore and executed
+    // through Spark's Hive-function adapter
+    val up = spark.sql("SELECT graft_ms.hive_upper('graft') AS u").head.getString(0)
+    require(up == "GRAFT", s"persistent function lost or wrong: $up")
     // AnswerFromStats consumes the metastore stats: COUNT/MIN/MAX with
     // ZERO scan (optimized plan collapses to a LocalRelation)
     spark.conf.set("spark.graft.answerFromStats", "true")

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI entry point (SURVEY §3.1 #1 CliDriver): a child JVM runs
+  * `graft.tools.GraftCli` exactly as a user would invoke `hive -e` /
+  * `hive -f`, and the spec asserts on its stdout. Statement splitting
+  * is unit-tested in-process. */
+class GraftCliSpec extends AnyFunSuite {
+
+  private def runCli(args: Seq[String]): (Int, String) = {
+    val java = s"${sys.props("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.tools.GraftCli") ++ args
+    val out = new StringBuilder
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val src = scala.io.Source.fromInputStream(p.getInputStream)
+    try src.getLines().foreach { l => out.append(l).append('\n') }
+    finally src.close()
+    (p.waitFor(), out.toString)
+  }
+
+  test("statement splitting: top-level semicolons, quotes, comments") {
+    import graft.tools.GraftCli.statements
+    assert(statements("SELECT 1; SELECT 2") == Seq("SELECT 1", "SELECT 2"))
+    assert(statements("SELECT 'a;b'; SELECT 2") ==
+      Seq("SELECT 'a;b'", "SELECT 2"))
+    assert(statements("-- comment\nSELECT 1;\n# more\nSELECT 2;") ==
+      Seq("SELECT 1", "SELECT 2"))
+    assert(statements("SELECT `weird;col` FROM t") ==
+      Seq("SELECT `weird;col` FROM t"))
+  }
+
+  test("-f script runs against the registered tables, CliDriver output shape") {
+    val script = java.nio.file.Files.createTempFile("graft_cli", ".sql")
+    java.nio.file.Files.writeString(script,
+      """-- a migrating hive -f script: DDL-free analytics statements
+        |SELECT 19 + 23 AS x;
+        |SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey;
+        |SELECT NULL AS nothing;
+        |""".stripMargin)
+    val (rc, out) = runCli(Seq(
+      "-f", script.toString, "--sf", LocalSpark.sf))
+    assert(rc == 0, s"cli failed (rc=$rc):\n${out.takeRight(4000)}")
+    val lines = out.linesIterator.toSeq
+    assert(lines.contains("42"), out)
+    assert(lines.contains("0\tAFRICA") && lines.contains("4\tMIDDLE EAST"), out)
+    assert(lines.contains("NULL"), out)
+  }
+}
