@@ -996,6 +996,31 @@ object Relational {
         ORDER BY nation""")
     }),
 
+    // Catalog-partitioned scan with partition pruning (Hive
+    // `ppr/PartitionPruner` against metastore partitions — SURVEY
+    // §4.1): the table is REGISTERED with directory partitions in the
+    // session catalog (the Hive metastore under Verify), and the
+    // predicate on the partition column must prune at the CATALOG
+    // level — the scan never lists the other partitions' files. At
+    // 100 TB this is the single biggest lever there is: a day-
+    // partitioned fact table answers a one-day query by reading one
+    // directory. PlanQualitySpec pins PartitionCount = 1.
+    "catalog_partition_pruned_scan" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+      spark.table("orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").saveAsTable("graft_db.orders_part")
+      spark.sql("""
+        SELECT o_orderpriority AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM graft_db.orders_part
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        ORDER BY priority""")
+    }),
+
     // Skyline / Pareto frontier (Börzsönyi et al. ICDE'01): orders not
     // dominated on (totalprice, orderdate) — "no other order is both
     // pricier and more recent". Spelled as the scale-safe two-level
@@ -1346,6 +1371,16 @@ object Relational {
       WHERE l.l_orderkey <= 2000
       GROUP BY o.o_orderstatus
       ORDER BY status""",
+
+    "catalog_partition_pruned_scan" -> """
+      SELECT o_orderpriority AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM orders
+      WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority
+      ORDER BY priority""",
 
     "catalog_metastore_stats" -> """
       SELECT s_nationkey AS nation,

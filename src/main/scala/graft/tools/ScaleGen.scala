@@ -58,7 +58,16 @@ object ScaleGen {
     }
     replicate("customer")(offsetKeys("c_custkey"))
     replicate("supplier")(offsetKeys("s_suppkey"))
-    replicate("part")(offsetKeys("p_partkey"))
+    // p_name gets a per-replica NAMESPACE prefix: entity-linking
+    // queries block on name prefix+length, and verbatim 10× name
+    // copies would turn every block into a 100× candidate-pair
+    // explosion no real 10×-bigger catalog has (more data = more
+    // DISTINCT entities, not 10 copies of each entity)
+    replicate("part") { (df, r) =>
+      offsetKeys("p_partkey")(df, r)
+        .withColumn("p_name",
+          concat(lit("zq"), r.cast("string"), lit(" "), col("p_name")))
+    }
     replicate("orders")(offsetKeys("o_orderkey", "o_custkey"))
     replicate("lineitem")(offsetKeys("l_orderkey", "l_partkey", "l_suppkey"))
     replicate("events")(offsetKeys("event_id", "user_id"))

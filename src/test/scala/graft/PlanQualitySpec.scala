@@ -458,6 +458,22 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("catalog_partition_pruned_scan reads exactly one catalog partition") {
+    val df = SparkEntry.queries("catalog_partition_pruned_scan")(spark, LocalSpark.sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // catalog-level pruning: the o_orderstatus predicate is a
+    // PartitionFilter (never a post-scan Filter) and the scan's file
+    // index holds ONLY the matching partition's directory
+    assert("PartitionFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(p).isDefined,
+      s"partition predicate must prune at the catalog level:\n$p")
+    // file index holds exactly ONE path — the matching partition's
+    // directory — and no residual data filter survives
+    assert(p.contains("(1 paths)[") && p.contains("orders_part/o_order"),
+      s"expected a single pruned partition directory in the file index:\n$p")
+    assert(p.contains("DataFilters: []"),
+      s"o_orderstatus must not appear as a post-scan data filter:\n$p")
+  }
+
   test("graph_ppr joins only the frontier (q > 0), not the full pr vector") {
     val df = SparkEntry.queries("graph_ppr")(spark, LocalSpark.sf)
     val p = df.queryExecution.optimizedPlan.toString()
