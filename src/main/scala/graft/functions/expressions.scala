@@ -1178,7 +1178,13 @@ object GraftFunctions {
     "countmin" -> (es => CountMinAgg(es(0), intArg(es(1)), intArg(es(2)))),
     "cm_query" -> (es => CmQuery(es(0), es(1))),
     "bloom_filter" -> (es => BloomFilterAgg(es(0), intArg(es(1)), intArg(es(2)))),
-    "in_bloom_filter" -> (es => InBloomFilter(es(0), es(1)))
+    "in_bloom_filter" -> (es => InBloomFilter(es(0), es(1))),
+    // Hive bitmap-index family (EWAH codec; previously skip-pinned)
+    "ewah_bitmap" -> (es => EwahBitmapAgg(es.head)),
+    "ewah_bitmap_and" -> (es => EwahBitmapAnd(es(0), es(1))),
+    "ewah_bitmap_or" -> (es => EwahBitmapOr(es(0), es(1))),
+    "ewah_bitmap_empty" -> (es => EwahBitmapEmpty(es.head)),
+    "ewah_bitmap_count" -> (es => EwahBitmapCount(es.head))
   ) ++ Hive2x.builders // [2.x] tail: mask_* family, sort_array_by, replicate_rows
 
   /** Make the functions usable from spark.sql text too. */

@@ -486,6 +486,29 @@ object Aggregates {
       ORDER BY status, priority""")(spark, sfDir)
     }),
 
+    // EWAH bitmap-index algebra (Hive ewah_bitmap/_and/_or/_empty —
+    // previously skip-pinned, implemented round 9 with the real
+    // Lemire word-aligned-hybrid codec): per-status customer bitmaps,
+    // then pairwise intersection/union cardinalities + disjointness
+    // straight off the compressed streams. The oracle recomputes the
+    // same set algebra from DISTINCT value sets — bitmap vs relational
+    // spellings of identical mathematics.
+    "agg_ewah_bitmap" -> ((spark, sfDir) => {
+      graft.functions.GraftFunctions.register(spark)
+      Tables.sql("""
+        WITH bm AS (
+          SELECT o_orderstatus AS status,
+                 ewah_bitmap(CAST(o_custkey % 8192 AS INT)) AS b
+          FROM orders GROUP BY o_orderstatus)
+        SELECT a.status AS status_a, c.status AS status_b,
+               ewah_bitmap_count(a.b) AS card_a,
+               ewah_bitmap_count(ewah_bitmap_and(a.b, c.b)) AS n_common,
+               ewah_bitmap_count(ewah_bitmap_or(a.b, c.b)) AS n_union,
+               ewah_bitmap_empty(ewah_bitmap_and(a.b, c.b)) AS disjoint
+        FROM bm a JOIN bm c ON a.status < c.status
+        ORDER BY status_a, status_b""")(spark, sfDir)
+    }),
+
     // Variance family + correlation (GenericUDAFVariance/Std/Corr/Covar).
     // Values are O(1)-O(100) so round(6) is safely inside double
     // precision; both engines use numerically-stable merge formulas.
@@ -832,6 +855,24 @@ object Aggregates {
       FROM orders
       GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY status, priority""",
+
+    "agg_ewah_bitmap" -> """
+      WITH s AS (SELECT DISTINCT o_orderstatus AS status,
+                        o_custkey % 8192 AS v FROM orders),
+      card AS (SELECT status, CAST(COUNT(*) AS BIGINT) AS card
+               FROM s GROUP BY status),
+      inter AS (SELECT x.status AS sa, y.status AS sb,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM s x JOIN s y ON x.v = y.v AND x.status < y.status
+                GROUP BY x.status, y.status)
+      SELECT ca.status AS status_a, cb.status AS status_b,
+             ca.card AS card_a,
+             CAST(COALESCE(i.n, 0) AS BIGINT) AS n_common,
+             CAST(ca.card + cb.card - COALESCE(i.n, 0) AS BIGINT) AS n_union,
+             COALESCE(i.n, 0) = 0 AS disjoint
+      FROM card ca JOIN card cb ON ca.status < cb.status
+      LEFT JOIN inter i ON i.sa = ca.status AND i.sb = cb.status
+      ORDER BY status_a, status_b""",
 
     "agg_stats" -> """
       SELECT l_returnflag,

@@ -93,10 +93,8 @@ class FunctionParitySpec extends AnyFunSuite {
   /** Deliberately out of scope, with the reason pinned here
     * (SURVEY.md §7.2 decision table). */
   private val skipped = Map(
-    "ewah_bitmap" -> "bitmap-index internals; indexes dropped by Hive 3 itself",
-    "ewah_bitmap_and" -> "bitmap-index internals",
-    "ewah_bitmap_or" -> "bitmap-index internals",
-    "ewah_bitmap_empty" -> "bitmap-index internals",
+    // ewah_bitmap family: IMPLEMENTED round 9 (graft.functions.Ewah*,
+    // real EWAH codec) — no longer pinned here
     "compute_stats" -> "internal feed for ANALYZE; Spark ANALYZE computes its own",
     "reflect2" -> "unsafe reflection variant; java_method covers the use",
     "in_file" -> "reads server-local files at eval time — anti-pattern at scale",
@@ -241,7 +239,29 @@ class FunctionParitySpec extends AnyFunSuite {
       // standard gid 1 over (a, b) = "b aggregated, a grouped" →
       // legacy sets ONLY bit 0 (first col, least significant) = 1
       "hive_grouping_id" -> (("SELECT hive_grouping_id(1L, 2)",
-        v => v == 1L))
+        v => v == 1L)),
+      // EWAH family: {0,1,2} ∧ {2,3} = {2}; ∨ = {0,1,2,3}; compression
+      // sanity is covered in EwahBitmapSpec
+      "ewah_bitmap" -> (("SELECT ewah_bitmap_count(ewah_bitmap(x)) FROM VALUES (0),(1),(2) t(x)",
+        v => v == 3L)),
+      "ewah_bitmap_and" -> ((
+        "SELECT ewah_bitmap_count(ewah_bitmap_and(" +
+          "(SELECT ewah_bitmap(x) FROM VALUES (0),(1),(2) t(x)), " +
+          "(SELECT ewah_bitmap(x) FROM VALUES (2),(3) t(x))))",
+        v => v == 1L)),
+      "ewah_bitmap_or" -> ((
+        "SELECT ewah_bitmap_count(ewah_bitmap_or(" +
+          "(SELECT ewah_bitmap(x) FROM VALUES (0),(1),(2) t(x)), " +
+          "(SELECT ewah_bitmap(x) FROM VALUES (2),(3) t(x))))",
+        v => v == 4L)),
+      "ewah_bitmap_empty" -> ((
+        "SELECT ewah_bitmap_empty(ewah_bitmap_and(" +
+          "(SELECT ewah_bitmap(x) FROM VALUES (0) t(x)), " +
+          "(SELECT ewah_bitmap(x) FROM VALUES (9) t(x))))",
+        v => v == true)),
+      "ewah_bitmap_count" -> ((
+        "SELECT ewah_bitmap_count(ewah_bitmap(x)) FROM VALUES (0),(64),(4096) t(x)",
+        v => v == 3L))
     )
     val registered = GraftFunctions.builders.keySet ++
       Set("ngrams_topk", "context_ngrams")
