@@ -382,6 +382,7 @@ object Events {
     // driver-free per-key work.
     "events_ses_forecast" -> Tables.sql(sesSql(spark = true)),
     "events_des_brown" -> Tables.sql(holtSql(spark = true)),
+    "events_holt_winters" -> Tables.sql(holtWintersSql(spark = true)),
 
     // Robust outlier days via median/MAD (the rate-anomaly twin with
     // breakdown-resistant statistics): doubled/quadrupled integer
@@ -535,6 +536,86 @@ object Events {
              ROUND((2 * s1 - s2) + 1 * (s1 - s2), 6) AS forecast_1,
              ROUND((2 * s1 - s2) + 3 * (s1 - s2), 6) AS forecast_3
       FROM p ORDER BY event_type"""
+  }
+
+  /** Holt–Winters-class ADDITIVE SEASONAL forecast (Winters, Mgmt.
+    * Sci. 1960; the classical-decomposition estimation variant): with
+    * a 24-hour season, seasonal indices are hour-of-day deviations
+    * from the series mean, the deseasonalized series runs through the
+    * PROVEN Brown α=1/2 double-smoothing fold (events_des_brown — the
+    * recursive 3-state HW update is NOT expressible as a scalar fold,
+    * and multi-field lambda accumulators were rejected there for
+    * DuckDB's rebinding bug), and forecast_h re-adds the target hour's
+    * index: level + h·trend + s[hod(last+h)].
+    *
+    * Engine-exactness argument, per the suite's float rules: hourly
+    * counts are exact integers in double; their SUMs stay exact
+    * (order-independent below 2^53), so each seasonal index is ONE
+    * IEEE division of exact operands; deseasonalization is one IEEE
+    * subtract per row; the folds run in pinned sorted order. Every
+    * double both engines ROUND(…,6) is produced by an identical IEEE
+    * op sequence. 100 TB shape: the hour×type pre-aggregation shrinks
+    * the fact table to the time axis; everything after is per-key
+    * narrow work — no global sorts, no driver state. */
+  private def holtWintersSql(spark: Boolean): String = {
+    val series =
+      if (spark) """
+        SELECT event_type,
+               TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(hh, ds))), e -> e.ds) AS xs,
+               MAX(hh) AS last_hh
+        FROM d GROUP BY event_type"""
+      else """
+        SELECT event_type, LIST(ds ORDER BY hh) AS xs, MAX(hh) AS last_hh
+        FROM d GROUP BY event_type"""
+    val s1s =
+      if (spark)
+        "TRANSFORM(SEQUENCE(1, SIZE(xs)), t -> aggregate(" +
+          "SLICE(xs, 2, t - 1), ELEMENT_AT(xs, 1), (acc, x) -> 0.5 * x + 0.5 * acc))"
+      else
+        "list_transform(range(1, LEN(xs) + 1), t -> list_reduce(" +
+          "xs[1:t], (acc, x) -> 0.5 * x + 0.5 * acc))"
+    def fold(arr: String) =
+      if (spark)
+        s"aggregate(SLICE($arr, 2, SIZE($arr) - 1), ELEMENT_AT($arr, 1), (acc, x) -> 0.5 * x + 0.5 * acc)"
+      else
+        s"list_reduce($arr, (acc, x) -> 0.5 * x + 0.5 * acc)"
+    val n = if (spark) "CAST(SIZE(xs) AS BIGINT)" else "LEN(xs)"
+    s"""
+      WITH h AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hh,
+               CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+      ),
+      m AS (SELECT event_type, SUM(cnt) / COUNT(*) AS mu FROM h GROUP BY event_type),
+      sidx AS (
+        SELECT h.event_type, EXTRACT(HOUR FROM hh) AS hd,
+               SUM(cnt) / COUNT(*) - MAX(mu) AS s
+        FROM h JOIN m ON h.event_type = m.event_type
+        GROUP BY h.event_type, EXTRACT(HOUR FROM hh)
+      ),
+      d AS (
+        SELECT h.event_type, hh, cnt - s AS ds
+        FROM h JOIN sidx ON h.event_type = sidx.event_type
+                        AND EXTRACT(HOUR FROM hh) = sidx.hd
+      ),
+      s AS ($series),
+      p AS (
+        SELECT event_type, $n AS n_hours, last_hh,
+               ${fold("xs")} AS s1, ${fold(s1s)} AS s2
+        FROM s WHERE $n >= 2
+      )
+      SELECT p.event_type, n_hours,
+             ROUND(2 * s1 - s2, 6) AS level,
+             ROUND(s1 - s2, 6) AS trend,
+             ROUND(n1.s, 6) AS seasonal_next,
+             ROUND((2 * s1 - s2) + 1 * (s1 - s2) + n1.s, 6) AS forecast_1,
+             ROUND((2 * s1 - s2) + 24 * (s1 - s2) + n24.s, 6) AS forecast_24
+      FROM p
+      JOIN sidx n1  ON n1.event_type = p.event_type
+                   AND n1.hd = EXTRACT(HOUR FROM last_hh + INTERVAL '1' HOUR)
+      JOIN sidx n24 ON n24.event_type = p.event_type
+                   AND n24.hd = EXTRACT(HOUR FROM last_hh)
+      ORDER BY p.event_type"""
   }
 
   /** TWAP text (dialect split on the µs extractor only). Each event's
@@ -1204,6 +1285,7 @@ object Events {
     "events_twap" -> twapSql(spark = false),
     "events_ses_forecast" -> sesSql(spark = false),
     "events_des_brown" -> holtSql(spark = false),
+    "events_holt_winters" -> holtWintersSql(spark = false),
     "events_seasonal_anomaly" -> SeasonalAnomalySql,
     "events_cohort_ltv" -> CohortLtvSql,
     "events_bursts" -> burstSql(spark = false),

@@ -58,15 +58,26 @@ object ScaleGen {
     }
     replicate("customer")(offsetKeys("c_custkey"))
     replicate("supplier")(offsetKeys("s_suppkey"))
-    // p_name gets a per-replica NAMESPACE prefix: entity-linking
-    // queries block on name prefix+length, and verbatim 10× name
-    // copies would turn every block into a 100× candidate-pair
-    // explosion no real 10×-bigger catalog has (more data = more
-    // DISTINCT entities, not 10 copies of each entity)
-    replicate("part") { (df, r) =>
-      offsetKeys("p_partkey")(df, r)
-        .withColumn("p_name",
-          concat(lit("zq"), r.cast("string"), lit(" "), col("p_name")))
+    // p_name gets a per-replica ALPHABET ROTATION: entity-linking
+    // queries block on name prefix+length, and (a) verbatim 10× name
+    // copies explode every block 100× with exact dupes, while (b) a
+    // shared synthetic prefix collapses ALL parts into 10 giant
+    // blocks — both artifacts no real 10×-bigger catalog has. Rotating
+    // the lowercase alphabet per replica yields 10 disjoint
+    // vocabularies with the ORIGINAL per-replica block-size
+    // distribution (prefix diversity and name lengths preserved), so
+    // per-block work replicates linearly — the honest decade.
+    locally {
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val reps = (0 until k).map { r =>
+        val rot = alpha.drop(r) + alpha.take(r)
+        spark.read.parquet(s"$src/part.parquet")
+          .withColumn("p_partkey", col("p_partkey") + lit(r.toLong * Off))
+          .withColumn("p_name", translate(col("p_name"), alpha, rot))
+      }
+      val out = reps.reduce(_ unionAll _)
+      out.write.mode("overwrite").parquet(s"$dest/part.parquet")
+      println(s"[scalegen] part: ${out.count()} rows")
     }
     replicate("orders")(offsetKeys("o_orderkey", "o_custkey"))
     replicate("lineitem")(offsetKeys("l_orderkey", "l_partkey", "l_suppkey"))

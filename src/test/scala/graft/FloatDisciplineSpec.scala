@@ -124,6 +124,7 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "events_outliers_mad", "events_rate_anomaly",
     "events_seasonal_anomaly", "events_ses_forecast",
     "events_des_brown", // same IEEE-identical-fold rule as ses_forecast
+    "events_holt_winters", // IEEE-identical folds + exact-int sums; ses rule
     "events_survival_km", "feature_scale", "graph_adamic_adar",
     "graph_assoc_rules", "graph_assortativity", "graph_local_clustering",
     "join_hive_bucketed_colocated", // ROUND(price*100)->BIGINT: cents grid
