@@ -210,33 +210,36 @@ object ExportImport {
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      exportTable(spark.table("orders"), s"$base/bundle",
-        Seq("o_orderstatus"))
+      // supplier partitioned by nation: 25 recovered partitions (the
+      // densest partition-recovery shape in the fixtures) at 1/15th of
+      // orders' bytes — the bundle mechanics are identical
+      exportTable(spark.table("supplier"), s"$base/bundle",
+        Seq("s_nationkey"))
       importTable(spark, s"$base/bundle",
-        "graft_exim.orders_imported", overwrite = true)
+        "graft_exim.supplier_imported", overwrite = true)
       spark.sql("""
-        SELECT o_orderstatus AS status,
+        SELECT s_nationkey AS nation,
                COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))
                  AS BIGINT) AS sum_cents,
-               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
-               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
-        FROM graft_exim.orders_imported
-        GROUP BY o_orderstatus
-        ORDER BY status""")
+               CAST(MIN(s_suppkey) AS BIGINT) AS min_key,
+               CAST(MAX(s_suppkey) AS BIGINT) AS max_key
+        FROM graft_exim.supplier_imported
+        GROUP BY s_nationkey
+        ORDER BY nation""")
     })
   )
 
   val oracle: Map[String, String] = Map(
     "source_export_import" -> """
-      SELECT o_orderstatus AS status,
+      SELECT s_nationkey AS nation,
              COUNT(*) AS n,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))
                AS BIGINT) AS sum_cents,
-             CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
-             CAST(MAX(o_orderkey) AS BIGINT) AS max_key
-      FROM orders
-      GROUP BY o_orderstatus
-      ORDER BY status"""
+             CAST(MIN(s_suppkey) AS BIGINT) AS min_key,
+             CAST(MAX(s_suppkey) AS BIGINT) AS max_key
+      FROM supplier
+      GROUP BY s_nationkey
+      ORDER BY nation"""
   )
 }
