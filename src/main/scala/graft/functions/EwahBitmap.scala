@@ -76,6 +76,11 @@ object Ewah {
       val bit = (marker & 1L) != 0L
       val runLen = (marker >>> 1) & 0xFFFFFFFFL
       val litCount = (marker >>> 33).toInt
+      // the 32-bit run-length field ranges to 4.29e9 words — reject a
+      // (foreign) stream whose run overruns the declared word count
+      // instead of truncating it through toInt
+      require(runLen <= (wordCount - w).toLong,
+        s"ewah: clean run of $runLen words overruns $wordCount-word bitmap at word $w")
       if (bit) {
         var k = 0L
         while (k < runLen) { dense(w) = -1L; w += 1; k += 1 }
@@ -109,6 +114,17 @@ object Ewah {
   def readArray(a: ArrayData): Array[Long] = a.toLongArray()
 }
 
+object EwahBitmapAgg {
+  /** Upper bound on accepted positions. The aggregation buffer is a
+    * dense BitSet sized by the position DOMAIN, so one rogue value
+    * near Int.MaxValue would allocate ~256 MB per group per task;
+    * bound it at 2^27 bits (16 MB dense) by default and fail with a
+    * descriptive error instead. Override via the JVM system property
+    * `graft.ewah.maxPosition` when a wider offset domain is real. */
+  val maxPosition: Int =
+    sys.props.get("graft.ewah.maxPosition").map(_.toInt).getOrElse(1 << 27)
+}
+
 /** ewah_bitmap(int) → array<bigint>: EWAH bitmap with bit v set for
   * each non-null input value v (Hive GenericUDAFEwahBitmap). */
 case class EwahBitmapAgg(
@@ -127,7 +143,10 @@ case class EwahBitmapAgg(
     val v = child.eval(input)
     if (v != null) {
       val pos = v.asInstanceOf[Int]
-      require(pos >= 0, s"ewah_bitmap: negative position $pos")
+      require(pos >= 0 && pos < EwahBitmapAgg.maxPosition,
+        s"ewah_bitmap: position $pos outside [0, ${EwahBitmapAgg.maxPosition}) " +
+          "— positions are per-block row offsets; raise graft.ewah.maxPosition " +
+          "only if the domain is genuinely that large")
       buf.set(pos)
     }
     buf

@@ -1,8 +1,10 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** EXPORT / IMPORT analog (SURVEY.md §2.3 `TOK_EXPORT`/`TOK_IMPORT`;
   * Hive's `ql/parse/ExportSemanticAnalyzer` + `ImportSemanticAnalyzer`
@@ -31,11 +33,28 @@ import org.apache.spark.sql.types.StructType
   *  - The manifest carries the full Spark schema JSON, so an import
   *    into a session that has never seen the source preserves types
   *    exactly (no inference pass over the data).
+  *  - v2 manifests also carry the BUCKET spec (bucketColumns /
+  *    numBuckets / sortColumns — Hive's EXIM metadata preserves
+  *    bucketing too); `exportCatalogTable` reads it from the
+  *    metastore and copies files name-preserving so bucket ids stay
+  *    valid, and IMPORT re-applies it with CLUSTERED BY so SMB joins
+  *    on the imported table still plan exchange-free.
   */
 object ExportImport {
 
   private val ManifestName = "_graft_metadata.json"
-  private val FormatVersion = 1
+  private val FormatVersion = 2 // v2 adds the bucket spec keys
+
+  /** Everything the bundle carries besides the data subtree. */
+  case class Manifest(
+      schema: StructType,
+      partitionCols: Seq[String],
+      format: String,
+      bucketCols: Seq[String] = Nil,
+      numBuckets: Int = 0,
+      sortCols: Seq[String] = Nil) {
+    def bucketed: Boolean = numBuckets > 0 && bucketCols.nonEmpty
+  }
 
   /** Dump `df` as a bundle at `dest` (must not exist or be empty).
     * `partitionCols` become directory-level partitions in `data/`,
@@ -53,19 +72,68 @@ object ExportImport {
     // manifest AFTER the data job: a bundle with a manifest is complete
     // by construction (the reader keys on the manifest, so a killed
     // export leaves a recognizably-partial directory, not a lie).
+    writeManifest(df.sparkSession, dest,
+      Manifest(df.schema, partitionCols, format))
+  }
+
+  /** EXPORT of a CATALOG table — the full Hive `EXPORT TABLE t TO dir`
+    * shape: metadata (schema, partition spec, BUCKET spec) comes from
+    * the metastore entry and the data subtree is the table's files
+    * copied VERBATIM. Verbatim matters for bucketed tables: Spark
+    * encodes the bucket id in the file name (`..._00003.c000...`), so
+    * a name-preserving copy keeps the clustering valid and the
+    * re-imported table still plans exchange-free SMB joins. (The
+    * DataFrame-rewrite path above would redistribute rows and lose
+    * it.) The copy here is a driver-side Hadoop `FileUtil.copy`; at
+    * warehouse scale you ship the subtree with distcp-class tooling
+    * and write only the manifest through this API — the bundle layout
+    * is the contract, not the copier. */
+  def exportCatalogTable(
+      spark: SparkSession, table: String, dest: String): Unit = {
+    val (db, tbl) = splitTarget(table)
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(tbl, Some(db)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(meta.location)
+    val dst = new Path(dest, "data")
+    val srcFs = src.getFileSystem(conf)
+    val dstFs = dst.getFileSystem(conf)
+    require(!dstFs.exists(dst), s"bundle data dir already exists: $dst")
+    require(FileUtil.copy(srcFs, src, dstFs, dst, false, conf),
+      s"copy failed: $src -> $dst")
+    val (bucketCols, numBuckets, sortCols) = meta.bucketSpec match {
+      case Some(bs) => (bs.bucketColumnNames, bs.numBuckets, bs.sortColumnNames)
+      case None => (Nil, 0, Nil)
+    }
+    writeManifest(spark, dest, Manifest(
+      meta.schema, meta.partitionColumnNames,
+      meta.provider.getOrElse("parquet").toLowerCase,
+      bucketCols, numBuckets, sortCols))
+  }
+
+  private def writeManifest(
+      spark: SparkSession, dest: String, m: Manifest): Unit = {
     // Hadoop FS, not java.nio — the bundle may live on HDFS/object
     // storage, or carry a file: scheme the nio API can't parse.
-    val manifest = jsonObj(Seq(
-      "version" -> FormatVersion.toString,
-      "format" -> quote(format),
-      "schema" -> df.schema.json, // already JSON
-      "partitionColumns" -> partitionCols.map(quote).mkString("[", ",", "]")
-    ))
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", FormatVersion)
+    root.put("format", m.format)
+    val pc = root.putArray("partitionColumns")
+    m.partitionCols.foreach(pc.add)
+    val bc = root.putArray("bucketColumns")
+    m.bucketCols.foreach(bc.add)
+    root.put("numBuckets", m.numBuckets)
+    val sc = root.putArray("sortColumns")
+    m.sortCols.foreach(sc.add)
+    root.set[com.fasterxml.jackson.databind.JsonNode](
+      "schema", mapper.readTree(m.schema.json))
+    val text = mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root)
     val mPath = new Path(dest, ManifestName)
-    val fs = mPath.getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(mPath, false)
-    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    try out.write(text.getBytes("UTF-8")) finally out.close()
   }
 
   /** Re-register a bundle as `db.table` (EXTERNAL, zero-copy: the
@@ -76,22 +144,32 @@ object ExportImport {
       src: String,
       target: String,
       overwrite: Boolean = false): DataFrame = {
-    val (schema, partitionCols, format) = readManifest(spark, src)
+    val m = readManifest(spark, src)
     val (db, tbl) = splitTarget(target)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     if (overwrite) spark.sql(s"DROP TABLE IF EXISTS $db.$tbl")
-    val partClause =
-      if (partitionCols.nonEmpty)
-        s"PARTITIONED BY (${partitionCols.mkString(", ")})"
-      else ""
     spark.sql(
-      s"""CREATE TABLE $db.$tbl (${schema.toDDL})
-         |USING $format $partClause
+      s"""CREATE TABLE $db.$tbl (${m.schema.toDDL})
+         |USING ${m.format} ${partClause(m)} ${bucketClause(m)}
          |LOCATION '$src/data'""".stripMargin)
-    if (partitionCols.nonEmpty)
+    if (m.partitionCols.nonEmpty)
       spark.sql(s"MSCK REPAIR TABLE $db.$tbl")
     spark.table(s"$db.$tbl")
   }
+
+  private def partClause(m: Manifest): String =
+    if (m.partitionCols.nonEmpty)
+      s"PARTITIONED BY (${m.partitionCols.mkString(", ")})"
+    else ""
+
+  private def bucketClause(m: Manifest): String =
+    if (m.bucketed) {
+      val sorted =
+        if (m.sortCols.nonEmpty) s"SORTED BY (${m.sortCols.mkString(", ")})"
+        else ""
+      s"CLUSTERED BY (${m.bucketCols.mkString(", ")}) $sorted " +
+        s"INTO ${m.numBuckets} BUCKETS"
+    } else ""
 
   /** Hive's copying IMPORT: register the bundle, then one distributed
     * INSERT OVERWRITE into a fresh MANAGED table (warehouse-owned
@@ -101,31 +179,27 @@ object ExportImport {
       src: String,
       target: String,
       overwrite: Boolean = false): DataFrame = {
-    val (schema, partitionCols, format) = readManifest(spark, src)
+    val m = readManifest(spark, src)
     val (db, tbl) = splitTarget(target)
     val stage = s"${tbl}_graft_import_stage"
     importTable(spark, src, s"$db.$stage", overwrite = true)
     try {
       if (overwrite) spark.sql(s"DROP TABLE IF EXISTS $db.$tbl")
-      val partClause =
-        if (partitionCols.nonEmpty)
-          s"PARTITIONED BY (${partitionCols.mkString(", ")})"
-        else ""
       spark.sql(
-        s"""CREATE TABLE $db.$tbl (${schema.toDDL})
-           |USING $format $partClause""".stripMargin)
+        s"""CREATE TABLE $db.$tbl (${m.schema.toDDL})
+           |USING ${m.format} ${partClause(m)} ${bucketClause(m)}"""
+          .stripMargin)
       // data columns first, partition columns last — INSERT matches by
       // position against the table's reordered (data ++ partition) layout
-      val dataCols = schema.fieldNames.filterNot(partitionCols.contains)
-      val ordered = (dataCols ++ partitionCols).mkString(", ")
+      val dataCols = m.schema.fieldNames.filterNot(m.partitionCols.contains)
+      val ordered = (dataCols ++ m.partitionCols).mkString(", ")
       spark.sql(
         s"INSERT OVERWRITE TABLE $db.$tbl SELECT $ordered FROM $db.$stage")
       spark.table(s"$db.$tbl")
     } finally spark.sql(s"DROP TABLE IF EXISTS $db.$stage")
   }
 
-  private def readManifest(
-      spark: SparkSession, src: String): (StructType, Seq[String], String) = {
+  private def readManifest(spark: SparkSession, src: String): Manifest = {
     val mPath = new Path(src, ManifestName)
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(mPath),
@@ -133,48 +207,25 @@ object ExportImport {
     val in = fs.open(mPath)
     val text =
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    // the manifest is machine-written flat JSON; targeted extraction
-    // keeps this dependency-free (schema json is handed to Spark's
-    // own parser, which validates it fully)
-    val schema = org.apache.spark.sql.types.DataType
-      .fromJson(extractRaw(text, "schema")).asInstanceOf[StructType]
-    val parts = extractRaw(text, "partitionColumns")
-      .stripPrefix("[").stripSuffix("]")
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq
-    val format = extractRaw(text, "format")
-      .stripPrefix("\"").stripSuffix("\"")
-    (schema, parts, format)
-  }
-
-  /** Extract the raw value of a top-level key from the flat manifest:
-    * scans from `"key":` to the matching end (tracks brace/bracket
-    * depth and string state — enough for machine-written JSON). */
-  private def extractRaw(json: String, key: String): String = {
-    val marker = s""""$key":"""
-    val at = json.indexOf(marker)
-    require(at >= 0, s"manifest missing key $key")
-    var i = at + marker.length
-    while (json(i).isWhitespace) i += 1
-    val start = i
-    var depth = 0
-    var inStr = false
-    var done = false
-    while (!done && i < json.length) {
-      val c = json(i)
-      if (inStr) {
-        if (c == '\\') i += 1
-        else if (c == '"') inStr = false
-      } else c match {
-        case '"' => inStr = true
-        case '{' | '[' => depth += 1
-        case '}' | ']' if depth > 0 => depth -= 1
-        case ',' | '}' | ']' if depth == 0 => done = true
-        case _ =>
+    val node = new ObjectMapper().readTree(text)
+    require(node.has("schema") && node.has("format"),
+      s"malformed bundle manifest at $mPath")
+    def strings(key: String): Seq[String] =
+      if (!node.has(key)) Nil
+      else {
+        val it = node.get(key).elements()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
       }
-      if (!done) i += 1
-    }
-    json.substring(start, i).trim
+    Manifest(
+      schema = DataType.fromJson(node.get("schema").toString)
+        .asInstanceOf[StructType],
+      partitionCols = strings("partitionColumns"),
+      format = node.get("format").asText(),
+      bucketCols = strings("bucketColumns"),
+      numBuckets = if (node.has("numBuckets")) node.get("numBuckets").asInt() else 0,
+      sortCols = strings("sortColumns"))
   }
 
   private def splitTarget(target: String): (String, String) =
@@ -184,13 +235,6 @@ object ExportImport {
       case _ => throw new IllegalArgumentException(
         s"target must be [db.]table, got: $target")
     }
-
-  private def quote(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-
-  private def jsonObj(fields: Seq[(String, String)]): String =
-    fields.map { case (k, v) => s""""$k": $v""" }
-      .mkString("{\n  ", ",\n  ", "\n}\n")
 
   // ------------------------------------------------------------------
   // harness row: full warehouse-migration round trip — EXPORT orders

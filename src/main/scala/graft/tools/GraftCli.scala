@@ -21,11 +21,15 @@ object GraftCli {
     var file: Option[String] = None
     var sf: Option[String] = None
     var i = 0
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) sys.error(s"missing value for $flag")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "-e" => sql = Some(args(i + 1)); i += 2
-        case "-f" => file = Some(args(i + 1)); i += 2
-        case "--sf" => sf = Some(args(i + 1)); i += 2
+        case "-e" => sql = Some(value("-e")); i += 2
+        case "-f" => file = Some(value("-f")); i += 2
+        case "--sf" => sf = Some(value("--sf")); i += 2
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -66,30 +70,40 @@ object GraftCli {
   }
 
   /** Split a script on top-level `;` (quote-aware), dropping blank
-    * statements and `--` / `#` comment lines — CliDriver.processLine's
-    * contract. */
+    * statements and comments — CliDriver.processLine's contract.
+    * Comment state lives IN the character scanner (not a line-level
+    * prefilter), so a trailing `-- note; more` after code is consumed
+    * to end-of-line and never splits mid-comment. `--` starts a
+    * comment anywhere outside quotes (SQL line comments are legal
+    * after code); `#` only at the start of a line (CliDriver's shell
+    * convention — a mid-line `#` can be a legal char in exprs). */
   private[graft] def statements(script: String): Seq[String] = {
-    val noComments = script.linesIterator
-      .filterNot(l => l.trim.startsWith("--") || l.trim.startsWith("#"))
-      .mkString("\n")
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var quote: Char = 0
+    var atLineStart = true
     var i = 0
-    while (i < noComments.length) {
-      val c = noComments(i)
+    val n = script.length
+    while (i < n) {
+      val c = script(i)
       if (quote != 0) {
         cur.append(c)
         if (c == quote) quote = 0
-        else if (c == '\\' && i + 1 < noComments.length) {
-          cur.append(noComments(i + 1)); i += 1
+        else if (c == '\\' && i + 1 < n) { cur.append(script(i + 1)); i += 1 }
+        i += 1
+      } else if ((c == '-' && i + 1 < n && script(i + 1) == '-') ||
+                 (c == '#' && atLineStart)) {
+        while (i < n && script(i) != '\n') i += 1 // skip to EOL; \n kept
+      } else {
+        if (c == '\n') atLineStart = true
+        else if (!c.isWhitespace) atLineStart = false
+        c match {
+          case '\'' | '"' | '`' => quote = c; cur.append(c)
+          case ';' => out += cur.toString; cur.clear()
+          case _ => cur.append(c)
         }
-      } else c match {
-        case '\'' | '"' | '`' => quote = c; cur.append(c)
-        case ';' => out += cur.toString; cur.clear()
-        case _ => cur.append(c)
+        i += 1
       }
-      i += 1
     }
     out += cur.toString
     out.map(_.trim).filter(_.nonEmpty).toSeq

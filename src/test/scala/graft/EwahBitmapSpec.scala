@@ -66,6 +66,30 @@ class EwahBitmapSpec extends AnyFunSuite {
     assert(Ewah.toBitSet(Ewah.toValue(new java.util.BitSet())).isEmpty)
   }
 
+  test("rogue positions rejected with a descriptive error, not a 256 MB buffer") {
+    val spark = LocalSpark.spark
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(1, Int.MaxValue - 2).toDF("pos").createOrReplaceTempView("ewah_rogue")
+    val e = intercept[Exception] {
+      spark.sql("SELECT ewah_bitmap(pos) FROM ewah_rogue").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("graft.ewah.maxPosition")), e.toString)
+  }
+
+  test("foreign stream with an overrunning clean run fails loudly, no toInt truncation") {
+    // hand-craft a marker whose zero-run claims 2^31 words against a
+    // 1-word bitmap: the 32-bit field is legal EWAH but must not be
+    // silently truncated through toInt
+    val marker = (1L << 31) << 1 // runBit=0, runLen=2^31, litCount=0
+    val e = intercept[IllegalArgumentException] {
+      Ewah.decompress(Array(marker), 1)
+    }
+    assert(e.getMessage.contains("overruns"))
+  }
+
   test("SQL surface: group bitmaps, intersect across groups, popcount") {
     val spark = LocalSpark.spark
     graft.functions.GraftFunctions.register(spark)

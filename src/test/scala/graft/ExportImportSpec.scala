@@ -74,6 +74,57 @@ class ExportImportSpec extends AnyFunSuite {
         .stripPrefix("file:")), loc)
   }
 
+  test("bucketed table round-trips: spec carried in manifest, SMB join exchange-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    Tables.register(spark, LocalSpark.sf)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_exim_test")
+    def mkBucketed(name: String, df: org.apache.spark.sql.DataFrame,
+                   key: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS graft_exim_test.$name")
+      df.write.mode("overwrite").bucketBy(4, key).sortBy(key)
+        .saveAsTable(s"graft_exim_test.$name")
+    }
+    mkBucketed("li_bsrc",
+      spark.table("lineitem").where(col("l_orderkey") <= 1000), "l_orderkey")
+    mkBucketed("ord_bsrc",
+      spark.table("orders").where(col("o_orderkey") <= 1000), "o_orderkey")
+
+    val base = freshDir()
+    ExportImport.exportCatalogTable(spark, "graft_exim_test.li_bsrc", s"$base/li")
+    ExportImport.exportCatalogTable(spark, "graft_exim_test.ord_bsrc", s"$base/ord")
+    // the manifest carries the bucket spec (no silent metadata loss)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/li", "_graft_metadata.json")), "UTF-8")
+    assert(manifest.contains("l_orderkey") && manifest.contains("numBuckets"),
+      manifest)
+
+    val li = ExportImport.importTable(
+      spark, s"$base/li", "graft_exim_test.li_brt", overwrite = true)
+    val ord = ExportImport.importTable(
+      spark, s"$base/ord", "graft_exim_test.ord_brt", overwrite = true)
+    assert(li.count() == spark.table("graft_exim_test.li_bsrc").count())
+    // DESCRIBE shows the re-applied bucket spec
+    val desc = spark.sql("DESCRIBE EXTENDED graft_exim_test.li_brt")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("\n")
+    assert(desc.contains("Num Buckets=4") && desc.contains("l_orderkey"), desc)
+
+    // the re-imported pair still plans an exchange-free SMB join
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val root =
+      try spark.sql("""
+        SELECT /*+ MERGE(l) */ o.o_orderstatus, COUNT(*) AS n
+        FROM graft_exim_test.li_brt l
+        JOIN graft_exim_test.ord_brt o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus""").queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val p = root.toString()
+    assert(p.contains("SortMergeJoin"), p)
+    val preJoin = root.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.output.exists(a => a.name == "l_orderkey" || a.name == "o_orderkey"))
+    assert(preJoin.isEmpty,
+      s"re-imported bucketed join must not shuffle its inputs:\n$p")
+  }
+
   test("import refuses a directory that is not a bundle") {
     val notABundle = freshDir()
     val e = intercept[IllegalArgumentException] {

@@ -40,6 +40,24 @@ class GraftCliSpec extends AnyFunSuite {
       Seq("SELECT 1", "SELECT 2"))
     assert(statements("SELECT `weird;col` FROM t") ==
       Seq("SELECT `weird;col` FROM t"))
+    // trailing comment after code: the ';' inside the comment must not
+    // split, and the comment itself is stripped
+    assert(statements("SELECT 1 -- note; not a statement\n; SELECT 2") ==
+      Seq("SELECT 1", "SELECT 2"))
+    assert(statements("SELECT 1; -- tail comment, no newline") ==
+      Seq("SELECT 1"))
+    // mid-line '#' is NOT a comment (only line-start, shell-style)...
+    assert(statements("SELECT 'a' AS `x#y`; SELECT 2") ==
+      Seq("SELECT 'a' AS `x#y`", "SELECT 2"))
+    // ...and '--' inside quotes is literal
+    assert(statements("SELECT '--not a comment; really'") ==
+      Seq("SELECT '--not a comment; really'"))
+  }
+
+  test("flag missing its value dies with a usage error, not AIOOBE") {
+    val (rc, out) = runCli(Seq("-e"))
+    assert(rc != 0)
+    assert(out.contains("missing value for -e"), out.takeRight(2000))
   }
 
   test("-f script runs against the registered tables, CliDriver output shape") {
