@@ -39,7 +39,10 @@ object SparkEntry {
     QueryModule(graft.sources.SchemaEvolutionIO.queries,
       graft.sources.SchemaEvolutionIO.oracle),
     QueryModule(graft.sources.ExportImport.queries,
-      graft.sources.ExportImport.oracle)
+      graft.sources.ExportImport.oracle),
+    QueryModule(graft.sources.LoadData.queries,
+      graft.sources.LoadData.oracle),
+    QueryModule(graft.tools.GraftCli.queries, graft.tools.GraftCli.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

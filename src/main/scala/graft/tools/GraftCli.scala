@@ -1,6 +1,7 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 /** CLI entry point (SURVEY §3.1 #1: `CLI/CliDriver.java` `main → run →
   * executeDriver → processLine → processCmd`): batch SQL execution
@@ -108,4 +109,72 @@ object GraftCli {
     out += cur.toString
     out.map(_.trim).filter(_.nonEmpty).toSeq
   }
+
+  /** Spawn the CLI as a child JVM, exactly as a user invokes `hive -e`
+    * / `hive -f`. Returns (exit code, stdout). Stderr (Spark logs) is
+    * drained separately so result parsing sees only the TSV rows. */
+  private[graft] def runChild(args: Seq[String]): (Int, String) = {
+    val java = s"${sys.props("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java) ++ addOpens ++ Seq(
+      "-Xmx1g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.tools.GraftCli") ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_CLI_MASTER", "local[2]")
+    val p = pb.start()
+    // drain stderr concurrently so the child can't block on a full pipe
+    val errDrain = new Thread(() => {
+      val s = scala.io.Source.fromInputStream(p.getErrorStream)
+      try s.foreach(_ => ()) finally s.close()
+    })
+    errDrain.setDaemon(true)
+    errDrain.start()
+    val src = scala.io.Source.fromInputStream(p.getInputStream)
+    val out = try src.mkString finally src.close()
+    (p.waitFor(), out)
+  }
+
+  // ------------------------------------------------------------------
+  // harness row: the CLI surface measured end-to-end. A child JVM runs
+  // `-e "<sql>" --sf <dir>` exactly as a migrating `hive -e` user
+  // would; its tab-separated stdout is parsed back into typed rows and
+  // compared against the DuckDB oracle — closing the loop between the
+  // §3.1 entry point and the driver contract. NOTE on bench readings:
+  // this row's time is JVM + SparkSession cold start BY DESIGN (that
+  // is what `hive -e` costs a shell user; Hive 1.2's own CLI pays the
+  // same class of startup); it is not a data-plane measurement.
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cli_e_statement" -> ((spark, sfDir) => {
+      val sql =
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      val (rc, out) = runChild(Seq("-e", sql, "--sf", sfDir))
+      require(rc == 0, s"cli exited $rc:\n${out.takeRight(2000)}")
+      val rows = out.linesIterator
+        .map(_.split("\t", -1))
+        .filter(a => a.length == 2 && a(0).nonEmpty && a(0).forall(_.isDigit))
+        .map(a => Row(a(0).toInt, a(1)))
+        .toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("r_regionkey", IntegerType, nullable = false),
+          StructField("r_name", StringType, nullable = true))))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cli_e_statement" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+  )
 }

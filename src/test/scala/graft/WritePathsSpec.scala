@@ -30,6 +30,54 @@ class WritePathsSpec extends AnyFunSuite {
     assert(dirs.exists(_.startsWith("lang=")))
   }
 
+  test("LOAD DATA: static-partition and unpartitioned loads, move vs LOCAL copy") {
+    import graft.sources.LoadData
+    Tables.register(spark, LocalSpark.sf)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_load_test")
+
+    // --- static-partition loads: nation rows staged per region ---
+    val stage = tmp("load_stage")
+    val nation = spark.table("nation")
+    (0 to 2).foreach { r =>
+      nation.where($"n_regionkey" === r).drop("n_regionkey")
+        .coalesce(1).write.parquet(s"$stage/r=$r")
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_load_test.nation_loaded")
+    LoadData.createLoadTarget(spark, "graft_load_test.nation_loaded",
+      nation.schema, Seq("n_regionkey"))
+    (0 to 2).foreach { r =>
+      LoadData.loadData(spark, s"$stage/r=$r", "graft_load_test.nation_loaded",
+        partition = Seq("n_regionkey" -> r.toString), overwrite = true)
+    }
+    val loaded = spark.table("graft_load_test.nation_loaded")
+    val expected = nation.where($"n_regionkey" <= 2)
+    assert(loaded.count() == expected.count())
+    assert(loaded.agg(sum("n_nationkey")).head.getLong(0) ==
+      expected.agg(sum("n_nationkey")).head.getLong(0))
+    // INPATH (non-LOCAL) moved the files out of the staging dir
+    assert(new java.io.File(s"$stage/r=0").listFiles()
+      .forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")))
+
+    // --- unpartitioned load, LOCAL (copy) semantics ---
+    val stage2 = tmp("load_stage2")
+    val region = spark.table("region")
+    region.coalesce(1).write.parquet(s"$stage2/files")
+    spark.sql("DROP TABLE IF EXISTS graft_load_test.region_loaded")
+    LoadData.createLoadTarget(spark, "graft_load_test.region_loaded",
+      region.schema, Nil)
+    LoadData.loadData(spark, s"$stage2/files", "graft_load_test.region_loaded",
+      local = true)
+    assert(spark.table("graft_load_test.region_loaded").count() == 5)
+    // LOCAL kept the source files in place
+    assert(new java.io.File(s"$stage2/files").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    // append (no OVERWRITE) accumulates: load the same files again
+    val stage3 = tmp("load_stage3")
+    region.coalesce(1).write.parquet(s"$stage3/files")
+    LoadData.loadData(spark, s"$stage3/files", "graft_load_test.region_loaded")
+    assert(spark.table("graft_load_test.region_loaded").count() == 10)
+  }
+
   test("bucketed + sorted table write (CLUSTERED BY ... SORTED BY ... INTO n BUCKETS)") {
     Tables.register(spark, LocalSpark.sf)
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
