@@ -284,8 +284,76 @@ object Acid {
         .map(_.getString(1).trim)
         .getOrElse(throw new IllegalStateException(s"no Location for $table")))
 
+  /** Exclusive per-table writer lock — the minimal analog of Hive's
+    * lock-manager write lock (`QL/lockmgr/` in the canonical tree:
+    * ZooKeeperHiveLockManager / DbTxnManager acquire an EXCLUSIVE lock
+    * for the duration of a mutating statement). Spark-first form: a
+    * lock FILE next to the table directory, created with the
+    * filesystem's atomic create-if-absent (`fs.create(p, false)` —
+    * O_EXCL semantics on HDFS and local FS; best-effort on object
+    * stores without atomic create, where a real deployment swaps in
+    * its coordination service). Because DataFrame plans are lazy, the
+    * whole read→rewrite→commit of the guarded statement evaluates
+    * INSIDE the lock, so two concurrent writers serialize instead of
+    * overwriting each other's commit (write-write exclusion). What
+    * this deliberately does NOT provide — multi-statement
+    * transactions, read locks (readers see whichever committed
+    * snapshot the scan starts on; parquet overwrite commits are
+    * atomic at the directory-rename level), deadlock detection — is
+    * Hive DbTxnManager deployment surface, adjudicated in SURVEY §2.3.
+    *
+    * A holder that crashes leaves the lock file behind: waiters break
+    * locks older than `graft.acid.lockTtlMs` (default 1h — the same
+    * class of TTL the compactor uses for crashed staging dirs) and
+    * otherwise fail loudly after `graft.acid.lockWaitMs` (default 60s)
+    * naming the holder token, never queue forever. */
+  private[graft] def withWriterLock[T](spark: SparkSession, table: String)
+                                      (body: => T): T = {
+    val lock = lockPath(spark, table)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val waitMs = spark.conf.getOption("graft.acid.lockWaitMs")
+      .map(_.toLong).getOrElse(60000L)
+    val ttlMs = spark.conf.getOption("graft.acid.lockTtlMs")
+      .map(_.toLong).getOrElse(3600000L)
+    val token = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName // pid@host
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false) // atomic create-if-absent
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val stale =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime > ttlMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (stale) fs.delete(lock, false) // crashed holder; retry create
+          else if (System.currentTimeMillis() > deadline) {
+            val holder =
+              try {
+                val in = fs.open(lock)
+                try new String(in.readAllBytes(), "UTF-8") finally in.close()
+              } catch { case _: Exception => "<unreadable>" }
+            throw new IllegalStateException(
+              s"writer lock on $table held by $holder (lock file $lock); " +
+                s"waited ${waitMs}ms — concurrent writer, or break a dead " +
+                "holder by deleting the lock file / lowering graft.acid.lockTtlMs")
+          } else Thread.sleep(200)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  private[graft] def lockPath(spark: SparkSession, table: String): Path = {
+    val tableDir = tableLocation(spark, table)
+    new Path(tableDir.getParent, s"_graft_lock_${tableDir.getName}")
+  }
+
   private def overwrite(spark: SparkSession, table: String, data: DataFrame,
-                        dynamicPartitions: Boolean): Unit = {
+                        dynamicPartitions: Boolean): Unit = withWriterLock(spark, table) {
     // stage to a scratch directory ON THE TABLE'S FILESYSTEM (a
     // distributed write — never a driver-side collect or driver-local
     // temp dir), because overwriting a table from a plan that reads the

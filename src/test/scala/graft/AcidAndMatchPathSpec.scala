@@ -201,6 +201,40 @@ class AcidAndMatchPathSpec extends AnyFunSuite {
     assert(spark.table("graft_db.acid_cc").orderBy("doc_id").collect().toSeq == before)
   }
 
+  test("writer lock: concurrent writer fails loudly; stale lock is broken by TTL") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.acid_lk")
+    Tables.register(spark, LocalSpark.sf)
+    spark.table("region").write.saveAsTable("graft_db.acid_lk")
+    val lock = Acid.lockPath(spark, "graft_db.acid_lk")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // someone else holds the lock → a second writer times out loudly,
+    // naming the holder, and leaves the table untouched
+    val out = fs.create(lock, false)
+    out.write("pid12345@otherhost".getBytes("UTF-8")); out.close()
+    spark.conf.set("graft.acid.lockWaitMs", "400")
+    val before = spark.table("graft_db.acid_lk").count()
+    val e = intercept[IllegalStateException] {
+      Acid.deleteFrom(spark, "graft_db.acid_lk", col("r_regionkey") === 0)
+    }
+    assert(e.getMessage.contains("writer lock") &&
+      e.getMessage.contains("pid12345@otherhost"), e.getMessage)
+    assert(spark.table("graft_db.acid_lk").count() == before)
+
+    // a crashed holder's lock (mtime beyond TTL) is broken and the
+    // write proceeds; the lock file is released afterwards
+    fs.setTimes(lock, System.currentTimeMillis() - 7200000L, -1)
+    spark.conf.set("graft.acid.lockTtlMs", "3600000")
+    try Acid.deleteFrom(spark, "graft_db.acid_lk", col("r_regionkey") === 0)
+    finally {
+      spark.conf.unset("graft.acid.lockWaitMs")
+      spark.conf.unset("graft.acid.lockTtlMs")
+    }
+    assert(spark.table("graft_db.acid_lk").count() == before - 1)
+    assert(!fs.exists(lock), "lock must be released after the statement")
+  }
+
   test("matchpath PTF agrees with a local reference implementation") {
     Tables.register(spark, LocalSpark.sf)
     val got = MatchPath.matches(spark, LocalSpark.sf, "v+p")
