@@ -140,6 +140,10 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "sort_array_struct",  // ROUND(bal*100)->BIGINT: exact cents grid
     "source_rcfile_scan", // ROUND(bal*100)->BIGINT: exact cents grid
     "source_export_import", // ROUND(price*100)->BIGINT: cents grid
+    "source_load_data",     // ROUND(s_acctbal*100)->BIGINT: cents grid
+                            // (round-11 review: identical idiom to
+                            // source_export_import on the same column
+                            // family; exact on the 2-dp TPC-H grid)
     "catalog_metastore_stats", // ROUND(bal*100)->BIGINT: cents grid
     "catalog_partition_pruned_scan", // ROUND(price*100)->BIGINT: cents grid
     "source_schema_evolution", // ROUND(price*100)->BIGINT: cents grid
