@@ -40,7 +40,8 @@ object Acid {
     * earlier ones' results. */
   def updateTable(spark: SparkSession, table: String,
                   cond: Column, assignments: Map[String, Column],
-                  partitionScope: Option[Column] = None): Unit = {
+                  partitionScope: Option[Column] = None): Unit =
+    withWriterLock(spark, table) {
     val movesAcrossPartitions =
       partitionColumns(spark, table).exists(assignments.contains)
     (partitionScope, movesAcrossPartitions) match {
@@ -61,9 +62,15 @@ object Acid {
     }
   }
 
-  /** DELETE FROM table WHERE cond [scoped to partitions]. */
+  /** DELETE FROM table WHERE cond [scoped to partitions]. The whole
+    * sequence — scoped-partition collect, staged overwrite, and the
+    * emptied-partition DROP — runs under one statement-scoped writer
+    * lock, so a racing writer can never commit a fresh partition
+    * between the collect and the DROP and have it dropped as
+    * "emptied". */
   def deleteFrom(spark: SparkSession, table: String, cond: Column,
-                 partitionScope: Option[Column] = None): Unit = {
+                 partitionScope: Option[Column] = None): Unit =
+    withWriterLock(spark, table) {
     val remaining = scoped(spark, table, partitionScope)
       .where(!coalesce(cond, lit(false)))
     partitionScope match {
@@ -110,6 +117,7 @@ object Acid {
             keyCols: Seq[String],
             deleteCond: Option[Column] = None): Unit = {
     require(keyCols.nonEmpty, "MERGE requires at least one key column")
+    withWriterLock(spark, table) {
     val target = spark.table(table)
     val src = source.select(target.columns.map(col).toIndexedSeq: _*)
     val dupKeys = src.groupBy(keyCols.map(col): _*)
@@ -132,6 +140,7 @@ object Acid {
     overwrite(spark, table,
       kept.unionByName(surviving).unionByName(inserts),
       dynamicPartitions = false)
+    }
   }
 
   /** Hive `ALTER TABLE ... [PARTITION ...] CONCATENATE`
@@ -166,6 +175,7 @@ object Acid {
                   targetFileBytes: Long = 128L << 20,
                   partitionScope: Option[Column] = None): (Int, Int) = {
     require(targetFileBytes > 0)
+    withWriterLock(spark, table) {
     val partCols = partitionColumns(spark, table)
     partitionScope.foreach { scope =>
       require(partCols.nonEmpty, "partitionScope given but table is unpartitioned")
@@ -184,7 +194,7 @@ object Acid {
     }
     val base = scoped(spark, table, partitionScope)
     val files = base.inputFiles // partition-pruned under a (validated) scope
-    if (files.isEmpty) return (0, 0)
+    if (files.isEmpty) (0, 0) else {
     val fs = tableLocation(spark, table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // PER-DIRECTORY (= per-partition) byte totals, via one listStatus per
@@ -251,6 +261,8 @@ object Acid {
       }
       (files.length, minAchievable)
     } else (files.length, files.length)
+    }
+    }
   }
 
   private def project(base: DataFrame, cond: Column,
@@ -292,10 +304,14 @@ object Acid {
     * filesystem's atomic create-if-absent (`fs.create(p, false)` —
     * O_EXCL semantics on HDFS and local FS; best-effort on object
     * stores without atomic create, where a real deployment swaps in
-    * its coordination service). Because DataFrame plans are lazy, the
-    * whole read→rewrite→commit of the guarded statement evaluates
-    * INSIDE the lock, so two concurrent writers serialize instead of
-    * overwriting each other's commit (write-write exclusion). What
+    * its coordination service). The lock is held for the WHOLE
+    * statement — every public mutation (`updateTable` / `deleteFrom` /
+    * `merge` / `concatenate`) wraps its full body, and the first thing
+    * done under the lock is a `REFRESH TABLE`, which drops any file
+    * listing Spark resolved before the lock was acquired. So a second
+    * live writer blocks, then SUCCEEDS against the first writer's
+    * committed state (Hive's EXCLUSIVE-lock guarantee) rather than
+    * dying on a stale pre-commit listing. What
     * this deliberately does NOT provide — multi-statement
     * transactions, read locks (readers see whichever committed
     * snapshot the scan starts on; parquet overwrite commits are
@@ -306,7 +322,13 @@ object Acid {
     * locks older than `graft.acid.lockTtlMs` (default 1h — the same
     * class of TTL the compactor uses for crashed staging dirs) and
     * otherwise fail loudly after `graft.acid.lockWaitMs` (default 60s)
-    * naming the holder token, never queue forever. */
+    * naming the holder token, never queue forever. Breaking is done by
+    * an atomic `fs.rename` of the lock file to a unique tombstone —
+    * never delete-then-create, where two waiters that both observed
+    * the same expired lock could each delete, and B's delete would
+    * remove the fresh lock A just re-created. Rename is atomic on
+    * HDFS/local FS: exactly one breaker wins; losers loop back and
+    * contend on create like everyone else. */
   private[graft] def withWriterLock[T](spark: SparkSession, table: String)
                                       (body: => T): T = {
     val lock = lockPath(spark, table)
@@ -330,7 +352,15 @@ object Acid {
             try System.currentTimeMillis() -
               fs.getFileStatus(lock).getModificationTime > ttlMs
             catch { case _: java.io.FileNotFoundException => false }
-          if (stale) fs.delete(lock, false) // crashed holder; retry create
+          if (stale) {
+            // atomic break: rename to a unique tombstone — only one
+            // breaker's rename succeeds; a fresh lock re-created in the
+            // meantime simply makes the rename fail (nothing is lost)
+            val tomb = new Path(lock.getParent,
+              s"${lock.getName}.broken_${java.util.UUID.randomUUID().toString.take(8)}")
+            if (fs.rename(lock, tomb)) fs.delete(tomb, false)
+            // loop: contend on create like everyone else
+          }
           else if (System.currentTimeMillis() > deadline) {
             val holder =
               try {
@@ -344,7 +374,13 @@ object Acid {
           } else Thread.sleep(200)
       }
     }
-    try body finally fs.delete(lock, false)
+    try {
+      // any plan resolved BEFORE the lock was acquired holds the
+      // predecessor's file listing; refresh so the statement's reads
+      // resolve against the committed post-predecessor state
+      spark.sql(s"REFRESH TABLE $table")
+      body
+    } finally fs.delete(lock, false)
   }
 
   private[graft] def lockPath(spark: SparkSession, table: String): Path = {
@@ -352,8 +388,11 @@ object Acid {
     new Path(tableDir.getParent, s"_graft_lock_${tableDir.getName}")
   }
 
+  /** Staged table overwrite. Callers hold the statement-scoped writer
+    * lock already (the public entry points wrap their whole bodies and
+    * the lock is non-reentrant) — this method does NOT acquire it. */
   private def overwrite(spark: SparkSession, table: String, data: DataFrame,
-                        dynamicPartitions: Boolean): Unit = withWriterLock(spark, table) {
+                        dynamicPartitions: Boolean): Unit = {
     // stage to a scratch directory ON THE TABLE'S FILESYSTEM (a
     // distributed write — never a driver-side collect or driver-local
     // temp dir), because overwriting a table from a plan that reads the

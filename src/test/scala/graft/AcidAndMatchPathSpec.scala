@@ -235,6 +235,46 @@ class AcidAndMatchPathSpec extends AnyFunSuite {
     assert(!fs.exists(lock), "lock must be released after the statement")
   }
 
+  test("writer lock: second live writer blocks, then succeeds on post-commit state") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.acid_2w")
+    Tables.register(spark, LocalSpark.sf)
+    spark.table("region").write.saveAsTable("graft_db.acid_2w")
+    val lock = Acid.lockPath(spark, "graft_db.acid_2w")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // writer A holds the statement lock
+    val out = fs.create(lock, false)
+    out.write("writerA".getBytes("UTF-8")); out.close()
+    spark.conf.set("graft.acid.lockWaitMs", "30000")
+    val bErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val b = new Thread(() =>
+      try Acid.deleteFrom(spark, "graft_db.acid_2w", col("r_regionkey") === 4)
+      catch { case t: Throwable => bErr.set(t) })
+    try {
+      b.start()
+      Thread.sleep(1000)
+      assert(b.isAlive, "writer B must block while A holds the lock")
+      assert(spark.table("graft_db.acid_2w").count() == 5,
+        "B must not have mutated anything while waiting")
+      // A commits: full rewrite with NEW file names (old files deleted) —
+      // exactly the state change that would strand a pre-commit listing
+      spark.sql("""INSERT OVERWRITE TABLE graft_db.acid_2w
+                   SELECT * FROM region WHERE r_regionkey <> 0""")
+    } finally {
+      fs.delete(lock, false) // A releases
+      b.join(60000)
+      spark.conf.unset("graft.acid.lockWaitMs")
+    }
+    assert(!b.isAlive, "writer B must have completed")
+    assert(bErr.get() == null,
+      s"B must SUCCEED on post-A state, not fail: ${bErr.get()}")
+    // final state reflects BOTH mutations: A removed key 0, B removed key 4
+    assert(spark.table("graft_db.acid_2w").orderBy("r_regionkey")
+      .select("r_regionkey").collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(!fs.exists(lock), "lock must be released after B's statement")
+  }
+
   test("matchpath PTF agrees with a local reference implementation") {
     Tables.register(spark, LocalSpark.sf)
     val got = MatchPath.matches(spark, LocalSpark.sf, "v+p")
