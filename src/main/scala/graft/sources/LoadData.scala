@@ -41,7 +41,7 @@ object LoadData {
 
   /** Issue the statement (or its datasource-table equivalent).
     * `partition` e.g. `Seq("s_nationkey" -> "3")` — values rendered as
-    * SQL literals (numeric strings unquoted, everything else quoted). */
+    * SQL literals (pure integers unquoted, everything else quoted). */
   def loadData(
       spark: SparkSession,
       inPath: String,
@@ -62,32 +62,43 @@ object LoadData {
       spark.sql(
         s"LOAD DATA $localKw INPATH '$inPath' ${ow}INTO TABLE $db.$tbl $part")
     } else {
-      // datasource table: same move-and-register semantics by hand
+      // datasource table: same move-and-register semantics by hand.
+      // Source and destination may live on DIFFERENT filesystems — the
+      // defining LOCAL INPATH use case is local staging files loaded
+      // into an HDFS/object-store warehouse — so each side resolves
+      // its own FileSystem from its own path.
       val conf = spark.sparkContext.hadoopConfiguration
       val src = new Path(inPath)
-      val fs = src.getFileSystem(conf)
+      val srcFs = src.getFileSystem(conf)
       val tableLoc = new Path(meta.location)
+      val destFs = tableLoc.getFileSystem(conf)
       val dest =
         if (partition.isEmpty) tableLoc
         else new Path(tableLoc,
           partition.map { case (k, v) => s"$k=$v" }.mkString("/"))
-      if (overwrite && fs.exists(dest) && partition.nonEmpty)
-        fs.delete(dest, true)
-      else if (overwrite && partition.isEmpty)
-        fs.listStatus(dest).filterNot(_.getPath.getName.startsWith("_"))
-          .foreach(f => fs.delete(f.getPath, true))
-      fs.mkdirs(dest)
-      val files = fs.listStatus(src).filter(_.isFile)
+      if (overwrite && destFs.exists(dest)) {
+        if (partition.nonEmpty) destFs.delete(dest, true)
+        else // a table dir that doesn't exist yet is a valid empty target
+          destFs.listStatus(dest).filterNot(_.getPath.getName.startsWith("_"))
+            .foreach(f => destFs.delete(f.getPath, true))
+      }
+      destFs.mkdirs(dest)
+      val files = srcFs.listStatus(src).filter(_.isFile)
         .filterNot(f => f.getPath.getName.startsWith("_") ||
           f.getPath.getName.startsWith("."))
+      val sameFs = srcFs.getUri == destFs.getUri
       files.foreach { f =>
         val target = new Path(dest, f.getPath.getName)
-        require(!fs.exists(target), s"LOAD DATA collision: $target")
+        require(!destFs.exists(target), s"LOAD DATA collision: $target")
         if (local) { // LOCAL = copy, source kept
-          org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, target,
-            false, conf)
-        } else require(fs.rename(f.getPath, target),
+          org.apache.hadoop.fs.FileUtil.copy(srcFs, f.getPath, destFs,
+            target, false, conf)
+        } else if (sameFs) require(srcFs.rename(f.getPath, target),
           s"LOAD DATA rename failed: ${f.getPath} -> $target")
+        else // cross-FS INPATH: rename is impossible — copy, delete source
+          require(org.apache.hadoop.fs.FileUtil.copy(srcFs, f.getPath,
+            destFs, target, true, conf),
+            s"LOAD DATA cross-FS move failed: ${f.getPath} -> $target")
       }
       if (partition.nonEmpty)
         spark.sql(s"ALTER TABLE $db.$tbl ADD IF NOT EXISTS " +
@@ -126,10 +137,15 @@ object LoadData {
     }
   }
 
+  /** Unquoted ONLY for pure integer literals (`-?\d+`); everything
+    * else — dates like `2024-01-01` above all — is quoted. Quoting is
+    * always legal in a partition spec; a digits-and-dashes heuristic
+    * would render `ds=2024-01-01` unquoted, which Spark's partition
+    * grammar rejects (or parses as arithmetic). */
   private def partitionSpecSql(partition: Seq[(String, String)]): String =
     partition.map { case (k, v) =>
       val lit =
-        if (v.nonEmpty && v.forall(c => c.isDigit || c == '-')) v
+        if (v.matches("-?\\d+")) v
         else s"'${v.replace("'", "''")}'"
       s"$k=$lit"
     }.mkString(", ")

@@ -78,6 +78,38 @@ class WritePathsSpec extends AnyFunSuite {
     assert(spark.table("graft_load_test.region_loaded").count() == 10)
   }
 
+  test("LOAD DATA: date-string partition values are quoted into the spec") {
+    import graft.sources.LoadData
+    Tables.register(spark, LocalSpark.sf)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_load_test")
+    // ds='2024-01-01' is the single most canonical Hive partition value —
+    // an unquoted digits-and-dashes rendering fails Spark's partition
+    // grammar (or parses as arithmetic 2024-1-1=2022)
+    val days = Seq("2024-01-01", "2024-01-02")
+    val stage = tmp("load_ds")
+    val region = spark.table("region")
+    days.foreach { d =>
+      region.coalesce(1).write.parquet(s"$stage/ds=$d")
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_load_test.region_by_day")
+    val schema = org.apache.spark.sql.types.StructType(
+      region.schema :+ org.apache.spark.sql.types.StructField(
+        "ds", org.apache.spark.sql.types.StringType))
+    LoadData.createLoadTarget(spark, "graft_load_test.region_by_day",
+      schema, Seq("ds"))
+    days.foreach { d =>
+      LoadData.loadData(spark, s"$stage/ds=$d", "graft_load_test.region_by_day",
+        partition = Seq("ds" -> d), overwrite = true)
+    }
+    val loaded = spark.table("graft_load_test.region_by_day")
+    assert(loaded.count() == 10)
+    assert(loaded.where($"ds" === "2024-01-01").count() == 5)
+    // the partitions registered with the literal date value
+    val parts = spark.sql("SHOW PARTITIONS graft_load_test.region_by_day")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == days.map(d => s"ds=$d").toSet, parts.toString)
+  }
+
   test("bucketed + sorted table write (CLUSTERED BY ... SORTED BY ... INTO n BUCKETS)") {
     Tables.register(spark, LocalSpark.sf)
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
