@@ -112,7 +112,15 @@ object Acid {
     * as broadcasts. Hive's cardinality rule is enforced (a source with
     * duplicate keys fails loudly instead of silently duplicating
     * target rows). `deleteCond` is evaluated over the SOURCE row, the
-    * common change-data-capture spelling (e.g. an is_deleted flag). */
+    * common change-data-capture spelling (e.g. an is_deleted flag).
+    *
+    * Lock caveat: the writer lock refreshes the TARGET table's listing
+    * on acquire, which covers plans resolved inside this method — but a
+    * caller-supplied `source` that itself scans the target table was
+    * resolved BEFORE the lock and still carries a pre-lock file listing
+    * (it can fail or read predecessor state under a racing writer).
+    * Build `source` from other tables / literal data; if it must read
+    * the target, re-read via `spark.table` inside your own lock scope. */
   def merge(spark: SparkSession, table: String, source: DataFrame,
             keyCols: Seq[String],
             deleteCond: Option[Column] = None): Unit = {
@@ -354,11 +362,38 @@ object Acid {
             catch { case _: java.io.FileNotFoundException => false }
           if (stale) {
             // atomic break: rename to a unique tombstone — only one
-            // breaker's rename succeeds; a fresh lock re-created in the
-            // meantime simply makes the rename fail (nothing is lost)
+            // breaker's rename of a given lock file succeeds. But rename
+            // alone has a TOCTOU hole: between OUR staleness check and
+            // OUR rename, another waiter can break the expired lock AND
+            // re-create a fresh live lock at the same path — our rename
+            // then succeeds against that FRESH lock (rename fails only
+            // when the source is absent, not when it was replaced). So
+            // after winning the rename, re-check the tombstone's OWN
+            // mtime: only an actually-expired lock is discarded; a fresh
+            // one was stolen from a live holder and is renamed straight
+            // back (the holder never notices — it only touches the path
+            // again at release).
             val tomb = new Path(lock.getParent,
               s"${lock.getName}.broken_${java.util.UUID.randomUUID().toString.take(8)}")
-            if (fs.rename(lock, tomb)) fs.delete(tomb, false)
+            if (fs.rename(lock, tomb)) {
+              val tombStale =
+                try System.currentTimeMillis() -
+                  fs.getFileStatus(tomb).getModificationTime > ttlMs
+                catch { case _: java.io.FileNotFoundException => true }
+              // (If the stolen holder released in this same window, the
+              // restore re-creates a lock nobody holds — that lock is
+              // unreadable-by-token and expires by TTL: a bounded
+              // liveness hiccup, never two concurrent writers.)
+              if (tombStale) fs.delete(tomb, false)
+              else if (!fs.rename(tomb, lock))
+                // the path was re-created while we held the stolen lock
+                // as a tombstone: restoring is impossible and two live
+                // writers would otherwise proceed — fail loudly
+                throw new IllegalStateException(
+                  s"writer-lock break race on $table: stole live lock " +
+                    s"$lock but could not restore it (path re-created); " +
+                    s"manual check required — stolen copy kept at $tomb")
+            }
             // loop: contend on create like everyone else
           }
           else if (System.currentTimeMillis() > deadline) {
@@ -378,10 +413,15 @@ object Acid {
       // any plan resolved BEFORE the lock was acquired holds the
       // predecessor's file listing; refresh so the statement's reads
       // resolve against the committed post-predecessor state
-      spark.sql(s"REFRESH TABLE $table")
+      spark.sql(s"REFRESH TABLE ${quoted(table)}")
       body
     } finally fs.delete(lock, false)
   }
+
+  /** Backtick-quote a (possibly db-qualified) identifier for embedding
+    * in SQL text — each dot-separated part quoted separately. */
+  private def quoted(table: String): String =
+    table.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
 
   private[graft] def lockPath(spark: SparkSession, table: String): Path = {
     val tableDir = tableLocation(spark, table)

@@ -76,20 +76,32 @@ object ExportImport {
       Manifest(df.schema, partitionCols, format))
   }
 
-  /** EXPORT of a CATALOG table — the full Hive `EXPORT TABLE t TO dir`
-    * shape: metadata (schema, partition spec, BUCKET spec) comes from
-    * the metastore entry and the data subtree is the table's files
-    * copied VERBATIM. Verbatim matters for bucketed tables: Spark
-    * encodes the bucket id in the file name (`..._00003.c000...`), so
-    * a name-preserving copy keeps the clustering valid and the
-    * re-imported table still plans exchange-free SMB joins. (The
-    * DataFrame-rewrite path above would redistribute rows and lose
-    * it.) The copy here is a driver-side Hadoop `FileUtil.copy`; at
-    * warehouse scale you ship the subtree with distcp-class tooling
-    * and write only the manifest through this API — the bundle layout
-    * is the contract, not the copier. */
+  /** EXPORT of a CATALOG table — the full Hive `EXPORT TABLE t
+    * [PARTITION (k=v, ...)] TO dir` shape (ExportSemanticAnalyzer
+    * accepts a partition spec): metadata (schema, partition spec,
+    * BUCKET spec) comes from the metastore entry and the data subtree
+    * is the table's files copied VERBATIM. Verbatim matters for
+    * bucketed tables: Spark encodes the bucket id in the file name
+    * (`..._00003.c000...`), so a name-preserving copy keeps the
+    * clustering valid and the re-imported table still plans
+    * exchange-free SMB joins. (The DataFrame-rewrite path above would
+    * redistribute rows and lose it.) The copy here is a driver-side
+    * Hadoop `FileUtil.copy`; at warehouse scale you ship the subtree
+    * with distcp-class tooling and write only the manifest through
+    * this API — the bundle layout is the contract, not the copier.
+    *
+    * `partitionSpec` restricts the export to matching partitions —
+    * the routine warehouse-migration unit ("ship yesterday's ds").
+    * Like Hive's, the spec may be PARTIAL but must follow the table's
+    * partition-column order from the top (a `(ds)` spec on a
+    * `(ds, hr)` table exports every hour of that day; an `(hr)`-only
+    * spec is rejected — there is no single subtree for it). Only the
+    * selected subtrees are copied, so the bundle's IMPORT recovers
+    * exactly the exported partitions; the manifest is unchanged (full
+    * schema + partition + bucket spec). */
   def exportCatalogTable(
-      spark: SparkSession, table: String, dest: String): Unit = {
+      spark: SparkSession, table: String, dest: String,
+      partitionSpec: Seq[(String, String)] = Nil): Unit = {
     val (db, tbl) = splitTarget(table)
     val meta = spark.sessionState.catalog
       .getTableMetadata(TableIdentifier(tbl, Some(db)))
@@ -99,8 +111,32 @@ object ExportImport {
     val srcFs = src.getFileSystem(conf)
     val dstFs = dst.getFileSystem(conf)
     require(!dstFs.exists(dst), s"bundle data dir already exists: $dst")
-    require(FileUtil.copy(srcFs, src, dstFs, dst, false, conf),
-      s"copy failed: $src -> $dst")
+    if (partitionSpec.isEmpty) {
+      require(FileUtil.copy(srcFs, src, dstFs, dst, false, conf),
+        s"copy failed: $src -> $dst")
+    } else {
+      val partCols = meta.partitionColumnNames
+      require(partCols.nonEmpty,
+        s"PARTITION spec given but $db.$tbl is unpartitioned")
+      val specKeys = partitionSpec.map(_._1.toLowerCase)
+      require(specKeys == partCols.take(specKeys.length).map(_.toLowerCase),
+        s"partition spec must follow (${partCols.mkString(", ")}) from the " +
+          s"top, got (${specKeys.mkString(", ")})")
+      // the spec prefix names ONE directory subtree, escaped the way
+      // the writer laid it out (ExternalCatalogUtils partition-path
+      // rules); copying it name-preserving keeps deeper partition
+      // levels AND bucket file names intact
+      val rel = partitionSpec.map { case (k, v) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(k, v)
+      }.mkString("/")
+      val srcPart = new Path(src, rel)
+      require(srcFs.exists(srcPart), s"no such partition: $srcPart")
+      val dstPart = new Path(dst, rel)
+      dstFs.mkdirs(dstPart.getParent)
+      require(FileUtil.copy(srcFs, srcPart, dstFs, dstPart, false, conf),
+        s"copy failed: $srcPart -> $dstPart")
+    }
     val (bucketCols, numBuckets, sortCols) = meta.bucketSpec match {
       case Some(bs) => (bs.bucketColumnNames, bs.numBuckets, bs.sortColumnNames)
       case None => (Nil, 0, Nil)

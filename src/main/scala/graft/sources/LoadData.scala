@@ -50,6 +50,14 @@ object LoadData {
       overwrite: Boolean = false,
       local: Boolean = false): Unit = {
     val (db, tbl) = splitTarget(spark, table)
+    // LOAD DATA mutates the table directory (deletes on OVERWRITE,
+    // renames files in) exactly like the ACID statements do — Hive 1.2's
+    // LoadSemanticAnalyzer takes the same EXCLUSIVE lock as UPDATE/
+    // DELETE. Without it, a LOAD racing a staged-overwrite writer could
+    // have its freshly-landed files silently dropped by the concurrent
+    // rewrite (built from a pre-LOAD listing) — so the whole statement
+    // runs under the shared writer lock.
+    graft.operators.Acid.withWriterLock(spark, s"$db.$tbl") {
     val meta = spark.sessionState.catalog
       .getTableMetadata(TableIdentifier(tbl, Some(db)))
     val isHiveSerde = meta.provider.exists(_.equalsIgnoreCase("hive"))
@@ -72,10 +80,15 @@ object LoadData {
       val srcFs = src.getFileSystem(conf)
       val tableLoc = new Path(meta.location)
       val destFs = tableLoc.getFileSystem(conf)
+      // directory names use Hive/Spark partition-path escaping (via
+      // ExternalCatalogUtils) so values with spaces, colons, '%', etc.
+      // land where the catalog's own partition registration will look
       val dest =
         if (partition.isEmpty) tableLoc
-        else new Path(tableLoc,
-          partition.map { case (k, v) => s"$k=$v" }.mkString("/"))
+        else new Path(tableLoc, partition.map { case (k, v) =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(k, v)
+        }.mkString("/"))
       if (overwrite && destFs.exists(dest)) {
         if (partition.nonEmpty) destFs.delete(dest, true)
         else // a table dir that doesn't exist yet is a valid empty target
@@ -91,8 +104,9 @@ object LoadData {
         val target = new Path(dest, f.getPath.getName)
         require(!destFs.exists(target), s"LOAD DATA collision: $target")
         if (local) { // LOCAL = copy, source kept
-          org.apache.hadoop.fs.FileUtil.copy(srcFs, f.getPath, destFs,
-            target, false, conf)
+          require(org.apache.hadoop.fs.FileUtil.copy(srcFs, f.getPath,
+            destFs, target, false, conf),
+            s"LOAD DATA LOCAL copy failed: ${f.getPath} -> $target")
         } else if (sameFs) require(srcFs.rename(f.getPath, target),
           s"LOAD DATA rename failed: ${f.getPath} -> $target")
         else // cross-FS INPATH: rename is impossible — copy, delete source
@@ -104,6 +118,7 @@ object LoadData {
         spark.sql(s"ALTER TABLE $db.$tbl ADD IF NOT EXISTS " +
           s"PARTITION (${partitionSpecSql(partition)})")
       spark.sql(s"REFRESH TABLE $db.$tbl")
+    }
     }
   }
 
@@ -137,15 +152,19 @@ object LoadData {
     }
   }
 
-  /** Unquoted ONLY for pure integer literals (`-?\d+`); everything
-    * else — dates like `2024-01-01` above all — is quoted. Quoting is
-    * always legal in a partition spec; a digits-and-dashes heuristic
-    * would render `ds=2024-01-01` unquoted, which Spark's partition
-    * grammar rejects (or parses as arithmetic). */
+  /** Unquoted ONLY for CANONICAL integer literals (`0` or no leading
+    * zero); everything else — dates like `2024-01-01` above all, and
+    * zero-padded numerics like `007` — is quoted. Quoting is always
+    * legal in a partition spec; a digits-and-dashes heuristic would
+    * render `ds=2024-01-01` unquoted, which Spark's partition grammar
+    * rejects (or parses as arithmetic). `007` unquoted would normalize
+    * to 7 in the metastore on a string-typed partition column, pointing
+    * the registered partition away from the `k=007` directory the files
+    * actually landed in. */
   private def partitionSpecSql(partition: Seq[(String, String)]): String =
     partition.map { case (k, v) =>
       val lit =
-        if (v.matches("-?\\d+")) v
+        if (v.matches("-?(0|[1-9]\\d*)")) v
         else s"'${v.replace("'", "''")}'"
       s"$k=$lit"
     }.mkString(", ")

@@ -7,10 +7,16 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * executeDriver → processLine → processCmd`): batch SQL execution
   * with Hive CLI's surface shape — `-e "sql"` inline, `-f script`
   * files, `;`-separated statements, `--`/`#` comments, tab-separated
-  * output with `NULL` for nulls (CliDriver's default print path).
+  * output with `NULL` for nulls (CliDriver's default print path), and
+  * variable substitution (`ql/parse/VariableSubstitution` via
+  * CliDriver.processCmd): `--hiveconf k=v` / `-d k=v` / `--define` /
+  * `--hivevar` on the command line, expanded per-statement through
+  * `${hiveconf:k}`, `${hivevar:k}`, `${system:k}`, `${env:k}`, and
+  * bare `${k}` (hivevar namespace), nested up to the reference's 40
+  * rounds, toggled off by `--hiveconf hive.variable.substitute=false`.
   * Statements run against a session with the graft extensions and,
   * when `--sf <dir>` is given, the testdata tables registered — so a
-  * migrating `hive -f etl.sql` invocation maps 1:1.
+  * migrating, parameterized `hive -f etl.sql` invocation maps 1:1.
   *
   * The third reference entry point (programmatic `new Driver(conf)`)
   * is the library surface itself (`SparkEntry`/`spark.sql`); the
@@ -21,16 +27,25 @@ object GraftCli {
     var sql: Option[String] = None
     var file: Option[String] = None
     var sf: Option[String] = None
+    val hiveconf = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val hivevar = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var i = 0
     def value(flag: String): String = {
       if (i + 1 >= args.length) sys.error(s"missing value for $flag")
       args(i + 1)
+    }
+    def kv(flag: String): (String, String) = value(flag).split("=", 2) match {
+      case Array(k, v) => (k, v)
+      case _ => sys.error(s"$flag expects key=value, got: ${value(flag)}")
     }
     while (i < args.length) {
       args(i) match {
         case "-e" => sql = Some(value("-e")); i += 2
         case "-f" => file = Some(value("-f")); i += 2
         case "--sf" => sf = Some(value("--sf")); i += 2
+        case "--hiveconf" => hiveconf += kv("--hiveconf"); i += 2
+        case "-d" | "--define" | "--hivevar" =>
+          hivevar += kv(args(i)); i += 2
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -42,7 +57,7 @@ object GraftCli {
       case _ => sys.error("exactly one of -e <sql> / -f <file> required")
     }
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_CLI_MASTER", "local[4]"))
       .appName("graft-cli")
       .config("spark.sql.shuffle.partitions", "4")
@@ -50,13 +65,29 @@ object GraftCli {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-cli-wh").toString)
-      .getOrCreate()
+      // the CLI implements Hive 1.2's VariableSubstitution itself (the
+      // namespaces and unresolved-verbatim contract above); Spark's own
+      // parser-level ${...} substitution would run SECOND and swallow
+      // deliberately-unresolved references, so it is off by default
+      // (a --hiveconf can still re-enable it explicitly)
+      .config("spark.sql.variable.substitute", "false")
+    // --hiveconf properties apply to the session config, exactly as
+    // CliDriver folds them into the HiveConf (spark.* and SQL confs
+    // both land; hive.-namespace toggles we honor are read from the
+    // same map below)
+    hiveconf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
     sf.foreach(dir => graft.Tables.register(spark, dir))
 
+    val substituteOn = hiveconf.getOrElse("hive.variable.substitute",
+      spark.conf.getOption("hive.variable.substitute").getOrElse("true"))
+      .equalsIgnoreCase("true")
     try {
-      statements(script).foreach { stmt =>
+      statements(script).foreach { raw =>
+        val stmt = if (substituteOn)
+          substitute(raw, hiveconf.toMap, hivevar.toMap, spark) else raw
         val df = spark.sql(stmt)
         // CliDriver print shape: tab-separated cells, NULL for nulls.
         // LocalIterator: results stream to stdout without materializing
@@ -68,6 +99,59 @@ object GraftCli {
         }
       }
     } finally spark.stop()
+  }
+
+  /** Hive 1.2 `ql/parse/VariableSubstitution.substitute` semantics:
+    * expand `${...}` references until fixpoint or 40 rounds (the
+    * reference's `MAX_SUBST` guard against `-d a='${a}'` cycles).
+    * Namespaces, in the reference's `SystemVariables` lookup order —
+    * `system:` (JVM properties), `env:` (environment), `hiveconf:`
+    * (the --hiveconf map, falling back to session conf), `hivevar:`
+    * and bare `${k}` (the -d/--define/--hivevar map). An unresolvable
+    * reference is left verbatim (the reference warns and continues; a
+    * hard error would break scripts that SELECT literal '${...}'
+    * strings, which the regex already avoids only inside quotes it
+    * cannot see — verbatim pass-through is the compatible behavior). */
+  private[graft] def substitute(
+      stmt: String,
+      hiveconf: Map[String, String],
+      hivevar: Map[String, String],
+      spark: SparkSession): String = {
+    val ref = java.util.regex.Pattern.compile("\\$\\{([^}$ ]+)\\}")
+    def lookup(name: String): Option[String] = name match {
+      case n if n.startsWith("system:") =>
+        sys.props.get(n.stripPrefix("system:"))
+      case n if n.startsWith("env:") => sys.env.get(n.stripPrefix("env:"))
+      case n if n.startsWith("hiveconf:") =>
+        val k = n.stripPrefix("hiveconf:")
+        hiveconf.get(k).orElse(spark.conf.getOption(k))
+      case n if n.startsWith("hivevar:") =>
+        hivevar.get(n.stripPrefix("hivevar:"))
+      case n => hivevar.get(n)
+    }
+    var cur = stmt
+    var round = 0
+    var changed = true
+    while (changed && round < 40) {
+      val m = ref.matcher(cur)
+      // java.lang.StringBuilder: the Scala one lacks the 3-arg slice
+      // append (it would auto-tuple into append(Any))
+      val out = new java.lang.StringBuilder
+      changed = false
+      var last = 0
+      while (m.find()) {
+        out.append(cur, last, m.start())
+        lookup(m.group(1)) match {
+          case Some(v) => out.append(v); changed = true
+          case None => out.append(m.group(0)) // unresolved: verbatim
+        }
+        last = m.end()
+      }
+      out.append(cur, last, cur.length)
+      cur = out.toString
+      round += 1
+    }
+    cur
   }
 
   /** Split a script on top-level `;` (quote-aware), dropping blank

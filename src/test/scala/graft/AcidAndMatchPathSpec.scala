@@ -275,6 +275,53 @@ class AcidAndMatchPathSpec extends AnyFunSuite {
     assert(!fs.exists(lock), "lock must be released after B's statement")
   }
 
+  test("writer lock: LOAD DATA blocks behind a live writer, both effects survive") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.load_race")
+    Tables.register(spark, LocalSpark.sf)
+    spark.table("region").write.saveAsTable("graft_db.load_race")
+    // staged files to LOAD: region rows with keys offset +100
+    val stage = java.nio.file.Files.createTempDirectory("graft_load_race").toString
+    spark.table("region")
+      .withColumn("r_regionkey", col("r_regionkey") + lit(100))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/files")
+
+    val lock = Acid.lockPath(spark, "graft_db.load_race")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer A holds the statement lock
+    val out = fs.create(lock, false)
+    out.write("writerA".getBytes("UTF-8")); out.close()
+    spark.conf.set("graft.acid.lockWaitMs", "30000")
+    val bErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val b = new Thread(() =>
+      try graft.sources.LoadData.loadData(spark, s"$stage/files", "graft_db.load_race")
+      catch { case t: Throwable => bErr.set(t) })
+    try {
+      b.start()
+      Thread.sleep(1000)
+      assert(b.isAlive, "LOAD DATA must block while A holds the lock")
+      assert(spark.table("graft_db.load_race").count() == 5,
+        "LOAD must not have landed files while waiting")
+      // A commits a full rewrite (new file names, old files deleted) —
+      // the exact mutation that would have silently dropped an unlocked
+      // LOAD's freshly-landed files had the LOAD already run
+      spark.sql("""INSERT OVERWRITE TABLE graft_db.load_race
+                   SELECT * FROM region WHERE r_regionkey <> 0""")
+    } finally {
+      fs.delete(lock, false) // A releases
+      b.join(60000)
+      spark.conf.unset("graft.acid.lockWaitMs")
+    }
+    assert(!b.isAlive, "LOAD DATA must have completed")
+    assert(bErr.get() == null, s"LOAD must SUCCEED after A commits: ${bErr.get()}")
+    // BOTH effects survive: A's rewrite (key 0 gone) and B's loaded rows
+    val keys = spark.table("graft_db.load_race")
+      .orderBy("r_regionkey").select("r_regionkey")
+      .collect().map(_.getInt(0)).toSeq
+    assert(keys == Seq(1, 2, 3, 4, 100, 101, 102, 103, 104), keys.toString)
+    assert(!fs.exists(lock), "lock must be released after the LOAD")
+  }
+
   test("matchpath PTF agrees with a local reference implementation") {
     Tables.register(spark, LocalSpark.sf)
     val got = MatchPath.matches(spark, LocalSpark.sf, "v+p")

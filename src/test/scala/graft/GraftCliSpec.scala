@@ -54,6 +54,54 @@ class GraftCliSpec extends AnyFunSuite {
       Seq("SELECT '--not a comment; really'"))
   }
 
+  test("variable substitution: namespaces, nesting cap, unresolved pass-through") {
+    import graft.tools.GraftCli.substitute
+    val spark = LocalSpark.spark
+    val hc = Map("day" -> "2024-01-01")
+    val hv = Map("tbl" -> "orders", "alias" -> "${tbl}", "loop" -> "${loop}")
+    assert(substitute("SELECT * FROM ${tbl} WHERE ds='${hiveconf:day}'", hc, hv, spark)
+      == "SELECT * FROM orders WHERE ds='2024-01-01'")
+    assert(substitute("FROM ${hivevar:tbl}", hc, hv, spark) == "FROM orders")
+    // nested: ${alias} -> ${tbl} -> orders
+    assert(substitute("FROM ${alias}", hc, hv, spark) == "FROM orders")
+    // self-reference terminates at the 40-round cap, verbatim
+    assert(substitute("FROM ${loop}", hc, hv, spark) == "FROM ${loop}")
+    // unresolved names pass through verbatim (reference warns + continues)
+    assert(substitute("SELECT '${nope:x}' || '${missing}'", hc, hv, spark)
+      == "SELECT '${nope:x}' || '${missing}'")
+    // system: namespace reads JVM properties
+    sys.props("graft.cli.test") = "zz"
+    assert(substitute("-- ${system:graft.cli.test}", hc, hv, spark) == "-- zz")
+  }
+
+  test("-f parameterized script: --hiveconf/-d variables expand end-to-end") {
+    val script = java.nio.file.Files.createTempFile("graft_cli_vars", ".sql")
+    java.nio.file.Files.writeString(script,
+      """-- the canonical migrating shape: hive -f etl.sql -d tbl=... --hiveconf cutoff=...
+        |SELECT r_regionkey, r_name FROM ${tbl}
+        |WHERE r_regionkey < ${hiveconf:cutoff}
+        |ORDER BY r_regionkey;
+        |SELECT '${unresolved}' AS echo;
+        |""".stripMargin)
+    val (rc, out) = runCli(Seq(
+      "-f", script.toString, "--sf", LocalSpark.sf,
+      "-d", "tbl=region", "--hiveconf", "cutoff=2"))
+    assert(rc == 0, s"cli failed (rc=$rc):\n${out.takeRight(4000)}")
+    val lines = out.linesIterator.toSeq
+    assert(lines.contains("0\tAFRICA") && lines.contains("1\tAMERICA"), out)
+    assert(!lines.exists(_.startsWith("2\t")), out)
+    // an unresolved reference reaches the engine verbatim
+    assert(lines.contains("${unresolved}"), out)
+  }
+
+  test("--hiveconf hive.variable.substitute=false disables expansion") {
+    val (rc, out) = runCli(Seq(
+      "-e", "SELECT '${x}' AS echo", "-d", "x=BOOM",
+      "--hiveconf", "hive.variable.substitute=false"))
+    assert(rc == 0, s"cli failed (rc=$rc):\n${out.takeRight(4000)}")
+    assert(out.linesIterator.contains("${x}"), out)
+  }
+
   test("flag missing its value dies with a usage error, not AIOOBE") {
     val (rc, out) = runCli(Seq("-e"))
     assert(rc != 0)
