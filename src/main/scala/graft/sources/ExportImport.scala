@@ -307,6 +307,44 @@ object ExportImport {
         FROM graft_exim.supplier_imported
         GROUP BY s_nationkey
         ORDER BY nation""")
+    }),
+
+    // partition-scoped EXPORT: ship ONE partition of a catalog table
+    // (the routine migration unit), IMPORT recovers exactly that
+    // partition, aggregate through the imported table. Oracle = the
+    // same aggregate over the source restricted to the partition —
+    // equality proves the subtree selection, the verbatim copy, and
+    // the restricted partition recovery.
+    "source_export_partition" -> ((spark, sfDir) => {
+      graft.Tables.register(spark, sfDir)
+      val base = spark.conf.get("spark.sql.warehouse.dir") +
+        s"/_graft_fixtures/exim_part_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_exim")
+      spark.sql("DROP TABLE IF EXISTS graft_exim.supplier_psrc")
+      spark.table("supplier").write.partitionBy("s_nationkey")
+        .saveAsTable("graft_exim.supplier_psrc")
+      // smallest nation present — guaranteed non-empty at every SF (a
+      // hardcoded key could be absent from a tiny fixture's supplier)
+      val nk = spark.table("supplier")
+        .agg(org.apache.spark.sql.functions.min("s_nationkey"))
+        .head.get(0).toString
+      exportCatalogTable(spark, "graft_exim.supplier_psrc",
+        s"$base/bundle", partitionSpec = Seq("s_nationkey" -> nk))
+      importTable(spark, s"$base/bundle",
+        "graft_exim.supplier_p7", overwrite = true)
+      spark.sql("""
+        SELECT s_nationkey AS nation,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))
+                 AS BIGINT) AS sum_cents,
+               CAST(MIN(s_suppkey) AS BIGINT) AS min_key,
+               CAST(MAX(s_suppkey) AS BIGINT) AS max_key
+        FROM graft_exim.supplier_p7
+        GROUP BY s_nationkey
+        ORDER BY nation""")
     })
   )
 
@@ -319,6 +357,18 @@ object ExportImport {
              CAST(MIN(s_suppkey) AS BIGINT) AS min_key,
              CAST(MAX(s_suppkey) AS BIGINT) AS max_key
       FROM supplier
+      GROUP BY s_nationkey
+      ORDER BY nation""",
+
+    "source_export_partition" -> """
+      SELECT s_nationkey AS nation,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))
+               AS BIGINT) AS sum_cents,
+             CAST(MIN(s_suppkey) AS BIGINT) AS min_key,
+             CAST(MAX(s_suppkey) AS BIGINT) AS max_key
+      FROM supplier
+      WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
       GROUP BY s_nationkey
       ORDER BY nation"""
   )

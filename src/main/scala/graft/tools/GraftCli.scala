@@ -14,9 +14,15 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * `${hiveconf:k}`, `${hivevar:k}`, `${system:k}`, `${env:k}`, and
   * bare `${k}` (hivevar namespace), nested up to the reference's 40
   * rounds, toggled off by `--hiveconf hive.variable.substitute=false`.
-  * Statements run against a session with the graft extensions and,
-  * when `--sf <dir>` is given, the testdata tables registered — so a
-  * migrating, parameterized `hive -f etl.sql` invocation maps 1:1.
+  * Also CliDriver's script-composition surface: `-i <file>` init
+  * scripts (run before the main script, same statement rules),
+  * `--database <db>` (CliDriver's USE-before-run flag), and the
+  * `SOURCE <path>` command (processLine's nested-script dispatch —
+  * the path is variable-substituted, so `SOURCE ${dir}/common.sql`
+  * works). Statements run against a session with the graft extensions
+  * and, when `--sf <dir>` is given, the testdata tables registered —
+  * so a migrating, parameterized `hive -f etl.sql` invocation maps
+  * 1:1.
   *
   * The third reference entry point (programmatic `new Driver(conf)`)
   * is the library surface itself (`SparkEntry`/`spark.sql`); the
@@ -27,6 +33,8 @@ object GraftCli {
     var sql: Option[String] = None
     var file: Option[String] = None
     var sf: Option[String] = None
+    var database: Option[String] = None
+    val inits = scala.collection.mutable.ArrayBuffer.empty[String]
     val hiveconf = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val hivevar = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var i = 0
@@ -46,6 +54,8 @@ object GraftCli {
         case "--hiveconf" => hiveconf += kv("--hiveconf"); i += 2
         case "-d" | "--define" | "--hivevar" =>
           hivevar += kv(args(i)); i += 2
+        case "-i" => inits += value("-i"); i += 2
+        case "--database" => database = Some(value("--database")); i += 2
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -84,20 +94,43 @@ object GraftCli {
     val substituteOn = hiveconf.getOrElse("hive.variable.substitute",
       spark.conf.getOption("hive.variable.substitute").getOrElse("true"))
       .equalsIgnoreCase("true")
-    try {
-      statements(script).foreach { raw =>
+    val SourceCmd = "(?is)^source\\s+(.+)$".r
+    // depth cap mirrors the substitution loop's spirit: a script that
+    // SOURCEs itself fails loudly instead of recursing forever
+    def runScript(text: String, depth: Int): Unit = {
+      require(depth < 40, "SOURCE nesting exceeds 40 levels (cycle?)")
+      statements(text).foreach { raw =>
         val stmt = if (substituteOn)
           substitute(raw, hiveconf.toMap, hivevar.toMap, spark) else raw
-        val df = spark.sql(stmt)
-        // CliDriver print shape: tab-separated cells, NULL for nulls.
-        // LocalIterator: results stream to stdout without materializing
-        // the full set on the driver heap.
-        df.toLocalIterator().forEachRemaining { row =>
-          println((0 until row.length)
-            .map(j => if (row.isNullAt(j)) "NULL" else row.get(j).toString)
-            .mkString("\t"))
+        stmt match {
+          case SourceCmd(path) => // CliDriver processLine's nested script
+            runScript(new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(path.trim)), "UTF-8"), depth + 1)
+          case _ =>
+            val df = spark.sql(stmt)
+            // CliDriver print shape: tab-separated cells, NULL for
+            // nulls; hive.cli.print.header=true prepends the column
+            // names (same TSV row shape). LocalIterator: results
+            // stream to stdout without materializing the full set on
+            // the driver heap.
+            if (spark.conf.getOption("hive.cli.print.header")
+                  .exists(_.equalsIgnoreCase("true")))
+              println(df.columns.mkString("\t"))
+            df.toLocalIterator().forEachRemaining { row =>
+              println((0 until row.length)
+                .map(j => if (row.isNullAt(j)) "NULL" else row.get(j).toString)
+                .mkString("\t"))
+            }
         }
       }
+    }
+    try {
+      database.foreach(db => spark.sql(s"USE `${db.replace("`", "``")}`"))
+      inits.foreach { f =>
+        runScript(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), "UTF-8"), 0)
+      }
+      runScript(script, 0)
     } finally spark.stop()
   }
 
@@ -240,9 +273,11 @@ object GraftCli {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cli_e_statement" -> ((spark, sfDir) => {
+      // the table name arrives through -d substitution — the driver row
+      // exercises the parameterized-invocation shape, not just -e
       val sql =
-        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
-      val (rc, out) = runChild(Seq("-e", sql, "--sf", sfDir))
+        "SELECT r_regionkey, r_name FROM ${tbl} ORDER BY r_regionkey"
+      val (rc, out) = runChild(Seq("-e", sql, "-d", "tbl=region", "--sf", sfDir))
       require(rc == 0, s"cli exited $rc:\n${out.takeRight(2000)}")
       val rows = out.linesIterator
         .map(_.split("\t", -1))

@@ -140,6 +140,10 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "sort_array_struct",  // ROUND(bal*100)->BIGINT: exact cents grid
     "source_rcfile_scan", // ROUND(bal*100)->BIGINT: exact cents grid
     "source_export_import", // ROUND(price*100)->BIGINT: cents grid
+    "source_export_partition", // ROUND(s_acctbal*100)->BIGINT: cents
+                            // grid (round-12 review: same idiom and
+                            // column as source_load_data; exact on
+                            // the 2-dp TPC-H grid)
     "source_load_data",     // ROUND(s_acctbal*100)->BIGINT: cents grid
                             // (round-11 review: identical idiom to
                             // source_export_import on the same column

@@ -102,6 +102,55 @@ class GraftCliSpec extends AnyFunSuite {
     assert(out.linesIterator.contains("${x}"), out)
   }
 
+  test("SOURCE command and -i init script: CliDriver composition surface") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_src")
+    // init script: set up the view the main script's fragment uses
+    java.nio.file.Files.writeString(dir.resolve("init.sql"),
+      "CREATE OR REPLACE TEMP VIEW two AS SELECT 2 AS v;\n")
+    // sourced fragment: referenced from the main script via ${dir}
+    java.nio.file.Files.writeString(dir.resolve("common.sql"),
+      "SELECT 40 + v AS answer FROM two;\n")
+    java.nio.file.Files.writeString(dir.resolve("main.sql"),
+      "SOURCE ${dir}/common.sql;\n")
+    val (rc, out) = runCli(Seq(
+      "-f", s"$dir/main.sql", "-i", s"$dir/init.sql", "-d", s"dir=$dir"))
+    assert(rc == 0, s"cli failed (rc=$rc):\n${out.takeRight(4000)}")
+    assert(out.linesIterator.contains("42"), out)
+  }
+
+  test("--database issues USE before init files and the script (CliDriver order)") {
+    // a nonexistent database fails the run — proof the flag really
+    // issues USE (Hive's processSelectDatabase runs before init files,
+    // so the database must pre-exist)
+    val (rcBad, _) = runCli(Seq("-e", "SELECT 1", "--database", "graft_no_such_db"))
+    assert(rcBad != 0)
+    val (rc, out) = runCli(Seq(
+      "-e", "SELECT current_database()", "--database", "default"))
+    assert(rc == 0, out.takeRight(2000))
+    assert(out.linesIterator.contains("default"), out)
+  }
+
+  test("SOURCE cycle fails loudly at the depth cap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_cycle")
+    java.nio.file.Files.writeString(dir.resolve("a.sql"),
+      s"SOURCE $dir/a.sql;\n")
+    val (rc, out) = runCli(Seq("-f", s"$dir/a.sql"))
+    assert(rc != 0)
+    assert(out.contains("SOURCE nesting"), out.takeRight(2000))
+  }
+
+  test("hive.cli.print.header prints column names; SET toggles it mid-script") {
+    val (rc, out) = runCli(Seq(
+      "-e", "SELECT 1 AS a, 'x' AS b; SET hive.cli.print.header=false; SELECT 2 AS c",
+      "--hiveconf", "hive.cli.print.header=true"))
+    assert(rc == 0, out.takeRight(2000))
+    val lines = out.linesIterator.toSeq
+    assert(lines.contains("a\tb") && lines.contains("1\tx"), out)
+    // after SET ...=false the third statement prints no 'c' header
+    assert(!lines.contains("c"), out)
+    assert(lines.contains("2"), out)
+  }
+
   test("flag missing its value dies with a usage error, not AIOOBE") {
     val (rc, out) = runCli(Seq("-e"))
     assert(rc != 0)
