@@ -16,10 +16,14 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * rounds, toggled off by `--hiveconf hive.variable.substitute=false`.
   * Also CliDriver's script-composition surface: `-i <file>` init
   * scripts (run before the main script, same statement rules),
-  * `--database <db>` (CliDriver's USE-before-run flag), and the
+  * `--database <db>` (CliDriver's USE-before-run flag), the
   * `SOURCE <path>` command (processLine's nested-script dispatch —
   * the path is variable-substituted, so `SOURCE ${dir}/common.sql`
-  * works). Statements run against a session with the graft extensions
+  * works), `dfs <args>` (processLine's FsShell dispatch, run against
+  * the session's Hadoop conf so the warehouse filesystem is the one
+  * inspected), and `!<cmd>` shell escapes (processLine's shell
+  * dispatch; a failing command aborts the script like a failing
+  * statement). Statements run against a session with the graft extensions
   * and, when `--sf <dir>` is given, the testdata tables registered —
   * so a migrating, parameterized `hive -f etl.sql` invocation maps
   * 1:1.
@@ -95,6 +99,7 @@ object GraftCli {
       spark.conf.getOption("hive.variable.substitute").getOrElse("true"))
       .equalsIgnoreCase("true")
     val SourceCmd = "(?is)^source\\s+(.+)$".r
+    val DfsCmd = "(?is)^dfs\\s+(.+)$".r
     // depth cap mirrors the substitution loop's spirit: a script that
     // SOURCEs itself fails loudly instead of recursing forever
     def runScript(text: String, depth: Int): Unit = {
@@ -106,6 +111,17 @@ object GraftCli {
           case SourceCmd(path) => // CliDriver processLine's nested script
             runScript(new String(java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(path.trim)), "UTF-8"), depth + 1)
+          case DfsCmd(rest) => // CliDriver processLine's FsShell dispatch
+            val shell = new org.apache.hadoop.fs.FsShell(
+              spark.sparkContext.hadoopConfiguration)
+            val rc = try shell.run(rest.trim.split("\\s+"))
+                     finally shell.close()
+            require(rc == 0, s"dfs command failed ($rc): dfs $rest")
+          case sh if sh.startsWith("!") => // shell escape
+            val p = new ProcessBuilder("bash", "-c", sh.drop(1).trim)
+              .inheritIO().start()
+            val rc = p.waitFor()
+            require(rc == 0, s"shell command failed ($rc): $sh")
           case _ =>
             val df = spark.sql(stmt)
             // CliDriver print shape: tab-separated cells, NULL for

@@ -139,6 +139,22 @@ class GraftCliSpec extends AnyFunSuite {
     assert(out.contains("SOURCE nesting"), out.takeRight(2000))
   }
 
+  test("dfs and ! shell commands: processLine's non-SQL dispatches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_dfs")
+    java.nio.file.Files.writeString(dir.resolve("probe.txt"), "hi\n")
+    // dfs -ls lists through FsShell; !cat runs a shell pipeline; a
+    // failing shell command aborts the run non-zero
+    val (rc, out) = runCli(Seq(
+      "-e", s"dfs -ls $dir; !cat $dir/probe.txt; SELECT 7 AS ok"))
+    assert(rc == 0, out.takeRight(4000))
+    assert(out.contains("probe.txt"), out)
+    assert(out.contains("hi"), out)
+    assert(out.linesIterator.contains("7"), out)
+    val (rcBad, outBad) = runCli(Seq("-e", "!false; SELECT 1"))
+    assert(rcBad != 0)
+    assert(outBad.contains("shell command failed"), outBad.takeRight(2000))
+  }
+
   test("hive.cli.print.header prints column names; SET toggles it mid-script") {
     val (rc, out) = runCli(Seq(
       "-e", "SELECT 1 AS a, 'x' AS b; SET hive.cli.print.header=false; SELECT 2 AS c",
