@@ -174,12 +174,21 @@ object ExportImport {
 
   /** Re-register a bundle as `db.table` (EXTERNAL, zero-copy: the
     * table's LOCATION is the bundle's `data/`). Creates the database
-    * if needed, recovers partitions, returns the imported table. */
+    * if needed, recovers partitions, returns the imported table.
+    *
+    * `partitionSpec` is Hive's `IMPORT TABLE t PARTITION (k=v,...)
+    * FROM dir` (ImportSemanticAnalyzer filters the bundle's partitions
+    * against the spec): only partitions under the matching subtree are
+    * registered — a whole-table bundle can be imported one partition
+    * at a time. Same partial-top-down spec contract as the
+    * partition-scoped EXPORT; the selected subtree must exist in the
+    * bundle. */
   def importTable(
       spark: SparkSession,
       src: String,
       target: String,
-      overwrite: Boolean = false): DataFrame = {
+      overwrite: Boolean = false,
+      partitionSpec: Seq[(String, String)] = Nil): DataFrame = {
     val m = readManifest(spark, src)
     val (db, tbl) = splitTarget(target)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
@@ -188,7 +197,48 @@ object ExportImport {
       s"""CREATE TABLE $db.$tbl (${m.schema.toDDL})
          |USING ${m.format} ${partClause(m)} ${bucketClause(m)}
          |LOCATION '$src/data'""".stripMargin)
-    if (m.partitionCols.nonEmpty)
+    if (partitionSpec.nonEmpty) {
+      require(m.partitionCols.nonEmpty,
+        s"PARTITION spec given but the bundle at $src is unpartitioned")
+      val specKeys = partitionSpec.map(_._1.toLowerCase)
+      require(specKeys ==
+        m.partitionCols.take(specKeys.length).map(_.toLowerCase),
+        s"partition spec must follow (${m.partitionCols.mkString(", ")}) " +
+          s"from the top, got (${specKeys.mkString(", ")})")
+      // register exactly the partitions under the selected subtree: a
+      // recursive directory walk to the partition depth (driver-side —
+      // one listStatus per directory level of ONE subtree, the same
+      // metadata cost Hive's filtered IMPORT pays), then explicit ADD
+      // PARTITIONs. MSCK would recover every partition in the bundle.
+      val esc = partitionSpec.map { case (k, v) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(k, v)
+      }
+      val dataRoot = new Path(s"$src/data")
+      val fs = dataRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val subtree = esc.foldLeft(dataRoot)(new Path(_, _))
+      require(fs.exists(subtree), s"no such partition in bundle: $subtree")
+      def leaves(dir: Path, depth: Int): Seq[Path] =
+        if (depth == m.partitionCols.length) Seq(dir)
+        else fs.listStatus(dir).filter(_.isDirectory).toSeq
+          .flatMap(s => leaves(s.getPath, depth + 1))
+      val adds = leaves(subtree, partitionSpec.length).map { leaf =>
+        // leaf path = <dataRoot>/k1=v1/.../kn=vn — decode each level
+        // with the same escaping rules the writer used
+        val rel = leaf.toString.stripPrefix(dataRoot.toString)
+          .stripPrefix("/")
+        val spec = rel.split('/').map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          val dv = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(v)
+          s"`$k`='${dv.replace("'", "''")}'"
+        }.mkString(", ")
+        s"PARTITION ($spec)"
+      }
+      require(adds.nonEmpty, s"no partitions found under $subtree")
+      spark.sql(
+        s"ALTER TABLE $db.$tbl ADD IF NOT EXISTS ${adds.mkString(" ")}")
+    } else if (m.partitionCols.nonEmpty)
       spark.sql(s"MSCK REPAIR TABLE $db.$tbl")
     spark.table(s"$db.$tbl")
   }

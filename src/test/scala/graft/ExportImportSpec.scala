@@ -165,6 +165,29 @@ class ExportImportSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no such partition"), e2.getMessage)
   }
 
+  test("partition-scoped IMPORT registers one partition of a whole-table bundle") {
+    Tables.register(spark, LocalSpark.sf)
+    val orders = spark.table("orders")
+    val dest = s"${freshDir()}/bundle"
+    ExportImport.exportTable(orders, dest, Seq("o_orderstatus"))
+    val imported = ExportImport.importTable(
+      spark, dest, "graft_exim_test.orders_ponly", overwrite = true,
+      partitionSpec = Seq("o_orderstatus" -> "F"))
+    val parts = spark.sql("SHOW PARTITIONS graft_exim_test.orders_ponly")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("o_orderstatus=F"), parts.toString)
+    val expect = orders.where(col("o_orderstatus") === "F")
+    assert(imported.count() == expect.count() && imported.count() > 0)
+    // the other statuses exist in the bundle but are NOT registered
+    assert(imported.count() < orders.count())
+    // missing partition value fails loudly
+    val e = intercept[IllegalArgumentException] {
+      ExportImport.importTable(spark, dest, "graft_exim_test.orders_pnone",
+        overwrite = true, partitionSpec = Seq("o_orderstatus" -> "ZZ"))
+    }
+    assert(e.getMessage.contains("no such partition"), e.getMessage)
+  }
+
   test("partition-scoped export of a bucketed+partitioned table keeps the bucket spec") {
     Tables.register(spark, LocalSpark.sf)
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_exim_test")
