@@ -99,14 +99,22 @@ object Dedup {
         FROM sigs
         LATERAL VIEW EXPLODE(SEQUENCE(0, 15)) b AS band
       ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        -- SHUFFLE_MERGE: both sides are corpus-scale. Catalyst's size
+        -- estimate for an explode/wide-array subtree is width-ratio
+        -- based (it never sees the row multiplication or the real gram
+        -- array bytes), so left alone it plans these as broadcasts —
+        -- fine at sf0.1, a 4 GiB driver OOM at sf10, and the wrong
+        -- shape at any production scale. Pin the scale-stable join.
+        SELECT /*+ SHUFFLE_MERGE(a, b) */
+               DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bandhash = b.bandhash
          AND a.doc_id < b.doc_id
       )
       SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
       FROM (
-        SELECT doc_a, doc_b, JACCARD_SIM(sa.grams, sb.grams) AS j
+        SELECT /*+ SHUFFLE_MERGE(sa, sb) */
+               doc_a, doc_b, JACCARD_SIM(sa.grams, sb.grams) AS j
         FROM cand
         JOIN sh sa ON doc_a = sa.doc_id
         JOIN sh sb ON doc_b = sb.doc_id
@@ -129,21 +137,30 @@ object Dedup {
       ), df AS (
         SELECT source, gram, COUNT(*) AS df FROM inv GROUP BY source, gram
       ), prefix AS (
+        -- SHUFFLE_MERGE on every corpus×corpus join in this chain: the
+        -- inverted index, the df table, the prefix set, and the gram-set
+        -- re-joins all sit above an explode, whose Catalyst size
+        -- estimate is width-ratio only — left alone the planner
+        -- broadcasts ALL of them (measured: a 4.3 GiB broadcast OOM at
+        -- sf10). Pinned shuffle joins are the shape that survives 100 TB.
         SELECT doc_id, source, gram FROM (
-          SELECT i.doc_id, i.source, i.gram, i.n,
+          SELECT /*+ SHUFFLE_MERGE(i, d) */
+                 i.doc_id, i.source, i.gram, i.n,
                  ROW_NUMBER() OVER (PARTITION BY i.doc_id
                                     ORDER BY d.df, i.gram) AS rk
           FROM inv i
           JOIN df d ON i.gram = d.gram AND i.source = d.source
         ) WHERE rk <= n - CEIL(0.5 * n) + 1
       ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        SELECT /*+ SHUFFLE_MERGE(a, b) */
+               DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM prefix a JOIN prefix b
           ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
       ), jpairs AS (
         SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
         FROM (
-          SELECT doc_a, doc_b, JACCARD_SIM(sa.grams, sb.grams) AS j
+          SELECT /*+ SHUFFLE_MERGE(sa, sb) */
+                 doc_a, doc_b, JACCARD_SIM(sa.grams, sb.grams) AS j
           FROM cand
           JOIN sh sa ON doc_a = sa.doc_id
           JOIN sh sb ON doc_b = sb.doc_id
@@ -257,7 +274,8 @@ object Dedup {
         SELECT b.doc_id, b.sim, b.band, b.bandkey
         FROM bands b JOIN cool USING (band, bandkey)
       )
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      SELECT /*+ SHUFFLE_MERGE(a, b) */
+             DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(BIT_COUNT(a.sim ^ b.sim) AS INT) AS hamming
       FROM cb a JOIN cb b
         ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
@@ -358,15 +376,20 @@ object Dedup {
       ), df AS (
         SELECT source, gram, COUNT(*) AS df FROM inv GROUP BY source, gram
       ), prefix AS (
+        -- SHUFFLE_MERGE: same explode-underestimation rationale as
+        -- NgramJpairsCtes — pin the corpus-scale joins to the shape
+        -- that survives 100 TB instead of a misestimated broadcast.
         SELECT doc_id, source, gram FROM (
-          SELECT i.doc_id, i.source, i.gram, i.n,
+          SELECT /*+ SHUFFLE_MERGE(i, d) */
+                 i.doc_id, i.source, i.gram, i.n,
                  ROW_NUMBER() OVER (PARTITION BY i.doc_id
                                     ORDER BY d.df, i.gram) AS rk
           FROM inv i
           JOIN df d ON i.gram = d.gram AND i.source = d.source
         ) WHERE rk <= n - CEIL(0.8 * n) + 1
       ), cand AS (
-        SELECT DISTINCT LEAST(p.doc_id, i.doc_id) AS doc_a,
+        SELECT /*+ SHUFFLE_MERGE(p, i) */
+               DISTINCT LEAST(p.doc_id, i.doc_id) AS doc_a,
                         GREATEST(p.doc_id, i.doc_id) AS doc_b
         FROM prefix p JOIN inv i
           ON p.gram = i.gram AND p.source = i.source AND p.doc_id <> i.doc_id
@@ -375,7 +398,8 @@ object Dedup {
              ROUND(inter / na, 6) AS cont_ab,
              ROUND(inter / nb, 6) AS cont_ba
       FROM (
-        SELECT doc_a, doc_b,
+        SELECT /*+ SHUFFLE_MERGE(sa, sb) */
+               doc_a, doc_b,
                SIZE(ARRAY_INTERSECT(sa.grams, sb.grams)) AS inter,
                SIZE(sa.grams) AS na, SIZE(sb.grams) AS nb
         FROM cand
