@@ -288,33 +288,46 @@ object Aggregates {
       ORDER BY rf"""
 
   /** 5%-trimmed mean per return flag — the robust-mean companion of
-    * the winsorized/MAD family: rank rows inside each group, drop the
-    * lowest and highest ⌊n/20⌋, average the exact-cents middle via a
-    * DECIMAL sum. Tie-safety: equal values at a trim boundary are
-    * interchangeable, so WHICH duplicate the row_number drops cannot
-    * change the kept multiset or its sum. Scale shape: one
-    * range-partitioned sort per group key (the window_running_median
-    * cost class); at 100 TB the boundaries would come from the exact
-    * percentile aggregate instead — same answer, this spelling keeps
-    * the whole statistic in one window pass. */
+    * the winsorized/MAD family: drop the lowest and highest ⌊n/20⌋
+    * values by rank, average the exact-cents middle via a DECIMAL sum.
+    * Scale shape: a map-side-combinable GROUP BY (rf, v) collapses the
+    * corpus to one row per DISTINCT cents value FIRST, so the rank
+    * window runs over value counts, not rows — at 100 TB the window
+    * input is bounded by the value domain (~1e6 cents values), not the
+    * 6e9-row table (a per-row ROW_NUMBER here was the sf10 bench's
+    * single-partition-sort warning). Each value's rank interval
+    * (cum−cnt, cum] is intersected with the kept interval
+    * (trim, n−trim]; `kept` is how many duplicates of v survive —
+    * tie-safe by construction, since equal values are interchangeable
+    * at a trim boundary. */
   private val TrimmedMeanSql = """
       WITH c AS (
         SELECT l_returnflag AS rf,
                CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
         FROM lineitem
       ),
+      g AS (SELECT rf, v, COUNT(*) AS cnt FROM c GROUP BY rf, v),
       r AS (
-        SELECT rf, v,
-               ROW_NUMBER() OVER (PARTITION BY rf ORDER BY v) AS rk,
-               COUNT(*) OVER (PARTITION BY rf) AS n
-        FROM c
+        SELECT rf, v, cnt,
+               SUM(cnt) OVER (PARTITION BY rf ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY rf) AS n
+        FROM g
+      ),
+      k AS (
+        SELECT rf, v, n, FLOOR(n / 20.0) AS trim,
+               GREATEST(CAST(0 AS BIGINT),
+                 LEAST(cum, CAST(n - FLOOR(n / 20.0) AS BIGINT))
+                 - GREATEST(cum - cnt, CAST(FLOOR(n / 20.0) AS BIGINT)))
+                 AS kept
+        FROM r
       )
       SELECT rf, CAST(MAX(n) AS BIGINT) AS n_rows,
-             CAST(FLOOR(MAX(n) / 20.0) AS BIGINT) AS n_trimmed_each_side,
-             ROUND(CAST(SUM(CAST(v AS DECIMAL(18, 0))) AS DOUBLE)
-                   / COUNT(*), 6) AS trimmed_mean_cents
-      FROM r
-      WHERE rk > FLOOR(n / 20.0) AND rk <= n - FLOOR(n / 20.0)
+             CAST(MAX(trim) AS BIGINT) AS n_trimmed_each_side,
+             ROUND(CAST(SUM(CAST(kept AS DECIMAL(18, 0))
+                            * CAST(v AS DECIMAL(18, 0))) AS DOUBLE)
+                   / SUM(kept), 6) AS trimmed_mean_cents
+      FROM k
       GROUP BY rf
       ORDER BY rf"""
 
@@ -367,35 +380,40 @@ object Aggregates {
   /** 5% winsorized mean per return flag — agg_trimmed_mean's sibling
     * that CLAMPS the tails to the boundary order statistics instead of
     * dropping them (keeps n constant — the estimator regulators expect
-    * in reported aggregates). Same rank machinery; the boundary values
-    * are the cents at ranks ⌊n/20⌋+1 and n−⌊n/20⌋, applied via
-    * LEAST/GREATEST on exact integers, so the whole statistic is an
-    * exact-integer sum until the final mean division. */
+    * in reported aggregates). Same pre-aggregated rank machinery (the
+    * GROUP BY (rf, v) collapse above): the boundary values are the
+    * cents whose cumulative count first reaches ranks ⌊n/20⌋+1 and
+    * n−⌊n/20⌋, applied via LEAST/GREATEST on exact integers weighted
+    * by each value's count, so the whole statistic is an exact-integer
+    * sum until the final mean division. */
   private val WinsorizedMeanSql = """
       WITH c AS (
         SELECT l_returnflag AS rf,
                CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
         FROM lineitem
       ),
+      g AS (SELECT rf, v, COUNT(*) AS cnt FROM c GROUP BY rf, v),
       r AS (
-        SELECT rf, v,
-               ROW_NUMBER() OVER (PARTITION BY rf ORDER BY v) AS rk,
-               COUNT(*) OVER (PARTITION BY rf) AS n
-        FROM c
+        SELECT rf, v, cnt,
+               SUM(cnt) OVER (PARTITION BY rf ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY rf) AS n
+        FROM g
       ),
       b AS (
-        SELECT rf,
-               MAX(CASE WHEN rk = FLOOR(n / 20.0) + 1 THEN v END) AS lo,
-               MAX(CASE WHEN rk = n - FLOOR(n / 20.0) THEN v END) AS hi
+        SELECT rf, MAX(n) AS n,
+               MIN(CASE WHEN cum >= FLOOR(n / 20.0) + 1 THEN v END) AS lo,
+               MIN(CASE WHEN cum >= n - FLOOR(n / 20.0) THEN v END) AS hi
         FROM r GROUP BY rf
       )
-      SELECT r.rf, CAST(MAX(r.n) AS BIGINT) AS n_rows,
+      SELECT r.rf, CAST(b.n AS BIGINT) AS n_rows,
              b.lo AS lower_bound_cents, b.hi AS upper_bound_cents,
-             ROUND(CAST(SUM(CAST(LEAST(b.hi, GREATEST(b.lo, r.v))
-                                 AS DECIMAL(18, 0))) AS DOUBLE)
-                   / COUNT(*), 6) AS winsorized_mean_cents
+             ROUND(CAST(SUM(CAST(r.cnt AS DECIMAL(18, 0))
+                            * CAST(LEAST(b.hi, GREATEST(b.lo, r.v))
+                                   AS DECIMAL(18, 0))) AS DOUBLE)
+                   / SUM(r.cnt), 6) AS winsorized_mean_cents
       FROM r JOIN b ON r.rf = b.rf
-      GROUP BY r.rf, b.lo, b.hi
+      GROUP BY r.rf, b.n, b.lo, b.hi
       ORDER BY r.rf"""
 
   val queries: Map[String, Q] = Map(
