@@ -381,11 +381,17 @@ object Aggregates {
     * that CLAMPS the tails to the boundary order statistics instead of
     * dropping them (keeps n constant — the estimator regulators expect
     * in reported aggregates). Same pre-aggregated rank machinery (the
-    * GROUP BY (rf, v) collapse above): the boundary values are the
-    * cents whose cumulative count first reaches ranks ⌊n/20⌋+1 and
-    * n−⌊n/20⌋, applied via LEAST/GREATEST on exact integers weighted
-    * by each value's count, so the whole statistic is an exact-integer
-    * sum until the final mean division. */
+    * GROUP BY (rf, v) collapse above), reduced to ONE grouped pass:
+    * by rank positions, the winsorized sum is trim·lo (positions
+    * 1..⌊n/20⌋ clamp up to lo = the value at rank ⌊n/20⌋+1) plus
+    * trim·hi (the top ⌊n/20⌋ clamp down to hi = the value at rank
+    * n−⌊n/20⌋) plus the kept-interval sum of the middle — exactly
+    * agg_trimmed_mean's `kept` intersection. That identity removes
+    * the `r JOIN b` self-join of the first spelling, which evaluated
+    * the rank window TWICE (measured 4.6 s vs the trimmed sibling's
+    * 2.5 s at sf0.1); boundaries fall out of the same scan as
+    * conditional MINs. Exact-integer throughout until the final mean
+    * division. */
   private val WinsorizedMeanSql = """
       WITH c AS (
         SELECT l_returnflag AS rf,
@@ -400,21 +406,30 @@ object Aggregates {
                SUM(cnt) OVER (PARTITION BY rf) AS n
         FROM g
       ),
+      k AS (
+        SELECT rf, v, cnt, cum, n,
+               CAST(FLOOR(n / 20.0) AS BIGINT) AS trim
+        FROM r
+      ),
       b AS (
-        SELECT rf, MAX(n) AS n,
-               MIN(CASE WHEN cum >= FLOOR(n / 20.0) + 1 THEN v END) AS lo,
-               MIN(CASE WHEN cum >= n - FLOOR(n / 20.0) THEN v END) AS hi
-        FROM r GROUP BY rf
+        SELECT rf, MAX(n) AS n, MAX(trim) AS trim,
+               MIN(CASE WHEN cum >= trim + 1 THEN v END) AS lo,
+               MIN(CASE WHEN cum >= n - trim THEN v END) AS hi,
+               SUM(CAST(GREATEST(CAST(0 AS BIGINT),
+                     LEAST(cum, n - trim) - GREATEST(cum - cnt, trim))
+                     AS DECIMAL(18, 0))
+                   * CAST(v AS DECIMAL(18, 0))) AS mid_sum
+        FROM k GROUP BY rf
       )
-      SELECT r.rf, CAST(b.n AS BIGINT) AS n_rows,
-             b.lo AS lower_bound_cents, b.hi AS upper_bound_cents,
-             ROUND(CAST(SUM(CAST(r.cnt AS DECIMAL(18, 0))
-                            * CAST(LEAST(b.hi, GREATEST(b.lo, r.v))
-                                   AS DECIMAL(18, 0))) AS DOUBLE)
-                   / SUM(r.cnt), 6) AS winsorized_mean_cents
-      FROM r JOIN b ON r.rf = b.rf
-      GROUP BY r.rf, b.n, b.lo, b.hi
-      ORDER BY r.rf"""
+      SELECT rf, CAST(n AS BIGINT) AS n_rows,
+             lo AS lower_bound_cents, hi AS upper_bound_cents,
+             ROUND(CAST(CAST(trim AS DECIMAL(18, 0))
+                          * (CAST(lo AS DECIMAL(18, 0))
+                             + CAST(hi AS DECIMAL(18, 0)))
+                        + mid_sum AS DOUBLE) / n, 6)
+               AS winsorized_mean_cents
+      FROM b
+      ORDER BY rf"""
 
   val queries: Map[String, Q] = Map(
     "agg_winsorized_mean" -> Tables.sql(WinsorizedMeanSql),

@@ -632,6 +632,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("agg_winsorized_mean: one window pass, no boundary self-join") {
+    // the first spelling computed boundaries in one CTE and re-joined
+    // it against the windowed ranks — evaluating the rank window TWICE
+    // (4.6 s vs the trimmed sibling's 2.5 s at sf0.1). The winsorized
+    // sum is trim·(lo+hi) + the trimmed kept-interval sum, so one
+    // grouped pass over ONE window suffices; pin that shape.
+    val p = plan("agg_winsorized_mean")
+    assert(!p.contains("Join"), s"boundary self-join reintroduced:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 1,
+      s"rank window must be evaluated once:\n$p")
+  }
+
   test("source_symlink_scan reads only the linked targets") {
     val df = SparkEntry.queries("source_symlink_scan")(spark, LocalSpark.sf)
     // 3 sources linked, one part file each (coalesce(1) fixture):
