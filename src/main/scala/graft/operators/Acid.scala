@@ -420,7 +420,7 @@ object Acid {
 
   /** Backtick-quote a (possibly db-qualified) identifier for embedding
     * in SQL text — each dot-separated part quoted separately. */
-  private def quoted(table: String): String =
+  private[graft] def quoted(table: String): String =
     table.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
 
   private[graft] def lockPath(spark: SparkSession, table: String): Path = {

@@ -68,7 +68,8 @@ object LoadData {
         if (partition.isEmpty) ""
         else s"PARTITION (${partitionSpecSql(partition)})"
       spark.sql(
-        s"LOAD DATA $localKw INPATH '$inPath' ${ow}INTO TABLE $db.$tbl $part")
+        s"LOAD DATA $localKw INPATH '${inPath.replace("'", "''")}' " +
+          s"${ow}INTO TABLE ${graft.operators.Acid.quoted(s"$db.$tbl")} $part")
     } else {
       // datasource table: same move-and-register semantics by hand.
       // Source and destination may live on DIFFERENT filesystems — the
@@ -115,9 +116,9 @@ object LoadData {
             s"LOAD DATA cross-FS move failed: ${f.getPath} -> $target")
       }
       if (partition.nonEmpty)
-        spark.sql(s"ALTER TABLE $db.$tbl ADD IF NOT EXISTS " +
-          s"PARTITION (${partitionSpecSql(partition)})")
-      spark.sql(s"REFRESH TABLE $db.$tbl")
+        spark.sql(s"ALTER TABLE ${graft.operators.Acid.quoted(s"$db.$tbl")} " +
+          s"ADD IF NOT EXISTS PARTITION (${partitionSpecSql(partition)})")
+      spark.sql(s"REFRESH TABLE ${graft.operators.Acid.quoted(s"$db.$tbl")}")
     }
     }
   }
