@@ -298,7 +298,7 @@ object Acid {
     * named "Location" would otherwise shadow the real row. */
   private[operators] def tableLocation(spark: SparkSession, table: String): Path =
     new Path(
-      spark.sql(s"DESCRIBE FORMATTED $table").collect()
+      spark.sql(s"DESCRIBE FORMATTED ${quoted(table)}").collect()
         .dropWhile(!_.getString(0).trim.startsWith("# Detailed Table Information"))
         .find(_.getString(0).trim == "Location")
         .map(_.getString(1).trim)

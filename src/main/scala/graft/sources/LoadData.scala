@@ -141,7 +141,8 @@ object LoadData {
         schema.filter(f => partitionCols.contains(f.name))).toDDL
       val partClause =
         if (partitionCols.isEmpty) "" else s"PARTITIONED BY ($partDdl)"
-      spark.sql(s"CREATE TABLE $table ($dataDdl) $partClause STORED AS PARQUET")
+      spark.sql(s"CREATE TABLE ${graft.operators.Acid.quoted(table)} " +
+        s"($dataDdl) $partClause STORED AS PARQUET")
     } else {
       val allDdl = org.apache.spark.sql.types.StructType(
         schema.filterNot(f => partitionCols.contains(f.name)) ++
@@ -149,7 +150,8 @@ object LoadData {
       val partClause =
         if (partitionCols.isEmpty) ""
         else s"PARTITIONED BY (${partitionCols.mkString(", ")})"
-      spark.sql(s"CREATE TABLE $table ($allDdl) USING parquet $partClause")
+      spark.sql(s"CREATE TABLE ${graft.operators.Acid.quoted(table)} " +
+        s"($allDdl) USING parquet $partClause")
     }
   }
 

@@ -78,6 +78,26 @@ class WritePathsSpec extends AnyFunSuite {
     assert(spark.table("graft_load_test.region_loaded").count() == 10)
   }
 
+  test("LOAD DATA: reserved-word table name survives identifier quoting end-to-end") {
+    // every SQL statement the load path emits (CREATE, LOAD/rename,
+    // ALTER ADD PARTITION, REFRESH, the lock's DESCRIBE FORMATTED)
+    // backtick-quotes the identifier — a table named `order` parses
+    // ONLY when quoted, so this proves none of them interpolates it
+    // raw (hyphens etc. are rejected by SessionCatalog.validateName
+    // itself, so a reserved word is the strongest legal probe)
+    import graft.sources.LoadData
+    Tables.register(spark, LocalSpark.sf)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_load_test")
+    val name = "graft_load_test.order"
+    spark.sql("DROP TABLE IF EXISTS graft_load_test.`order`")
+    val stage = tmp("load_stage_reserved")
+    val region = spark.table("region")
+    region.coalesce(1).write.parquet(s"$stage/files")
+    LoadData.createLoadTarget(spark, name, region.schema, Nil)
+    LoadData.loadData(spark, s"$stage/files", name, local = true)
+    assert(spark.table("graft_load_test.`order`").count() == 5)
+  }
+
   test("LOAD DATA: date-string partition values are quoted into the spec") {
     import graft.sources.LoadData
     Tables.register(spark, LocalSpark.sf)
