@@ -307,6 +307,171 @@ case class ArgMaxCosineD(child: Expression, centroids: Broadcast[CentroidMatrix]
     copy(child = newChild)
 }
 
+/** Two-level (IVF) companion of CentroidMatrix for the large-k
+  * SemDeDup regime: the k centroids are themselves clustered into
+  * g ≈ √k groups by a tiny driver-side spherical Lloyd (k×dim doubles
+  * — microseconds), and assignment probes only the `probes`
+  * best-matching groups. Per-row work drops from k·dim to
+  * ≈ (1+probes)·√k·dim — the standard IVF coarse-quantizer tradeoff
+  * (n·√k total, vs the flat kernel's n·k that measured super-linear
+  * decades once kEff started tracking corpus size; a 3-level tree —
+  * n·k^(1/3) — is the next rung if √k per row ever dominates).
+  * Exactness contract: the kernel's cos fold and lowest-id tie rule
+  * are IDENTICAL to ArgMaxCosineD over the scanned member set, so with
+  * `probes ≥ g` the result is bit-for-bit the flat argmax; with fewer
+  * probes it is the documented approximate assignment (SemDeDup's own
+  * deployment discipline). Group construction is deterministic:
+  * spread seeds by index stride, 3 Lloyd rounds, ties to the lowest
+  * group id. */
+final class IvfIndex(val cm: CentroidMatrix, val groups: Int, val probes: Int)
+    extends Serializable {
+  require(groups > 0 && probes > 0, "IvfIndex: groups/probes must be positive")
+  val g: Int = math.min(groups, cm.vecs.length)
+  // --- driver-side spherical mini-Lloyd over the centroids ---
+  private def cosTo(su: Array[Double], nsu: Double, c: Int): Double = {
+    var dot = 0.0; var j = 0
+    val cv = cm.vecs(c)
+    while (j < cv.length) { dot += su(j) * cv(j); j += 1 }
+    if (nsu * cm.nb(c) == 0.0) -2.0
+    else dot / (math.sqrt(nsu) * cm.sqrtNb(c))
+  }
+  val (superVecs: Array[Array[Double]], members: Array[Array[Int]]) = {
+    val k = cm.vecs.length
+    var sup = Array.tabulate(g)(i => cm.vecs((i.toLong * k / g).toInt).clone())
+    var asg = new Array[Int](k)
+    var round = 0
+    while (round < 3) {
+      val nsup = sup.map { s =>
+        var n = 0.0; var j = 0
+        while (j < s.length) { n += s(j) * s(j); j += 1 }; n
+      }
+      var c = 0
+      while (c < k) {
+        var best = 0; var bestCos = Double.NegativeInfinity
+        var s = 0
+        while (s < g) {
+          val cos = cosTo(sup(s), nsup(s), c)
+          if (cos > bestCos) { bestCos = cos; best = s }
+          s += 1
+        }
+        asg(c) = best; c += 1
+      }
+      val sums = Array.fill(g)(new Array[Double](cm.dim))
+      val cnts = new Array[Int](g)
+      c = 0
+      while (c < k) {
+        val s = asg(c); val cv = cm.vecs(c)
+        var j = 0
+        while (j < cm.dim) { sums(s)(j) += cv(j); j += 1 }
+        cnts(s) += 1; c += 1
+      }
+      sup = Array.tabulate(g) { s =>
+        if (cnts(s) == 0) sup(s) // empty group keeps its seed
+        else { val m = sums(s); var j = 0
+               while (j < m.length) { m(j) /= cnts(s); j += 1 }; m }
+      }
+      round += 1
+    }
+    val mem = Array.fill(g)(Vector.newBuilder[Int])
+    var c = 0
+    while (c < k) { mem(asg(c)) += c; c += 1 }
+    (sup, mem.map(_.result().toArray))
+  }
+  val superNb: Array[Double] = superVecs.map { s =>
+    var n = 0.0; var j = 0
+    while (j < s.length) { n += s(j) * s(j); j += 1 }; n
+  }
+  val superSqrtNb: Array[Double] = superNb.map(math.sqrt)
+}
+
+/** argmax_cosine_ivf_d(Array[Double]) → struct(cluster INT, cos
+  * DOUBLE): ArgMaxCosineD through an IvfIndex — probe the top-`probes`
+  * centroid groups, exact argmax (same fold, same -2.0 guard, ties to
+  * the LOWEST id independent of probe order) over their members. */
+case class ArgMaxCosineIvfD(child: Expression, index: Broadcast[IvfIndex])
+    extends UnaryExpression with Bridge.GraftExpectsInputTypes {
+  override def prettyName: String = "argmax_cosine_ivf_d"
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+
+  def kernel(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val ix = index.value
+    val m = ix.cm
+    val n = a.numElements()
+    require(n == m.dim,
+      s"argmax_cosine_ivf_d: vector dim $n != centroid dim ${m.dim}")
+    val v = new Array[Double](n)
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      require(!a.isNullAt(i), s"argmax_cosine_ivf_d: null element at index $i")
+      val x = a.getDouble(i)
+      v(i) = x; na += x * x; i += 1
+    }
+    val sqrtNa = math.sqrt(na)
+    // top-`probes` groups by cosine (tiny insertion sort; p is 4-ish)
+    val p = math.min(ix.probes, ix.g)
+    val topIdx = new Array[Int](p)
+    val topCos = Array.fill(p)(Double.NegativeInfinity)
+    var s = 0
+    while (s < ix.g) {
+      val sv = ix.superVecs(s)
+      var dot = 0.0; var j = 0
+      while (j < n) { dot += v(j) * sv(j); j += 1 }
+      val cos = if (na * ix.superNb(s) == 0.0) -2.0
+                else dot / (sqrtNa * ix.superSqrtNb(s))
+      if (cos > topCos(p - 1)) {
+        var q = p - 1
+        while (q > 0 && topCos(q - 1) < cos) {
+          topCos(q) = topCos(q - 1); topIdx(q) = topIdx(q - 1); q -= 1
+        }
+        topCos(q) = cos; topIdx(q) = s
+      }
+      s += 1
+    }
+    var bestId = -1
+    var bestCos = Double.NegativeInfinity
+    var t = 0
+    while (t < p) {
+      if (topCos(t) > Double.NegativeInfinity) {
+        val mem = ix.members(topIdx(t))
+        var mi = 0
+        while (mi < mem.length) {
+          val c = mem(mi)
+          val cv = m.vecs(c)
+          var dot = 0.0; var j = 0
+          while (j < n) { dot += v(j) * cv(j); j += 1 }
+          val cos = if (na * m.nb(c) == 0.0) -2.0
+                    else dot / (sqrtNa * m.sqrtNb(c))
+          val id = m.ids(c)
+          if (cos > bestCos || (cos == bestCos && id < bestId)) {
+            bestCos = cos; bestId = id
+          }
+          mi += 1
+        }
+      }
+      t += 1
+    }
+    // probed groups can all be empty only if every member list is
+    // empty, which IvfIndex construction cannot produce for k ≥ 1
+    require(bestId >= 0, "argmax_cosine_ivf_d: no centroid scanned")
+    new GenericInternalRow(Array[Any](bestId, bestCos))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argmaxIvf", this, classOf[ArgMaxCosineIvfD].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.kernel($a);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxCosineIvfD =
+    copy(child = newChild)
+}
+
 /** jaccard_sim(Array[String], Array[String]) → Double:
   * |distinct(A) ∩ distinct(B)| / |distinct(A) ∪ distinct(B)| in ONE
   * hash-set pass — for null-free inputs identical to
@@ -1119,6 +1284,8 @@ object GraftFunctions {
     Bridge.column(CosineSimD(Bridge.expression(a), Bridge.expression(b)))
   def argmax_cosine_d(v: Column, cents: Broadcast[CentroidMatrix]): Column =
     Bridge.column(ArgMaxCosineD(Bridge.expression(v), cents))
+  def argmax_cosine_ivf_d(v: Column, index: Broadcast[IvfIndex]): Column =
+    Bridge.column(ArgMaxCosineIvfD(Bridge.expression(v), index))
   def jaccard_sim(a: Column, b: Column): Column =
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
   def damerau_levenshtein(a: Column, b: Column): Column =

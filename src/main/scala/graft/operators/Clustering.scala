@@ -115,8 +115,51 @@ object Clustering {
       .select(col("vec_id"), col("qe"), col("ve"),
         col("best.cluster").as("cluster"), col("best.cos").as("cos"))
 
+  /** Past this k the flat kernel's n·k per-assignment cost is the
+    * measured scale killer (dedup_semantic exponent 1.22, _prune 1.36
+    * across the sf1→sf10 decade once kEff tracks corpus size) and
+    * assignment routes through the two-level IVF kernel: probe the
+    * top-4 of ≈√k centroid groups — n·√k total, the SemDeDup
+    * deployment discipline. 128 > every oracle/spec kEff (the driver's
+    * sf0.01 trains k=8, the sf0.1 bench k=100), so all oracled results
+    * stay byte-identical; the IVF path is the bench-only large-k
+    * regime, and `probes ≥ groups` would reproduce the flat result
+    * bit-for-bit (pinned in ClusteringSpec). */
+  private val IvfThreshold = 128
+  private val IvfProbes = 4
+
+  private def ivfBroadcast(q: DataFrame, cents: Seq[(Int, Array[Double])])
+      : org.apache.spark.broadcast.Broadcast[graft.functions.IvfIndex] = {
+    val sorted = cents.sortBy(_._1)
+    val cm = new CentroidMatrix(
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+    val g = math.ceil(math.sqrt(cents.size.toDouble)).toInt
+    q.sparkSession.sparkContext.broadcast(
+      new graft.functions.IvfIndex(cm, g, IvfProbes))
+  }
+
+  private def assignIvfBc(q: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.IvfIndex])
+      : DataFrame =
+    q.withColumn("best", GraftFunctions.argmax_cosine_ivf_d(col("ve"), bc))
+      .select(col("vec_id"), col("qe"), col("ve"),
+        col("best.cluster").as("cluster"), col("best.cos").as("cos"))
+
+  /** One assignment pass with an ephemeral broadcast (flat or IVF by
+    * the k gate above), destroyed as soon as `f` returns — the Lloyd
+    * iteration's discipline, shared by every consumer. */
+  private def withAssigned[T](q: DataFrame, cents: Seq[(Int, Array[Double])],
+                              destroyAfter: Boolean)(f: DataFrame => T): T =
+    if (cents.size <= IvfThreshold) {
+      val bc = broadcastCents(q, cents)
+      try f(assignBc(q, bc)) finally if (destroyAfter) bc.destroy()
+    } else {
+      val bc = ivfBroadcast(q, cents)
+      try f(assignIvfBc(q, bc)) finally if (destroyAfter) bc.destroy()
+    }
+
   private def assign(q: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
-    assignBc(q, broadcastCents(q, cents))
+    withAssigned(q, cents, destroyAfter = false)(identity)
 
   /** Update: one k-group shuffle (vec_sum partials merge map-side), k
     * rows to the driver. Exact integer sums ⇒ centroid = sum/n/1e6 is
@@ -191,10 +234,11 @@ object Clustering {
         // update() collects eagerly, so the iteration's broadcast is
         // dead the moment it returns — destroy it instead of letting
         // a k×dim matrix per iteration pile up in the BlockManager
-        // (tens of MB each at the documented SemDeDup k regime)
-        val bc = broadcastCents(q, cents)
-        try cents = update(assignBc(q, bc))
-        finally bc.destroy()
+        // (tens of MB each at the documented SemDeDup k regime).
+        // withAssigned routes large-k iterations through the IVF
+        // kernel too — training pays the same n·k as assignment
+        // otherwise.
+        cents = withAssigned(q, cents, destroyAfter = true)(update)
         i += 1
       }
       cents
@@ -294,23 +338,60 @@ object Clustering {
     // a row: its cluster, its lowest-id corpus duplicate (NULL if
     // none), how many corpus dups, and an is_new verdict.
     "dedup_incremental_semantic" -> ((spark, sfDir) => {
+      // batch-vs-corpus matching as a per-cluster COGROUP kernel, same
+      // materialization argument as semanticPairsFrom: the cluster
+      // equi-join spelling built |batch|·|cluster| ~1 KB rows just to
+      // aggregate them away (48.8 s at sf10); the kernel holds one
+      // cluster's corpus arrays (bounded by the trainer's
+      // TargetCluster) and streams the batch through it, emitting ONE
+      // row per batch vector. Folds identical to cosD — bit-exact vs
+      // the DuckDB oracle. min-id/count accumulators are order-free.
+      import spark.implicits._
       val corpusPred = col("vec_id") % 5 =!= 4
       val cents = kmeansCentroids(spark, sfDir, K, Iters, corpusPred)
       val all = assign(quantized(spark.table("embeddings")), cents)
-        .select(col("vec_id"), col("cluster"), col("ve"))
-      val batch = all.where(!corpusPred)
-        .select(col("vec_id"), col("cluster"), col("ve").as("vb"))
-      val corpus = all.where(corpusPred)
-        .select(col("vec_id").as("cid_corp"), col("cluster"), col("ve").as("vc"))
-      val matches = batch.join(corpus, "cluster")
-        .where(cosD(col("vb"), col("vc")) >= Tau)
-        .groupBy(col("vec_id"))
-        .agg(min(col("cid_corp")).as("dup_of"), count(lit(1)).as("n_dups"))
-      batch.select(col("vec_id"), col("cluster"))
-        .join(matches, Seq("vec_id"), "left")
+        .select(col("cluster"), col("vec_id"), col("ve"))
+      val tau = Tau
+      def keyed(df: DataFrame) =
+        df.as[(Int, Long, Array[Double])].groupByKey(_._1)
+      keyed(all.where(!corpusPred)).cogroup(keyed(all.where(corpusPred))) {
+        (cluster: Int, bIt: Iterator[(Int, Long, Array[Double])],
+         cIt: Iterator[(Int, Long, Array[Double])]) =>
+          val corp = cIt.toArray
+          val m = corp.length
+          val cids = new Array[Long](m)
+          val cvs = new Array[Array[Double]](m)
+          val cna = new Array[Double](m)
+          val csq = new Array[Double](m)
+          var i = 0
+          while (i < m) {
+            cids(i) = corp(i)._2
+            val v = corp(i)._3; cvs(i) = v
+            var s = 0.0; var j = 0
+            while (j < v.length) { s += v(j) * v(j); j += 1 }
+            cna(i) = s; csq(i) = math.sqrt(s)
+            i += 1
+          }
+          bIt.map { case (_, vid, vb) =>
+            var nb = 0.0; var j = 0
+            while (j < vb.length) { nb += vb(j) * vb(j); j += 1 }
+            val sqb = math.sqrt(nb)
+            var n = 0L; var dup = Long.MaxValue
+            var c = 0
+            while (c < m) {
+              val vc = cvs(c)
+              var dot = 0.0; var d = 0
+              while (d < vc.length) { dot += vb(d) * vc(d); d += 1 }
+              val cos = if (nb * cna(c) == 0.0) -2.0
+                        else dot / (sqb * csq(c))
+              if (cos >= tau) { n += 1; if (cids(c) < dup) dup = cids(c) }
+              c += 1
+            }
+            (vid, cluster, if (n > 0) Some(dup) else None, n)
+          }
+      }.toDF("vec_id", "cluster", "dup_of", "n_dups")
         .select(col("vec_id"), col("cluster"), col("dup_of"),
-          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-          col("dup_of").isNull.cast("int").as("is_new"))
+          col("n_dups"), col("dup_of").isNull.cast("int").as("is_new"))
         .orderBy(col("vec_id"))
     }),
 
@@ -338,13 +419,66 @@ object Clustering {
     semanticPairsFrom(kmeansAssign(spark, sfDir))
 
   private def semanticPairsFrom(afIn: DataFrame): DataFrame = {
-    val af = afIn.select(col("vec_id"), col("cluster"), col("ve"))
-    val a = af.select(col("vec_id").as("vec_a"), col("cluster"), col("ve").as("va"))
-    val b = af.select(col("vec_id").as("vec_b"), col("cluster"), col("ve").as("vb"))
-    a.join(b, "cluster")
-      .where(col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosD(col("va"), col("vb")))
-      .where(col("cos") >= Tau)
+    // Within-cluster scoring as a per-cluster kernel (flatMapGroups),
+    // NOT a cluster self-join: the relational spelling materializes
+    // O(Σ|c|²) joined rows each carrying TWO 64-double arrays (~1 KB a
+    // pair — the sf10 bench measured 263 s, ~100% of it row
+    // materialization bandwidth for 2·10⁸ pairs whose cosine math is
+    // ~1 s of flops). The grouped kernel shuffles O(n) rows once on
+    // the cluster key, holds one cluster's primitive arrays
+    // (|c|·dim·8 B ≈ 1 MB at the TargetCluster the trainer enforces —
+    // bounded executor state at any corpus size), and emits ONLY the
+    // pairs that clear Tau. Spark-first tiering note: this is the
+    // documented (d)-tier mapGroups case — no built-in operator
+    // expresses "score all pairs inside a group without materializing
+    // them as rows". Cosine fold order is identical to the CosineSimD
+    // kernel (independent left folds for dot/na/nb in index order,
+    // the -2.0 zero-norm guard), so values — and the DuckDB oracle
+    // replication — stay bit-for-bit. Pair order: members ascending by
+    // vec_id, i<j loops ⇒ deterministic output set regardless of
+    // partitioning.
+    val spark = afIn.sparkSession
+    import spark.implicits._
+    val tau = Tau
+    afIn.select(col("cluster"), col("vec_id"), col("ve"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cluster: Int, it: Iterator[(Int, Long, Array[Double])]) =>
+        val rows = it.toArray.sortBy(_._2)
+        val m = rows.length
+        val ids = new Array[Long](m)
+        val vs = new Array[Array[Double]](m)
+        val sq = new Array[Double](m)
+        val na = new Array[Double](m)
+        var i = 0
+        while (i < m) {
+          ids(i) = rows(i)._2
+          val v = rows(i)._3
+          vs(i) = v
+          var s = 0.0; var j = 0
+          while (j < v.length) { s += v(j) * v(j); j += 1 }
+          na(i) = s; sq(i) = math.sqrt(s)
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+        i = 0
+        while (i < m) {
+          val vi = vs(i)
+          var j2 = i + 1
+          while (j2 < m) {
+            val vj = vs(j2)
+            var dot = 0.0; var d = 0
+            while (d < vi.length) { dot += vi(d) * vj(d); d += 1 }
+            val cos = if (na(i) * na(j2) == 0.0) -2.0
+                      else dot / (sq(i) * sq(j2))
+            if (cos >= tau) out += ((ids(i), ids(j2), cluster, cos))
+            j2 += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("vec_a", "vec_b", "cluster", "cos")
   }
 
   // ---------------------------------------------------------------- oracle

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.functions.{CentroidMatrix, GraftFunctions, IvfIndex}
+
+/** Dev micro-bench: flat ArgMaxCosineD vs two-level ArgMaxCosineIvfD
+  * over the embeddings table under synthetic k centroids — measures
+  * the assignment kernels in isolation at the large-k SemDeDup regime
+  * the corpus fixtures can't reach (kEff tracks corpus size and stays
+  * ≤ ~100 at sf10; the IVF gate opens at 128).
+  * Usage: runMain graft.tools.DiagIvfAssign <sfDir> [k] */
+object DiagIvfAssign {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val k = args.lift(1).map(_.toInt).getOrElse(1024)
+    val spark = ToolSession.local()
+    graft.Tables.register(spark, sfDir)
+    val vecs = spark.table("embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("ve"))
+    vecs.persist(); val n = vecs.count()
+    val cents = (0 until k).map { i =>
+      (i, Array.tabulate(64)(d => ((i * 64 + d) % 97 + 1) / 97.0))
+    }
+    val cm = new CentroidMatrix(cents.map(_._1).toArray, cents.map(_._2).toArray)
+    val sc = spark.sparkContext
+    def time(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.mode("overwrite").format("noop").save() // warm/codegen
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      println(f"[diag-ivf] $label n=$n k=$k: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("flat")(vecs.withColumn("best",
+      GraftFunctions.argmax_cosine_d(col("ve"), sc.broadcast(cm))))
+    val g = math.ceil(math.sqrt(k.toDouble)).toInt
+    time(s"ivf(g=$g,p=4)")(vecs.withColumn("best",
+      GraftFunctions.argmax_cosine_ivf_d(col("ve"),
+        sc.broadcast(new IvfIndex(cm, g, 4)))))
+    spark.stop()
+  }
+}

@@ -219,4 +219,41 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
     val again = Clustering.queries("dedup_incremental_semantic")(spark, sf).collect()
     out.map(_.toString).toSeq shouldBe again.map(_.toString).toSeq
   }
+
+  test("IVF assignment: probe-all is bit-identical to flat; probe-4 near-exact") {
+    // the large-k scale path (assign routes through ArgMaxCosineIvfD
+    // past kEff=128): with probes >= groups the scanned member set is
+    // every centroid and the fold/tie discipline matches ArgMaxCosineD,
+    // so results must be BIT-identical; with probes=4 the documented
+    // approximation must stay near-exact on this (worst-case,
+    // structureless) synthetic corpus
+    import graft.functions.{CentroidMatrix, IvfIndex, GraftFunctions}
+    Tables.register(spark, sf)
+    val vecs = spark.table("embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("ve"))
+    val cents = vecs.where(col("vec_id") < 200).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val cm = new CentroidMatrix(cents.map(_._1), cents.map(_._2))
+    val sc = spark.sparkContext
+    def run(colFn: org.apache.spark.sql.Column): Seq[(Long, Int, Double)] =
+      vecs.withColumn("best", colFn)
+        .select(col("vec_id"), col("best.cluster"), col("best.cos"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val flat = run(GraftFunctions.argmax_cosine_d(col("ve"), sc.broadcast(cm)))
+    val probeAll = run(GraftFunctions.argmax_cosine_ivf_d(col("ve"),
+      sc.broadcast(new IvfIndex(cm, 15, 15))))
+    probeAll shouldBe flat                       // exactness anchor
+    val probe4 = run(GraftFunctions.argmax_cosine_ivf_d(col("ve"),
+      sc.broadcast(new IvfIndex(cm, 15, 4))))
+    val byId = flat.map(t => t._1 -> t).toMap
+    val agree = probe4.count(t => byId(t._1)._2 == t._2)
+    agree.toDouble / probe4.size should be >= 0.8
+    probe4.foreach { case (id, _, cos) =>
+      val flatCos = byId(id)._3
+      cos should be <= flatCos + 1e-15           // subset argmax can't beat flat
+      (flatCos - cos) should be <= 0.2           // misses are near-ties
+    }
+  }
 }

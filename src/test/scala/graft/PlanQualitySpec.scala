@@ -90,13 +90,19 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("dedup_semantic pairs via a cluster equi-join; kmeans assignment is a narrow map") {
+  test("dedup_semantic pairs via a per-cluster kernel; kmeans assignment is a narrow map") {
     val p = plan("dedup_semantic")
-    // SemDeDup's whole point: candidate pairs come from an equi-join on
-    // the learned cluster key, never an all-pairs product
+    // SemDeDup's whole point: candidate pairs come from within the
+    // learned cluster only, never an all-pairs product — and since
+    // round 12, not even from a cluster self-JOIN: the relational pair
+    // spelling materialized O(Σ|c|²) ~1 KB rows (263 s at sf10, all
+    // bandwidth); the flatMapGroups kernel shuffles O(n) rows once and
+    // emits only Tau-survivors
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"semantic dedup must block on cluster:\n$p")
-    assert(p.contains("cosinesimd"), s"pair scoring must use the codegen'd kernel:\n$p")
+    assert(!p.contains("Join"),
+      s"pair stage must be the grouped kernel, not a self-join:\n$p")
+    assert(p.contains("MapGroups"), s"per-cluster kernel missing:\n$p")
     // the assignment stage consumes a broadcast centroid matrix via one
     // kernel expression — no join, no exchange between the embeddings
     // scan and the argmax projection
@@ -126,7 +132,11 @@ class PlanQualitySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString()
     val p8 = planOf(8)
     val p256 = planOf(256)
-    assert(p256.contains("argmax_cosine_d"), p256)
+    // past the IvfThreshold the kernel switches to the two-level IVF
+    // form (n·√k per pass — the measured-exponent fix); below it the
+    // flat exact kernel stays. Both are ONE broadcast + ONE expression.
+    assert(p8.contains("argmax_cosine_d"), p8)
+    assert(p256.contains("argmax_cosine_ivf_d"), p256)
     assert(!p256.contains("named_struct"),
       s"literal centroid structs leaked back into the plan:\n$p256")
     assert(p256.length <= p8.length + 64,  // identical shape, maybe id noise
