@@ -985,21 +985,44 @@ case class LshBuckets(child: Expression, numTables: Int, numPlanes: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
 
+  // The ±1 plane matrix is an (table, plane, dim) CONSTANT — derive it
+  // once per executor instead of re-hashing fmix64 for every element of
+  // every row (tables·planes·dim ≈ 6k hash chains per row dominated the
+  // sf10 bench; the same constant-matrix fix as embed_random_projection).
+  // Built lazily at the first row's dim; benign to race (deterministic
+  // value), invalidated if dim ever changes. ±1.0 multiplication keeps
+  // the accumulation bit-identical to the hash-per-element spelling.
+  @transient private var signsCache: Array[Array[Double]] = _
+  private def signs(dim: Int): Array[Array[Double]] = {
+    var s = signsCache
+    if (s == null || s(0).length != dim) {
+      s = Array.tabulate(numTables * numPlanes) { tp =>
+        val t = tp / numPlanes; val p = tp % numPlanes
+        val planeSeed = (t.toLong << 32) | (p.toLong << 8)
+        Array.tabulate(dim) { d =>
+          if ((Hashing.fmix64(planeSeed ^ (d * 0x9e3779b97f4a7c15L)) & 1L) == 1L) 1.0
+          else -1.0
+        }
+      }
+      signsCache = s
+    }
+    s
+  }
+
   def kernel(v: ArrayData): ArrayData = {
     val dim = v.numElements()
+    val sg = signs(dim)
     val out = new Array[Int](numTables)
     var t = 0
     while (t < numTables) {
       var bucket = 0
       var p = 0
       while (p < numPlanes) {
+        val plane = sg(t * numPlanes + p)
         var dot = 0.0
-        val planeSeed = (t.toLong << 32) | (p.toLong << 8)
         var d = 0
         while (d < dim) {
-          // ±1 plane component from bit 0 of a seeded hash of d
-          val sign = if ((Hashing.fmix64(planeSeed ^ (d * 0x9e3779b97f4a7c15L)) & 1L) == 1L) 1.0 else -1.0
-          dot += sign * v.getFloat(d)
+          dot += plane(d) * v.getFloat(d)
           d += 1
         }
         if (dot > 0) bucket |= (1 << p)

