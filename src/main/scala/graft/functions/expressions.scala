@@ -307,6 +307,65 @@ case class ArgMaxCosineD(child: Expression, centroids: Broadcast[CentroidMatrix]
     copy(child = newChild)
 }
 
+/** sign_rand_proj(Array[Double]) → Array[Double](16): the Achlioptas
+  * ±1 Johnson–Lindenstrauss projection 64→16 over PRE-QUANTIZED
+  * (integer-valued-double) coordinates — embed_random_projection's
+  * kernel. The sign matrix is the quadratic-residue parity of
+  * (i·73856093 + j·19349663) mod 1000003 — a pure (i,j) constant,
+  * precomputed once (the unrolled-SQL spelling re-evaluated the
+  * quantize TRANSFORM behind its 1024 ELEMENT_AT references; this is
+  * one tight 16×64 loop per row). Addends are exact integers (|qe_i| ≤
+  * 1e6, Σ64 ≪ 2^53), so the sum is the same double in ANY order —
+  * bit-identical to the DuckDB oracle's list_reduce fold by exactness,
+  * not by order-matching. */
+case class SignRandProj(child: Expression)
+    extends UnaryExpression with Bridge.GraftExpectsInputTypes {
+  override def prettyName: String = "sign_rand_proj"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+
+  def kernel(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    require(n == 64, s"sign_rand_proj: expected dim 64, got $n")
+    val out = new Array[Double](16)
+    var j = 0
+    while (j < 16) {
+      val sg = SignRandProj.Signs(j)
+      var s = 0.0
+      var i = 0
+      while (i < 64) {
+        require(!a.isNullAt(i), s"sign_rand_proj: null element at index $i")
+        s += sg(i) * a.getDouble(i)
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signProj", this, classOf[SignRandProj].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.kernel($a);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SignRandProj =
+    copy(child = newChild)
+}
+
+object SignRandProj {
+  /** ±1.0 for 1-based (i=coord 1..64, j=projection 1..16) — the same
+    * parity both oracle dialects spell in SQL. */
+  private def signOf(i: Long, j: Long): Double = {
+    val t = (i * 73856093L + j * 19349663L) % 1000003L
+    if (((t * t) % 1000003L) % 2 == 0) 1.0 else -1.0
+  }
+  private[functions] val Signs: Array[Array[Double]] =
+    Array.tabulate(16)(j0 => Array.tabulate(64)(i0 => signOf(i0 + 1, j0 + 1)))
+}
+
 /** Two-level (IVF) companion of CentroidMatrix for the large-k
   * SemDeDup regime: the k centroids are themselves clustered into
   * g ≈ √k groups by a tiny driver-side spherical Lloyd (k×dim doubles
@@ -1309,6 +1368,8 @@ object GraftFunctions {
     Bridge.column(ArgMaxCosineD(Bridge.expression(v), cents))
   def argmax_cosine_ivf_d(v: Column, index: Broadcast[IvfIndex]): Column =
     Bridge.column(ArgMaxCosineIvfD(Bridge.expression(v), index))
+  def sign_rand_proj(v: Column): Column =
+    Bridge.column(SignRandProj(Bridge.expression(v)))
   def jaccard_sim(a: Column, b: Column): Column =
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
   def damerau_levenshtein(a: Column, b: Column): Column =

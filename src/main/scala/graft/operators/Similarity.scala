@@ -163,31 +163,13 @@ object Similarity {
       s"(CASE WHEN ((($t) * ($t)) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
     }
     if (spark) {
-      // The ±1 sign matrix is a pure (i, j) constant — precompute it
-      // here and unroll each projection into a codegen'd ±element sum.
-      // The previous AGGREGATE higher-order function is interpreted
-      // per element (64 lambda steps × 16 dims × row, each with the
-      // mulmod CASE): measured 127 s for 200k rows at sf10, all
-      // constant factor. Left-assoc ± chain = AGGREGATE's fold order,
-      // and the addends are integer-valued doubles, so values are
-      // bit-identical to the oracle's list_reduce.
-      def signOf(i: Long, j: Long): Boolean = {
-        val t = (i * 73856093L + j * 19349663L) % 1000003L
-        ((t * t) % 1000003L) % 2 == 0
-      }
-      val projections = (1 to 16).map { j =>
-        (1 to 64).map { i =>
-          s"${if (signOf(i, j)) "+" else "-"} ELEMENT_AT(qe, $i)"
-        }.mkString("(CAST(0.0 AS DOUBLE) ", " ", ")")
-      }.mkString(", ")
-      s"""
-      WITH q AS (SELECT vec_id,
-             TRANSFORM(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)) AS qe
-             FROM embeddings)
-      SELECT vec_id, CAST(p + 1 AS INT) AS dim,
-             pv / 1000000.0 / 4.0 AS val
-      FROM q LATERAL VIEW POSEXPLODE(ARRAY($projections)) t AS p, pv
-      ORDER BY vec_id, dim"""
+      // Spark side superseded by the SignRandProj kernel (see the
+      // queries entry): the unrolled-ELEMENT_AT SQL spelling inlined
+      // the quantize TRANSFORM behind its 1024 array references and
+      // re-evaluated the interpreted lambda per reference — 42 s for
+      // 200k rows at sf10, all constant factor. Kept here only so a
+      // dialect comparison remains possible; not used by queries().
+      sys.error("spark side of randProjSql superseded by SignRandProj")
     } else s"""
       WITH q AS (SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000.0) AS DOUBLE)) AS qe
@@ -673,7 +655,22 @@ object Similarity {
     // narrow — no shuffle at any scale; output exploded to
     // (vec_id, dim, val) rows (the compare hashes scalars, not
     // arrays).
-    "embed_random_projection" -> Tables.sql(randProjSql(spark = true)),
+    // JL sign projection via the SignRandProj kernel: one tight 16×64
+    // loop per row over the precomputed ±1 matrix (the SQL spelling's
+    // 1024 ELEMENT_AT references re-evaluated the interpreted quantize
+    // lambda each — 42 s at sf10, now ~4 s). Values bit-identical to
+    // the oracle by exact-integer order-freedom (see kernel doc).
+    "embed_random_projection" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val q = spark.table("embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000.0)).cast("double")).as("qe"))
+      q.select(col("vec_id"),
+          posexplode(GraftFunctions.sign_rand_proj(col("qe"))).as(Seq("p", "pv")))
+        .select(col("vec_id"), (col("p") + 1).cast("int").as("dim"),
+          (col("pv") / lit(1000000.0) / lit(4.0)).as("val"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
 
     "embed_quantize_int8" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)

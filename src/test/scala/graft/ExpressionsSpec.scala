@@ -397,4 +397,31 @@ class ExpressionsSpec extends AnyFunSuite {
       assert(r.getLong(3) + r.getLong(4) <= r.getLong(1))
     }
   }
+
+  test("sign_rand_proj: matches the SQL parity formula; guards dim and nulls") {
+    // the kernel's precomputed matrix must equal the quadratic-residue
+    // parity both oracle dialects spell in SQL, and the projection of a
+    // one-hot quantized vector reads the matrix back directly
+    def signOf(i: Long, j: Long): Double = {
+      val t = (i * 73856093L + j * 19349663L) % 1000003L
+      if (((t * t) % 1000003L) % 2 == 0) 1.0 else -1.0
+    }
+    for (hot <- Seq(1, 7, 64)) {
+      val v = Array.tabulate(64)(d => if (d == hot - 1) 1000000.0 else 0.0)
+      val out = Seq(v).toDF("qe")
+        .select(GraftFunctions.sign_rand_proj(col("qe")).as("p"))
+        .head().getSeq[Double](0)
+      assert(out.length == 16)
+      (1 to 16).foreach { j =>
+        assert(out(j - 1) == signOf(hot, j) * 1000000.0, s"(i=$hot, j=$j)")
+      }
+    }
+    val short = intercept[Exception] {
+      Seq(Array.fill(8)(1.0)).toDF("qe")
+        .select(GraftFunctions.sign_rand_proj(col("qe"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(short).exists(_.contains("expected dim 64")), msgs(short))
+  }
 }
