@@ -477,17 +477,23 @@ case class ArgMaxCosineIvfD(child: Expression, index: Broadcast[IvfIndex])
     val topCos = Array.fill(p)(Double.NegativeInfinity)
     var s = 0
     while (s < ix.g) {
-      val sv = ix.superVecs(s)
-      var dot = 0.0; var j = 0
-      while (j < n) { dot += v(j) * sv(j); j += 1 }
-      val cos = if (na * ix.superNb(s) == 0.0) -2.0
-                else dot / (sqrtNa * ix.superSqrtNb(s))
-      if (cos > topCos(p - 1)) {
-        var q = p - 1
-        while (q > 0 && topCos(q - 1) < cos) {
-          topCos(q) = topCos(q - 1); topIdx(q) = topIdx(q - 1); q -= 1
+      // mini-Lloyd can leave a group memberless (duplicate/degenerate
+      // seeds: strict > ties drain one copy's group) — probing it
+      // wastes a slot and, if every probed slot landed on one, left
+      // bestId at -1 and crashed the task. Skip empties at selection.
+      if (ix.members(s).length > 0) {
+        val sv = ix.superVecs(s)
+        var dot = 0.0; var j = 0
+        while (j < n) { dot += v(j) * sv(j); j += 1 }
+        val cos = if (na * ix.superNb(s) == 0.0) -2.0
+                  else dot / (sqrtNa * ix.superSqrtNb(s))
+        if (cos > topCos(p - 1)) {
+          var q = p - 1
+          while (q > 0 && topCos(q - 1) < cos) {
+            topCos(q) = topCos(q - 1); topIdx(q) = topIdx(q - 1); q -= 1
+          }
+          topCos(q) = cos; topIdx(q) = s
         }
-        topCos(q) = cos; topIdx(q) = s
       }
       s += 1
     }
@@ -514,8 +520,9 @@ case class ArgMaxCosineIvfD(child: Expression, index: Broadcast[IvfIndex])
       }
       t += 1
     }
-    // probed groups can all be empty only if every member list is
-    // empty, which IvfIndex construction cannot produce for k ≥ 1
+    // with empties skipped at selection, every filled probe slot has
+    // ≥1 member, and ≥1 non-empty group always exists (the k members
+    // are distributed among groups, k ≥ 1) — so this cannot fire
     require(bestId >= 0, "argmax_cosine_ivf_d: no centroid scanned")
     new GenericInternalRow(Array[Any](bestId, bestCos))
   }

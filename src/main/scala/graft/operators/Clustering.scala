@@ -73,6 +73,45 @@ object Clustering {
   private val TargetCluster = 2000L
   /** Lloyd iterations (updates) before the final assignment. */
   private val Iters = 2
+
+  /** Hard cap on the rows any per-cluster kernel may BUFFER on one
+    * executor (16×TargetCluster ≈ 16 MB of 64-double vectors). The
+    * trainer's kEff = ⌈n/TargetCluster⌉ keeps the EXPECTED cluster at
+    * TargetCluster rows, but k-means offers no worst-case bound: a
+    * duplicate-heavy corpus — exactly what dedup runs on — can
+    * collapse into one centroid and concentrate a super-sized cluster
+    * on a single task, the silent-OOM class at 100 TB. MatchPath /
+    * hot-posting discipline applied here: fail LOUDLY naming the
+    * cluster and its size instead. Session-overridable
+    * (graft.cluster.maxGroup) so the adversarial spec can shrink it;
+    * the driver never sets it, so oracled runs use the default. */
+  private[graft] val MaxGroupDefault: Int = (16L * TargetCluster).toInt
+
+  private def maxGroup(spark: SparkSession): Int = {
+    val m = spark.conf.getOption("graft.cluster.maxGroup")
+      .map(_.toInt).getOrElse(MaxGroupDefault)
+    require(m >= 1, s"graft.cluster.maxGroup must be >= 1 (got $m)")
+    m
+  }
+
+  /** Drain `it` into an array, refusing past `cap` rows with an error
+    * that names the cluster — the guard for every `it.toArray` inside
+    * a grouped kernel (see MaxGroupDefault). */
+  private[graft] def boundedClusterArray[T: scala.reflect.ClassTag](
+      kernel: String, cluster: Int, it: Iterator[T], cap: Int): Array[T] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[T]()
+    while (it.hasNext) {
+      if (buf.length >= cap)
+        throw new IllegalStateException(
+          s"$kernel: cluster $cluster exceeds the per-group buffer cap " +
+            s"($cap rows) — a degenerate k-means collapse would OOM this " +
+            "executor at scale. Raise k (the trainer's TargetCluster " +
+            "discipline), or graft.cluster.maxGroup if the skew is " +
+            "intended; measure the distribution with graft.tools.DiagClusterSkew.")
+      buf += it.next()
+    }
+    buf.toArray
+  }
   /** Within-cluster cosine threshold for semantic near-dup pairs (the
     * same 0.35 dedup_embedding_cosine uses, for comparability). */
   private val Tau = 0.35
@@ -352,12 +391,16 @@ object Clustering {
       val all = assign(quantized(spark.table("embeddings")), cents)
         .select(col("cluster"), col("vec_id"), col("ve"))
       val tau = Tau
+      val cap = maxGroup(spark)
       def keyed(df: DataFrame) =
         df.as[(Int, Long, Array[Double])].groupByKey(_._1)
       keyed(all.where(!corpusPred)).cogroup(keyed(all.where(corpusPred))) {
         (cluster: Int, bIt: Iterator[(Int, Long, Array[Double])],
          cIt: Iterator[(Int, Long, Array[Double])]) =>
-          val corp = cIt.toArray
+          // corpus side is the only buffered side (the batch streams);
+          // cap it — see MaxGroupDefault
+          val corp =
+            boundedClusterArray("dedup_incremental_semantic", cluster, cIt, cap)
           val m = corp.length
           val cids = new Array[Long](m)
           val cvs = new Array[Array[Double]](m)
@@ -418,7 +461,7 @@ object Clustering {
   private def semanticPairs(spark: SparkSession, sfDir: String): DataFrame =
     semanticPairsFrom(kmeansAssign(spark, sfDir))
 
-  private def semanticPairsFrom(afIn: DataFrame): DataFrame = {
+  private[graft] def semanticPairsFrom(afIn: DataFrame): DataFrame = {
     // Within-cluster scoring as a per-cluster kernel (flatMapGroups),
     // NOT a cluster self-join: the relational spelling materializes
     // O(Σ|c|²) joined rows each carrying TWO 64-double arrays (~1 KB a
@@ -440,11 +483,13 @@ object Clustering {
     val spark = afIn.sparkSession
     import spark.implicits._
     val tau = Tau
+    val cap = maxGroup(spark)
     afIn.select(col("cluster"), col("vec_id"), col("ve"))
       .as[(Int, Long, Array[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (cluster: Int, it: Iterator[(Int, Long, Array[Double])]) =>
-        val rows = it.toArray.sortBy(_._2)
+        val rows =
+          boundedClusterArray("semanticPairsFrom", cluster, it, cap).sortBy(_._2)
         val m = rows.length
         val ids = new Array[Long](m)
         val vs = new Array[Array[Double]](m)

@@ -839,6 +839,15 @@ object Similarity {
         .map(_.toInt).getOrElse(16)
       val planes = spark.conf.getOption("graft.ann.lshPlanes")
         .map(_.toInt).getOrElse(6)
+      // buckets are encoded as a signed-Int bitmask of plane signs and
+      // signs are indexed per table — out-of-range knobs would corrupt
+      // buckets (planes > 31 overflows 1 << p) or crash deep inside the
+      // kernel (tables = 0). Fail here with the knob's own name.
+      require(tables >= 1,
+        s"graft.ann.lshTables must be >= 1 (got $tables)")
+      require(planes >= 1 && planes <= 31,
+        s"graft.ann.lshPlanes must be in [1, 31] (got $planes): bucket " +
+          "ids are signed-Int sign masks")
       val bucketed = emb
         .withColumn("bs", GraftFunctions.lsh_buckets(col("embedding"), tables, planes))
         .select(col("vec_id"), posexplode(col("bs")).as(Seq("tbl", "bucket")))

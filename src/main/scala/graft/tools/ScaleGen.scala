@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *    warehouse decade;
   *  - text columns that feed blocking/dedup (p_name, document text)
   *    get a per-replica AFFINE ALPHABET PERMUTATION (letter i ↦
-  *    a·i+b mod 26, a coprime to 26 — 312 distinct maps): each replica
+  *    a·i+b mod 26, a coprime to 26 — 156 distinct maps): each replica
   *    is a disjoint vocabulary with the source's own prefix/shingle
   *    structure, so per-block and true-near-dup work replicates
   *    LINEARLY — the honest decade. Two earlier designs measurably
@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
   * replica (0,5) and replica (5,0) of a stacked run apply the same
   * map, yielding whole verbatim corpus copies and a fake exact-dup
   * explosion. Direct generation keeps all k maps distinct for
-  * k ≤ 128 (embeddings) / 312 (text).
+  * k ≤ 128 (embeddings) / 156 (text).
   *
   * Output is NEVER oracled — it exists purely for measured scaling
   * exponents (BASELINE.md "scale evidence"). Usage:
@@ -64,7 +64,9 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val (src, dest) = (args(0), args(1))
     val k = args.lift(2).map(_.toInt).getOrElse(10)
-    require(k <= 128, s"k=$k exceeds the 128 distinct embedding isometries")
+    require(k <= 128,
+      s"k=$k exceeds the distinct-map capacity (128 embedding isometries, " +
+        "156 affine text permutations)")
     val cpus = Runtime.getRuntime.availableProcessors.toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

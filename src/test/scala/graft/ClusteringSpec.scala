@@ -256,4 +256,42 @@ class ClusteringSpec extends AnyFunSuite with Matchers {
       (flatCos - cos) should be <= 0.2           // misses are near-ties
     }
   }
+
+  test("boundedClusterArray: passthrough under cap, loud error naming the cluster over it") {
+    Clustering.boundedClusterArray("k", 7, Iterator(1, 2, 3), 3).toSeq shouldBe Seq(1, 2, 3)
+    val e = intercept[IllegalStateException] {
+      Clustering.boundedClusterArray("dedup_incremental_semantic", 7,
+        Iterator(1, 2, 3, 4), 3)
+    }
+    e.getMessage should include ("dedup_incremental_semantic")
+    e.getMessage should include ("cluster 7")
+    e.getMessage should include ("3 rows")
+  }
+
+  test("per-cluster buffer cap fires on a degenerate collapsed assignment, inert below it") {
+    // adversarial: force the k=1 collapse the trainer's kEff discipline
+    // normally prevents — every row lands in cluster 0, exceeding the
+    // (spec-shrunk) cap. The kernel must fail LOUDLY naming the
+    // cluster, not silently buffer toward an executor OOM.
+    import spark.implicits._
+    val collapsed = (0 until 50).map(i => (0, i.toLong, Array.fill(4)(1.0)))
+      .toDF("cluster", "vec_id", "ve")
+    spark.conf.set("graft.cluster.maxGroup", "10")
+    try {
+      val ex = intercept[Exception] {
+        Clustering.semanticPairsFrom(collapsed).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val chain = msgs(ex).mkString("\n")
+      chain should include ("semanticPairsFrom")
+      chain should include ("cluster 0")
+      chain should include ("10 rows")
+      // non-degenerate groups under the same cap pass through untouched
+      val ok = (0 until 9).map(i => (i % 3, i.toLong, Array.fill(4)(1.0)))
+        .toDF("cluster", "vec_id", "ve")
+      val pairs = Clustering.semanticPairsFrom(ok).collect()
+      pairs.length shouldBe 9                    // 3 clusters × C(3,2) pairs
+    } finally spark.conf.unset("graft.cluster.maxGroup")
+  }
 }

@@ -642,16 +642,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("agg_winsorized_mean: one window pass, no boundary self-join") {
+  test("agg_winsorized_mean: one window sort, no boundary self-join") {
     // the first spelling computed boundaries in one CTE and re-joined
     // it against the windowed ranks — evaluating the rank window TWICE
     // (4.6 s vs the trimmed sibling's 2.5 s at sf0.1). The winsorized
-    // sum is trim·(lo+hi) + the trimmed kept-interval sum, so one
-    // grouped pass over ONE window suffices; pin that shape.
+    // sum is trim·(lo+hi) + the trimmed kept-interval sum over ONE
+    // sorted pass; pin that shape. (The pass prints as TWO Window
+    // nodes — running `cum` and whole-partition `n` have different
+    // frames so Spark can't fuse them — but both consume the SAME
+    // sort/exchange, so the second node is a free extra sweep, not a
+    // second shuffle. The old startsWith counter was vacuous: tree
+    // lines are '+- ' prefixed, so it counted 0 regardless.)
     val p = plan("agg_winsorized_mean")
     assert(!p.contains("Join"), s"boundary self-join reintroduced:\n$p")
-    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 1,
-      s"rank window must be evaluated once:\n$p")
+    val windows = "\\bWindow \\[".r.findAllIn(p).length
+    assert(windows == 2,
+      s"expected the cum+n window pair over one sort (found $windows):\n$p")
+    // the two windows must share one partitioning: exactly one
+    // hash-exchange on the group key alone (the rf,v partial-agg
+    // exchange is keyed on both columns and doesn't match)
+    val windowExchanges =
+      "Exchange hashpartitioning\\(rf#\\d+, \\d+\\)".r.findAllIn(p).length
+    assert(windowExchanges == 1,
+      s"windows must share one exchange (found $windowExchanges):\n$p")
   }
 
   test("source_symlink_scan reads only the linked targets") {
