@@ -23,6 +23,40 @@ object Relational {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** One leg of a Hive UNIQUE JOIN: a relation, its key column, and
+    * whether it is marked PRESERVE. Caller guarantees column names are
+    * distinct across legs (Hive's per-alias projections do the same). */
+  case class UniqueJoinLeg(df: DataFrame, key: String, preserve: Boolean)
+
+  /** Hive 1.2 UNIQUE JOIN (grammar `TOK_UNIQUEJOIN`,
+    * ql/src/java/org/apache/hadoop/hive/ql/parse/FromClauseParser.g
+    * uniqueJoinToken; `ql/plan/JoinDesc.UNIQUE_JOIN`; emit logic in
+    * `ql/exec/CommonJoinOperator.checkAndGenObject`): N legs, each
+    * keyed by one expression; for a given key value the cross product
+    * of the legs' rows — null-filled where a leg lacks the key — is
+    * emitted IFF at least one leg marked PRESERVE has the key.
+    *
+    * Spark-first composition, not a custom operator: the standard
+    * N-way full-outer chain (`coalesce(previous keys) = next key`),
+    * then the PRESERVE test read off the join output itself — a
+    * preserved leg's key column is non-null exactly when that leg had
+    * the key — so the filter adds NO extra join or shuffle. At scale
+    * this is one hash partitioning on the key reused across all N-1
+    * SortMergeJoins (Catalyst sees the coalesce key as co-partitioned
+    * with the previous join's output). */
+  def uniqueJoin(legs: Seq[UniqueJoinLeg]): DataFrame = {
+    require(legs.size >= 2, "UNIQUE JOIN needs at least two legs")
+    require(legs.exists(_.preserve),
+      "UNIQUE JOIN with no PRESERVE leg emits nothing — mark at least one")
+    val joined = legs.tail.foldLeft((legs.head.df, Seq(legs.head.key))) {
+      case ((acc, prevKeys), leg) =>
+        val cond = coalesce(prevKeys.map(col): _*) === col(leg.key)
+        (acc.join(leg.df, cond, "full_outer"), prevKeys :+ leg.key)
+    }._1
+    joined.where(
+      legs.filter(_.preserve).map(l => col(l.key).isNotNull).reduce(_ || _))
+  }
+
   // Point-in-time (PIT) dimension join — the fact-to-SCD2 lookup every
   // temporal warehouse runs: each order joins to the dimension row
   // VALID AT its order date (valid_from <= d < valid_to, open-ended
@@ -532,6 +566,49 @@ object Relational {
       JOIN (SELECT n_nationkey, NULLIF(n_regionkey, 2) AS rk FROM nation) b
         ON a.rk <=> b.rk
       ORDER BY a_key, b_key"""),
+
+    // Hive UNIQUE JOIN (`FROM UNIQUEJOIN PRESERVE a (a.k), b (b.k),
+    // PRESERVE c (c.k)`) — see uniqueJoin's Scaladoc. Legs chosen so
+    // every semantic branch is hit at sf0.01: BUILDING customers
+    // without orders (preserved-only key → b/c null-filled),
+    // non-BUILDING customers with orders but no big order
+    // (non-preserved-only key → dropped), and big spenders outside
+    // BUILDING (re-added by the preserved c leg).
+    "join_unique" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val a = spark.table("customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k_cust"), col("c_name"))
+      val b = spark.table("orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(col("o_custkey").as("k_ord"), col("n_orders"))
+      val c = spark.table("orders").where(col("o_totalprice") > 150000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+        .select(col("o_custkey").as("k_big"), col("n_big"))
+      uniqueJoin(Seq(
+          UniqueJoinLeg(a, "k_cust", preserve = true),
+          UniqueJoinLeg(b, "k_ord", preserve = false),
+          UniqueJoinLeg(c, "k_big", preserve = true)))
+        .select(col("k_cust"), col("k_ord"), col("k_big"),
+          col("c_name"), col("n_orders"), col("n_big"))
+        .orderBy(coalesce(col("k_cust"), col("k_ord"), col("k_big")))
+    }),
+
+    // BLOCK__OFFSET__INSIDE__FILE analog (`ql/metadata/VirtualColumn
+    // .java` BLOCKOFFSET; its one real use is stable row addressing
+    // within a file): Spark 4's file-source metadata column
+    // `_metadata.row_index` plus `input_file_name()` — same contract,
+    // (file, offset) uniquely addresses a row and survives re-reads.
+    // The oracle ranks by doc_id, valid because the fixture writes
+    // documents in doc_id order (pinned in UniqueJoinAndVirtualColumnSpec); the Spark
+    // side reads the REAL per-file metadata, not the rank.
+    "scan_block_offset" -> ((spark, sfDir) => {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          regexp_extract(input_file_name(), "[^/]+$", 0).as("fname"),
+          col("_metadata.row_index").as("block_offset"))
+        .where(col("doc_id") % 7 === 3)
+        .orderBy(col("doc_id"))
+    }),
 
     // The skew-salting JOIN pattern (brief: "salting for skew"): the
     // fact side carries a deterministic salt (key-derived, 8 buckets),
@@ -1091,6 +1168,32 @@ object Relational {
       JOIN (SELECT n_nationkey, NULLIF(n_regionkey, 2) AS rk FROM nation) b
         ON a.rk IS NOT DISTINCT FROM b.rk
       ORDER BY a_key, b_key""",
+
+    // UNIQUE JOIN reference semantics: N-way full outer on the key,
+    // keys kept iff present in a PRESERVE'd leg
+    "join_unique" -> """
+      WITH a AS (SELECT c_custkey AS k_cust, c_name FROM customer
+                 WHERE c_mktsegment = 'BUILDING'),
+           b AS (SELECT o_custkey AS k_ord, count(*) AS n_orders
+                 FROM orders GROUP BY 1),
+           c AS (SELECT o_custkey AS k_big, count(*) AS n_big
+                 FROM orders WHERE o_totalprice > 150000 GROUP BY 1)
+      SELECT k_cust, k_ord, k_big, c_name, n_orders, n_big
+      FROM a
+      FULL OUTER JOIN b ON a.k_cust = b.k_ord
+      FULL OUTER JOIN c ON coalesce(a.k_cust, b.k_ord) = c.k_big
+      WHERE k_cust IS NOT NULL OR k_big IS NOT NULL
+      ORDER BY coalesce(k_cust, k_ord, k_big)""",
+
+    // file order == doc_id order is a pinned fixture property
+    // (UniqueJoinAndVirtualColumnSpec) — the rank IS the within-file offset
+    "scan_block_offset" -> """
+      SELECT doc_id, 'documents.parquet' AS fname, block_offset
+      FROM (SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS block_offset
+            FROM documents)
+      WHERE doc_id % 7 = 3
+      ORDER BY doc_id""",
 
     // the UNSALTED join — salting must be result-invariant
     "join_skew_salted" -> """
