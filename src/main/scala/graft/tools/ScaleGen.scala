@@ -52,7 +52,7 @@ object ScaleGen {
     * translate() image of "a..zA..Z": i ↦ units(r mod 12)·i + r mod 26.
     * Distinct (a,b) pairs — hence distinct permutations — for r < 156
     * (= lcm(12,26)). */
-  private def affineImage(r: Int): String = {
+  private[graft] def affineImage(r: Int): String = {
     val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     val a = units(r % units.length); val b = r % 26
     val lower = (0 until 26).map(i => ('a' + (a * i + b) % 26).toChar)
@@ -61,12 +61,26 @@ object ScaleGen {
   private val Alphabet =
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
+  /** Marker dropped into every ScaleGen output dir. Its PRESENCE in a
+    * SOURCE dir means someone is stacking runs — the compositions of
+    * per-replica maps collide into verbatim corpus copies (header doc),
+    * the exact quadratic artifact the honest generator exists to
+    * prevent — so stacking is a hard error, not a warning. */
+  private val Marker = "_SCALEGEN_OUTPUT.json"
+
   def main(args: Array[String]): Unit = {
     val (src, dest) = (args(0), args(1))
     val k = args.lift(2).map(_.toInt).getOrElse(10)
     require(k <= 128,
       s"k=$k exceeds the distinct-map capacity (128 embedding isometries, " +
         "156 affine text permutations)")
+    require(!new java.io.File(src, Marker).exists(),
+      s"$src is itself a ScaleGen output (found $Marker) — NEVER stack " +
+        "runs: composed per-replica maps collide into verbatim corpus " +
+        "copies and fake quadratic dup growth. Generate the target SF " +
+        "directly from the source fixture (sf0.1 -> sf10 is one k=100 run).")
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val cpus = Runtime.getRuntime.availableProcessors.toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -136,6 +150,9 @@ object ScaleGen {
         .withColumn("embedding",
           when(r >= 64, transform(shifted, x => -x)).otherwise(shifted))
     }
-    spark.stop()
+    // stamp the output so a future run refuses to stack on top of it
+    val mk = new java.io.PrintWriter(new java.io.File(dest, Marker))
+    try mk.write(s"""{"source": "$src", "k": $k}""") finally mk.close()
+    if (!preExisting) spark.stop()
   }
 }

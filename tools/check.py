@@ -38,8 +38,14 @@ def cell_equal(x, y):
 
 def main(sfdir, outdir, only=None):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # ScaleGen fixtures (target/sf1, sf10) are Spark-written
+        # DIRECTORIES of part files; driver fixtures are single files
+        src = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     if only:  # dev subset run (mirrors Verify's optional third arg)
         oracle = {k: v for k, v in oracle.items() if k in only}
