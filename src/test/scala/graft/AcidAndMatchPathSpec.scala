@@ -342,4 +342,21 @@ class AcidAndMatchPathSpec extends AnyFunSuite {
     assert(got.toSeq == expect)
     assert(got.nonEmpty, "corpus should contain view+ purchase sequences")
   }
+
+  test("lock knobs are validated by name: a non-positive TTL would break live locks") {
+    spark.conf.set("graft.acid.lockTtlMs", "0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Acid.withWriterLock(spark, "graft_db.knob_probe") { 1 }
+      }
+      assert(e.getMessage.contains("graft.acid.lockTtlMs"))
+    } finally spark.conf.unset("graft.acid.lockTtlMs")
+    spark.conf.set("graft.acid.lockWaitMs", "-5")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Acid.withWriterLock(spark, "graft_db.knob_probe") { 1 }
+      }
+      assert(e.getMessage.contains("graft.acid.lockWaitMs"))
+    } finally spark.conf.unset("graft.acid.lockWaitMs")
+  }
 }
