@@ -584,7 +584,16 @@ object Clustering {
       ), qc AS (
         SELECT * FROM q WHERE $corpusPred
       ), c0 AS (
-        SELECT vec_id AS cid, ve AS ce FROM qc ORDER BY vec_id LIMIT $k
+        -- seed count mirrors the trainer's kEff = max(k, ceil(n/TargetCluster))
+        -- with the SAME integer arithmetic ((n + T-1) // T), so the oracle
+        -- tracks the corpus-size-dependent k at ANY scale factor (the r13
+        -- sf1 sweep caught the hardcoded LIMIT k diverging once n > k*T)
+        SELECT vec_id AS cid, ve AS ce FROM (
+          SELECT vec_id, ve,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) AS graft_rn,
+                 COUNT(*) OVER () AS graft_n
+          FROM qc)
+        WHERE graft_rn <= greatest($k, (graft_n + ${TargetCluster - 1}) // $TargetCluster)
       ),$iterCtes,${assignCte("sf", "af", s"c$iters", "q")}"""
   }
 
