@@ -546,11 +546,12 @@ object Clustering {
     * doc: identical IEEE op order ⇒ bit-identical values). */
   private[operators] def kmeansCtes(k: Int, iters: Int,
                                     corpusPred: String = "TRUE"): String = {
-    def assignCte(s: String, a: String, cents: String, src: String) = s"""
+    def assignCte(s: String, a: String, cents: String, src: String,
+                  mat: String = "") = s"""
       $s AS (
         SELECT q.vec_id, c.cid, ${cosSql("q.ve", "c.ce")} AS cos
         FROM $src q CROSS JOIN $cents c
-      ), $a AS (
+      ), $a AS $mat (
         SELECT vec_id, cid, cos FROM (
           SELECT vec_id, cid, cos,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -579,9 +580,16 @@ object Clustering {
                list_transform(CAST(embedding AS DOUBLE[]),
                  x -> CAST(floor(x * 1000000.0) AS DOUBLE)) AS qe
         FROM embeddings
-      ), q AS (
+      ), q AS MATERIALIZED (
+        -- MATERIALIZED: q and af are referenced by several consumers
+        -- (pair joins reference q twice; the prune oracle's recursive
+        -- CC references the af-derived edge list once per iteration) —
+        -- without the hint DuckDB may re-inline the WHOLE kmeans chain
+        -- per reference, which turned the sf1 prune oracle from
+        -- minutes into CPU-hours (r13 sweep). Values are unchanged:
+        -- materialization fixes evaluation count, not arithmetic.
         SELECT vec_id, qe, list_transform(qe, x -> x / 1000000.0) AS ve FROM q0
-      ), qc AS (
+      ), qc AS MATERIALIZED (
         SELECT * FROM q WHERE $corpusPred
       ), c0 AS (
         -- seed count mirrors the trainer's kEff = max(k, ceil(n/TargetCluster))
@@ -594,7 +602,7 @@ object Clustering {
                  COUNT(*) OVER () AS graft_n
           FROM qc)
         WHERE graft_rn <= greatest($k, (graft_n + ${TargetCluster - 1}) // $TargetCluster)
-      ),$iterCtes,${assignCte("sf", "af", s"c$iters", "q")}"""
+      ),$iterCtes,${assignCte("sf", "af", s"c$iters", "q", "MATERIALIZED")}"""
   }
 
   val oracle: Map[String, String] = Map(
@@ -660,13 +668,13 @@ object Clustering {
     // the pair CTE above + the recursive-CTE CC labeling dedup_clusters
     // established (comp = MIN reachable id), singleton vectors kept
     "dedup_semantic_prune" -> s"""
-      WITH RECURSIVE ${kmeansCtes(K, Iters)}, pairs AS (
+      WITH RECURSIVE ${kmeansCtes(K, Iters)}, pairs AS MATERIALIZED (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
         JOIN q qa ON qa.vec_id = a.vec_id
         JOIN q qb ON qb.vec_id = b.vec_id
         WHERE (${cosSql("qa.ve", "qb.ve")}) >= $Tau
-      ), edges AS (
+      ), edges AS MATERIALIZED (
         SELECT vec_a AS src, vec_b AS dst FROM pairs
         UNION ALL SELECT vec_b, vec_a FROM pairs
       ), cc AS (
