@@ -696,11 +696,18 @@ object Relational {
     // HASH→MERGEPARTIAL (QL/exec/GroupByOperator.java:733).
     "q1_pricing_summary" -> Tables.sql("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+             -- money sums on the exact integer grid (ROUND(x*10^s) ->
+             -- BIGINT -> DECIMAL): CAST(double AS DECIMAL) rounds through
+             -- DIFFERENT paths in the two engines (Spark: exact binary
+             -- expansion + HALF_UP; DuckDB: scaled multiply + rint) and
+             -- the r13 sf1 sweep measured 4 micro-unit drift over 600k
+             -- rows in sum_charge. ROUND sees the bit-identical product
+             -- double in both engines, so the grid value is exact.
+             CAST(SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS sum_qty,
+             CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS sum_base_price,
+             CAST(SUM(CAST(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS sum_disc_price,
+             CAST(SUM(CAST(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS sum_charge,
+             CAST(CAST(SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 / COUNT(*) AS DOUBLE) AS avg_qty,
              COUNT(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1226,11 +1233,18 @@ object Relational {
 
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+             -- money sums on the exact integer grid (ROUND(x*10^s) ->
+             -- BIGINT -> DECIMAL): CAST(double AS DECIMAL) rounds through
+             -- DIFFERENT paths in the two engines (Spark: exact binary
+             -- expansion + HALF_UP; DuckDB: scaled multiply + rint) and
+             -- the r13 sf1 sweep measured 4 micro-unit drift over 600k
+             -- rows in sum_charge. ROUND sees the bit-identical product
+             -- double in both engines, so the grid value is exact.
+             CAST(SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS sum_qty,
+             CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS sum_base_price,
+             CAST(SUM(CAST(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS sum_disc_price,
+             CAST(SUM(CAST(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS sum_charge,
+             CAST(CAST(SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 / COUNT(*) AS DOUBLE) AS avg_qty,
              COUNT(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

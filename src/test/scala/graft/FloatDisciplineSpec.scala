@@ -102,6 +102,9 @@ class FloatDisciplineSpec extends AnyFunSuite {
                       // micro units from ranks
     "acid_stream_ingest", // ROUND(value*1000)->BIGINT: exact milli grid
     "acid_auto_compact",  // ROUND(qty/price*100)->BIGINT: exact cents grid
+    "q1_pricing_summary", // ROUND(money*100|*1e6)->BIGINT: exact grids —
+                          // r13 sf1 sweep caught CAST(double AS DECIMAL)
+                          // rounding through different engine paths
     "stats_bootstrap_poisson", // ROUND(price*100)->BIGINT: exact cents grid
     "stats_did",               // ROUND(price*100)->BIGINT: exact cents grid
     "stats_bootstrap_median",  // same cents grid
