@@ -59,11 +59,17 @@ private[operators] object DuckHash {
     * names are `prefix`1..4 — pass a prefix unused in the host query. */
   def fmix64Ctes(from: String, carry: String, in: String, prefix: String,
                  out: String, outCol: String): String =
-    s"""${prefix}1 AS (SELECT $carry, xor($in, ($in) >> 33) AS fxa FROM $from
-      ), ${prefix}2 AS (SELECT $carry, ${mulmod("fxa", "18397679294719823053")} AS fxb FROM ${prefix}1
-      ), ${prefix}3 AS (SELECT $carry, xor(fxb, fxb >> 33) AS fxc FROM ${prefix}2
-      ), ${prefix}4 AS (SELECT $carry, ${mulmod("fxc", "14181476777654086739")} AS fxd FROM ${prefix}3
-      ), $out AS (SELECT $carry, xor(fxd, fxd >> 33) AS $outCol FROM ${prefix}4)"""
+    // MATERIALIZED on every stage: each stage references its input 2-3
+    // times (mulmod splits its operand 3 ways), so DuckDB's inlining of
+    // single-reference CTEs grows the expression ~72× PER CHAIN — two
+    // chained chains (the bootstrap oracles) hit ~5000× and turned a
+    // 4.8M-row hash into CPU-hours at sf1 (r13 sweep). Materialization
+    // bounds each stage to one evaluation; values are unchanged.
+    s"""${prefix}1 AS MATERIALIZED (SELECT $carry, xor($in, ($in) >> 33) AS fxa FROM $from
+      ), ${prefix}2 AS MATERIALIZED (SELECT $carry, ${mulmod("fxa", "18397679294719823053")} AS fxb FROM ${prefix}1
+      ), ${prefix}3 AS MATERIALIZED (SELECT $carry, xor(fxb, fxb >> 33) AS fxc FROM ${prefix}2
+      ), ${prefix}4 AS MATERIALIZED (SELECT $carry, ${mulmod("fxc", "14181476777654086739")} AS fxd FROM ${prefix}3
+      ), $out AS MATERIALIZED (SELECT $carry, xor(fxd, fxd >> 33) AS $outCol FROM ${prefix}4)"""
 }
 
 object Dedup {

@@ -87,9 +87,13 @@ object Graph {
 
   // ---- shared DuckDB-oracle CTE text ----
 
+  // ORACLE-ONLY (DuckDB) — AS MATERIALIZED: the co-purchase self-join is
+  // referenced 2-3x by most graph oracles and DuckDB's CTE inlining
+  // re-evaluates it per reference; at sf1 the kcore peel chain compounded
+  // that into a 78 GB temp spill (r13 sweep). Values unchanged.
   private val EdgeCte = """
-      WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      e AS (
+      WITH io AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS MATERIALIZED (
         SELECT a.p AS src, b.p AS dst
         FROM io a JOIN io b ON a.o = b.o AND a.p < b.p
         GROUP BY a.p, b.p
@@ -357,11 +361,11 @@ object Graph {
   // round is two semi-joins on node ids + one hash aggregate — the
   // per-iteration plan a 1000-executor cluster runs at any graph size.
   private def kcoreIter(k: Int): String = s"""
-      , keep$k AS (SELECT node FROM deg${k - 1} WHERE degree >= 3)
-      , sym$k AS (SELECT s.src, s.dst FROM sym${k - 1} s
+      , keep$k AS MATERIALIZED (SELECT node FROM deg${k - 1} WHERE degree >= 3)
+      , sym$k AS MATERIALIZED (SELECT s.src, s.dst FROM sym${k - 1} s
                   JOIN keep$k a ON s.src = a.node
                   JOIN keep$k b ON s.dst = b.node)
-      , deg$k AS (SELECT src AS node, COUNT(*) AS degree FROM sym$k GROUP BY src)"""
+      , deg$k AS MATERIALIZED (SELECT src AS node, COUNT(*) AS degree FROM sym$k GROUP BY src)"""
 
   /** 3-core decomposition, 3 unrolled peeling rounds; emits the
     * (round, nodes, edges) shrinkage trajectory — all exact integers.
@@ -371,7 +375,7 @@ object Graph {
     * (~50 planned joins, 16.5 s at sf0.1), so the query side runs the
     * equivalent persisted-round driver loop instead. */
   private def kcoreSql(pre: String): String = pre + """
-      , deg0 AS (SELECT src AS node, COUNT(*) AS degree FROM sym0 GROUP BY src)""" +
+      , deg0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS degree FROM sym0 GROUP BY src)""" +
     kcoreIter(1) + kcoreIter(2) + kcoreIter(3) + """
       SELECT r.round,
              CASE r.round WHEN 0 THEN (SELECT COUNT(*) FROM deg0)
@@ -958,7 +962,7 @@ object Graph {
       )"""
 
   private val SymCte = """
-      , sym AS (SELECT src, dst FROM e
+      , sym AS MATERIALIZED (SELECT src, dst FROM e
                 UNION ALL SELECT dst AS src, src AS dst FROM e)"""
 
   val oracle: Map[String, String] = Map(
@@ -974,7 +978,7 @@ object Graph {
     "recsys_user_cf" -> UserCfSql,
     "recsys_als_step" -> alsStepSql(spark = false),
     "graph_kcore" -> kcoreSql(EdgeCte + """
-      , sym0 AS (SELECT src, dst FROM e
+      , sym0 AS MATERIALIZED (SELECT src, dst FROM e
                  UNION ALL SELECT dst AS src, src AS dst FROM e)"""),
     "graph_local_clustering" -> (EdgeCte + """
       , sym AS (SELECT src, dst FROM e
