@@ -202,11 +202,17 @@ object Statistics {
         FROM x
       ),
       s AS (
+        -- rank-product sums go through DECIMAL: with doubled ranks
+        -- ra,rb <= 2n, SUM(ra*ra) ~ 4n^3/3 crosses Long.Max at
+        -- n ~ 1.3e6 rows per group (the r13 sf1 sweep hit 1.06e19 at
+        -- n = 2e6 -- ANSI long overflow). The decimal sums are exact
+        -- integers; the one CAST to DOUBLE at the end is the same
+        -- correctly-rounded conversion in both engines.
         SELECT rf, COUNT(*) AS n,
                CAST(SUM(ra) AS DOUBLE) AS sa, CAST(SUM(rb) AS DOUBLE) AS sb,
-               CAST(SUM(ra * ra) AS DOUBLE) AS saa,
-               CAST(SUM(rb * rb) AS DOUBLE) AS sbb,
-               CAST(SUM(ra * rb) AS DOUBLE) AS sab
+               CAST(SUM(CAST(ra AS DECIMAL(19,0)) * ra) AS DOUBLE) AS saa,
+               CAST(SUM(CAST(rb AS DECIMAL(19,0)) * rb) AS DOUBLE) AS sbb,
+               CAST(SUM(CAST(ra AS DECIMAL(19,0)) * rb) AS DOUBLE) AS sab
         FROM r GROUP BY rf
       )
       SELECT rf, n,

@@ -773,8 +773,16 @@ object TextAnalysis {
       WITH ${pplCtes(spark = true)}
       SELECT doc_id,
              COUNT(*) AS n_bigrams,
-             ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logp,
-             ROUND(EXP(-(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))), 6) AS ppl
+             -- exact micro-unit grid, round in the INTEGER domain: the
+             -- decimal-sum/COUNT spelling put doc 854's average exactly on
+             -- the 6th-decimal half boundary, where Spark's exact-BigDecimal
+             -- ROUND and DuckDB's scaled-multiply ROUND disagree (r13 sf1
+             -- sweep, 1e-6 drift on 10 replicas of the doc). Here the
+             -- divided double is correctly rounded from an exact rational in
+             -- both engines, and a .5 tie is exactly representable, which
+             -- both engines round away from zero.
+             ROUND(CAST(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*)) / 1000000.0 AS avg_logp,
+             ROUND(EXP(-(CAST(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*))), 6) AS ppl
       FROM sc
       GROUP BY doc_id
       ORDER BY doc_id"""),
@@ -1648,8 +1656,16 @@ object TextAnalysis {
       WITH ${pplCtes(spark = false)}
       SELECT doc_id,
              COUNT(*) AS n_bigrams,
-             ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logp,
-             ROUND(EXP(-(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))), 6) AS ppl
+             -- exact micro-unit grid, round in the INTEGER domain: the
+             -- decimal-sum/COUNT spelling put doc 854's average exactly on
+             -- the 6th-decimal half boundary, where Spark's exact-BigDecimal
+             -- ROUND and DuckDB's scaled-multiply ROUND disagree (r13 sf1
+             -- sweep, 1e-6 drift on 10 replicas of the doc). Here the
+             -- divided double is correctly rounded from an exact rational in
+             -- both engines, and a .5 tie is exactly representable, which
+             -- both engines round away from zero.
+             ROUND(CAST(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*)) / 1000000.0 AS avg_logp,
+             ROUND(EXP(-(CAST(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*))), 6) AS ppl
       FROM sc
       GROUP BY doc_id
       ORDER BY doc_id""",

@@ -56,6 +56,10 @@ class FloatDisciplineSpec extends AnyFunSuite {
   private val reviewedDivisions: Map[String, String] = Map(
     "agg_trimmed_mean"           -> "ExactGrid",     // FLOOR(n/20.0): 2-decimal exact
     "agg_winsorized_mean"        -> "ExactGrid",     // FLOOR(n/20.0)
+    "text_perplexity"            -> "ExactGrid",     // micro-int sum /1e6-lit:
+                                                     // integer-valued double
+                                                     // over an exact power-of-10
+                                                     // grid (r13 boundary fix)
     "ann_mmr_rerank"             -> "DoubleOperand", // lambda x is DOUBLE
     "ann_quantized_topk"         -> "DoubleOperand", // max|x| over DOUBLE[] / 127.0
     "cluster_centroids"          -> "DoubleOperand", // (s/n) int/int -> double, then /1e6-lit
