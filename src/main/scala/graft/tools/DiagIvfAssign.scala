@@ -8,11 +8,15 @@ import graft.functions.{CentroidMatrix, GraftFunctions, IvfIndex}
   * the assignment kernels in isolation at the large-k SemDeDup regime
   * the corpus fixtures can't reach (kEff tracks corpus size and stays
   * ≤ ~100 at sf10; the IVF gate opens at 128).
-  * Usage: runMain graft.tools.DiagIvfAssign <sfDir> [k] */
+  * Usage: runMain graft.tools.DiagIvfAssign <sfDir> [k] [flat|ivf|both]
+  * (mode `ivf` skips the n·k flat pass — at k=65536 over sf10 that is
+  * ~25 min of pure linear-in-k arithmetic whose time is predictable
+  * from the measured k=8192 point; the IVF side is the open question) */
 object DiagIvfAssign {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val k = args.lift(1).map(_.toInt).getOrElse(1024)
+    val mode = args.lift(2).getOrElse("both")
     val spark = ToolSession.local()
     graft.Tables.register(spark, sfDir)
     val vecs = spark.table("embeddings").select(col("vec_id"),
@@ -29,12 +33,17 @@ object DiagIvfAssign {
       df.write.mode("overwrite").format("noop").save()
       println(f"[diag-ivf] $label n=$n k=$k: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    time("flat")(vecs.withColumn("best",
-      GraftFunctions.argmax_cosine_d(col("ve"), sc.broadcast(cm))))
-    val g = math.ceil(math.sqrt(k.toDouble)).toInt
-    time(s"ivf(g=$g,p=4)")(vecs.withColumn("best",
-      GraftFunctions.argmax_cosine_ivf_d(col("ve"),
-        sc.broadcast(new IvfIndex(cm, g, 4)))))
+    if (mode == "flat" || mode == "both")
+      time("flat")(vecs.withColumn("best",
+        GraftFunctions.argmax_cosine_d(col("ve"), sc.broadcast(cm))))
+    if (mode == "ivf" || mode == "both") {
+      val g = math.ceil(math.sqrt(k.toDouble)).toInt
+      val t0 = System.nanoTime()
+      val idx = new IvfIndex(cm, g, 4)
+      println(f"[diag-ivf] index build (driver mini-Lloyd) k=$k g=$g: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      time(s"ivf(g=$g,p=4)")(vecs.withColumn("best",
+        GraftFunctions.argmax_cosine_ivf_d(col("ve"), sc.broadcast(idx))))
+    }
     spark.stop()
   }
 }
