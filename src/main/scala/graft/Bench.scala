@@ -145,12 +145,15 @@ object Bench {
     // noisiest line in every full run (8.7-12.2 s observed across r12).
     // Surface it as its own field so round-over-round totals can be
     // read net of JVM-start noise without re-parsing the query map.
-    val childFloor = results.find(_.name == "cli_e_statement")
-      .flatMap(_.min).getOrElse(0.0)
+    // null (not 0.0) when no min exists — absent/double-failed floor
+    // must be distinguishable from "zero floor" in net-of-floor
+    // round-over-round comparisons.
+    val childFloor: String = results.find(_.name == "cli_e_statement")
+      .flatMap(_.min).map(r3).getOrElse("null")
     def qmap(sel: Timing => Option[Double], ts: Seq[Timing]): String =
       ts.map(t => s"\"${t.name}\":${r3(sel(t).getOrElse(-1.0))}").mkString("{", ",", "}")
     def names(ns: Seq[String]): String = ns.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val meta = s""""unit":"sec","first_value":${r3(firstTotal)},"child_jvm_floor":${r3(childFloor)},"cal_start":${r3(calStart)},"cal_end":${r3(calEnd)},"nfail":${failed.length},"failed":${names(failed)},"flaky":${names(flaky)}"""
+    val meta = s""""unit":"sec","first_value":${r3(firstTotal)},"child_jvm_floor":$childFloor,"cal_start":${r3(calStart)},"cal_end":${r3(calEnd)},"nfail":${failed.length},"failed":${names(failed)},"flaky":${names(flaky)}"""
     // full detail first (may fall outside the driver's tail window)…
     println(s"""{"metric":"total","value":${r3(total)},$meta,"queries":${qmap(_.min, results)},"first":${qmap(_.first, results)},"sf":"$sfDir"}""")
     // …then the compact line the tail always captures: total + slowest 6

@@ -59,8 +59,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Path token substitution: oracles that need PER-FILE parquet
+    // metadata (scan_block_offset's file_row_number) must read the
+    // physical files directly, not the driver-created view — the token
+    // resolves to the fixture's actual layout (single file at driver
+    // SFs, a directory of part files for ScaleGen fixtures).
+    val docsPath = {
+      val p = s"$sfDir/documents.parquet"
+      if (new java.io.File(p).isDirectory) s"$p/*.parquet" else p
+    }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__GRAFT_DOCUMENTS_PARQUET__", docsPath))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -38,23 +38,38 @@ object Relational {
     *
     * Spark-first composition, not a custom operator: the standard
     * N-way full-outer chain (`coalesce(previous keys) = next key`),
-    * then the PRESERVE test read off the join output itself — a
-    * preserved leg's key column is non-null exactly when that leg had
-    * the key — so the filter adds NO extra join or shuffle. At scale
-    * this is one hash partitioning on the key reused across all N-1
-    * SortMergeJoins (Catalyst sees the coalesce key as co-partitioned
-    * with the previous join's output). */
+    * then the PRESERVE test read off a per-leg literal presence
+    * marker projected onto each leg before the join — non-null in the
+    * join output exactly when that leg contributed a row — so the
+    * filter adds NO extra join or shuffle (the marker is a projection,
+    * not a key). At scale this is one hash partitioning on the key
+    * reused across all N-1 SortMergeJoins (Catalyst sees the coalesce
+    * key as co-partitioned with the previous join's output).
+    *
+    * NULL-key rows: SQL equality never matches NULL, so a null-keyed
+    * row joins to nothing — and Hive's reduce-side outer machinery
+    * (CommonJoinOperator.checkAndGenObject) still EMITS such a row of
+    * a PRESERVE leg, null-padded. The presence marker (not key
+    * nullness) is what makes that work here: a preserved leg's
+    * null-key row carries its marker and passes the filter, while a
+    * non-preserved leg's null-key row matches no preserved marker and
+    * is dropped. Pinned in UniqueJoinAndVirtualColumnSpec. */
   def uniqueJoin(legs: Seq[UniqueJoinLeg]): DataFrame = {
     require(legs.size >= 2, "UNIQUE JOIN needs at least two legs")
     require(legs.exists(_.preserve),
       "UNIQUE JOIN with no PRESERVE leg emits nothing — mark at least one")
-    val joined = legs.tail.foldLeft((legs.head.df, Seq(legs.head.key))) {
+    val markers = legs.indices.map(i => s"__uj_present_$i")
+    val marked = legs.zip(markers).map { case (l, m) =>
+      l.copy(df = l.df.withColumn(m, lit(1)))
+    }
+    val joined = marked.tail.foldLeft((marked.head.df, Seq(marked.head.key))) {
       case ((acc, prevKeys), leg) =>
         val cond = coalesce(prevKeys.map(col): _*) === col(leg.key)
         (acc.join(leg.df, cond, "full_outer"), prevKeys :+ leg.key)
     }._1
-    joined.where(
-      legs.filter(_.preserve).map(l => col(l.key).isNotNull).reduce(_ || _))
+    val presence = marked.zip(markers)
+      .collect { case (l, m) if l.preserve => col(m).isNotNull }
+    joined.where(presence.reduce(_ || _)).drop(markers: _*)
   }
 
   // Point-in-time (PIT) dimension join — the fact-to-SCD2 lookup every
@@ -598,9 +613,9 @@ object Relational {
     // within a file): Spark 4's file-source metadata column
     // `_metadata.row_index` plus `input_file_name()` — same contract,
     // (file, offset) uniquely addresses a row and survives re-reads.
-    // The oracle ranks by doc_id, valid because the fixture writes
-    // documents in doc_id order (pinned in UniqueJoinAndVirtualColumnSpec); the Spark
-    // side reads the REAL per-file metadata, not the rank.
+    // The oracle reads the SAME physical files via DuckDB's
+    // file_row_number — an independent reader of the real per-file
+    // layout, valid on single-file and multi-part fixtures alike.
     "scan_block_offset" -> ((spark, sfDir) => {
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"),
@@ -698,11 +713,16 @@ object Relational {
       SELECT l_returnflag, l_linestatus,
              -- money sums on the exact integer grid (ROUND(x*10^s) ->
              -- BIGINT -> DECIMAL): CAST(double AS DECIMAL) rounds through
-             -- DIFFERENT paths in the two engines (Spark: exact binary
-             -- expansion + HALF_UP; DuckDB: scaled multiply + rint) and
-             -- the r13 sf1 sweep measured 4 micro-unit drift over 600k
-             -- rows in sum_charge. ROUND sees the bit-identical product
-             -- double in both engines, so the grid value is exact.
+             -- DIFFERENT paths in the two engines (Spark RoundBase goes
+             -- via BigDecimal.decimal, i.e. the SHORTEST-representation
+             -- decimal of the double per Double.toString, then HALF_UP;
+             -- DuckDB: scaled multiply + rint) and the r13 sf1 sweep
+             -- measured 4 micro-unit drift over 600k rows in sum_charge.
+             -- Only INTEGER-scale ROUND is boundary-safe (no x.5 decimal
+             -- can lie inside a non-tie double's shortest-repr interval);
+             -- fractional-scale ROUND on doubles stays engine-divergent.
+             -- ROUND here sees the bit-identical product double in both
+             -- engines, so the grid value is exact.
              CAST(SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS sum_qty,
              CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS sum_base_price,
              CAST(SUM(CAST(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS sum_disc_price,
@@ -1192,13 +1212,20 @@ object Relational {
       WHERE k_cust IS NOT NULL OR k_big IS NOT NULL
       ORDER BY coalesce(k_cust, k_ord, k_big)""",
 
-    // file order == doc_id order is a pinned fixture property
-    // (UniqueJoinAndVirtualColumnSpec) — the rank IS the within-file offset
+    // Per-file oracle: DuckDB reads the SAME physical parquet files with
+    // file_row_number/filename, so (fname, offset) is compared against
+    // an independent reader of the real file layout — valid on ANY
+    // fixture (single-file driver SFs AND multi-part ScaleGen dirs; the
+    // old rank-by-doc_id formulation needed a single-file premise and
+    // was excluded from the r13 sf1 sweep). __GRAFT_DOCUMENTS_PARQUET__
+    // is resolved to the fixture's layout by Verify at dump time.
     "scan_block_offset" -> """
-      SELECT doc_id, 'documents.parquet' AS fname, block_offset
+      SELECT doc_id, fname, block_offset
       FROM (SELECT doc_id,
-                   row_number() OVER (ORDER BY doc_id) - 1 AS block_offset
-            FROM documents)
+                   regexp_extract(filename, '[^/]+$', 0) AS fname,
+                   file_row_number AS block_offset
+            FROM read_parquet('__GRAFT_DOCUMENTS_PARQUET__',
+                              filename=true, file_row_number=true))
       WHERE doc_id % 7 = 3
       ORDER BY doc_id""",
 
@@ -1235,11 +1262,16 @@ object Relational {
       SELECT l_returnflag, l_linestatus,
              -- money sums on the exact integer grid (ROUND(x*10^s) ->
              -- BIGINT -> DECIMAL): CAST(double AS DECIMAL) rounds through
-             -- DIFFERENT paths in the two engines (Spark: exact binary
-             -- expansion + HALF_UP; DuckDB: scaled multiply + rint) and
-             -- the r13 sf1 sweep measured 4 micro-unit drift over 600k
-             -- rows in sum_charge. ROUND sees the bit-identical product
-             -- double in both engines, so the grid value is exact.
+             -- DIFFERENT paths in the two engines (Spark RoundBase goes
+             -- via BigDecimal.decimal, i.e. the SHORTEST-representation
+             -- decimal of the double per Double.toString, then HALF_UP;
+             -- DuckDB: scaled multiply + rint) and the r13 sf1 sweep
+             -- measured 4 micro-unit drift over 600k rows in sum_charge.
+             -- Only INTEGER-scale ROUND is boundary-safe (no x.5 decimal
+             -- can lie inside a non-tie double's shortest-repr interval);
+             -- fractional-scale ROUND on doubles stays engine-divergent.
+             -- ROUND here sees the bit-identical product double in both
+             -- engines, so the grid value is exact.
              CAST(SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS sum_qty,
              CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS sum_base_price,
              CAST(SUM(CAST(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS sum_disc_price,

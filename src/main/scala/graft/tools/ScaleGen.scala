@@ -79,6 +79,17 @@ object ScaleGen {
         "runs: composed per-replica maps collide into verbatim corpus " +
         "copies and fake quadratic dup growth. Generate the target SF " +
         "directly from the source fixture (sf0.1 -> sf10 is one k=100 run).")
+    // Stamp the output dir BEFORE generating (complete=false): a
+    // crashed/partial run then still carries the marker and refuses
+    // reuse as a stacking source — rewritten with complete=true at the
+    // end. (Local-FS paths only, like the source check above.)
+    def writeMarker(complete: Boolean): Unit = {
+      new java.io.File(dest).mkdirs()
+      val mk = new java.io.PrintWriter(new java.io.File(dest, Marker))
+      try mk.write(s"""{"source": "$src", "k": $k, "complete": $complete}""")
+      finally mk.close()
+    }
+    writeMarker(complete = false)
     val preExisting = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isDefined
     val cpus = Runtime.getRuntime.availableProcessors.toString
@@ -150,9 +161,8 @@ object ScaleGen {
         .withColumn("embedding",
           when(r >= 64, transform(shifted, x => -x)).otherwise(shifted))
     }
-    // stamp the output so a future run refuses to stack on top of it
-    val mk = new java.io.PrintWriter(new java.io.File(dest, Marker))
-    try mk.write(s"""{"source": "$src", "k": $k}""") finally mk.close()
+    // all tables generated — flip the pre-written marker to complete
+    writeMarker(complete = true)
     if (!preExisting) spark.stop()
   }
 }

@@ -14,9 +14,9 @@ import graft.operators.Relational.UniqueJoinLeg
   *    duplicate keys cross-product (CommonJoinOperator's emit loop);
   *  - BLOCK__OFFSET__INSIDE__FILE analog (`_metadata.row_index` +
   *    input_file_name): per-FILE offset semantics on a multi-file
-  *    table, plus the fixture property the driver oracle leans on
-  *    (documents.parquet is written in doc_id order, so a doc_id rank
-  *    reproduces the file offset).
+  *    table. (Since r14 the driver oracle reads per-file metadata via
+  *    DuckDB file_row_number, so no fixture-layout premise remains;
+  *    the doc_id-order check below is a fixture sanity property only.)
   */
 class UniqueJoinAndVirtualColumnSpec extends AnyFunSuite with Matchers {
   lazy val spark = LocalSpark.spark
@@ -53,6 +53,29 @@ class UniqueJoinAndVirtualColumnSpec extends AnyFunSuite with Matchers {
       (s(5L), n, s(5L), s("a5"), n, s("c5")),        // in both preserved legs
       (n, n, s(6L), n, n, s("c6")))                  // preserved-only in C
     // key 4 (non-preserved-only) must NOT appear anywhere
+  }
+
+  test("uniqueJoin: NULL-key rows — preserved legs emit them null-padded, non-preserved legs drop them") {
+    import spark.implicits._
+    // Hive's reduce-side outer machinery (CommonJoinOperator) still
+    // emits a PRESERVE leg's null-keyed rows null-padded (null keys
+    // match nothing, but the preserved leg "has" the row). Presence is
+    // therefore tagged with a literal marker, NOT key-nullness — this
+    // pin is what distinguishes the two designs.
+    val a = Seq((Some(1L), "a1"), (None, "aN")).toDF("ka", "va")
+    val b = Seq((Some(1L), "b1"), (None, "bN")).toDF("kb", "vb")
+    val rows = Relational.uniqueJoin(Seq(
+        UniqueJoinLeg(a, "ka", preserve = true),
+        UniqueJoinLeg(b, "kb", preserve = false)))
+      .select(col("ka"), col("kb"), col("va"), col("vb"))
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)),
+                 Option(r.get(2)), Option(r.get(3))))
+      .toSet
+    rows shouldBe Set(
+      (Some(1L), Some(1L), Some("a1"), Some("b1")), // matched key
+      (None, None, Some("aN"), None))               // preserved NULL key row
+    // b's null-key row (non-preserved) must not appear
   }
 
   test("uniqueJoin: all-PRESERVE degenerates to the full outer join; guards fire") {
@@ -102,7 +125,10 @@ class UniqueJoinAndVirtualColumnSpec extends AnyFunSuite with Matchers {
     rows.foreach { case (id, f, o) => again(id) shouldBe ((f, o)) }
   }
 
-  test("fixture pin: documents.parquet is written in doc_id order (the scan_block_offset oracle's premise)") {
+  // No longer the oracle's premise (r14: the oracle reads per-file
+  // metadata via DuckDB file_row_number, fixture-layout-independent) —
+  // kept as a driver-fixture sanity property.
+  test("fixture pin: single-file documents.parquet is written in doc_id order") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("_metadata.row_index").as("off"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
