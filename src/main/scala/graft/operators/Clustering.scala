@@ -94,6 +94,50 @@ object Clustering {
     m
   }
 
+  /** Salt-split fallback (`graft.cluster.saltSplit`, default OFF): the
+    * DEGRADATION path for duplicate-heavy corpora where a degenerate
+    * k-means collapse would otherwise trip the buffer cap and kill the
+    * job. When on, a cluster whose size exceeds the cap is split into
+    * ⌈size/cap⌉ deterministic sub-groups before the
+    * kernel (balanced row-number salt — see withClusterSalt).
+    * Semantics per kernel:
+    *  - semanticPairsFrom: pairs are scored WITHIN a sub-group only —
+    *    a documented recall haircut (expected miss fraction ≈
+    *    1 − 1/nsplit of an over-cap cluster's pairs); clusters at or
+    *    under the cap get nsplit=1 and are bit-identical to the
+    *    default path.
+    *  - dedup_incremental_semantic: EXACT, no haircut — only the
+    *    buffered corpus side is salt-split; each batch row replicates
+    *    to every sub-group and the per-vector verdicts re-aggregate
+    *    (min dup_of / sum n_dups), so every batch row still sees the
+    *    whole cluster.
+    * The driver never sets the conf, so every oracled run takes the
+    * default (fail-loud) path untouched. */
+  private def saltSplitOn(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.cluster.saltSplit").exists(_.toBoolean)
+
+  /** Per-cluster split count: ⌈size/cap⌉, min 1 — a ≤kEff-row
+    * aggregate meant to be broadcast back onto the rows. */
+  private def clusterSplits(df: DataFrame, cap: Int): DataFrame =
+    df.groupBy(col("cluster")).agg(
+      greatest(lit(1L),
+        ceil(count(lit(1)).cast("double") / cap).cast("long")).as("__nsplit"))
+
+  /** Deterministic BALANCED sub-group salt: (row_number within the
+    * cluster by vec_id − 1) % nsplit, so every sub-group holds
+    * ⌈size/nsplit⌉ ≤ cap rows EXACTLY — a hash salt has variance and
+    * can push a sub-group back over the cap. The window buffers via
+    * Spark's spillable row array, not a JVM object array, so it is not
+    * itself an OOM hazard. */
+  private def withClusterSalt(df: DataFrame, splits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.join(splits, Seq("cluster"))
+      .withColumn("__salt",
+        ((row_number().over(
+            Window.partitionBy(col("cluster")).orderBy(col("vec_id"))) - 1)
+          % col("__nsplit")).cast("int"))
+  }
+
   /** Drain `it` into an array, refusing past `cap` rows with an error
     * that names the cluster — the guard for every `it.toArray` inside
     * a grouped kernel (see MaxGroupDefault). */
@@ -392,11 +436,12 @@ object Clustering {
         .select(col("cluster"), col("vec_id"), col("ve"))
       val tau = Tau
       val cap = maxGroup(spark)
-      def keyed(df: DataFrame) =
-        df.as[(Int, Long, Array[Double])].groupByKey(_._1)
-      keyed(all.where(!corpusPred)).cogroup(keyed(all.where(corpusPred))) {
-        (cluster: Int, bIt: Iterator[(Int, Long, Array[Double])],
-         cIt: Iterator[(Int, Long, Array[Double])]) =>
+      // the batch-vs-corpus matching kernel, shared by the default
+      // (group = cluster) and salt-split (group = corpus sub-group,
+      // batch replicated — EXACT, see saltSplitOn) paths
+      val kernel: (Int, Iterator[(Int, Long, Array[Double])],
+                        Iterator[(Int, Long, Array[Double])]) => Iterator[(Long, Int, Option[Long], Long)] =
+        (cluster, bIt, cIt) => {
           // corpus side is the only buffered side (the batch streams);
           // cap it — see MaxGroupDefault
           val corp =
@@ -432,7 +477,40 @@ object Clustering {
             }
             (vid, cluster, if (n > 0) Some(dup) else None, n)
           }
-      }.toDF("vec_id", "cluster", "dup_of", "n_dups")
+        }
+      val batch = all.where(!corpusPred)
+      val corpus = all.where(corpusPred)
+      val verdicts =
+        if (!saltSplitOn(spark)) {
+          def keyed(df: DataFrame) =
+            df.as[(Int, Long, Array[Double])].groupByKey(_._1)
+          keyed(batch).cogroup(keyed(corpus))(kernel)
+            .toDF("vec_id", "cluster", "dup_of", "n_dups")
+        } else {
+          // exact salt-split: only the BUFFERED corpus side is split;
+          // every batch row replicates to each sub-group and the
+          // per-vector verdicts re-aggregate, so each batch row still
+          // sees its whole cluster (no recall haircut here)
+          val splits = broadcast(clusterSplits(corpus, cap))
+          val corpusS = withClusterSalt(corpus, splits)
+            .select(col("cluster"), col("__salt"), col("vec_id"), col("ve"))
+          val batchS = batch.join(splits, Seq("cluster"), "left")
+            .withColumn("__salt", explode(sequence(lit(0),
+              (coalesce(col("__nsplit"), lit(1L)) - 1).cast("int"))))
+            .select(col("cluster"), col("__salt"), col("vec_id"), col("ve"))
+          def keyedS(df: DataFrame) =
+            df.as[(Int, Int, Long, Array[Double])].groupByKey(r => (r._1, r._2))
+          keyedS(batchS).cogroup(keyedS(corpusS)) {
+            (k: (Int, Int), bIt: Iterator[(Int, Int, Long, Array[Double])],
+             cIt: Iterator[(Int, Int, Long, Array[Double])]) =>
+              kernel(k._1, bIt.map(r => (r._1, r._3, r._4)),
+                           cIt.map(r => (r._1, r._3, r._4)))
+          }.toDF("vec_id", "cluster", "dup_of", "n_dups")
+            .groupBy(col("vec_id"), col("cluster"))
+            .agg(min(col("dup_of")).as("dup_of"),
+                 sum(col("n_dups")).as("n_dups"))
+        }
+      verdicts
         .select(col("vec_id"), col("cluster"), col("dup_of"),
           col("n_dups"), col("dup_of").isNull.cast("int").as("is_new"))
         .orderBy(col("vec_id"))
@@ -484,10 +562,10 @@ object Clustering {
     import spark.implicits._
     val tau = Tau
     val cap = maxGroup(spark)
-    afIn.select(col("cluster"), col("vec_id"), col("ve"))
-      .as[(Int, Long, Array[Double])]
-      .groupByKey(_._1)
-      .flatMapGroups { (cluster: Int, it: Iterator[(Int, Long, Array[Double])]) =>
+    // the per-group scoring kernel, shared by the default (group =
+    // cluster) and salt-split (group = cluster sub-group) paths
+    val kernel: (Int, Iterator[(Int, Long, Array[Double])]) => Iterator[(Long, Long, Int, Double)] =
+      (cluster, it) => {
         val rows =
           boundedClusterArray("semanticPairsFrom", cluster, it, cap).sortBy(_._2)
         val m = rows.length
@@ -523,7 +601,23 @@ object Clustering {
         }
         out.iterator
       }
-      .toDF("vec_a", "vec_b", "cluster", "cos")
+    val base = afIn.select(col("cluster"), col("vec_id"), col("ve"))
+    val pairs =
+      if (!saltSplitOn(spark))
+        base.as[(Int, Long, Array[Double])]
+          .groupByKey(_._1)
+          .flatMapGroups(kernel)
+      else
+        // salt-split degradation path (see saltSplitOn): over-cap
+        // clusters score pairs within hash-salted sub-groups only
+        withClusterSalt(base, broadcast(clusterSplits(base, cap)))
+          .select(col("cluster"), col("__salt"), col("vec_id"), col("ve"))
+          .as[(Int, Int, Long, Array[Double])]
+          .groupByKey(r => (r._1, r._2))
+          .flatMapGroups { (k: (Int, Int), it: Iterator[(Int, Int, Long, Array[Double])]) =>
+            kernel(k._1, it.map(r => (r._1, r._3, r._4)))
+          }
+    pairs.toDF("vec_a", "vec_b", "cluster", "cos")
   }
 
   // ---------------------------------------------------------------- oracle
