@@ -347,20 +347,38 @@ object Statistics {
       ),
       g AS (
         SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(dr) AS DOUBLE) / 2 AS rs
+               CAST(SUM(dr) AS BIGINT) AS s2
         FROM r GROUP BY pri
       ),
+      -- rank-sum square term Σ s2²/(4n), EXACT and order-free (the r13
+      -- divergence class 2 a decade up: the old ROUND(rs*rs/n) BIGINT
+      -- crossed Long.Max at sf10 — measured 1.7e20). Remainder-free
+      -- decomposition with q = ⌊s2/(2n)⌋, r = s2 − q·2n:
+      --   s2²/(4n) = q²·n + q·r + ⌊r²/(4n)⌋   (fraction dropped, both
+      -- engines identically). Every piece is BIGINT-exact except q²·n,
+      -- which runs as DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) —
+      -- width-legal in BOTH engines and exact to 1e38. FLOOR-of-double-
+      -- division is exact while s2 < 2^53·(1/1) margin: safe through
+      -- sf100 (s2 ≤ ~9e15 there), documented envelope.
+      gq AS (
+        SELECT n, s2,
+               CAST(FLOOR(CAST(s2 AS DOUBLE) / (2 * n)) AS BIGINT) AS q
+        FROM g
+      ),
+      gd AS (SELECT n, q, s2 - q * 2 * n AS r FROM gq),
       t AS (
         SELECT CAST(SUM(n) AS BIGINT) AS nt,
-               CAST(SUM(CAST(ROUND(rs * rs / n) AS BIGINT)) AS BIGINT) AS rq
-        FROM g
+               SUM(CAST(q * q AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS rq_hi,
+               SUM(q * r + CAST(FLOOR(CAST(r AS DOUBLE) * r / (4 * n)) AS BIGINT)) AS rq_lo
+        FROM gd
       ),
       ties AS (
         SELECT CAST(SUM(c * c * c - c) AS DOUBLE) AS tc
         FROM (SELECT COUNT(*) AS c FROM x GROUP BY v) tg
       )
       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS k, nt,
-             ROUND((12.0E0 * rq / (CAST(nt AS DOUBLE) * (nt + 1))
+             ROUND((12.0E0 * (CAST(rq_hi AS DOUBLE) + CAST(rq_lo AS DOUBLE))
+                      / (CAST(nt AS DOUBLE) * (nt + 1))
                     - 3.0E0 * (nt + 1))
                    / (1 - tc / (CAST(nt AS DOUBLE) * nt * nt - nt)), 6) AS h_stat
       FROM t CROSS JOIN ties"""

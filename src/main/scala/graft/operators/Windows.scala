@@ -162,13 +162,18 @@ object Windows {
         SELECT d, rev,
                CAST(COUNT(*) OVER f AS BIGINT) AS n,
                CAST(SUM(rev) OVER f AS BIGINT) AS s,
-               CAST(SUM(rev * rev) OVER f AS BIGINT) AS ss
+               -- rev² ≈ 1e20 per day at sf10 (daily revenue ~1e10) and
+               -- the 7-day BIGINT sum crossed Long.Max there (r13
+               -- divergence class 2): the square products run
+               -- DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0), width-
+               -- legal in both engines and exact to 1e38
+               SUM(CAST(rev AS DECIMAL(19,0)) * CAST(rev AS DECIMAL(19,0))) OVER f AS ss
         FROM d
         WINDOW f AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       )
       SELECT d, CAST(rev AS DOUBLE) AS revenue,
              ROUND(CAST(s AS DOUBLE) / n, 2) AS roll_mean,
-             ROUND(SQRT((ss - CAST(s AS DOUBLE) * s / n) / n), 4) AS roll_std
+             ROUND(SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n), 4) AS roll_std
       FROM r ORDER BY d"""
   }
 

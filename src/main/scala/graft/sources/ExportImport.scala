@@ -322,6 +322,56 @@ object ExportImport {
         s"target must be [db.]table, got: $target")
     }
 
+  /** Hive 1.2 `ALTER TABLE dest EXCHANGE PARTITION (spec) WITH TABLE
+    * source` (grammar TOK_ALTERTABLE_EXCHANGEPARTITION; metastore
+    * `exchange_partition`): MOVES one partition's data and registration
+    * from `source` to `dest`. Hive's preconditions enforced: identical
+    * column and partition schemas, a FULL partition spec, and `dest`
+    * must not already hold the partition. The data move is a
+    * filesystem rename into dest's standard partition layout —
+    * metadata-speed, no rewrite, exactly Hive's metastore-move shape —
+    * then the source side drops with retainData (the files now belong
+    * to dest). Both tables' statement-scoped writer locks are held in
+    * table-name order (deadlock-free) for the whole move. */
+  def exchangePartition(spark: SparkSession, dest: String, source: String,
+      spec: Seq[(String, String)]): Unit = {
+    import graft.operators.Acid
+    val (sdb, stbl) = splitTarget(source)
+    val (ddb, dtbl) = splitTarget(dest)
+    val cat = spark.sessionState.catalog
+    val sId = TableIdentifier(stbl, Some(sdb))
+    val dId = TableIdentifier(dtbl, Some(ddb))
+    val sm = cat.getTableMetadata(sId)
+    val dm = cat.getTableMetadata(dId)
+    require(sm.schema == dm.schema,
+      s"EXCHANGE PARTITION: column schemas differ between $source and $dest")
+    require(sm.partitionColumnNames.nonEmpty &&
+        sm.partitionColumnNames == dm.partitionColumnNames,
+      s"EXCHANGE PARTITION: partition schemas differ between $source and $dest")
+    require(spec.map(_._1) == sm.partitionColumnNames,
+      s"EXCHANGE PARTITION needs the full partition spec " +
+        s"(${sm.partitionColumnNames.mkString(", ")}), got ${spec.map(_._1).mkString(", ")}")
+    val specSql = spec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
+    val Seq(first, second) = Seq(source, dest).sorted
+    Acid.withWriterLock(spark, first) { Acid.withWriterLock(spark, second) {
+      val sp = cat.getPartition(sId, spec.toMap) // throws if source lacks it
+      val srcDir = new Path(sp.location)
+      val destDir = new Path(new Path(dm.location),
+        spec.map { case (k, v) => s"$k=$v" }.mkString("/"))
+      val fs = destDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(cat.listPartitions(dId, Some(spec.toMap)).isEmpty && !fs.exists(destDir),
+        s"EXCHANGE PARTITION: $dest already holds ($specSql)")
+      fs.mkdirs(destDir.getParent)
+      require(fs.rename(srcDir, destDir), s"move failed: $srcDir -> $destDir")
+      spark.sql(s"ALTER TABLE $ddb.$dtbl ADD PARTITION ($specSql) LOCATION '$destDir'")
+      // metadata-only drop: the files were renamed away and now belong
+      // to dest, so retainData — a plain DROP PARTITION would try to
+      // delete dest's data through the stale source location
+      cat.dropPartitions(sId, Seq(sp.spec),
+        ignoreIfNotExists = false, purge = false, retainData = true)
+    }}
+  }
+
   // ------------------------------------------------------------------
   // harness row: full warehouse-migration round trip — EXPORT orders
   // partitioned by status, IMPORT under a fresh database (registering

@@ -36,6 +36,15 @@ object DiagIvfAssign {
     if (mode == "flat" || mode == "both")
       time("flat")(vecs.withColumn("best",
         GraftFunctions.argmax_cosine_d(col("ve"), sc.broadcast(cm))))
+    // cache-blocked flat (r14): same n·k arithmetic, centroid matrix
+    // walked in L2-resident tiles over row blocks — measures whether
+    // blocking recovers the large-k wall r13 root-caused to matrix
+    // working-set traffic (optional args 4/5 = rowBlock centTile)
+    if (mode == "flatblk")
+      time(s"flatblk(rb=${args.lift(3).getOrElse("256")},ct=${args.lift(4).getOrElse("1024")})")(
+        graft.operators.Clustering.assignFlatBlocked(vecs, sc.broadcast(cm),
+          args.lift(3).map(_.toInt).getOrElse(256),
+          args.lift(4).map(_.toInt).getOrElse(1024)))
     if (mode == "ivf" || mode == "both") {
       val g = math.ceil(math.sqrt(k.toDouble)).toInt
       val t0 = System.nanoTime()

@@ -79,6 +79,19 @@ object MetastoreLifecycle {
     spark.sql("DROP FUNCTION IF EXISTS graft_ms.hive_upper")
     spark.sql("""CREATE FUNCTION graft_ms.hive_upper AS
                  'org.apache.hadoop.hive.ql.udf.generic.GenericUDFUpper'""")
+    // ALTER TABLE serde surface (TOK_ALTERTABLE_SERIALIZER /
+    // _SERDEPROPERTIES — AlterTableParitySpec's audit): Hive-catalog
+    // statements, persisted in the metastore, re-read next JVM
+    spark.sql("DROP TABLE IF EXISTS graft_ms.serde_t")
+    spark.sql("CREATE TABLE graft_ms.serde_t (x INT, y STRING) STORED AS TEXTFILE")
+    spark.sql("INSERT INTO graft_ms.serde_t VALUES (1, 'a')")
+    // same serde class TEXTFILE already uses and a BENIGN property —
+    // changing field.delim after data exists would mis-parse the rows
+    // (the exact Hive 1.2 footgun this statement carries)
+    spark.sql("""ALTER TABLE graft_ms.serde_t SET SERDE
+                 'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe'
+                 WITH SERDEPROPERTIES ('graft.serde.set'='via-serializer')""")
+    spark.sql("ALTER TABLE graft_ms.serde_t SET SERDEPROPERTIES ('graft.audit'='r14')")
   }
 
   private def read(spark: SparkSession): Unit = {
@@ -109,6 +122,15 @@ object MetastoreLifecycle {
     // through Spark's Hive-function adapter
     val up = spark.sql("SELECT graft_ms.hive_upper('graft') AS u").head.getString(0)
     require(up == "GRAFT", s"persistent function lost or wrong: $up")
+    // serde alterations persisted and the table still reads (benign
+    // props only — see create): TOK_ALTERTABLE_SERIALIZER/_SERDEPROPERTIES
+    require(spark.table("graft_ms.serde_t").head.getInt(0) == 1,
+      "serde_t rows lost after SET SERDE")
+    val serdeInfo = spark.sql("DESCRIBE FORMATTED graft_ms.serde_t")
+      .collect().map(r => s"${r.getString(0)} ${r.getString(1)}").mkString("\n")
+    require(serdeInfo.contains("LazySimpleSerDe"), s"serde class lost:\n$serdeInfo")
+    require(serdeInfo.contains("graft.serde.set") && serdeInfo.contains("graft.audit"),
+      s"serde properties lost across restart:\n$serdeInfo")
     // AnswerFromStats consumes the metastore stats: COUNT/MIN/MAX with
     // ZERO scan (optimized plan collapses to a LocalRelation)
     spark.conf.set("spark.graft.answerFromStats", "true")

@@ -1,0 +1,196 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+/** ALTER TABLE variant parity audit (SURVEY.md §2.3's "~30
+  * `TOK_ALTERTABLE_*` variants") — the FunctionParitySpec treatment
+  * applied to the DDL mutation surface: every grammar variant is
+  * classified exactly once (built-in / implemented / skip-pinned /
+  * 2.x-only / structural), the ground truth is extracted LIVE from the
+  * HiveParser constant pool in the hive-exec jar this image ships
+  * (same provenance as SURVEY §0 — the reference mount is empty), and
+  * the built-ins are exercised against a real catalog below.
+  *
+  * Canonical Hive paths: grammar
+  * `ql/src/java/org/apache/hadoop/hive/ql/parse/HiveParser.g`,
+  * execution `ql/ddl` via `DDLSemanticAnalyzer.java`. */
+class AlterTableParitySpec extends AnyFunSuite with Matchers {
+  lazy val spark = LocalSpark.spark
+
+  sealed trait Cls { def note: String }
+  /** Native Spark SQL statement — exercised in this spec or at the
+    * named existing spec. */
+  case class BuiltIn(note: String) extends Cls
+  /** graft code implements the capability — evidence named. */
+  case class Implemented(note: String) extends Cls
+  /** Deliberately out, with the verdict. */
+  case class SkipPinned(note: String) extends Cls
+  /** In the 2.3.10 jar but not in Hive 1.2.2's grammar. */
+  case class TwoXOnly(note: String) extends Cls
+  /** Grammar wrapper, not a variant. */
+  case class Structural(note: String) extends Cls
+
+  private val metadataRewriteVerdict =
+    "metadata-only schema rewrite: by-name formats (parquet) mis-read " +
+    "pre-rewrite files afterwards — Hive 1.2 documents the same hazard " +
+    "(its ALTER is metadata-only too); the safe path at any scale is a " +
+    "CTAS with the new schema, which is supported"
+
+  /** The audit: every TOK_ALTERTABLE_* in the jar + the one 1.2-only
+    * token the 2.x jar dropped (PROTECTMODE). */
+  private val audit: Map[String, Cls] = Map(
+    "TOK_ALTERTABLE" -> Structural("grammar wrapper node carrying the table name for every variant"),
+    "TOK_ALTERTABLE_RENAME" -> BuiltIn("RENAME TO — exercised here"),
+    // --- column set -------------------------------------------------
+    "TOK_ALTERTABLE_ADDCOLS" -> BuiltIn(
+      "ADD COLUMNS — exercised here; the evolved-schema READ path is the driver-oracled source_schema_evolution"),
+    "TOK_ALTERTABLE_REPLACECOLS" -> SkipPinned(metadataRewriteVerdict),
+    "TOK_ALTERTABLE_RENAMECOL" -> BuiltIn(
+      "CHANGE COLUMN's comment path is native (exercised here); the name/type mutation shares the REPLACECOLS hazard and is pinned out with it"),
+    "TOK_ALTERTABLE_CHANGECOL_AFTER_POSITION" -> SkipPinned(
+      "FIRST/AFTER column reorder — position-only metadata shuffle; by-position readers corrupt, by-name readers ignore it; CTAS path"),
+    // --- partitions -------------------------------------------------
+    "TOK_ALTERTABLE_ADDPARTS" -> BuiltIn("ADD PARTITION [LOCATION] — exercised here"),
+    "TOK_ALTERTABLE_DROPPARTS" -> BuiltIn("DROP PARTITION — exercised here"),
+    "TOK_ALTERTABLE_RENAMEPART" -> BuiltIn("PARTITION ... RENAME TO PARTITION — exercised here"),
+    "TOK_ALTERTABLE_PARTCOLTYPE" -> SkipPinned(
+      "partition-COLUMN type change is metadata-only and silently changes partition-value comparison/pruning semantics; Spark rejects it; CTAS path"),
+    "TOK_ALTERTABLE_EXCHANGEPARTITION" -> Implemented(
+      "ExportImport.exchangePartition — FS-rename move + dual-catalog update under both tables' writer locks; exercised here"),
+    // --- files / layout ----------------------------------------------
+    "TOK_ALTERTABLE_MERGEFILES" -> Implemented(
+      "CONCATENATE = Acid.concatenate (byte-sized repartition, staged overwrite) — AcidAndMatchPathSpec; same kernel as acid_auto_compact"),
+    "TOK_ALTERTABLE_COMPACT" -> Implemented(
+      "Compactor Initiator/Worker/Cleaner batch tick — acid_auto_compact driver oracle"),
+    "TOK_ALTERTABLE_BUCKETS" -> SkipPinned(
+      "altering bucket metadata without rewriting files yields wrong SMB plans (Hive 1.2 does not rewrite either); re-bucketing = bucketed CTAS via HiveBucketedIO"),
+    "TOK_ALTERTABLE_CLUSTER_SORT" -> SkipPinned(
+      "CLUSTERED/SORTED BY + NOT CLUSTERED/SORTED — same metadata-vs-files hazard as TOK_ALTERTABLE_BUCKETS, same CTAS answer"),
+    "TOK_ALTERTABLE_SKEWED" -> SkipPinned(
+      "list-bucketing skew hints: physical-layout advice Spark never reads; AQE skew handling replaces it at RUNTIME — the better answer at 100 TB"),
+    "TOK_ALTERTABLE_SKEWED_LOCATION" -> SkipPinned(
+      "per-skew-value directory remap — only meaningful under list-bucketing, pinned out with TOK_ALTERTABLE_SKEWED"),
+    "TOK_ALTERTABLE_FILEFORMAT" -> SkipPinned(
+      "SET FILEFORMAT is not in Spark's grammar; per-partition format heterogeneity stays READABLE through the Hive catalog, and the mutation path is a partition rewrite (INSERT OVERWRITE), avoiding mixed-format tables"),
+    "TOK_ALTERTABLE_LOCATION" -> BuiltIn("SET LOCATION — table level exercised here, partition level in probe'd Hive-catalog session"),
+    // --- serde / properties ------------------------------------------
+    "TOK_ALTERTABLE_PROPERTIES" -> BuiltIn("SET TBLPROPERTIES — exercised here"),
+    "TOK_ALTERTABLE_DROPPROPERTIES" -> BuiltIn("UNSET TBLPROPERTIES — exercised here"),
+    "TOK_ALTERTABLE_SERIALIZER" -> BuiltIn(
+      "SET SERDE — Hive-catalog statement; exercised in MetastoreLifecycle's create/read phases (persists across JVMs)"),
+    "TOK_ALTERTABLE_SERDEPROPERTIES" -> BuiltIn(
+      "SET SERDEPROPERTIES — exercised in MetastoreLifecycle with SET SERDE"),
+    // --- stats --------------------------------------------------------
+    "TOK_ALTERTABLE_UPDATESTATS" -> BuiltIn(
+      "manual basic-stat SET — computed instead by ANALYZE TABLE COMPUTE STATISTICS (DdlCatalogSpec, MetastoreLifecycle, catalog_metastore_stats oracle)"),
+    "TOK_ALTERTABLE_UPDATECOLSTATS" -> BuiltIn(
+      "manual column-stat SET — computed instead by ANALYZE ... FOR COLUMNS (same evidence set)"),
+    // --- ceremony / hooks ---------------------------------------------
+    "TOK_ALTERTABLE_TOUCH" -> SkipPinned(
+      "TOUCH mutates nothing — it only fires Hive pre/post execution hooks; there is no hook bus in engine scope"),
+    "TOK_ALTERTABLE_ARCHIVE" -> SkipPinned(
+      "HAR-packs a partition (storage-layer op, default-disabled even in Hive 1.2: hive.archive.enabled=false); compaction covers the small-files motive"),
+    "TOK_ALTERTABLE_UNARCHIVE" -> SkipPinned("inverse of ARCHIVE, pinned with it"),
+    // --- 2.x-only tokens in the 2.3.10 jar ------------------------------
+    "TOK_ALTERTABLE_ADDCONSTRAINT" -> TwoXOnly("constraints are Hive 2.1+; SURVEY §2.3 lists them under [2.x]"),
+    "TOK_ALTERTABLE_DROPCONSTRAINT" -> TwoXOnly("constraints are Hive 2.1+"),
+    // --- 1.2-only token the 2.x grammar dropped --------------------------
+    "TOK_ALTERTABLE_PROTECTMODE" -> SkipPinned(
+      "ENABLE/DISABLE NO_DROP|OFFLINE guard — deployment protection surface Hive itself removed in 2.x; not a query/data capability"))
+
+  test("ground truth: the audit covers the jar's TOK_ALTERTABLE_* set exactly (zero unclassified)") {
+    // extract the token names from the shipped HiveParser constant pool
+    // — the same bytecode-derived provenance SURVEY §0 uses
+    val jar = new java.util.zip.ZipFile("/opt/spark/jars/hive-exec-2.3.10-core.jar")
+    val fromJar =
+      try {
+        val e = jar.getEntry("org/apache/hadoop/hive/ql/parse/HiveParser.class")
+        val bytes = jar.getInputStream(e).readAllBytes()
+        "TOK_ALTERTABLE[A-Z_]*".r
+          .findAllIn(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+          .toSet
+      } finally jar.close()
+    fromJar.size should be >= 30
+    // every jar token classified; the single audit row absent from the
+    // jar is the pinned 1.2-only PROTECTMODE
+    (fromJar -- audit.keySet) shouldBe Set.empty
+    (audit.keySet -- fromJar) shouldBe Set("TOK_ALTERTABLE_PROTECTMODE")
+    // and every classification carries a non-empty verdict
+    audit.values.foreach(_.note should not be empty)
+  }
+
+  test("built-in variants execute against the catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-alter").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_alter")
+    spark.sql("DROP TABLE IF EXISTS graft_alter.t")
+    spark.sql("DROP TABLE IF EXISTS graft_alter.t_renamed")
+    spark.sql(s"""CREATE TABLE graft_alter.t (a INT, b STRING)
+                 USING parquet PARTITIONED BY (ds STRING)
+                 LOCATION '$wh/t'""")
+    spark.sql("INSERT INTO graft_alter.t PARTITION (ds='d1') VALUES (1,'x')")
+    // RENAME (and back, so the rest of the test reads naturally)
+    spark.sql("ALTER TABLE graft_alter.t RENAME TO graft_alter.t_renamed")
+    spark.sql("ALTER TABLE graft_alter.t_renamed RENAME TO graft_alter.t")
+    // ADDCOLS + CHANGE COLUMN comment
+    spark.sql("ALTER TABLE graft_alter.t ADD COLUMNS (c DOUBLE)")
+    spark.sql("ALTER TABLE graft_alter.t CHANGE COLUMN b b STRING COMMENT 'audited'")
+    spark.table("graft_alter.t").columns should contain allOf ("a", "b", "c")
+    // ADD/DROP/RENAME PARTITION
+    spark.sql("ALTER TABLE graft_alter.t ADD PARTITION (ds='d2')")
+    spark.sql("ALTER TABLE graft_alter.t PARTITION (ds='d2') RENAME TO PARTITION (ds='d2r')")
+    spark.sql("ALTER TABLE graft_alter.t DROP PARTITION (ds='d2r')")
+    spark.sql("SHOW PARTITIONS graft_alter.t").collect().map(_.getString(0)) shouldBe Array("ds=d1")
+    // SET/UNSET TBLPROPERTIES
+    spark.sql("ALTER TABLE graft_alter.t SET TBLPROPERTIES ('graft.audit'='r14')")
+    spark.sql("SHOW TBLPROPERTIES graft_alter.t")
+      .collect().map(r => (r.getString(0), r.getString(1))) should contain ("graft.audit" -> "r14")
+    spark.sql("ALTER TABLE graft_alter.t UNSET TBLPROPERTIES ('graft.audit')")
+    // SET LOCATION (table level): point an empty shadow table at t's data
+    spark.sql("DROP TABLE IF EXISTS graft_alter.shadow")
+    spark.sql(s"""CREATE TABLE graft_alter.shadow (a INT, b STRING, c DOUBLE)
+                 USING parquet PARTITIONED BY (ds STRING) LOCATION '$wh/shadow'""")
+    spark.sql(s"ALTER TABLE graft_alter.shadow SET LOCATION '$wh/t'")
+    spark.sql("ALTER TABLE graft_alter.shadow RECOVER PARTITIONS")
+    spark.table("graft_alter.shadow").count() shouldBe 1
+  }
+
+  test("EXCHANGE PARTITION: moves data + registration, enforces Hive's preconditions") {
+    import graft.sources.ExportImport
+    val wh = java.nio.file.Files.createTempDirectory("graft-exch").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_alter")
+    for (t <- Seq("ex_src", "ex_dst", "ex_bad"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_alter.$t")
+    spark.sql(s"""CREATE TABLE graft_alter.ex_src (a INT, b STRING)
+                 USING parquet PARTITIONED BY (ds STRING) LOCATION '$wh/src'""")
+    spark.sql(s"""CREATE TABLE graft_alter.ex_dst (a INT, b STRING)
+                 USING parquet PARTITIONED BY (ds STRING) LOCATION '$wh/dst'""")
+    spark.sql("INSERT INTO graft_alter.ex_src PARTITION (ds='d1') VALUES (1,'x'),(2,'y')")
+    spark.sql("INSERT INTO graft_alter.ex_src PARTITION (ds='d2') VALUES (3,'z')")
+    spark.sql("INSERT INTO graft_alter.ex_dst PARTITION (ds='d0') VALUES (9,'q')")
+
+    ExportImport.exchangePartition(spark,
+      dest = "graft_alter.ex_dst", source = "graft_alter.ex_src", Seq("ds" -> "d1"))
+
+    // dest gained the partition's rows, source lost them, d2 untouched
+    spark.table("graft_alter.ex_dst").where(col("ds") === "d1").count() shouldBe 2
+    spark.table("graft_alter.ex_dst").count() shouldBe 3
+    spark.table("graft_alter.ex_src").count() shouldBe 1
+    spark.sql("SHOW PARTITIONS graft_alter.ex_src")
+      .collect().map(_.getString(0)) shouldBe Array("ds=d2")
+    // preconditions: dest already holds it / source lacks it / schema
+    // mismatch / partial spec
+    spark.sql("INSERT INTO graft_alter.ex_src PARTITION (ds='d0') VALUES (7,'w')")
+    an[Exception] should be thrownBy ExportImport.exchangePartition(spark,
+      "graft_alter.ex_dst", "graft_alter.ex_src", Seq("ds" -> "d0")) // dest has d0
+    an[Exception] should be thrownBy ExportImport.exchangePartition(spark,
+      "graft_alter.ex_dst", "graft_alter.ex_src", Seq("ds" -> "d9")) // source lacks d9
+    spark.sql(s"""CREATE TABLE graft_alter.ex_bad (a BIGINT)
+                 USING parquet PARTITIONED BY (ds STRING) LOCATION '$wh/bad'""")
+    an[IllegalArgumentException] should be thrownBy ExportImport.exchangePartition(
+      spark, "graft_alter.ex_bad", "graft_alter.ex_dst", Seq("ds" -> "d0"))
+    an[IllegalArgumentException] should be thrownBy ExportImport.exchangePartition(
+      spark, "graft_alter.ex_dst", "graft_alter.ex_dst", Nil)
+  }
+}
