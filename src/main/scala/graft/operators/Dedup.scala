@@ -624,12 +624,26 @@ object Dedup {
 
     // Embedding near-dup: cosine ≥ 0.35 within label blocks (label is
     // the blocking key; LSH buckets replace it at scale — see
-    // dedup_embedding_lsh below for exactly that form).
+    // dedup_embedding_lsh below for exactly that form). The label
+    // domain is FIXED (category-like), so blocks grow linearly with
+    // the corpus and the within-block pair work is intentionally
+    // quadratic — which makes join PARALLELISM the scale variable, not
+    // the pair count. r14 sf10 lesson: Spark broadcast the self-join
+    // side and ran the whole 2e9-pair expansion on the probe side's
+    // ONE input partition (25+ min, 1 core, 31 idle). The b side is
+    // salted into 8 deterministic sub-blocks (each unordered pair lands
+    // in exactly one: b's salt), the a side replicates ×8, and the
+    // SHUFFLE_MERGE pin forces the shuffle plan — (label × salt) ≈ 80
+    // key-groups spread over every core. Same pair set, same cosine
+    // calls, oracle text unchanged.
     "dedup_embedding_cosine" -> gsql("""
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      SELECT /*+ SHUFFLE_MERGE(a) */
+             a.vec_id AS vec_a, b.vec_id AS vec_b,
              ROUND(COSINE_SIM(a.embedding, b.embedding), 6) AS cos
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM (SELECT e.*, s.salt
+            FROM embeddings e LATERAL VIEW EXPLODE(SEQUENCE(0, 7)) s AS salt) a
+      JOIN (SELECT e.*, PMOD(HASH(vec_id), 8) AS salt FROM embeddings e) b
+        ON a.label = b.label AND a.salt = b.salt AND a.vec_id < b.vec_id
       WHERE COSINE_SIM(a.embedding, b.embedding) >= 0.35
       ORDER BY vec_a, vec_b"""),
 

@@ -111,7 +111,12 @@ object Statistics {
       s AS (
         SELECT seg, COUNT(*) AS n,
                CAST(SUM(r) AS DOUBLE)     AS t,
-               CAST(SUM(i * r) AS DOUBLE) AS wi
+               -- rank×cents product sum crosses Long.Max at sf10
+               -- (rank ≤ 3e5 × revenue-cents ~1.5e8 over 3e5 rows ≈
+               -- 1.4e19 — r13 divergence class 2): each product still
+               -- fits BIGINT, the SUM runs in DECIMAL(38,0), exact in
+               -- both engines, then one nearest-double conversion
+               CAST(SUM(CAST(i * r AS DECIMAL(38,0))) AS DOUBLE) AS wi
         FROM ranked GROUP BY seg
       )
       SELECT seg, n, ROUND((2.0 * wi - (n + 1) * t) / (n * t), 6) AS gini
