@@ -19,8 +19,15 @@ object DiagIvfAssign {
     val mode = args.lift(2).getOrElse("both")
     val spark = ToolSession.local()
     graft.Tables.register(spark, sfDir)
+    // r14: the sf10 embeddings fixture is ONE 7.6 MB parquet file → 1
+    // input partition, so every earlier Diag number was a 1-core
+    // measurement (internally consistent, but not the deployment
+    // shape). Repartition to the core count so kernels measure at full
+    // parallelism; BASELINE.md records which protocol each row used.
+    val cpus = Runtime.getRuntime.availableProcessors
     val vecs = spark.table("embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("ve"))
+      .repartition(cpus)
     vecs.persist(); val n = vecs.count()
     val cents = (0 until k).map { i =>
       (i, Array.tabulate(64)(d => ((i * 64 + d) % 97 + 1) / 97.0))
