@@ -1200,12 +1200,21 @@ object Dedup {
       WHERE GREATEST(inter / na, inter / nb) >= 0.8
       ORDER BY doc_a, doc_b""",
 
+    // oracle-text tractability (values unchanged): cast per ROW before
+    // the join (not per pair — 2e9 pairs × 2 list casts dominated the
+    // sf10 compare) and evaluate the cosine ONCE per pair
     "dedup_embedding_cosine" -> """
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+      WITH e AS MATERIALIZED (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+      ), p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               LIST_COSINE_SIMILARITY(a.emb, b.emb) AS c
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+      )
+      SELECT vec_a, vec_b, ROUND(c, 6) AS cos
+      FROM p WHERE c >= 0.35
       ORDER BY vec_a, vec_b""",
 
     // shared LSH bucket replication (Similarity.lshBucketCtes) + the
