@@ -172,8 +172,19 @@ object Windows {
         WINDOW f AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       )
       SELECT d, CAST(rev AS DOUBLE) AS revenue,
-             ROUND(CAST(s AS DOUBLE) / n, 2) AS roll_mean,
-             ROUND(SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n), 4) AS roll_std
+             -- integer-grid round (ROUND(x·10^s)→BIGINT→/10^s): a
+             -- fractional-scale ROUND on these doubles hit a 4-dp half
+             -- boundary at sf10 (1e-4 divergence, r13 class 3); the
+             -- scale-0 ROUND sees the bit-identical double in both
+             -- engines (IEEE sqrt/÷ are correctly rounded), so the
+             -- grid value is exact
+             CAST(ROUND(CAST(s AS DOUBLE) / n * 100) AS BIGINT) / 100.0E0 AS roll_mean,
+             -- ss (DECIMAL 38) converts to DOUBLE via VARCHAR: DuckDB's
+             -- direct int128→double cast is NOT correctly rounded
+             -- (measured 1 ulp low on 1.92e19 at sf10 — new divergence
+             -- subclass), while string→double is correctly rounded in
+             -- BOTH engines, so the sqrt sees one bit-identical operand
+             CAST(ROUND(SQRT((CAST(CAST(ss AS STRING) AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) * 10000) AS BIGINT) / 10000.0E0 AS roll_std
       FROM r ORDER BY d"""
   }
 
@@ -239,13 +250,21 @@ object Windows {
 
     // Sliding ROWS frame; avg expressed as exact SUM(decimal)/COUNT so
     // both engines' sliding-window accumulation strategies can't drift.
+    // Window order tiebreak (r14 sf10 find): the fixture's
+    // (l_orderkey, l_linenumber) is NOT unique (TPC-H-ish, not TPC-H),
+    // so a ROWS frame ordered by linenumber alone is underspecified —
+    // engines agreed on tie order at small SFs by file-layout luck and
+    // diverged at sf10. Tiebreaking on the AGGREGATED column makes
+    // frame CONTENTS value-deterministic: rows still tied after
+    // (linenumber, quantity) are interchangeable for quantity
+    // aggregates. Same fix in window_running_median.
     "window_sliding_avg" -> Tables.sql("""
       SELECT l_orderkey, l_linenumber,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w3 AS DOUBLE)
                   / COUNT(*) OVER w3 AS DOUBLE) AS avg3_qty
       FROM lineitem
       WHERE l_orderkey <= 400
-      WINDOW w3 AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+      WINDOW w3 AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       ORDER BY l_orderkey, l_linenumber"""),
 
@@ -259,7 +278,7 @@ object Windows {
              CAST(PERCENTILE(l_quantity, 0.5) OVER w AS DOUBLE) AS run_median
       FROM lineitem
       WHERE l_orderkey <= 200
-      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY l_orderkey, l_linenumber"""),
 
@@ -342,7 +361,7 @@ object Windows {
                   / COUNT(*) OVER w3 AS DOUBLE) AS avg3_qty
       FROM lineitem
       WHERE l_orderkey <= 400
-      WINDOW w3 AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+      WINDOW w3 AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       ORDER BY l_orderkey, l_linenumber""",
 
@@ -353,7 +372,7 @@ object Windows {
              CAST(QUANTILE_CONT(l_quantity, 0.5) OVER w AS DOUBLE) AS run_median
       FROM lineitem
       WHERE l_orderkey <= 200
-      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY l_orderkey, l_linenumber""",
 
