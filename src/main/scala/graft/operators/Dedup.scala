@@ -631,21 +631,43 @@ object Dedup {
     // the pair count. r14 sf10 lesson: Spark broadcast the self-join
     // side and ran the whole 2e9-pair expansion on the probe side's
     // ONE input partition (25+ min, 1 core, 31 idle). The b side is
-    // salted into 8 deterministic sub-blocks (each unordered pair lands
-    // in exactly one: b's salt), the a side replicates ×8, and the
-    // SHUFFLE_MERGE pin forces the shuffle plan — (label × salt) ≈ 80
-    // key-groups spread over every core. Same pair set, same cosine
-    // calls, oracle text unchanged.
-    "dedup_embedding_cosine" -> gsql("""
-      SELECT /*+ SHUFFLE_MERGE(a) */
-             a.vec_id AS vec_a, b.vec_id AS vec_b,
-             ROUND(COSINE_SIM(a.embedding, b.embedding), 6) AS cos
-      FROM (SELECT e.*, s.salt
-            FROM embeddings e LATERAL VIEW EXPLODE(SEQUENCE(0, 7)) s AS salt) a
-      JOIN (SELECT e.*, PMOD(HASH(vec_id), 8) AS salt FROM embeddings e) b
-        ON a.label = b.label AND a.salt = b.salt AND a.vec_id < b.vec_id
-      WHERE COSINE_SIM(a.embedding, b.embedding) >= 0.35
-      ORDER BY vec_a, vec_b"""),
+    // salted into W deterministic sub-blocks (each unordered pair
+    // lands in exactly one: b's salt — pair-preserving for ANY W), the
+    // a side replicates ×W, and the SHUFFLE_MERGE pin forces the
+    // shuffle plan. W is ADAPTIVE (r14 verdict #6 — the fixed 8 was
+    // sized for sf10's ~2e9 pairs and under-splits at sf100):
+    // max(parallelism term ⌈2·cores/|labels|⌉ — ≥2 task waves even on
+    // tiny blocks; task-size term ⌈maxBlock²/2 / 2.5e8⌉ — caps a task
+    // at ~2.5e8 cosine pairs, the ~10 s grain that kept sf10 tasks
+    // balanced), clamped to 4096 (a-side shuffle replication is ×W, so
+    // the one-sided salt's own envelope ends where n·W rows rival the
+    // pair work — past that the answer is dedup_embedding_lsh, not a
+    // wider salt). The two aggregates feeding W are |labels| rows
+    // (fixed domain — bounded driver state). Same pair set for every
+    // W, same cosine calls, oracle text unchanged.
+    "dedup_embedding_cosine" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      GraftFunctions.register(spark)
+      val blocks = spark.table("embeddings")
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .collect()
+      val nLabels = math.max(1, blocks.length)
+      val maxBlock = if (blocks.isEmpty) 0L else blocks.map(_.getLong(1)).max
+      val cores = spark.sparkContext.defaultParallelism
+      val wPar = math.ceil(2.0 * cores / nLabels).toLong
+      val wSize = math.ceil(maxBlock.toDouble * maxBlock / 2.0 / 2.5e8).toLong
+      val w = math.max(1L, math.min(4096L, math.max(wPar, wSize)))
+      spark.sql(s"""
+        SELECT /*+ SHUFFLE_MERGE(a) */
+               a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(COSINE_SIM(a.embedding, b.embedding), 6) AS cos
+        FROM (SELECT e.*, s.salt
+              FROM embeddings e LATERAL VIEW EXPLODE(SEQUENCE(0, ${w - 1})) s AS salt) a
+        JOIN (SELECT e.*, PMOD(HASH(vec_id), $w) AS salt FROM embeddings e) b
+          ON a.label = b.label AND a.salt = b.salt AND a.vec_id < b.vec_id
+        WHERE COSINE_SIM(a.embedding, b.embedding) >= 0.35
+        ORDER BY vec_a, vec_b""")
+    }),
 
     // The 100 TB form of embedding near-dup: no metadata blocking key —
     // candidates come from random-hyperplane LSH buckets (16 tables ×

@@ -1197,19 +1197,27 @@ object Relational {
       ORDER BY a_key, b_key""",
 
     // UNIQUE JOIN reference semantics: N-way full outer on the key,
-    // keys kept iff present in a PRESERVE'd leg
+    // rows kept iff a PRESERVE'd leg is PRESENT — encoded with per-leg
+    // TRUE markers (in_a/in_c), NOT key-nullness: uniqueJoin emits
+    // preserved legs' NULL-KEY rows null-padded (the r14 pinned
+    // semantics), and a `k IS NOT NULL` filter would encode presence
+    // only under a non-null-key fixture premise. Markers stay correct
+    // either way: an absent leg's marker surfaces as NULL after the
+    // full outer join, so `in_a OR in_c` is TRUE exactly when some
+    // preserved leg contributed the row — including a preserved leg's
+    // null-key row (marker TRUE, never joined).
     "join_unique" -> """
-      WITH a AS (SELECT c_custkey AS k_cust, c_name FROM customer
-                 WHERE c_mktsegment = 'BUILDING'),
+      WITH a AS (SELECT c_custkey AS k_cust, c_name, TRUE AS in_a
+                 FROM customer WHERE c_mktsegment = 'BUILDING'),
            b AS (SELECT o_custkey AS k_ord, count(*) AS n_orders
                  FROM orders GROUP BY 1),
-           c AS (SELECT o_custkey AS k_big, count(*) AS n_big
+           c AS (SELECT o_custkey AS k_big, count(*) AS n_big, TRUE AS in_c
                  FROM orders WHERE o_totalprice > 150000 GROUP BY 1)
       SELECT k_cust, k_ord, k_big, c_name, n_orders, n_big
       FROM a
       FULL OUTER JOIN b ON a.k_cust = b.k_ord
       FULL OUTER JOIN c ON coalesce(a.k_cust, b.k_ord) = c.k_big
-      WHERE k_cust IS NOT NULL OR k_big IS NOT NULL
+      WHERE in_a OR in_c
       ORDER BY coalesce(k_cust, k_ord, k_big)""",
 
     // Per-file oracle: DuckDB reads the SAME physical parquet files with

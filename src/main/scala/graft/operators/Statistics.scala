@@ -129,12 +129,27 @@ object Statistics {
     * t statistic and Welch–Satterthwaite df are per-pair double
     * formulas on exact inputs. The pair join is 5×5 driver-scale. */
   private val TTestSql = """
-      WITH g AS (
-        SELECT o_orderpriority AS pri, COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS DOUBLE) AS s,
-               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)
-                        * CAST(ROUND(o_totalprice) AS BIGINT)) AS DOUBLE) AS ss
-        FROM orders GROUP BY o_orderpriority
+      WITH x AS (
+        SELECT o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice) AS BIGINT) AS v
+        FROM orders
+      ),
+      g AS (
+        SELECT pri, COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s,
+               -- v² sums run DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0)
+               -- (the BIGINT Σv² measured ≈1.1e18 at sf80 — headed for
+               -- the Long.Max cliff kruskal/gini hit a decade earlier;
+               -- now exact to 1e38, ~sf7e21) and convert to DOUBLE via
+               -- VARCHAR: DuckDB's direct int128→double cast is not
+               -- correctly rounded (r14 divergence subclass) while
+               -- string→double is, in BOTH engines — below the old
+               -- cliff this yields the bit-identical double the BIGINT
+               -- cast produced, so small-SF results are unchanged
+               CAST(CAST(SUM(CAST(v AS DECIMAL(19,0))
+                             * CAST(v AS DECIMAL(19,0)))
+                         AS STRING) AS DOUBLE) AS ss
+        FROM x GROUP BY pri
       ),
       v AS (
         SELECT pri, n, s / n AS m, (ss - s * s / n) / (n - 1) AS var
@@ -266,11 +281,30 @@ object Statistics {
 
   /** One-way ANOVA across order priorities (the omnibus companion of
     * the pairwise t-tests): within/between sums of squares from exact
-    * whole-dollar BIGINT sums (dollars keep Σx² within int64 far past
-    * sf0.1 where cents would overflow). The only cross-group float
-    * reduction, Σsᵢ²/nᵢ, quantizes each term to an integer unit first
-    * (absolute error < k on a ~1e12 quantity — invisible at ROUND 6)
-    * so the 5-term sum is order-independent. */
+    * whole-dollar integer sums. The r14 magnitude audit put the old
+    * BIGINT Σv² total at ≈5.4e18 by ~sf20 (the kruskal/gini Long.Max
+    * class, one decade out), so the square sums now run
+    * DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) — exact to 1e38.
+    * The cross-group Σsᵢ²/nᵢ term is the kruskal-style remainder-free
+    * decomposition on the EXACT BIGINT group sum s (q = ⌊s/n⌋ = the
+    * group mean in dollars, r = s − q·n < n):
+    *   ⌊s²/n⌋ = q²·n + 2·q·r + ⌊r²/n⌋
+    * q²·n runs DECIMAL(12,0)²×DECIMAL(12,0) (width 36; q ≈ mean order
+    * price stays ~1.5e5 at EVERY sf, so the 1e12 cast bound never
+    * binds); 2·q·r < 2·q·n is BIGINT-safe past sf1e6; ⌊r²/n⌋ < n.
+    * WIDTH DISCIPLINE (found live at sf0.1): every decimal + or − must
+    * keep max(p₁,p₂)+1 ≤ 38 in DUCKDB's algebra — past 38 DuckDB
+    * silently falls back to DOUBLE (Spark merely caps the precision at
+    * 38, staying exact at scale 0), and the one lost ulp surfaced as a
+    * 0.5 mismatch on ss_within. Hence the 36-digit addend cast, the
+    * 37-digit sst/sq, and the explicit 37-digit operands on sst − sq.
+    * FLOOR-of-double pieces (q itself, r²/n) are
+    * exact while the operand < 2^53 (q: s < 9e15 ⇒ ~sf4000; r²: r <
+    * 9.4e7 ⇒ ~sf30) and past that remain DETERMINISTIC in both engines
+    * (correctly-rounded IEEE mul/div on bit-identical operands), and
+    * the term it perturbs is < n — 1e-10 of sq. DECIMAL(38,0)→DOUBLE
+    * conversions route via VARCHAR (DuckDB's direct int128→double cast
+    * is not correctly rounded — r14 divergence subclass). */
   private val AnovaSql = """
       WITH x AS (
         SELECT o_orderpriority AS pri,
@@ -279,23 +313,48 @@ object Statistics {
       ),
       g AS (
         SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(v) AS DOUBLE) AS s,
-               CAST(SUM(v * v) AS BIGINT) AS ss
+               CAST(SUM(v) AS BIGINT) AS s,
+               SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS ss
         FROM x GROUP BY pri
       ),
+      gq AS (
+        SELECT n, s, ss,
+               CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) AS q
+        FROM g
+      ),
+      gd AS (SELECT n, s, ss, q, s - q * n AS r FROM gq),
       t AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(n) AS BIGINT) AS nt,
-               CAST(SUM(s) AS DOUBLE) AS st,
-               CAST(SUM(ss) AS BIGINT) AS sst,
-               CAST(SUM(CAST(ROUND(s * s / n) AS BIGINT)) AS BIGINT) AS sq
-      FROM g
+               CAST(SUM(s) AS BIGINT) AS st,
+               CAST(SUM(ss) AS DECIMAL(37,0)) AS sst,
+               CAST(SUM(CAST(q AS DECIMAL(12,0)) * CAST(q AS DECIMAL(12,0))
+                          * CAST(n AS DECIMAL(12,0))
+                        + CAST(2 * q * r
+                               + CAST(FLOOR(CAST(r AS DOUBLE) * r / n) AS BIGINT)
+                               AS DECIMAL(36,0))) AS DECIMAL(37,0)) AS sq
+      FROM gd
       )
       SELECT k, nt,
-             ROUND(sq - st * st / nt, 2) AS ss_between,
-             ROUND(CAST(sst - sq AS DOUBLE), 2) AS ss_within,
-             ROUND(((sq - st * st / nt) / (k - 1))
-                   / (CAST(sst - sq AS DOUBLE) / (nt - k)), 6) AS f_stat
+             -- integer-grid round (divergence class 3, found LIVE here
+             -- at sf0.1: DuckDB's fractional ROUND(x·1e15, 2) computes
+             -- round(x·100)/100 in doubles and landed 0.5 off Spark's
+             -- exact-BigDecimal ROUND); grid product < 9.2e18 through
+             -- ~sf700 on ss_between
+             CAST(ROUND((CAST(CAST(sq AS STRING) AS DOUBLE)
+                         - CAST(st AS DOUBLE) * st / nt) * 100) AS BIGINT)
+               / 100.0E0 AS ss_between,
+             -- ss_within is an exact INTEGER (decimal minus decimal) —
+             -- a 2-dp round is the identity, so no ROUND at all: the
+             -- string-routed cast is the final double
+             CAST(CAST(CAST(sst AS DECIMAL(37,0))
+                       - CAST(sq AS DECIMAL(37,0))
+                       AS STRING) AS DOUBLE) AS ss_within,
+             ROUND(((CAST(CAST(sq AS STRING) AS DOUBLE)
+                     - CAST(st AS DOUBLE) * st / nt) / (k - 1))
+                   / (CAST(CAST(CAST(sst AS DECIMAL(37,0))
+                                - CAST(sq AS DECIMAL(37,0))
+                                AS STRING) AS DOUBLE) / (nt - k)), 6) AS f_stat
       FROM t"""
 
   /** Two-sample Kolmogorov–Smirnov (urgent vs low priority, order
@@ -361,10 +420,18 @@ object Statistics {
       -- decomposition with q = ⌊s2/(2n)⌋, r = s2 − q·2n:
       --   s2²/(4n) = q²·n + q·r + ⌊r²/(4n)⌋   (fraction dropped, both
       -- engines identically). Every piece is BIGINT-exact except q²·n,
-      -- which runs as DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) —
-      -- width-legal in BOTH engines and exact to 1e38. FLOOR-of-double-
-      -- division is exact while s2 < 2^53·(1/1) margin: safe through
-      -- sf100 (s2 ≤ ~9e15 there), documented envelope.
+      -- which runs DECIMAL(13,0)×DECIMAL(13,0)×DECIMAL(11,0) with BOTH
+      -- q factors cast BEFORE the multiply, so the square itself is
+      -- width-safe and any q ≥ 1e13 fails LOUDLY at the cast (q·q in
+      -- BIGINT was exact only while q² stayed under 2^63; past that
+      -- Spark non-ANSI wraps SILENTLY where DuckDB errors — the worst
+      -- divergence class). Widths: q²n ≤ 1e26·1e11 needs ≤ 37 digits,
+      -- legal in both engines with no implicit integer promotion (a
+      -- bare BIGINT factor lets DuckDB pick the width, and past 38 it
+      -- silently falls back to DOUBLE). FLOOR-of-double-division is
+      -- exact while s2 < 2^53·(1/1) margin: safe through sf100
+      -- (s2 ≤ ~9e15 there), the binding envelope — q < 1e13/n < 1e11
+      -- sit far outside it.
       gq AS (
         SELECT n, s2,
                CAST(FLOOR(CAST(s2 AS DOUBLE) / (2 * n)) AS BIGINT) AS q
@@ -373,7 +440,8 @@ object Statistics {
       gd AS (SELECT n, q, s2 - q * 2 * n AS r FROM gq),
       t AS (
         SELECT CAST(SUM(n) AS BIGINT) AS nt,
-               SUM(CAST(q * q AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS rq_hi,
+               SUM(CAST(q AS DECIMAL(13,0)) * CAST(q AS DECIMAL(13,0))
+                   * CAST(n AS DECIMAL(11,0))) AS rq_hi,
                SUM(q * r + CAST(FLOOR(CAST(r AS DOUBLE) * r / (4 * n)) AS BIGINT)) AS rq_lo
         FROM gd
       ),

@@ -4,6 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** EXPORT / IMPORT analog (SURVEY.md §2.3 `TOK_EXPORT`/`TOK_IMPORT`;
@@ -332,12 +333,19 @@ object ExportImport {
     * metadata-speed, no rewrite, exactly Hive's metastore-move shape —
     * then the source side drops with retainData (the files now belong
     * to dest). Both tables' statement-scoped writer locks are held in
-    * table-name order (deadlock-free) for the whole move. */
+    * CANONICAL-name order — db.table after splitTarget resolution, not
+    * the raw user spellings, which could order ('db.t', 't') and
+    * ('t', 'db.t') oppositely across two concurrent exchanges and
+    * deadlock. Same-table exchange ('t' vs 'db.t' spellings included)
+    * is refused up front: the lock is non-reentrant and the move is a
+    * no-op-with-side-effects anyway. */
   def exchangePartition(spark: SparkSession, dest: String, source: String,
       spec: Seq[(String, String)]): Unit = {
     import graft.operators.Acid
     val (sdb, stbl) = splitTarget(source)
     val (ddb, dtbl) = splitTarget(dest)
+    require((sdb, stbl) != (ddb, dtbl),
+      s"EXCHANGE PARTITION: source and dest resolve to the same table $sdb.$stbl")
     val cat = spark.sessionState.catalog
     val sId = TableIdentifier(stbl, Some(sdb))
     val dId = TableIdentifier(dtbl, Some(ddb))
@@ -351,19 +359,29 @@ object ExportImport {
     require(spec.map(_._1) == sm.partitionColumnNames,
       s"EXCHANGE PARTITION needs the full partition spec " +
         s"(${sm.partitionColumnNames.mkString(", ")}), got ${spec.map(_._1).mkString(", ")}")
-    val specSql = spec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
-    val Seq(first, second) = Seq(source, dest).sorted
+    // spec values are quoted-escaped in SQL (same class of bug LOAD
+    // DATA hit: a value containing ' breaks the generated DDL) and
+    // Hive-path-escaped in the directory name (ExternalCatalogUtils is
+    // Hive's FileUtils.escapePathName shape — %XX for path specials),
+    // so `ds=a'b/c` round-trips instead of generating broken DDL or a
+    // non-Hive-layout directory
+    val specSql = spec.map { case (k, v) =>
+      s"$k='${v.replace("'", "''")}'" }.mkString(", ")
+    val specPath = spec.map { case (k, v) =>
+      s"${ExternalCatalogUtils.escapePathName(k)}=" +
+        ExternalCatalogUtils.escapePathName(v) }.mkString("/")
+    val Seq(first, second) = Seq(s"$sdb.$stbl", s"$ddb.$dtbl").sorted
     Acid.withWriterLock(spark, first) { Acid.withWriterLock(spark, second) {
       val sp = cat.getPartition(sId, spec.toMap) // throws if source lacks it
       val srcDir = new Path(sp.location)
-      val destDir = new Path(new Path(dm.location),
-        spec.map { case (k, v) => s"$k=$v" }.mkString("/"))
+      val destDir = new Path(new Path(dm.location), specPath)
       val fs = destDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(cat.listPartitions(dId, Some(spec.toMap)).isEmpty && !fs.exists(destDir),
         s"EXCHANGE PARTITION: $dest already holds ($specSql)")
       fs.mkdirs(destDir.getParent)
       require(fs.rename(srcDir, destDir), s"move failed: $srcDir -> $destDir")
-      spark.sql(s"ALTER TABLE $ddb.$dtbl ADD PARTITION ($specSql) LOCATION '$destDir'")
+      spark.sql(s"ALTER TABLE $ddb.$dtbl ADD PARTITION ($specSql) " +
+        s"LOCATION '${destDir.toString.replace("'", "''")}'")
       // metadata-only drop: the files were renamed away and now belong
       // to dest, so retainData — a plain DROP PARTITION would try to
       // delete dest's data through the stale source location

@@ -190,7 +190,53 @@ class AlterTableParitySpec extends AnyFunSuite with Matchers {
                  USING parquet PARTITIONED BY (ds STRING) LOCATION '$wh/bad'""")
     an[IllegalArgumentException] should be thrownBy ExportImport.exchangePartition(
       spark, "graft_alter.ex_bad", "graft_alter.ex_dst", Seq("ds" -> "d0"))
+    // partial spec refused (distinct tables, so the same-table guard
+    // can't be what fires)
     an[IllegalArgumentException] should be thrownBy ExportImport.exchangePartition(
-      spark, "graft_alter.ex_dst", "graft_alter.ex_dst", Nil)
+      spark, "graft_alter.ex_dst", "graft_alter.ex_src", Nil)
+    // same-table exchange refused up front — including across
+    // SPELLINGS: 'ex_self' and 'default.ex_self' canonicalize to the
+    // same (db, table), which previously could deadlock the
+    // non-reentrant writer lock (raw-string lock ordering)
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-exch-self").toString
+    spark.sql("DROP TABLE IF EXISTS default.ex_self")
+    spark.sql(s"""CREATE TABLE default.ex_self (a INT)
+                 USING parquet PARTITIONED BY (ds STRING) LOCATION '$wh2/self'""")
+    an[IllegalArgumentException] should be thrownBy ExportImport.exchangePartition(
+      spark, "default.ex_self", "ex_self", Seq("ds" -> "d1"))
+    spark.sql("DROP TABLE IF EXISTS default.ex_self")
+  }
+
+  test("EXCHANGE PARTITION: quote/path-special spec values survive the DDL and the move") {
+    import graft.sources.ExportImport
+    val wh = java.nio.file.Files.createTempDirectory("graft-exch-q").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_alter")
+    for (t <- Seq("exq_src", "exq_dst"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_alter.$t")
+    spark.sql(s"""CREATE TABLE graft_alter.exq_src (a INT)
+                 USING parquet PARTITIONED BY (ds STRING) LOCATION '$wh/src'""")
+    spark.sql(s"""CREATE TABLE graft_alter.exq_dst (a INT)
+                 USING parquet PARTITIONED BY (ds STRING) LOCATION '$wh/dst'""")
+    // the value carries a single quote (breaks naive $k='$v' DDL), an
+    // '=' and a space (both Hive-path-escaped in partition dirs) —
+    // written via dynamic partitioning so Spark's own writer picks the
+    // escaped directory name our rename must reproduce
+    val v = "it's w=1"
+    import spark.implicits._
+    Seq((1, v), (2, v)).toDF("a", "ds")
+      .write.mode("append").insertInto("graft_alter.exq_src")
+    ExportImport.exchangePartition(spark,
+      dest = "graft_alter.exq_dst", source = "graft_alter.exq_src",
+      Seq("ds" -> v))
+    spark.table("graft_alter.exq_dst").where(col("ds") === v).count() shouldBe 2
+    spark.table("graft_alter.exq_src").count() shouldBe 0
+    // the moved directory landed under dest in Spark's own Hive-escaped
+    // layout (same escapePathName the dynamic-partition writer used)
+    spark.sql("SHOW PARTITIONS graft_alter.exq_dst")
+      .collect().map(_.getString(0)).toSeq shouldBe
+        Seq(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName("ds") + "=" +
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(v))
   }
 }

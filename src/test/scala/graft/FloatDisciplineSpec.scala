@@ -68,6 +68,9 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "dedup_incremental_semantic" -> "DoubleOperand",
     "dedup_semantic"             -> "DoubleOperand",
     "dedup_semantic_prune"       -> "DoubleOperand",
+    "dedup_semantic_saltsplit"   -> "DoubleOperand", // same qe/1e6-lit
+                                                     // chain as dedup_semantic
+                                                     // (kmeansCtes rule)
     "embed_quantize_int8"        -> "DoubleOperand",
     "embed_random_projection"    -> "DoubleOperand", // list_reduce over DOUBLE
     "events_cohort_retention"    -> "ExactGrid",     // FLOOR(us/604800000000.0)->BIGINT
@@ -119,6 +122,9 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "dedup_clusters", "dedup_containment", "dedup_edit_verify",
     "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_keep_best",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic",
+    "dedup_semantic_saltsplit", // ROUND(cos,6) on rule-1 bit-identical
+                                // doubles — the dedup_semantic rule
+                                // with the salt replacing the cluster
     // inherit OraclePairsCte's ROUND(jaccard) — the dedup pair rule;
     // their own projections are pure integers
     "dedup_cluster_stats", "pipeline_dedup_report",

@@ -286,6 +286,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(saltedExchanges.nonEmpty, s"no exchange partitioned by salt:\n$p")
   }
 
+  test("dedup_embedding_cosine: salted SHUFFLE_MERGE self-join, never a broadcast") {
+    // the r14 sf10 scale-killer: Spark broadcast the self-join side and
+    // ran the full pair expansion on ONE input partition. The pin:
+    // sort-merge on (label, salt) — a broadcast here means the salt
+    // (and all 32 cores) are dead weight again. W is adaptive now, so
+    // the gate checks the plan SHAPE, not a fixed width.
+    val p = plan("dedup_embedding_cosine")
+    assert(p.contains("SortMergeJoin"), s"pair join must shuffle on (label, salt):\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join must not broadcast:\n$p")
+    assert(p.contains("salt"), s"join key must carry the salt:\n$p")
+  }
+
   test("q5_local_supplier: 5-way join broadcasts the dims, no cartesian") {
     val p = plan("q5_local_supplier")
     assert(!p.contains("CartesianProduct"), p)

@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Serial, resumable DuckDB oracle sweep for the big ScaleGen fixtures
+(sf1/sf10) — the r14 lesson operationalized: the heavy oracles run ONE
+at a time (two concurrent 60 GB DuckDB spills exhausted the disk and
+aborted pipeline_dedup_report's compare), cheapest-first, with every
+result appended to a JSONL ledger so an interrupted sweep resumes
+without repeating finished work.
+
+Usage:
+  python3 tools/sweep10.py <sfdir> <verify_outdir> <ledger.jsonl> [--heavy-last]
+
+Compare semantics are check.py's driver mirror verbatim (columns sorted
+by name, dtype-KIND-strict, bit-exact floats incl. -0.0, mergesort row
+order). A per-query fresh DuckDB connection keeps one query's spill /
+memory state from leaking into the next and lets us bound temp usage.
+"""
+import duckdb, json, sys, glob, math, os, time
+import numpy as np
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+# Oracle-side cost model (families observed in the r13 sf1 / r14 sf10
+# sweeps): plain SQL aggregates are seconds; these are minutes-to-hours
+# at sf10 and run LAST, roughly cheapest-first within the tier.
+HEAVY = [
+    # fmix64 / seeded-hash chain replications (CPU-heavy, linear-ish)
+    "text_decontaminate_fuzzy", "dedup_simhash", "dedup_minhash_lsh",
+    "ann_lsh_bucketed", "dedup_embedding_lsh",
+    # quadratic-pair oracles
+    "multimodal_phash_pairs", "dedup_ngram_jaccard", "link_fuzzy_match",
+    "search_near_copy", "dedup_embedding_cosine", "dedup_semantic_saltsplit",
+    # kmeans chain (Iters unrolled Lloyd's in SQL)
+    "cluster_kmeans_assign", "cluster_centroids", "sample_coreset",
+    "dedup_semantic", "dedup_incremental_semantic", "dedup_semantic_prune",
+    # composite pipelines over the above
+    "pipeline_curate_ppl", "curation_dedup_aware_sample",
+    "dedup_cluster_stats", "pipeline_dedup_report",
+]
+
+def cell_equal(x, y):
+    xnull = x is None or (isinstance(x, float) and math.isnan(x))
+    ynull = y is None or (isinstance(y, float) and math.isnan(y))
+    if xnull or ynull:
+        return xnull == ynull and (isinstance(x, float) == isinstance(y, float)
+                                   or (x is None and y is None))
+    if isinstance(x, float) and isinstance(y, float):
+        return x == y and math.copysign(1.0, x) == math.copysign(1.0, y)
+    if isinstance(x, float) != isinstance(y, float):
+        return False
+    return str(x) == str(y)
+
+def fresh_con(sfdir, tmpdir):
+    con = duckdb.connect()
+    con.sql(f"SET temp_directory='{tmpdir}'")
+    con.sql("SET memory_limit='48GB'")
+    for t in TABLES:
+        src = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+def compare_one(con, name, sql, outdir):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        return ("fail", "no spark output")
+    sdf = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+    odf = con.sql(sql).df()
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+    odf = odf.reindex(sorted(odf.columns), axis=1)
+    if list(sdf.columns) != list(odf.columns):
+        return ("fail", f"cols spark={list(sdf.columns)} oracle={list(odf.columns)}")
+    if sdf.shape != odf.shape:
+        return ("fail", f"shape spark={sdf.shape} oracle={odf.shape}")
+    sdt, odt = [t.kind for t in sdf.dtypes], [t.kind for t in odf.dtypes]
+    if sdt != odt:
+        bad = [(c, str(a), str(b)) for c, a, b
+               in zip(sdf.columns, sdf.dtypes, odf.dtypes) if a.kind != b.kind]
+        return ("fail", f"dtype-kind drift {bad}")
+    bad_cols = [c for c in sdf.columns
+                if sdf[c].dtype == object and len(sdf) > 0
+                and isinstance(sdf[c].iloc[0], (np.ndarray, list, dict))]
+    if bad_cols:
+        return ("fail", f"driver-unhashable array/map columns {bad_cols}")
+    cols = list(sdf.columns)
+    sdf = sdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    odf = odf.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    for c in cols:
+        a, b = sdf[c].tolist(), odf[c].tolist()
+        for i, (x, y) in enumerate(zip(a, b)):
+            if not cell_equal(x, y):
+                extra = ""
+                if isinstance(x, float) and isinstance(y, float):
+                    extra = f" (absdiff {abs(x - y):.3e})"
+                return ("fail", f"col {c} row {i}: {x!r} != {y!r}{extra}")
+    return ("pass", f"{sdf.shape[0]} rows")
+
+def main():
+    sfdir, outdir, ledger_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    only = None
+    if len(sys.argv) > 4 and not sys.argv[4].startswith("--"):
+        only = set(sys.argv[4].split(","))
+    done = {}
+    if os.path.exists(ledger_path):
+        for line in open(ledger_path):
+            rec = json.loads(line)
+            done[rec["name"]] = rec["status"]
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    declared = {p.split("/")[-1] for p in glob.glob(f"{outdir}/*")
+                if not p.endswith(".json")}
+    names = sorted(n for n in oracle if n in declared)
+    hw = {n: i for i, n in enumerate(HEAVY)}
+    names.sort(key=lambda n: (n in hw, hw.get(n, 0)))
+    if only:
+        names = [n for n in names if n in only]
+    tmpdir = os.path.join(outdir, "_duck_tmp")
+    os.makedirs(tmpdir, exist_ok=True)
+    n_pass = n_fail = n_skip = 0
+    for idx, name in enumerate(names):
+        if name in done and done[name] in ("pass",):
+            n_skip += 1
+            continue
+        t0 = time.time()
+        try:
+            con = fresh_con(sfdir, tmpdir)
+            status, detail = compare_one(con, name, oracle[name], outdir)
+            con.close()
+        except Exception as e:
+            status, detail = "err", f"{type(e).__name__}: {e}"
+        dt = round(time.time() - t0, 1)
+        rec = {"name": name, "status": status, "detail": detail, "sec": dt}
+        with open(ledger_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"[{idx+1}/{len(names)}] {status.upper()} {name} ({dt}s) {detail}",
+              flush=True)
+        if status == "pass": n_pass += 1
+        else: n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail-or-err / {n_skip} already-done ==")
+
+if __name__ == "__main__":
+    main()
