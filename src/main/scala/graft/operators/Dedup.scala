@@ -671,7 +671,7 @@ object Dedup {
 
     // The 100 TB form of embedding near-dup: no metadata blocking key —
     // candidates come from random-hyperplane LSH buckets (16 tables ×
-    // 6-bit), i.e. the same equi-join-on-(table, bucket) discipline as
+    // pe-bit), i.e. the same equi-join-on-(table, bucket) discipline as
     // ann_lsh_bucketed, with exact cosine verification on the deduped
     // candidate ids only (the wide vectors re-join after DISTINCT).
     // Hot-bucket cap: a bucket of B members contributes O(B²) candidate
@@ -679,13 +679,25 @@ object Dedup {
     // scale) would go quadratic — buckets over 64 members are skipped,
     // standard LSH practice: members still pair through their other 15
     // tables, so only pairs whose EVERY shared bucket is hot are lost.
-    // On the testdata no bucket exceeds 25, so the cap is result-neutral
-    // there. The oracle replicates buckets AND the cap exactly, so no
-    // recall assumption is needed — the pair set matches by construction.
+    // PLANES ARE ADAPTIVE (r15 sf10 finding: with 6 fixed planes there
+    // are only 64 buckets/table, so past ~sf0.2 EVERY bucket exceeds
+    // the cap and the operator silently returns ZERO pairs — the exact
+    // opposite of "the 100 TB answer"): pe = smallest p in [6, 18]
+    // with n ≤ 64·2^p, i.e. average bucket ≤ the cap. Integer-exact
+    // (no float log2 — ceil(log/log) is an ulp landmine at exact
+    // powers of two), identical arithmetic in the oracle. Plane
+    // signs are seeded per (table, plane, dim) independent of the
+    // plane COUNT and bucket bit p is plane p, so pe planes equal the
+    // first pe of any larger family — results at pe=6 SFs (the driver
+    // fixtures) are byte-stable vs the fixed-plane version, and the
+    // oracle replicates any pe by masking an 18-plane bucket to the
+    // low pe bits. n is one driver scalar (count — bounded state).
     "dedup_embedding_lsh" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       val emb = spark.table("embeddings")
-      val cand = lshCandidatePairs(emb, tables = 16, planes = 6, maxBucket = 64)
+      val n = emb.count()
+      val pe = (6 to 18).find(p => n <= 64L * (1L << p)).getOrElse(18)
+      val cand = lshCandidatePairs(emb, tables = 16, planes = pe, maxBucket = 64)
       cand
         .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
         .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
@@ -1241,12 +1253,23 @@ object Dedup {
 
     // shared LSH bucket replication (Similarity.lshBucketCtes) + the
     // same hot-bucket cap, candidate join, and exact cosine filter as
-    // the Spark side
+    // the Spark side. Planes replicate the ADAPTIVE pe: the 18-plane
+    // bucket masked to its low pe bits IS the pe-plane bucket (bit p =
+    // plane p, signs seeded per (t, p, d) — see the query comment),
+    // and pe itself is the same integer minimum the Spark side takes.
     "dedup_embedding_lsh" -> s"""
-      WITH ${Similarity.lshBucketCtes(16, 6)}, cool AS (
-        SELECT t, bucket FROM buckets GROUP BY t, bucket HAVING COUNT(*) <= 64
+      WITH ${Similarity.lshBucketCtes(16, 18)}, pe AS (
+        SELECT COALESCE(MIN(p), 18) AS p
+        FROM range(6, 19) r(p)
+        WHERE (SELECT COUNT(*) FROM e) <= 64 * (CAST(1 AS BIGINT) << p)
+      ), bkt AS (
+        SELECT vec_id, t,
+               bucket & ((1 << (SELECT p FROM pe)) - 1) AS bucket
+        FROM buckets
+      ), cool AS (
+        SELECT t, bucket FROM bkt GROUP BY t, bucket HAVING COUNT(*) <= 64
       ), capped AS (
-        SELECT b.vec_id, b.t, b.bucket FROM buckets b JOIN cool USING (t, bucket)
+        SELECT b.vec_id, b.t, b.bucket FROM bkt b JOIN cool USING (t, bucket)
       ), cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
