@@ -177,6 +177,17 @@ object Dedup {
   /** DuckDB twin of `jpairs`: all-pairs-within-source exact jaccard at
     * the same τ=0.5 (recall 1.0 by construction vs the prefix filter) —
     * one constant shared by both oracles. */
+  // Exact same pair set and doubles as the r14 all-pairs spelling —
+  // n_int counts shared DISTINCT grams through the inverted index and
+  // |A∪B| = na+nb−n_int, the identical integers the per-pair
+  // LIST_INTERSECT/LIST_DISTINCT(CONCAT) computed — but the join is
+  // index-based: J ≥ 0.5 pairs share ≥1 gram BY DEFINITION (no prefix
+  // theorem needed, so the oracle stays independent of the Spark
+  // side's Bayardo filter). The r15 sf10 sweep measured the all-pairs
+  // spelling at 24+ CPU-hours AND STILL RUNNING (500k docs ⇒ ~1e10
+  // within-source pairs each paying two list ops) while the gram df
+  // max is 8 — Σdf² ≈ 3.9e7 index join rows, i.e. minutes. Same
+  // oracle-tractability class as r14's per-row-cast materialization.
   private val OracleJpairsCtes = """
       t AS (
         SELECT doc_id, source,
@@ -187,11 +198,18 @@ object Dedup {
                LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
                  i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))) AS grams
         FROM t WHERE LEN(toks) >= 3
+      ), inv AS (
+        SELECT doc_id, source, LEN(grams) AS n, UNNEST(grams) AS gram FROM sh
+      ), prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int,
+               ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM inv a JOIN inv b
+          ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
       ), jpairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               ROUND(LEN(LIST_INTERSECT(a.grams, b.grams)) / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))), 6) AS jaccard
-        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE LEN(LIST_INTERSECT(a.grams, b.grams)) / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))) >= 0.5
+        SELECT doc_a, doc_b,
+               ROUND(n_int / (na + nb - n_int), 6) AS jaccard
+        FROM prs WHERE n_int / (na + nb - n_int) >= 0.5
       )"""
 
   /** DuckDB spelling of the same pair set (exact all-pairs via inverted
