@@ -132,13 +132,30 @@ object Graph {
   // All counts integer-exact; confidence and lift are single IEEE
   // divisions ROUNDed before the rank; (lift DESC, a, b) is total.
   // Same co-occurrence shuffle shape as the edge build.
-  private val AssocSql = """
+  //
+  // The directed pair counts come from the UNDIRECTED aggregate
+  // (a.p < b.p) mirrored through a UNION ALL — cab is symmetric, so
+  // the pair set is identical to the old `a.p <> b.p` spelling, at
+  // half the aggregate. Found at the r15 sf10 sweep: DuckDB 1.0 plans
+  // the `<>` conjunct as a CROSS_PRODUCT over io×io (~3.6e15 pairs;
+  // the compare ran 4+ h without finishing), while `<` hash-joins on
+  // o; with the mirror + a MATERIALIZED pin on the aggregate (DuckDB
+  // inlines a twice-referenced CTE twice — the r13 lesson) the oracle
+  // runs in 8.9 s at sf10. Spark plans BOTH spellings as a shuffle
+  // hash join, so only the oracle needs the MATERIALIZED keyword
+  // (Spark's parser rejects it — hence the twin spelling).
+  private def assocSql(spark: Boolean): String = {
+    val mat = if (spark) "" else "MATERIALIZED "
+    s"""
       WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       n AS (SELECT COUNT(DISTINCT o) AS nb FROM io),
       ic AS (SELECT p, COUNT(*) AS c FROM io GROUP BY p),
-      pc AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cab
-             FROM io a JOIN io b ON a.o = b.o AND a.p <> b.p
-             GROUP BY a.p, b.p HAVING COUNT(*) >= 3)
+      pc0 AS $mat(SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cab
+             FROM io a JOIN io b ON a.o = b.o AND a.p < b.p
+             GROUP BY a.p, b.p HAVING COUNT(*) >= 3),
+      pc AS (SELECT pa, pb, cab FROM pc0
+             UNION ALL
+             SELECT pb AS pa, pa AS pb, cab FROM pc0)
       SELECT pc.pa AS antecedent, pc.pb AS consequent, pc.cab AS support_cnt,
              ROUND(CAST(pc.cab AS DOUBLE) / CAST(ca.c AS DOUBLE), 6) AS confidence,
              ROUND(CAST(pc.cab AS DOUBLE) * CAST(nb AS DOUBLE)
@@ -146,6 +163,7 @@ object Graph {
       FROM pc JOIN ic ca ON pc.pa = ca.p JOIN ic cb ON pc.pb = cb.p CROSS JOIN n
       ORDER BY lift DESC, antecedent, consequent
       LIMIT 20"""
+  }
 
   // Item-item collaborative-filtering similarity (the normalized
   // counterpart of AssocSql's directed confidence/lift): cosine
@@ -685,7 +703,7 @@ object Graph {
       spark.sql("WITH x AS (SELECT 1)" +
         localClusteringSql("lcc_e", "lcc_sym"))
     }),
-    "graph_assoc_rules" -> Tables.sql(AssocSql),
+    "graph_assoc_rules" -> Tables.sql(assocSql(spark = true)),
     "recsys_item_sim" -> Tables.sql(ItemSimSql),
     // sssp keeps the single-statement spelling on BOTH sides: unlike
     // reach_recursive (UnionLoopExec re-plans its step each iteration),
@@ -984,7 +1002,7 @@ object Graph {
       , sym AS (SELECT src, dst FROM e
                 UNION ALL SELECT dst AS src, src AS dst FROM e)""" +
       localClusteringSql("e", "sym")),
-    "graph_assoc_rules" -> AssocSql,
+    "graph_assoc_rules" -> assocSql(spark = false),
     "recsys_item_sim" -> ItemSimSql,
     "graph_sssp" -> SsspSql,
     "graph_reach_recursive" -> ("WITH RECURSIVE" +
