@@ -1229,6 +1229,12 @@ object Dedup {
 
     // independent all-pairs-within-source formulation (recall 1.0 by
     // construction) — validates the prefix-filtered candidate set
+    // Same inverted-index tractability rewrite as OracleJpairsCtes
+    // (identical integers — shared DISTINCT grams counted per pair —
+    // so identical doubles; containment ≥ 0.8 pairs share ≥1 gram by
+    // definition, so no recall assumption and no dependence on the
+    // Spark side's prefix filter). The all-pairs LIST_INTERSECT
+    // spelling is ~1e10 pairs at sf10; this is Σdf² ≈ 3.9e7 rows.
     "dedup_containment" -> """
       WITH t AS (
         SELECT doc_id, source,
@@ -1239,16 +1245,19 @@ object Dedup {
                LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
                  i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))) AS grams
         FROM t WHERE LEN(toks) >= 3
-      ), pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               LEN(LIST_INTERSECT(a.grams, b.grams)) AS inter,
-               LEN(a.grams) AS na, LEN(b.grams) AS nb
-        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      ), inv AS (
+        SELECT doc_id, source, LEN(grams) AS n, UNNEST(grams) AS gram FROM sh
+      ), prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+               ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM inv a JOIN inv b
+          ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
       )
       SELECT doc_a, doc_b,
              ROUND(inter / na, 6) AS cont_ab,
              ROUND(inter / nb, 6) AS cont_ba
-      FROM pairs
+      FROM prs
       WHERE GREATEST(inter / na, inter / nb) >= 0.8
       ORDER BY doc_a, doc_b""",
 

@@ -53,7 +53,11 @@ def cell_equal(x, y):
 def fresh_con(sfdir, tmpdir):
     con = duckdb.connect()
     con.sql(f"SET temp_directory='{tmpdir}'")
-    con.sql("SET memory_limit='48GB'")
+    # default sized for 2 concurrent lanes; the kmeans-chain pair
+    # oracles spill 75+ GB under 48GB and exhaust the disk even SOLO —
+    # for those, run one-at-a-time with SWEEP_MEMLIMIT=100GB so the
+    # intermediates stay in RAM (the host has 125 GB)
+    con.sql(f"SET memory_limit='{os.environ.get('SWEEP_MEMLIMIT', '48GB')}'")
     for t in TABLES:
         src = f"{sfdir}/{t}.parquet"
         if os.path.isdir(src):
