@@ -12,8 +12,9 @@ import graft.functions.GraftFunctions
   *  - `ann_cosine_topk`: brute-force exact top-k — the baseline and the
   *    per-bucket kernel. O(|Q|·n); fine when |Q| is small or as the
   *    refine step.
-  *  - `ann_lsh_bucketed`: random-hyperplane LSH (16 tables × 6-bit
-  *    buckets) — candidates come from an equi-join on (table, bucket),
+  *  - `ann_lsh_bucketed`: random-hyperplane LSH (16 tables × adaptive
+  *    pe-bit buckets, pe = min p in [6,18] with n ≤ 64·2^p) —
+  *    candidates come from an equi-join on (table, bucket),
   *    so at 100 TB the plan is shuffle-on-bucket + per-bucket top-k,
   *    never a cross join. Probabilistic recall (AnnSpec measures it
   *    against the brute-force truth) but fully deterministic output.
@@ -818,7 +819,7 @@ object Similarity {
     }),
 
     // LSH-bucketed ANN: 50 query vectors, candidates from 16 hash tables
-    // of 6-plane buckets, exact cosine re-rank within candidates.
+    // of pe-plane buckets, exact cosine re-rank within candidates.
     // 100 TB discipline: candidate generation (bucket equi-join +
     // DISTINCT) shuffles ONLY (tbl, bucket, qid, nid) ints — the wide
     // 64-float embeddings re-join AFTER the pair set is deduped, query
@@ -827,18 +828,27 @@ object Similarity {
     "ann_lsh_bucketed" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       val emb = spark.table("embeddings")
-      // bucket geometry is a DEPLOYMENT knob, not a constant: with a
-      // fixed plane count, per-bucket occupancy — and so candidate
-      // work — grows linearly with the corpus (the measured sf1→sf10
-      // exponent was 0.98). Sizing planes up one per corpus decade
-      // (and tables up to hold recall) restores sublinear candidate
-      // cost, exactly the shuffle.partitions class of tuning. Defaults
-      // are the oracle-pinned 16/6; the driver never overrides them,
-      // so every oracled run is byte-identical.
+      // PLANES ARE ADAPTIVE, the same pe = smallest p in [6, 18] with
+      // n ≤ 64·2^p discipline as dedup_embedding_lsh (the r15 finding:
+      // with a fixed plane count per-bucket occupancy — and so probe
+      // cost — grows linearly with the corpus; the measured sf1→sf10
+      // candidate exponent was 0.98, ~3125-member buckets at sf10 vs
+      // the 64-member design point). Integer-exact (no float log2),
+      // identical arithmetic in the oracle, which masks an 18-plane
+      // bucket to the low pe bits — valid because bucket bit p is
+      // plane p and signs are seeded per (table, plane, dim)
+      // independent of the plane count, so pe planes equal the first
+      // pe of any larger family and pe=6 SFs (the driver fixtures)
+      // stay byte-stable vs the old fixed-6 geometry. Explicit knobs
+      // still override for deployment tuning (DiagLshKnob), but the
+      // driver never sets them, so every oracled run is adaptive.
       val tables = spark.conf.getOption("graft.ann.lshTables")
         .map(_.toInt).getOrElse(16)
       val planes = spark.conf.getOption("graft.ann.lshPlanes")
-        .map(_.toInt).getOrElse(6)
+        .map(_.toInt).getOrElse {
+          val n = emb.count()
+          (6 to 18).find(p => n <= 64L * (1L << p)).getOrElse(18)
+        }
       // buckets are encoded as a signed-Int bitmask of plane signs and
       // signs are indexed per table — out-of-range knobs would corrupt
       // buckets (planes > 31 overflows 1 << p) or crash deep inside the
@@ -981,11 +991,22 @@ object Similarity {
       FROM qv ORDER BY vec_id""",
 
     // FULL INDEPENDENT REPLICATION of the LSH pipeline, not a recall
-    // assumption — see lshBucketCtes; the rerank mirrors the Spark query.
+    // assumption — see lshBucketCtes; the rerank mirrors the Spark
+    // query. Planes replicate the ADAPTIVE pe (same integer minimum
+    // as the Spark side; the 18-plane bucket masked to its low pe
+    // bits IS the pe-plane bucket — see dedup_embedding_lsh).
     "ann_lsh_bucketed" -> s"""
-      WITH ${lshBucketCtes(16, 6)}, cand AS (
+      WITH ${lshBucketCtes(16, 18)}, pe AS (
+        SELECT COALESCE(MIN(p), 18) AS p
+        FROM range(6, 19) r(p)
+        WHERE (SELECT COUNT(*) FROM e) <= 64 * (CAST(1 AS BIGINT) << p)
+      ), bkt AS (
+        SELECT vec_id, t,
+               bucket & ((1 << (SELECT p FROM pe)) - 1) AS bucket
+        FROM buckets
+      ), cand AS (
         SELECT DISTINCT q.vec_id AS qid, n.vec_id AS nid
-        FROM buckets q JOIN buckets n ON q.t = n.t AND q.bucket = n.bucket
+        FROM bkt q JOIN bkt n ON q.t = n.t AND q.bucket = n.bucket
         WHERE q.vec_id < 50 AND q.vec_id <> n.vec_id
       ), scored AS (
         SELECT c.qid, c.nid,

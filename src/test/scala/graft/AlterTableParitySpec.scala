@@ -218,7 +218,8 @@ class AlterTableParitySpec extends AnyFunSuite with Matchers {
     spark.sql(s"""CREATE TABLE graft_alter.exq_dst (a INT)
                  USING parquet PARTITIONED BY (ds STRING) LOCATION '$wh/dst'""")
     // the value carries a single quote (breaks naive $k='$v' DDL), an
-    // '=' and a space (both Hive-path-escaped in partition dirs) —
+    // '=' (Hive-path-escaped to %3D in partition dirs) and a space
+    // (escapePathName leaves spaces as-is: dir is "ds=it%27s w%3D1") —
     // written via dynamic partitioning so Spark's own writer picks the
     // escaped directory name our rename must reproduce
     val v = "it's w=1"

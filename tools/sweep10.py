@@ -7,7 +7,10 @@ result appended to a JSONL ledger so an interrupted sweep resumes
 without repeating finished work.
 
 Usage:
-  python3 tools/sweep10.py <sfdir> <verify_outdir> <ledger.jsonl> [--heavy-last]
+  python3 tools/sweep10.py <sfdir> <verify_outdir> <ledger.jsonl> [only1,only2,...]
+
+The optional 4th argument is a comma-separated query-name filter (run
+only those). Heavy-last ordering (the HEAVY tier below) is always on.
 
 Compare semantics are check.py's driver mirror verbatim (columns sorted
 by name, dtype-KIND-strict, bit-exact floats incl. -0.0, mergesort row
@@ -29,7 +32,7 @@ HEAVY = [
     "ann_lsh_bucketed", "dedup_embedding_lsh",
     # quadratic-pair oracles
     "multimodal_phash_pairs", "dedup_ngram_jaccard", "link_fuzzy_match",
-    "search_near_copy", "dedup_embedding_cosine", "dedup_semantic_saltsplit",
+    "search_near_copies", "dedup_embedding_cosine", "dedup_semantic_saltsplit",
     # kmeans chain (Iters unrolled Lloyd's in SQL)
     "cluster_kmeans_assign", "cluster_centroids", "sample_coreset",
     "dedup_semantic", "dedup_incremental_semantic", "dedup_semantic_prune",
@@ -48,6 +51,9 @@ def cell_equal(x, y):
         return x == y and math.copysign(1.0, x) == math.copysign(1.0, y)
     if isinstance(x, float) != isinstance(y, float):
         return False
+    if isinstance(x, (np.ndarray, list, dict)) or isinstance(y, (np.ndarray, list, dict)):
+        raise ValueError("container cell reached cell_equal — str() compare "
+                         "of arrays is unsafe (numpy elides long reprs)")
     return str(x) == str(y)
 
 def fresh_con(sfdir, tmpdir):
@@ -82,9 +88,14 @@ def compare_one(con, name, sql, outdir):
         bad = [(c, str(a), str(b)) for c, a, b
                in zip(sdf.columns, sdf.dtypes, odf.dtypes) if a.kind != b.kind]
         return ("fail", f"dtype-kind drift {bad}")
+    # fail-loud on array/map cells anywhere in the column, not just row
+    # 0 (a None first cell would fall through to str() equality, where
+    # numpy's elided '...' repr of long arrays can produce a false PASS)
+    def has_container(series):
+        nn = series.dropna()
+        return len(nn) > 0 and isinstance(nn.iloc[0], (np.ndarray, list, dict))
     bad_cols = [c for c in sdf.columns
-                if sdf[c].dtype == object and len(sdf) > 0
-                and isinstance(sdf[c].iloc[0], (np.ndarray, list, dict))]
+                if sdf[c].dtype == object and has_container(sdf[c])]
     if bad_cols:
         return ("fail", f"driver-unhashable array/map columns {bad_cols}")
     cols = list(sdf.columns)
@@ -113,11 +124,23 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     declared = {p.split("/")[-1] for p in glob.glob(f"{outdir}/*")
                 if not p.endswith(".json")}
-    names = sorted(n for n in oracle if n in declared)
+    # every oracle entry is swept: a query whose Spark run crashed
+    # before creating its output dir is a FAILURE (compare_one reports
+    # "no spark output"), never silently dropped from coverage
+    names = sorted(oracle)
+    # the HEAVY cost model must name real queries — a rename would
+    # otherwise silently misfile the query into the cheap tier
+    unknown_heavy = [n for n in HEAVY if n not in oracle]
+    assert not unknown_heavy, \
+        f"HEAVY names not in oracle_sql.json (stale rename?): {unknown_heavy}"
     hw = {n: i for i, n in enumerate(HEAVY)}
     names.sort(key=lambda n: (n in hw, hw.get(n, 0)))
     if only:
         names = [n for n in names if n in only]
+    missing = sorted(n for n in names if n not in declared)
+    if missing:
+        print(f"!! {len(missing)} oracle entries have no Spark output dir "
+              f"(will be reported as fail): {missing}", flush=True)
     tmpdir = os.path.join(outdir, "_duck_tmp")
     os.makedirs(tmpdir, exist_ok=True)
     n_pass = n_fail = n_skip = 0
