@@ -675,6 +675,10 @@ object Dedup {
       val wPar = math.ceil(2.0 * cores / nLabels).toLong
       val wSize = math.ceil(maxBlock.toDouble * maxBlock / 2.0 / 2.5e8).toLong
       val w = math.max(1L, math.min(4096L, math.max(wPar, wSize)))
+      // scale-probe observability (BASELINE records W per decade): which
+      // term chose W, on one stderr line the driver ignores
+      System.err.println(s"[graft-scale] dedup_embedding_cosine W=$w " +
+        s"(wPar=$wPar wSize=$wSize maxBlock=$maxBlock labels=$nLabels)")
       spark.sql(s"""
         SELECT /*+ SHUFFLE_MERGE(a) */
                a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -715,6 +719,7 @@ object Dedup {
       val emb = spark.table("embeddings")
       val n = emb.count()
       val pe = (6 to 18).find(p => n <= 64L * (1L << p)).getOrElse(18)
+      System.err.println(s"[graft-scale] dedup_embedding_lsh pe=$pe n=$n")
       val cand = lshCandidatePairs(emb, tables = 16, planes = pe, maxBucket = 64)
       cand
         .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")

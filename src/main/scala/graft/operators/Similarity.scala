@@ -847,7 +847,9 @@ object Similarity {
       val planes = spark.conf.getOption("graft.ann.lshPlanes")
         .map(_.toInt).getOrElse {
           val n = emb.count()
-          (6 to 18).find(p => n <= 64L * (1L << p)).getOrElse(18)
+          val pe = (6 to 18).find(p => n <= 64L * (1L << p)).getOrElse(18)
+          System.err.println(s"[graft-scale] ann_lsh_bucketed pe=$pe n=$n")
+          pe
         }
       // buckets are encoded as a signed-Int bitmask of plane signs and
       // signs are indexed per table — out-of-range knobs would corrupt
