@@ -187,6 +187,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(uncapped.count() == 100L * 99 / 2)
   }
 
+  test("lsh_buckets plane-prefix invariant: pe-plane bucket = low pe bits of the 18-plane bucket") {
+    // the adaptive-pe oracles (dedup_embedding_lsh, ann_lsh_bucketed)
+    // replicate ANY pe by masking an 18-plane bucket to its low pe bits
+    // — valid only if bucket bit p is plane p and plane signs are
+    // seeded independently of the plane COUNT. Pin that invariant.
+    import graft.functions.GraftFunctions
+    val emb = (0L until 200L)
+      .map(id => (id, Array.tabulate(64)(i => math.sin(id * 64 + i + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    for (pe <- Seq(6, 7, 13)) {
+      val both = emb.select(
+        GraftFunctions.lsh_buckets(col("embedding"), 16, pe).as("bp"),
+        GraftFunctions.lsh_buckets(col("embedding"), 16, 18).as("b18"))
+      val bad = both.where(expr(
+        s"exists(zip_with(bp, b18, (x, y) -> x != (y & ${(1 << pe) - 1})), v -> v)"))
+      assert(bad.count() == 0,
+        s"pe=$pe buckets must equal the low $pe bits of the 18-plane buckets")
+    }
+  }
+
+  test("ann_lsh_bucketed: adaptive plane default is byte-stable vs the pinned 6-plane geometry at driver SF") {
+    // n = 500 ≤ 64·2^6, so the adaptive minimum lands on pe=6 — results
+    // must be IDENTICAL to an explicit planes=6 override (the driver
+    // fixtures never see a geometry change from the r16 adaptive fix)
+    Tables.register(spark, LocalSpark.sf)
+    graft.functions.GraftFunctions.register(spark)
+    val adaptive = Similarity.queries("ann_lsh_bucketed")(spark, LocalSpark.sf).collect()
+    spark.conf.set("graft.ann.lshPlanes", "6")
+    try {
+      val pinned = Similarity.queries("ann_lsh_bucketed")(spark, LocalSpark.sf).collect()
+      assert(adaptive.toSeq == pinned.toSeq)
+    } finally spark.conf.unset("graft.ann.lshPlanes")
+  }
+
   test("dedup_ngram_jaccard prefix filter is exact: equals brute-force block pairs") {
     Tables.register(spark, LocalSpark.sf)
     graft.functions.GraftFunctions.register(spark)
