@@ -897,7 +897,7 @@ object Clustering {
         SELECT src AS node, src AS comp FROM edges
         UNION
         SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
-      ), lab AS (
+      ), lab AS MATERIALIZED (
         SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
       )
       SELECT a.vec_id, CAST(a.cid AS INT) AS cluster,

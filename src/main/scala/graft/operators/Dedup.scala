@@ -223,14 +223,22 @@ object Dedup {
         SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(toks) - 2),
                  i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))) AS grams
         FROM t WHERE LEN(toks) >= 3
-      ), inv AS (
+      ), inv AS MATERIALIZED (
+        -- MATERIALIZED (r16, the r13 kmeansCtes rule): inv is self-
+        -- joined (2 refs) and good is referenced twice by every edges
+        -- CTE downstream (both UNION ALL directions) — without the
+        -- hints DuckDB re-inlines the whole tokenize+shingle+pair
+        -- chain per reference, which is what spilled 60-75 GB on the
+        -- sf10 dedup_cluster_stats / pipeline_dedup_report compares.
+        -- Values unchanged: materialization fixes evaluation count,
+        -- not arithmetic.
         SELECT doc_id, LEN(grams) AS n, UNNEST(grams) AS gram FROM sh
       ), prs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int,
                ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
         FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-      ), good AS (
+      ), good AS MATERIALIZED (
         SELECT doc_a, doc_b,
                ROUND(n_int / (na + nb - n_int), 6) AS jaccard
         FROM prs WHERE n_int / (na + nb - n_int) >= 0.8
@@ -948,7 +956,7 @@ object Dedup {
         SELECT src AS node, src AS comp FROM edges
         UNION
         SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
-      ), lab AS (
+      ), lab AS MATERIALIZED (
         SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
       ), q AS (
         SELECT doc_id,
@@ -967,14 +975,14 @@ object Dedup {
     // funnel report: digest stage in plain SQL, near stage as the
     // recursive components over survivor-filtered pairs
     "pipeline_dedup_report" -> s"""
-      WITH RECURSIVE $OraclePairsCte, d AS (
+      WITH RECURSIVE $OraclePairsCte, d AS MATERIALIZED (
         SELECT doc_id, MD5(text) AS h,
                CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
                     w -> w <> '')) AS BIGINT) AS ntok
         FROM documents
-      ), reps AS (
+      ), reps AS MATERIALIZED (
         SELECT MIN(doc_id) AS doc_id FROM d GROUP BY h
-      ), exact_removed AS (
+      ), exact_removed AS MATERIALIZED (
         SELECT d.doc_id, d.ntok FROM d
         LEFT JOIN reps r ON d.doc_id = r.doc_id WHERE r.doc_id IS NULL
       ), goodr AS (
@@ -988,11 +996,11 @@ object Dedup {
         SELECT src AS node, src AS comp FROM edges
         UNION
         SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
-      ), lab AS (
+      ), lab AS MATERIALIZED (
         SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
       ), nearkeep AS (
         SELECT MIN(node) AS keep FROM lab GROUP BY comp
-      ), near_removed AS (
+      ), near_removed AS MATERIALIZED (
         SELECT l.node FROM lab l
         LEFT JOIN nearkeep k ON l.node = k.keep WHERE k.keep IS NULL
       ), s AS (
@@ -1021,7 +1029,7 @@ object Dedup {
         SELECT src AS node, src AS comp FROM edges
         UNION
         SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
-      ), lab AS (
+      ), lab AS MATERIALIZED (
         SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
       ), sizes AS (
         SELECT comp, CAST(COUNT(*) AS BIGINT) AS csize FROM lab GROUP BY comp
@@ -1045,7 +1053,7 @@ object Dedup {
         SELECT src AS node, src AS comp FROM edges
         UNION
         SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
-      ), lab AS (
+      ), lab AS MATERIALIZED (
         SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
       ), sizes AS (
         SELECT comp, CAST(COUNT(*) AS BIGINT) AS csize FROM lab GROUP BY comp
@@ -1067,7 +1075,7 @@ object Dedup {
         SELECT src AS node, src AS comp FROM edges
         UNION
         SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
-      ), lab AS (
+      ), lab AS MATERIALIZED (
         SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
       )
       SELECT l.node AS doc_id, l.comp AS cluster, s.csize
@@ -1084,7 +1092,7 @@ object Dedup {
         SELECT src AS node, src AS comp FROM edges
         UNION
         SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
-      ), lab AS (
+      ), lab AS MATERIALIZED (
         SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
       ), q2 AS (
         SELECT doc_id, lang, LEN(toks) AS n_tok, MD5(text) AS digest
@@ -1112,7 +1120,7 @@ object Dedup {
         SELECT src AS node, src AS comp FROM edges
         UNION
         SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
-      ), lab AS (
+      ), lab AS MATERIALIZED (
         SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
       ), ${graft.operators.TextAnalysis.pplCtes(spark = false, px = "pp")},
       pdoc AS (
