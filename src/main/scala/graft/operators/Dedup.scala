@@ -664,8 +664,12 @@ object Dedup {
     // sized for sf10's ~2e9 pairs and under-splits at sf100):
     // max(parallelism term ⌈2·cores/|labels|⌉ — ≥2 task waves even on
     // tiny blocks; task-size term ⌈maxBlock²/2 / 2.5e8⌉ — caps a task
-    // at ~2.5e8 cosine pairs, the ~10 s grain that kept sf10 tasks
-    // balanced), clamped to 4096 (a-side shuffle replication is ×W, so
+    // at ~2.5e8 cosine pairs ≈ 75-85 s at the MEASURED kernel
+    // throughput of ~3.3M pairs/s/core (r16 probe_w event log; the
+    // grain was first estimated at ~10 s, optimistic 8× — kept at
+    // 2.5e8 deliberately: minute-scale tasks are normal batch grain,
+    // and halving it doubles the ×W a-side shuffle replication),
+    // clamped to 4096 (a-side shuffle replication is ×W, so
     // the one-sided salt's own envelope ends where n·W rows rival the
     // pair work — past that the answer is dedup_embedding_lsh, not a
     // wider salt). The two aggregates feeding W are |labels| rows
