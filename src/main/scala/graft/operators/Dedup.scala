@@ -618,11 +618,24 @@ object Dedup {
 
     // pipeline_curate + the CCNet perplexity gate (the curation stack a
     // modern LLM-data run actually ships): quality gate → exact-dedup
-    // representative → near-dup cluster representative → bigram-LM
-    // perplexity <= 30 (fluency cut). Pins that the perplexity operator
-    // COMPOSES with the dedup stack; the oracle chains the independent
-    // DuckDB formulations of all four stages (recursive-CTE components,
-    // prefixed perplexity CTEs) into one statement.
+    // representative → near-dup cluster representative → perplexity
+    // head+middle cut. THE GATE IS A QUANTILE, NOT A CONSTANT (r16 —
+    // the r15 adaptive-LSH lesson repeated: the original fixed
+    // `ppl <= 30` kept 0 of 500k docs at sf10 because the
+    // corpus-trained bigram LM's perplexity floor drifts up with
+    // corpus scale, min ppl 33.2 at sf10 — the operator silently
+    // degraded to useless while the oracle agreed by construction).
+    // CCNet itself splits by corpus perplexity terciles; we keep
+    // head+middle: t = the smallest ROUND(ppl,6) value with
+    // count(ppl ≤ t) ≥ ⌈2n/3⌉ (integer-exact (2n+2) div 3), gate
+    // ppl ≤ t, value-ties inclusive so no per-doc tie-break is
+    // needed. t is computed on the VALUE domain (groupBy ppl →
+    // cumulative count over distinct values, one broadcast scalar) —
+    // the equidepth-histogram discipline, not a global row sort, so
+    // the gate distributes at 100 TB. Pins that the perplexity
+    // operator COMPOSES with the dedup stack; the oracle chains the
+    // independent DuckDB formulations of all four stages into one
+    // statement, replicating t with the same windowed cumulative sum.
     "pipeline_curate_ppl" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       GraftFunctions.register(spark)
@@ -640,10 +653,24 @@ object Dedup {
       val reps = base.groupBy(col("digest")).agg(min(col("doc_id")).as("keep_id"))
       val ppl = TextAnalysis.queries("text_perplexity")(spark, sfDir)
         .select(col("doc_id"), col("ppl"))
+      // head+middle threshold on the value domain: distinct ppl values
+      // with cumulative doc counts (the window runs over |distinct ppl|
+      // rows, not |docs| rows), t = first value covering ⌈2n/3⌉ docs.
+      // One scalar crosses to the driver — bounded state.
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.orderBy(col("ppl"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hist = ppl.groupBy(col("ppl")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // cum ≥ ⌈2n/3⌉ ⟺ 3·cum ≥ 2n on integers — no division anywhere
+      val t = hist.where(col("cum") * 3 >= col("n") * 2)
+        .agg(min(col("ppl"))).collect()(0).getDouble(0)
       base.join(reps, base("doc_id") === reps("keep_id"))
         .join(nonRep, base("doc_id") === nonRep("drop_id"), "left_anti")
         .join(ppl, "doc_id")
-        .where(col("ppl") <= 30.0)
+        .where(col("ppl") <= t)
         .select(col("doc_id"), col("lang"), size(col("toks")).as("n_tok"), col("ppl"))
         .orderBy(col("doc_id"))
     }),
@@ -1115,7 +1142,10 @@ object Dedup {
       ORDER BY q2.doc_id""",
 
     // pipeline_curate's oracle + the prefixed perplexity CTE chain and
-    // the same <= 30 fluency cut
+    // the same head+middle quantile cut (t = min ppl with 3·cum ≥ 2n
+    // over the distinct-value cumulative counts — integer-exact, the
+    // identical criterion as the Spark side; pdoc MATERIALIZED: the
+    // ppl chain now has two consumers)
     "pipeline_curate_ppl" -> s"""
       WITH RECURSIVE $OraclePairsCte, edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM good
@@ -1127,10 +1157,18 @@ object Dedup {
       ), lab AS MATERIALIZED (
         SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
       ), ${graft.operators.TextAnalysis.pplCtes(spark = false, px = "pp")},
-      pdoc AS (
+      pdoc AS MATERIALIZED (
         SELECT doc_id,
                ROUND(EXP(-(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))), 6) AS ppl
         FROM ppsc GROUP BY doc_id
+      ), pthr AS (
+        SELECT MIN(ppl) AS t FROM (
+          SELECT ppl,
+                 SUM(COUNT(*)) OVER (ORDER BY ppl
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(COUNT(*)) OVER () AS n
+          FROM pdoc GROUP BY ppl)
+        WHERE cum * 3 >= n * 2
       ), q2 AS (
         SELECT doc_id, lang, LEN(toks) AS n_tok, MD5(text) AS digest
         FROM (SELECT doc_id, lang, text,
@@ -1146,7 +1184,7 @@ object Dedup {
       FROM q2 JOIN reps ON q2.doc_id = reps.keep_id
               JOIN pdoc ON q2.doc_id = pdoc.doc_id
       WHERE q2.doc_id NOT IN (SELECT doc_id FROM nonrep)
-        AND pdoc.ppl <= 30.0
+        AND pdoc.ppl <= (SELECT t FROM pthr)
       ORDER BY q2.doc_id""",
 
     // FULL INDEPENDENT REPLICATION of simhash, then the SAME 7-band
