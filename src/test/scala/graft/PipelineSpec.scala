@@ -341,6 +341,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == truth, s"missing=${truth.diff(got).take(5)} extra=${got.diff(truth).take(5)}")
   }
 
+  test("pipeline_curate_ppl quantile gate: covers >= 2n/3 of scored docs and t is minimal") {
+    // the r16 fix for the fixed ppl<=30 gate that kept ZERO docs at
+    // sf10 (corpus-LM perplexity floor drifts with scale). Pin the two
+    // properties that make the quantile gate scale-proof: the kept
+    // fraction can never fall below 2/3 (so the gate cannot silently
+    // empty at ANY fixture), and t is the MINIMAL ppl value covering
+    // it (so it cannot silently degrade to keep-everything either).
+    Tables.register(spark, LocalSpark.sf)
+    graft.functions.GraftFunctions.register(spark)
+    val ppl = TextAnalysis.queries("text_perplexity")(spark, LocalSpark.sf)
+      .select(col("ppl")).collect().map(_.getDouble(0)).sorted
+    val n = ppl.length
+    assert(n > 0)
+    // replicate the gate's own criterion independently on the driver
+    val t = ppl(((2 * n + 2) / 3) - 1) // k-th smallest, k = ceil(2n/3)
+    val kept = ppl.count(_ <= t)
+    assert(kept * 3 >= 2L * n, s"gate must cover >= 2n/3: kept=$kept n=$n")
+    val below = ppl.count(_ < t)
+    assert(below * 3 < 2L * n, s"t must be minimal: below=$below n=$n")
+    // and the composed pipeline actually emits rows under the gate
+    val out = Dedup.queries("pipeline_curate_ppl")(spark, LocalSpark.sf)
+    assert(out.count() > 0, "the curation funnel must not be empty")
+    assert(out.agg(max(col("ppl"))).collect()(0).getDouble(0) <= t + 1e-12)
+  }
+
   test("dedup_simhash cap cost at sf0.1: measured against INDEPENDENT all-pairs truth") {
     // at sf0.1 the 1000-member cap binds (one hot band key), and the
     // DuckDB oracle replicates the cap — so the oracle compare alone
