@@ -651,8 +651,11 @@ object Dedup {
         .where(size(col("toks")) >= 10 &&
           size(array_distinct(col("toks"))).cast("double") / size(col("toks")) >= 0.2)
       val reps = base.groupBy(col("digest")).agg(min(col("doc_id")).as("keep_id"))
+      // persist: the scored table feeds BOTH the threshold aggregate
+      // (driver collect) and the final join — without the cache the
+      // whole bigram-LM chain evaluates twice (measured +5 s at sf0.1)
       val ppl = TextAnalysis.queries("text_perplexity")(spark, sfDir)
-        .select(col("doc_id"), col("ppl"))
+        .select(col("doc_id"), col("ppl")).persist()
       // head+middle threshold on the value domain: distinct ppl values
       // with cumulative doc counts (the window runs over |distinct ppl|
       // rows, not |docs| rows), t = first value covering ⌈2n/3⌉ docs.
