@@ -668,8 +668,10 @@ object Dedup {
         .withColumn("n", sum(col("c")).over(
           Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       // cum ≥ ⌈2n/3⌉ ⟺ 3·cum ≥ 2n on integers — no division anywhere
-      val t = hist.where(col("cum") * 3 >= col("n") * 2)
-        .agg(min(col("ppl"))).collect()(0).getDouble(0)
+      val tRow = hist.where(col("cum") * 3 >= col("n") * 2)
+        .agg(min(col("ppl"))).collect()(0)
+      // empty scored table → empty funnel (not an NPE)
+      val t = if (tRow.isNullAt(0)) Double.NegativeInfinity else tRow.getDouble(0)
       base.join(reps, base("doc_id") === reps("keep_id"))
         .join(nonRep, base("doc_id") === nonRep("drop_id"), "left_anti")
         .join(ppl, "doc_id")

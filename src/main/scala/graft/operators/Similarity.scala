@@ -16,8 +16,8 @@ import graft.functions.GraftFunctions
   *    pe-bit buckets, pe = min p in [6,18] with n ≤ 64·2^p) —
   *    candidates come from an equi-join on (table, bucket),
   *    so at 100 TB the plan is shuffle-on-bucket + per-bucket top-k,
-  *    never a cross join. Probabilistic recall (AnnSpec measures it
-  *    against the brute-force truth) but fully deterministic output.
+  *    never a cross join. Probabilistic recall (PipelineSpec measures
+  *    it against the brute-force truth) but fully deterministic output.
   */
 object Similarity {
 
