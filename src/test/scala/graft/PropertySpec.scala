@@ -273,4 +273,87 @@ class PropertySpec extends AnyFunSuite {
     val lmShift = AudioFingerprint.landmarks(shifted).toSet
     assert(lm.map { case (fp, t) => (fp, t + 2) }.subsetOf(lmShift))
   }
+
+  // --- string-distance kernels (r16): the DuckDB oracle exercises them
+  // only on the TPC-H name distribution across four SFs; these add
+  // random-input coverage and pin the Hive/Java CODE-UNIT semantics
+  // (Hive's UDFs operate on UTF-16 units — deliberately NOT DuckDB's
+  // codepoints; the driver corpus is ASCII so the oracle never sees
+  // the difference, and this pin keeps the choice explicit).
+
+  private def dl(a: String, b: String): Int =
+    graft.functions.DamerauLevenshtein(
+      org.apache.spark.sql.catalyst.expressions.Literal(a),
+      org.apache.spark.sql.catalyst.expressions.Literal(b))
+      .kernel(org.apache.spark.unsafe.types.UTF8String.fromString(a),
+              org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  private val shortStr: Gen[String] =
+    Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+
+  test("damerau_levenshtein metric axioms on random strings (small alphabet forces transpositions)") {
+    check(Prop.forAll(shortStr, shortStr, shortStr) { (a, b, c) =>
+      val dab = dl(a, b)
+      dl(a, a) == 0 &&
+        dab == dl(b, a) &&                                   // symmetry
+        dab >= math.abs(a.length - b.length) &&              // lower bound
+        dab <= math.max(a.length, b.length) &&               // upper bound
+        dl(a, c) <= dab + dl(b, c)                           // triangle
+    })
+    // adjacent transposition is exactly one edit, wherever it sits
+    check(Prop.forAll(shortStr, shortStr) { (pre, post) =>
+      val s = pre + "xy" + post
+      val t = pre + "yx" + post
+      dl(s, t) == 1
+    })
+  }
+
+  test("jaro_winkler equals an independently transcribed reference on random strings") {
+    def ref(a: String, b: String): Double = {
+      val (la, lb) = (a.length, b.length)
+      if (la == 0 || lb == 0) return 0.0
+      val win = math.max(0, math.max(la, lb) / 2 - 1)
+      val used = Array.fill(lb)(false)
+      val amatch = new StringBuilder
+      val bIdx = mutable.ArrayBuffer.empty[Int]
+      for (i <- 0 until la) {
+        val cands = (math.max(0, i - win) to math.min(lb - 1, i + win))
+          .filter(j => !used(j) && b.charAt(j) == a.charAt(i))
+        cands.headOption.foreach { j => used(j) = true; amatch += a.charAt(i); bIdx += j }
+      }
+      val m = amatch.length
+      if (m == 0) return 0.0
+      val bmatch = bIdx.sorted.map(b.charAt).mkString
+      val half = amatch.toString.zip(bmatch).count { case (x, y) => x != y }
+      val t = half / 2
+      val jd = (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+      if (jd <= 0.7) jd
+      else {
+        val p = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.length
+        jd + 0.1 * p * (1.0 - jd)
+      }
+    }
+    val jw = (a: String, b: String) =>
+      graft.functions.JaroWinkler(
+        org.apache.spark.sql.catalyst.expressions.Literal(a),
+        org.apache.spark.sql.catalyst.expressions.Literal(b))
+        .kernel(org.apache.spark.unsafe.types.UTF8String.fromString(a),
+                org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    check(Prop.forAll(shortStr, shortStr) { (a, b) =>
+      math.abs(jw(a, b) - ref(a, b)) < 1e-12
+    })
+  }
+
+  test("string kernels use UTF-16 code units (Hive/Java parity), not codepoints") {
+    // U+1D11E (musical G clef) is a surrogate PAIR: 2 units vs 1 codepoint.
+    // Hive's UDFs run on Java chars, so distance('x', clef) is 2 — a
+    // codepoint implementation (DuckDB's) would say 1. The driver corpus
+    // is ASCII, so the oracle never exercises this; the pin keeps the
+    // reference-parity choice explicit.
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(clef.length == 2)
+    assert(dl("x", clef) == 2)
+    assert(dl(clef, clef) == 0)
+  }
 }
