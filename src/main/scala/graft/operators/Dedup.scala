@@ -244,6 +244,12 @@ object Dedup {
         FROM prs WHERE n_int / (na + nb - n_int) >= 0.8
       )"""
 
+  /** pipeline_curate_ppl's persisted scored table, released on the
+    * NEXT invocation (see the query's comment — bounds the cache
+    * ledger at one live entry per JVM instead of one per run). */
+  private val curatePplCacheSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content digest → keep lowest doc_id per digest.
     "dedup_exact" -> Tables.sql("""
@@ -627,15 +633,19 @@ object Dedup {
     // degraded to useless while the oracle agreed by construction).
     // CCNet itself splits by corpus perplexity terciles; we keep
     // head+middle: t = the smallest ROUND(ppl,6) value with
-    // count(ppl ≤ t) ≥ ⌈2n/3⌉ (integer-exact (2n+2) div 3), gate
+    // count(ppl ≤ t) ≥ ⌈2n/3⌉ (integer-exact 3·cum ≥ 2n), gate
     // ppl ≤ t, value-ties inclusive so no per-doc tie-break is
-    // needed. t is computed on the VALUE domain (groupBy ppl →
-    // cumulative count over distinct values, one broadcast scalar) —
-    // the equidepth-histogram discipline, not a global row sort, so
-    // the gate distributes at 100 TB. Pins that the perplexity
-    // operator COMPOSES with the dedup stack; the oracle chains the
-    // independent DuckDB formulations of all four stages into one
-    // statement, replicating t with the same windowed cumulative sum.
+    // needed. t comes from Quantiles.exactCutoff — the TWO-LEVEL
+    // value-domain cut (r17, closing r16 verdict #1: the previous
+    // single cumulative window over groupBy(ppl) ran one task over
+    // ~|docs| distinct 6-dp values; now the unpartitioned windows see
+    // only the FLOOR(ppl) integer grid, bounded by the value range,
+    // and the ≤1e6-value inside of the one boundary bucket — bounded
+    // single-task state at any corpus size, same t byte-for-byte).
+    // Pins that the perplexity operator COMPOSES with the dedup stack;
+    // the oracle chains the independent DuckDB formulations of all
+    // four stages into one statement, replicating both quantile
+    // levels with the same integer-exact criterion.
     "pipeline_curate_ppl" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       GraftFunctions.register(spark)
@@ -651,27 +661,23 @@ object Dedup {
         .where(size(col("toks")) >= 10 &&
           size(array_distinct(col("toks"))).cast("double") / size(col("toks")) >= 0.2)
       val reps = base.groupBy(col("digest")).agg(min(col("doc_id")).as("keep_id"))
-      // persist: the scored table feeds BOTH the threshold aggregate
-      // (driver collect) and the final join — without the cache the
-      // whole bigram-LM chain evaluates twice (measured +5 s at sf0.1)
+      // persist: the scored table feeds the two quantile passes (each
+      // collecting one row) and the final join — without the cache the
+      // whole bigram-LM chain evaluates 3× (measured +5 s at sf0.1).
+      // The slot bounds the cache footprint at ONE live entry across
+      // repeated invocations in a long-lived bench/driver JVM (r16
+      // ADVICE: per-invocation persist() with no unpersist leaked an
+      // entry per run; the final join consumes the cache lazily AFTER
+      // this function returns, so the earliest safe release is the
+      // NEXT invocation — unpersist on an already-cleared DF is a
+      // no-op, so harness-side clearCache() composes fine).
       val ppl = TextAnalysis.queries("text_perplexity")(spark, sfDir)
         .select(col("doc_id"), col("ppl")).persist()
-      // head+middle threshold on the value domain: distinct ppl values
-      // with cumulative doc counts (the window runs over |distinct ppl|
-      // rows, not |docs| rows), t = first value covering ⌈2n/3⌉ docs.
-      // One scalar crosses to the driver — bounded state.
-      import org.apache.spark.sql.expressions.Window
-      val wCum = Window.orderBy(col("ppl"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val hist = ppl.groupBy(col("ppl")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(wCum))
-        .withColumn("n", sum(col("c")).over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      // cum ≥ ⌈2n/3⌉ ⟺ 3·cum ≥ 2n on integers — no division anywhere
-      val tRow = hist.where(col("cum") * 3 >= col("n") * 2)
-        .agg(min(col("ppl"))).collect()(0)
-      // empty scored table → empty funnel (not an NPE)
-      val t = if (tRow.isNullAt(0)) Double.NegativeInfinity else tRow.getDouble(0)
+      Option(curatePplCacheSlot.getAndSet(ppl)).foreach(_.unpersist())
+      // head+middle cut: t = min value covering ⌈2n/3⌉ docs, computed
+      // by the two-level bounded-state quantile primitive (empty
+      // corpus → -Infinity → empty funnel, not an NPE)
+      val t = Quantiles.exactCutoff(ppl, "ppl", 2L, 3L)
       base.join(reps, base("doc_id") === reps("keep_id"))
         .join(nonRep, base("doc_id") === nonRep("drop_id"), "left_anti")
         .join(ppl, "doc_id")
@@ -1147,10 +1153,16 @@ object Dedup {
       ORDER BY q2.doc_id""",
 
     // pipeline_curate's oracle + the prefixed perplexity CTE chain and
-    // the same head+middle quantile cut (t = min ppl with 3·cum ≥ 2n
-    // over the distinct-value cumulative counts — integer-exact, the
-    // identical criterion as the Spark side; pdoc MATERIALIZED: the
-    // ppl chain now has two consumers)
+    // the same head+middle quantile cut, replicated at BOTH levels of
+    // the two-level value-domain form (r17): pstar = first FLOOR(ppl)
+    // grid bucket with 3·cum ≥ 2n (carrying the doc count below it),
+    // then t = min ppl inside that one bucket meeting the identical
+    // global criterion. pdoc uses text_perplexity's integer-grid ppl
+    // spelling verbatim (r16 ADVICE: the old decimal-sum/COUNT form is
+    // value-equal only while per-doc Σ|lp·1e6| < 2^53 — textual
+    // identity is the standing discipline and every doc's 6th decimal
+    // is now load-bearing for the quantile). pdoc/pstar MATERIALIZED:
+    // multi-referenced (the r16 DuckDB re-inlining rule).
     "pipeline_curate_ppl" -> s"""
       WITH RECURSIVE $OraclePairsCte, edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM good
@@ -1164,16 +1176,27 @@ object Dedup {
       ), ${graft.operators.TextAnalysis.pplCtes(spark = false, px = "pp")},
       pdoc AS MATERIALIZED (
         SELECT doc_id,
-               ROUND(EXP(-(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))), 6) AS ppl
+               ROUND(EXP(-(CAST(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*))), 6) AS ppl
         FROM ppsc GROUP BY doc_id
+      ), pstar AS MATERIALIZED (
+        SELECT g AS gstar, cum - c AS below, n FROM (
+          SELECT g, c,
+                 SUM(c) OVER (ORDER BY g
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER () AS n
+          FROM (SELECT CAST(FLOOR(ppl) AS BIGINT) AS g, COUNT(*) AS c
+                FROM pdoc GROUP BY 1))
+        WHERE cum * 3 >= n * 2
+        ORDER BY g LIMIT 1
       ), pthr AS (
         SELECT MIN(ppl) AS t FROM (
           SELECT ppl,
                  SUM(COUNT(*)) OVER (ORDER BY ppl
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-                 SUM(COUNT(*)) OVER () AS n
-          FROM pdoc GROUP BY ppl)
-        WHERE cum * 3 >= n * 2
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+          FROM pdoc, pstar
+          WHERE CAST(FLOOR(ppl) AS BIGINT) = pstar.gstar
+          GROUP BY ppl) w, pstar
+        WHERE (w.cumw + pstar.below) * 3 >= pstar.n * 2
       ), q2 AS (
         SELECT doc_id, lang, LEN(toks) AS n_tok, MD5(text) AS digest
         FROM (SELECT doc_id, lang, text,

@@ -83,6 +83,9 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "graph_sssp"                 -> "ExactGrid",     // FLOOR(1000000.0/w)->BIGINT
     "math_fns"                   -> "ExactGrid",     // p_size/100.0: 2-decimal exact pre-EXP
     "pack_sequences"             -> "ExactGrid",     // CEIL(n/2048.0): binary-exact divisor
+    "pipeline_curate_ppl"        -> "ExactGrid",     // text_perplexity's micro-int
+                                                     // sum /1e6-lit spelling,
+                                                     // verbatim (r17 ADVICE fix)
     "q17_small_qty_revenue"      -> "DoubleOperand", // CAST(... AS DOUBLE)/7.0
     "sample_coreset"             -> "DoubleOperand",
     "sample_neyman"              -> "ExactGrid",     // FLOOR(...)->BIGINT quantizations

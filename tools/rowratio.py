@@ -8,27 +8,66 @@ floor drifted past it).
 
 Flags queries whose big-fixture PASS row count is zero or SMALLER than
 their sf0.01 row count (1000x the data, fewer rows = a threshold or
-cap is probably silently degrading). Histogram/summary queries and
-fixed-probe-set queries (user_id <= 30, qid < 50) flag benignly — the
-point is to force one human look, not to auto-fail.
+cap is probably silently degrading). Suspects must either be in the
+ADJUDICATED_BENIGN ledger below (with the human verdict recorded) or
+the gate fails — this is a standing sweep stage as of r17, not a
+hand-run eyeball.
 
-Usage: python3 tools/rowratio.py <CORRECTNESS_rN.json> <ledger.jsonl>...
+Usage:
+  python3 tools/rowratio.py <CORRECTNESS_rN.json> <ledger.jsonl>...
+  python3 tools/rowratio.py --gate <CORRECTNESS_rN.json> <ledger.jsonl>...
+
+With --gate, exit 1 if any suspect is not adjudicated benign (sweep10
+close-out calls this form and records the result in its own ledger).
 """
 import json, re, sys
 
-small = {k: v.get('spark_rows') for k, v in json.load(open(sys.argv[1])).items()
-         if isinstance(v, dict)}
-big = {}
-for f in sys.argv[2:]:
-    for l in open(f):
-        r = json.loads(l)
-        m = re.match(r'^(\d+) rows$', r.get('detail', ''))
-        if r['status'] == 'pass' and m:
-            big[r['name']] = int(m.group(1))  # last status wins
+# Human-adjudicated benign suspects: queries whose big-SF row count
+# legitimately shrinks or stays flat. Every entry records WHY (the r16
+# verdicts, BASELINE "Row-ratio sweep" section). A NEW suspect fails
+# the gate until a human adds it here with a reason.
+ADJUDICATED_BENIGN = {
+    "graph_degree_stats": "outputs a degree HISTOGRAM — 5 distinct "
+        "degrees at sf10; the corpus mass is in the n_nodes column",
+    "events_asof_prior_view": "fixed user_id <= 30 probe set by design "
+        "(point-lookup serving shape, not a corpus scan)",
+}
 
-sus = [(n, small.get(n), r) for n, r in sorted(big.items())
-       if small.get(n) is not None and (r == 0 or (small[n] > 0 and r < small[n]))]
-for n, r0, r1 in sus:
-    print(f"SUSPECT {n}: small={r0} big={r1}")
-print(f"== {len(sus)} suspect of {len(big)} compared (each needs one "
-      f"human look; see module comments for the benign classes)")
+def suspects(correctness_path, ledger_paths):
+    small = {k: v.get('spark_rows')
+             for k, v in json.load(open(correctness_path)).items()
+             if isinstance(v, dict)}
+    big = {}
+    for f in ledger_paths:
+        for l in open(f):
+            r = json.loads(l)
+            m = re.match(r'^(\d+) rows$', r.get('detail', ''))
+            if r['status'] == 'pass' and m:
+                big[r['name']] = int(m.group(1))  # last status wins
+    sus = [(n, small.get(n), r) for n, r in sorted(big.items())
+           if small.get(n) is not None
+           and (r == 0 or (small[n] > 0 and r < small[n]))]
+    return sus, len(big)
+
+def main():
+    args = sys.argv[1:]
+    gate = args and args[0] == "--gate"
+    if gate:
+        args = args[1:]
+    sus, n_compared = suspects(args[0], args[1:])
+    uncleared = []
+    for n, r0, r1 in sus:
+        verdict = ADJUDICATED_BENIGN.get(n)
+        tag = f"benign ({verdict})" if verdict else "UNCLEARED"
+        if not verdict:
+            uncleared.append(n)
+        print(f"SUSPECT {n}: small={r0} big={r1} -> {tag}")
+    print(f"== {len(sus)} suspect of {n_compared} compared, "
+          f"{len(uncleared)} uncleared ==")
+    if gate and uncleared:
+        print(f"GATE FAIL: adjudicate {uncleared} (fix the operator or "
+              f"record a benign verdict in ADJUDICATED_BENIGN)")
+        sys.exit(1)
+
+if __name__ == "__main__":
+    main()

@@ -88,12 +88,13 @@ def compare_one(con, name, sql, outdir):
         bad = [(c, str(a), str(b)) for c, a, b
                in zip(sdf.columns, sdf.dtypes, odf.dtypes) if a.kind != b.kind]
         return ("fail", f"dtype-kind drift {bad}")
-    # fail-loud on array/map cells anywhere in the column, not just row
-    # 0 (a None first cell would fall through to str() equality, where
-    # numpy's elided '...' repr of long arrays can produce a false PASS)
+    # fail-loud on array/map cells anywhere in the column — ALL non-null
+    # cells are scanned (r16 ADVICE: checking only the first let a
+    # mixed scalar-then-array column surface later as a mid-compare
+    # 'err' from cell_equal instead of this column-level 'fail')
     def has_container(series):
         nn = series.dropna()
-        return len(nn) > 0 and isinstance(nn.iloc[0], (np.ndarray, list, dict))
+        return any(isinstance(v, (np.ndarray, list, dict)) for v in nn)
     bad_cols = [c for c in sdf.columns
                 if sdf[c].dtype == object and has_container(sdf[c])]
     if bad_cols:
@@ -164,6 +165,31 @@ def main():
         if status == "pass": n_pass += 1
         else: n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail-or-err / {n_skip} already-done ==")
+    # Standing close-out stage (r17, verdict #3): on a FULL sweep, run
+    # the cross-SF row-ratio gate against the newest driver correctness
+    # artifact — zero/shrinking outputs on 1000x data mean a threshold
+    # or cap silently degraded even though every compare PASSed. The
+    # verdict lands in the ledger; an uncleared suspect fails the run.
+    if only is None:
+        import rowratio, re as _re
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        corrs = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
+                       key=lambda p: int(_re.search(r"_r(\d+)\.json$", p).group(1)))
+        if not corrs:
+            print("rowratio: no CORRECTNESS_r*.json found — gate skipped")
+            return
+        sus, n_cmp = rowratio.suspects(corrs[-1], [ledger_path])
+        uncleared = [n for n, _, _ in sus if n not in rowratio.ADJUDICATED_BENIGN]
+        rec = {"name": "_rowratio_gate",
+               "status": "fail" if uncleared else "pass",
+               "detail": f"{len(sus)} suspect of {n_cmp} vs {os.path.basename(corrs[-1])}; "
+                         f"uncleared={uncleared}; "
+                         f"benign={[n for n, _, _ in sus if n in rowratio.ADJUDICATED_BENIGN]}"}
+        with open(ledger_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"ROWRATIO {rec['status'].upper()}: {rec['detail']}")
+        if uncleared:
+            sys.exit(1)
 
 if __name__ == "__main__":
     main()
