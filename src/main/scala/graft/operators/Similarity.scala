@@ -587,6 +587,122 @@ object Similarity {
       ORDER BY qid, is_pos DESC, rn"""
   }
 
+  /** The LSH bucket geometry shared by the batch and indexed-serving
+    * paths: 16 tables, ADAPTIVE planes — pe = smallest p in [6, 18]
+    * with n ≤ 64·2^p (the r15 finding: a fixed plane count lets
+    * per-bucket occupancy, and so probe cost, grow linearly with the
+    * corpus). Integer-exact; `graft.ann.lshTables`/`lshPlanes` knobs
+    * override for deployment tuning (DiagLshKnob), but the driver
+    * never sets them, so every oracled run is adaptive. */
+  private[graft] def lshGeometry(spark: SparkSession,
+                                 emb: DataFrame): (Int, Int) = {
+    val tables = spark.conf.getOption("graft.ann.lshTables")
+      .map(_.toInt).getOrElse(16)
+    val planes = spark.conf.getOption("graft.ann.lshPlanes")
+      .map(_.toInt).getOrElse {
+        val n = emb.count()
+        val pe = (6 to 18).find(p => n <= 64L * (1L << p)).getOrElse(18)
+        System.err.println(s"[graft-scale] ann_lsh pe=$pe n=$n")
+        pe
+      }
+    // buckets are encoded as a signed-Int bitmask of plane signs and
+    // signs are indexed per table — out-of-range knobs would corrupt
+    // buckets (planes > 31 overflows 1 << p) or crash deep inside the
+    // kernel (tables = 0). Fail here with the knob's own name.
+    require(tables >= 1,
+      s"graft.ann.lshTables must be >= 1 (got $tables)")
+    require(planes >= 1 && planes <= 31,
+      s"graft.ann.lshPlanes must be in [1, 31] (got $planes): bucket " +
+        "ids are signed-Int sign masks")
+    (tables, planes)
+  }
+
+  // ------------------------------------------------------------------
+  // ANN serving path (r16 verdict "What's missing #2"): the batch LSH
+  // query recomputes bucketing every run (~2.5e9 sign multiplies at
+  // sf10/pe=12 — the r16 probe-cost record shows it dominating batch
+  // wall-time ~1000×), so the 64× candidate shrink only pays when the
+  // buckets are a PERSISTED index and probes are online. This is that
+  // split: build once into a Hive-bucketed, key-sorted file layout;
+  // serve a probe batch as a driver-pruned, broadcast-joined lookup.
+  // ------------------------------------------------------------------
+
+  /** Hive bucket-file count of the persisted LSH index. Fixed at the
+    * fixture SFs; at deployment it scales with the corpus (it is a
+    * file-layout grain, ~index_bytes / target_file_size — the probe
+    * path only ever opens the files its keys hash to, so the count
+    * changes cost, not semantics). */
+  private val IndexBuckets = 64
+  private val indexLock = new Object
+
+  /** Builds (once per warehouse, marker-gated) the persisted LSH index
+    * for `sfDir`'s embeddings: rows (key, vec_id, embedding) where
+    * key = tbl·2^planes + bucket, routed into `IndexBuckets` Hive
+    * bucket files by HiveHash(key) and SORTED by key inside each file
+    * (parquet row-group stats make per-key reads sub-file). The
+    * embedding rides IN the index (the Faiss inverted-list discipline:
+    * ~tables× storage so the probe path never touches the base table).
+    * Build = one map pass (bucketing kernel) + the one routing shuffle.
+    * Returns (dir, tables, planes) — geometry is read back from the
+    * index's own meta file on reuse, so a probe batch never recounts
+    * the corpus. */
+  private[graft] def lshIndexFixture(spark: SparkSession,
+                                     sfDir: String): (String, Int, Int) =
+    indexLock.synchronized {
+      import org.apache.hadoop.fs.Path
+      val base = spark.conf.get("spark.sql.warehouse.dir") + "/_graft_fixtures"
+      val dir = s"$base/lsh_index_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      val meta = new Path(dir, "_LSH_META")
+      val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new Path(dir, "_BUCKETS_OK")) && fs.exists(meta)) {
+        val in = fs.open(meta)
+        val line = scala.io.Source.fromInputStream(in).mkString.trim
+        in.close()
+        val Array(t, p) = line.split(",").map(_.toInt)
+        (dir, t, p)
+      } else {
+        Tables.register(spark, sfDir)
+        GraftFunctions.register(spark)
+        val emb = spark.table("embeddings")
+        val (tables, planes) = lshGeometry(spark, emb)
+        val rows = emb
+          .withColumn("bs",
+            GraftFunctions.lsh_buckets(col("embedding"), tables, planes))
+          .select(col("vec_id"), col("embedding"),
+            posexplode(col("bs")).as(Seq("tbl", "bucket")))
+          .select(
+            (col("tbl").cast("long") * (1L << planes) + col("bucket"))
+              .as("key"),
+            col("vec_id"), col("embedding"))
+        graft.sources.HiveBucketedIO.writeBucketed(
+          rows, dir, IndexBuckets, Seq(col("key")), col("key"))
+        val out = fs.create(meta, true)
+        out.write(s"$tables,$planes".getBytes("UTF-8"))
+        out.close()
+        (dir, tables, planes)
+      }
+    }
+
+  /** Driver-pruned index read for a probe key set: each key's Hive
+    * bucket file is decided with the driver-side hash (the
+    * `source_hive_bucket_lookup` discipline — the scan never opens the
+    * other buckets), then the key equi-filter is pushed into the
+    * parquet scan where the within-file key sort turns it into
+    * row-group pruning. Returns the scan plus the chosen file ids so
+    * the plan gate can assert the pruning held. */
+  private[graft] def prunedIndexScan(spark: SparkSession, dir: String,
+                                     keys: Seq[Long]): (DataFrame, Seq[Int]) = {
+    val hit = keys
+      .map(k => graft.sources.HiveBucketedIO.bucketIdOf(IndexBuckets, k))
+      .distinct.sorted
+    val scan =
+      if (hit.isEmpty) // empty probe batch: schema-only, zero files
+        graft.sources.HiveBucketedIO.readBucketFile(spark, dir, 0).limit(0)
+      else graft.sources.HiveBucketedIO.readBucketFiles(spark, dir, hit)
+    (scan.where(col("key").isin(keys: _*)), hit)
+  }
+
   val queries: Map[String, Q] = Map(
     "link_blocking_metrics" -> gsql(blockingMetricsSql(spark = true)),
     "embed_hard_negatives" -> gsql(hardNegSql(spark = true)),
@@ -828,38 +944,15 @@ object Similarity {
     "ann_lsh_bucketed" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       val emb = spark.table("embeddings")
-      // PLANES ARE ADAPTIVE, the same pe = smallest p in [6, 18] with
-      // n ≤ 64·2^p discipline as dedup_embedding_lsh (the r15 finding:
-      // with a fixed plane count per-bucket occupancy — and so probe
-      // cost — grows linearly with the corpus; the measured sf1→sf10
-      // candidate exponent was 0.98, ~3125-member buckets at sf10 vs
-      // the 64-member design point). Integer-exact (no float log2),
-      // identical arithmetic in the oracle, which masks an 18-plane
-      // bucket to the low pe bits — valid because bucket bit p is
-      // plane p and signs are seeded per (table, plane, dim)
-      // independent of the plane count, so pe planes equal the first
-      // pe of any larger family and pe=6 SFs (the driver fixtures)
-      // stay byte-stable vs the old fixed-6 geometry. Explicit knobs
-      // still override for deployment tuning (DiagLshKnob), but the
-      // driver never sets them, so every oracled run is adaptive.
-      val tables = spark.conf.getOption("graft.ann.lshTables")
-        .map(_.toInt).getOrElse(16)
-      val planes = spark.conf.getOption("graft.ann.lshPlanes")
-        .map(_.toInt).getOrElse {
-          val n = emb.count()
-          val pe = (6 to 18).find(p => n <= 64L * (1L << p)).getOrElse(18)
-          System.err.println(s"[graft-scale] ann_lsh_bucketed pe=$pe n=$n")
-          pe
-        }
-      // buckets are encoded as a signed-Int bitmask of plane signs and
-      // signs are indexed per table — out-of-range knobs would corrupt
-      // buckets (planes > 31 overflows 1 << p) or crash deep inside the
-      // kernel (tables = 0). Fail here with the knob's own name.
-      require(tables >= 1,
-        s"graft.ann.lshTables must be >= 1 (got $tables)")
-      require(planes >= 1 && planes <= 31,
-        s"graft.ann.lshPlanes must be in [1, 31] (got $planes): bucket " +
-          "ids are signed-Int sign masks")
+      // PLANES ARE ADAPTIVE — lshGeometry's pe = min p in [6,18] with
+      // n ≤ 64·2^p, shared with dedup_embedding_lsh and the persisted
+      // index. The oracle replicates it by masking an 18-plane bucket
+      // to the low pe bits — valid because bucket bit p is plane p and
+      // signs are seeded per (table, plane, dim) independent of the
+      // plane count, so pe planes equal the first pe of any larger
+      // family and pe=6 SFs (the driver fixtures) stay byte-stable vs
+      // the old fixed-6 geometry.
+      val (tables, planes) = lshGeometry(spark, emb)
       val bucketed = emb
         .withColumn("bs", GraftFunctions.lsh_buckets(col("embedding"), tables, planes))
         .select(col("vec_id"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
@@ -877,6 +970,53 @@ object Similarity {
         .join(emb.select(col("vec_id").as("nid"), col("embedding")), "nid")
         .join(broadcast(qemb), "qid")
         .withColumn("cos", round(GraftFunctions.cosine_sim(col("qemb"), col("embedding")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("qid"), col("nid"), col("cos"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ANN serving path over the PERSISTED LSH index (build/probe
+    // split — see lshIndexFixture): the same 50-query batch and the
+    // same top-3 answer as ann_lsh_bucketed, but candidate generation
+    // never recomputes corpus bucketing — probe keys (|batch|·tables
+    // of them, bounded by the batch) are hashed on the driver to
+    // exactly their bucket files, the key filter row-group-prunes
+    // inside those files, and candidates arrive WITH their embeddings
+    // (the index carries them), so the base table is touched only for
+    // the 50 query vectors. Equality with the batch form is the
+    // oracle; the file-pruning and within-file-sort contracts are
+    // AnnIndexSpec's plan gates.
+    "ann_lsh_probe_indexed" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      GraftFunctions.register(spark)
+      val (dir, tables, planes) = lshIndexFixture(spark, sfDir)
+      val emb = spark.table("embeddings")
+      val qemb = emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      // probe key set crosses to the driver: |batch|×tables rows
+      val qkeys = qemb
+        .withColumn("bs",
+          GraftFunctions.lsh_buckets(col("qemb"), tables, planes))
+        .select(col("qid"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
+        .select(col("qid"),
+          (col("tbl").cast("long") * (1L << planes) + col("bucket")).as("key"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val (pruned, _) = prunedIndexScan(spark, dir, qkeys.map(_._2).distinct)
+      import spark.implicits._
+      val qk = qkeys.toSeq.toDF("qid", "key")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      pruned.join(broadcast(qk), "key")
+        .where(col("qid") =!= col("vec_id"))
+        // same (qid, nid) from several tables carries an identical
+        // embedding copy — candidate set is batch-bounded, so the
+        // distinct may keep the vector (no corpus-scale wide shuffle)
+        .select(col("qid"), col("vec_id").as("nid"), col("embedding"))
+        .distinct()
+        .join(broadcast(qemb), "qid")
+        .withColumn("cos",
+          round(GraftFunctions.cosine_sim(col("qemb"), col("embedding")), 6))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .select(col("qid"), col("nid"), col("cos"), col("rn"))
@@ -963,6 +1103,32 @@ object Similarity {
         FROM dots GROUP BY vec_id, t
       )"""
 
+  /** The LSH top-3 replication shared by the batch query and the
+    * indexed serving path (which must return the identical answer). */
+  private val AnnLshTopkOracleSql = s"""
+      WITH ${lshBucketCtes(16, 18)}, pe AS (
+        SELECT COALESCE(MIN(p), 18) AS p
+        FROM range(6, 19) r(p)
+        WHERE (SELECT COUNT(*) FROM e) <= 64 * (CAST(1 AS BIGINT) << p)
+      ), bkt AS (
+        SELECT vec_id, t,
+               bucket & ((1 << (SELECT p FROM pe)) - 1) AS bucket
+        FROM buckets
+      ), cand AS (
+        SELECT DISTINCT q.vec_id AS qid, n.vec_id AS nid
+        FROM bkt q JOIN bkt n ON q.t = n.t AND q.bucket = n.bucket
+        WHERE q.vec_id < 50 AND q.vec_id <> n.vec_id
+      ), scored AS (
+        SELECT c.qid, c.nid,
+               ROUND(LIST_COSINE_SIMILARITY(eq.emb, en.emb), 6) AS cos
+        FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e en ON en.vec_id = c.nid
+      )
+      SELECT qid, nid, cos, rn FROM (
+        SELECT qid, nid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        FROM scored)
+      WHERE rn <= 3 ORDER BY qid, rn"""
+
   val oracle: Map[String, String] = Map(
     "link_blocking_metrics" -> blockingMetricsSql(spark = false),
     "embed_hard_negatives" -> hardNegSql(spark = false),
@@ -997,29 +1163,13 @@ object Similarity {
     // query. Planes replicate the ADAPTIVE pe (same integer minimum
     // as the Spark side; the 18-plane bucket masked to its low pe
     // bits IS the pe-plane bucket — see dedup_embedding_lsh).
-    "ann_lsh_bucketed" -> s"""
-      WITH ${lshBucketCtes(16, 18)}, pe AS (
-        SELECT COALESCE(MIN(p), 18) AS p
-        FROM range(6, 19) r(p)
-        WHERE (SELECT COUNT(*) FROM e) <= 64 * (CAST(1 AS BIGINT) << p)
-      ), bkt AS (
-        SELECT vec_id, t,
-               bucket & ((1 << (SELECT p FROM pe)) - 1) AS bucket
-        FROM buckets
-      ), cand AS (
-        SELECT DISTINCT q.vec_id AS qid, n.vec_id AS nid
-        FROM bkt q JOIN bkt n ON q.t = n.t AND q.bucket = n.bucket
-        WHERE q.vec_id < 50 AND q.vec_id <> n.vec_id
-      ), scored AS (
-        SELECT c.qid, c.nid,
-               ROUND(LIST_COSINE_SIMILARITY(eq.emb, en.emb), 6) AS cos
-        FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e en ON en.vec_id = c.nid
-      )
-      SELECT qid, nid, cos, rn FROM (
-        SELECT qid, nid, cos,
-               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
-        FROM scored)
-      WHERE rn <= 3 ORDER BY qid, rn""",
+    "ann_lsh_bucketed" -> AnnLshTopkOracleSql,
+
+    // the serving path must return EXACTLY the batch form's top-k —
+    // same candidate set by construction (the index stores the same
+    // (tbl, bucket) memberships it would recompute), same rerank —
+    // so the oracle is the identical replication
+    "ann_lsh_probe_indexed" -> AnnLshTopkOracleSql,
 
     // independent IVF replication: same deterministic coarse quantizer
     // (pivots = vec_id < 32, nearest-pivot assignment with pid

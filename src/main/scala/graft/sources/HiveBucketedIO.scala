@@ -53,9 +53,19 @@ object HiveBucketedIO {
 
   /** Writes `df` into Hive bucket-file layout under `dir` (parquet
     * content, Hive file naming/routing). Fixture-scale: one filtered
-    * pass: see below. */
+    * pass: see below.
+    *
+    * `sortWithin` (r17, the ANN index path): secondary sort columns
+    * applied INSIDE each bucket's task after the bucket routing — rows
+    * land in the bucket file in that order, so parquet row-group
+    * min/max statistics on those columns become selective and a
+    * key-filtered read decodes only the matching row groups (Hive's
+    * own `SORTED BY` clustered-table contract). No extra pass: the
+    * dynamic-partition writer's required ordering (partition column
+    * prefix) is already satisfied by the explicit sort, so the write
+    * planner inserts no second sort on top. */
   def writeBucketed(df: DataFrame, dir: String, numBuckets: Int,
-                    keys: Column*): Unit = {
+                    sortWithin: Seq[Column], keys: Column*): Unit = {
     val spark = df.sparkSession
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -70,9 +80,12 @@ object HiveBucketedIO {
     // writes one file per directory.)
     val staging = new Path(dir + "_staging")
     if (fs.exists(staging)) fs.delete(staging, true)
-    df.withColumn("__bucket", bucketIdColumn(numBuckets, keys: _*))
+    val routed = df.withColumn("__bucket", bucketIdColumn(numBuckets, keys: _*))
       .repartition(numBuckets, col("__bucket"))
-      .write.partitionBy("__bucket").parquet(staging.toString)
+    val ordered =
+      if (sortWithin.isEmpty) routed
+      else routed.sortWithinPartitions(col("__bucket") +: sortWithin: _*)
+    ordered.write.partitionBy("__bucket").parquet(staging.toString)
     fs.mkdirs(out)
     try {
       for (n <- 0 until numBuckets) {
@@ -100,6 +113,12 @@ object HiveBucketedIO {
     fs.create(new Path(out, "_BUCKETS_OK")).close()
   }
 
+  /** Unsorted-file form (the pre-r17 signature, kept for plain
+    * bucket-routing callers). */
+  def writeBucketed(df: DataFrame, dir: String, numBuckets: Int,
+                    keys: Column*): Unit =
+    writeBucketed(df, dir, numBuckets, Nil, keys: _*)
+
   /** Reads one bucket file (1/numBuckets of the table's bytes). */
   def readBucketFile(spark: SparkSession, dir: String, n: Int): DataFrame =
     spark.read.parquet(new Path(dir, bucketFileName(n)).toString)
@@ -108,6 +127,15 @@ object HiveBucketedIO {
   def readAll(spark: SparkSession, dir: String, numBuckets: Int): DataFrame =
     spark.read.parquet(
       (0 until numBuckets).map(n => new Path(dir, bucketFileName(n)).toString): _*)
+
+  /** ONE scan over a chosen subset of bucket files — the multi-key
+    * pruned read (each probe key's file is decided on the driver via
+    * `bucketIdOf`; the scan never opens the other buckets). */
+  def readBucketFiles(spark: SparkSession, dir: String,
+                      ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty, "empty bucket-file selection")
+    spark.read.parquet(ns.map(n => new Path(dir, bucketFileName(n)).toString): _*)
+  }
 
   /** Bucket-pruned point lookup: hashes the literal on the driver,
     * scans only that bucket's file, applies the key equality as the
