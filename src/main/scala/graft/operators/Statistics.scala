@@ -165,32 +165,40 @@ object Statistics {
       ORDER BY pri_a, pri_b"""
 
   /** Mann–Whitney U (urgent vs low priority, order value): rank-based,
-    * so it needs one global sort of the combined sample — the same
-    * cost class as any ranked report. Tie handling is exact: doubled
-    * mid-ranks (2·rank + ties − 1) stay integral, so the rank sum
-    * reduces exactly and the normal-approximation z (with the tie
-    * correction) is a single double formula. */
+    * but computed on the VALUE DOMAIN, not by ranking rows (r17, the
+    * Quantiles discipline): the doubled mid-rank 2·rank + ties − 1 is
+    * CONSTANT across a value's tie group — it equals 2·cb + c + 1
+    * where cb = rows strictly below v and c = rows at v — so the rank
+    * sum is Σ_v c₁(v)·(2·cb(v)+c(v)+1) over the value histogram. The
+    * one unpartitioned cumulative window runs over distinct v (the
+    * cents grid — bounded by the PRICE RANGE, not the corpus; the old
+    * per-row RANK() was a corpus-scale single-task sort). Integer
+    * arithmetic throughout, value-identical to the row-rank form. */
   private val MannWhitneySql = """
       WITH x AS (
         SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
                CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
         FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
       ),
-      r AS (
-        SELECT grp, v,
-               CAST(2 * RANK() OVER (ORDER BY v)
-                    + COUNT(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS dr
-        FROM x
+      h AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM x GROUP BY v
+      ),
+      w AS (
+        SELECT v, c, c1,
+               SUM(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cb
+        FROM h
       ),
       t AS (
-        SELECT CAST(SUM(CASE WHEN grp = 1 THEN dr ELSE 0 END) AS DOUBLE) / 2 AS r1,
-               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
-               CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2
-        FROM r
+        SELECT CAST(SUM(c1 * (2 * cb + c + 1)) AS DOUBLE) / 2 AS r1,
+               CAST(SUM(c1) AS DOUBLE) AS n1,
+               CAST(SUM(c - c1) AS DOUBLE) AS n2
+        FROM w
       ),
       ties AS (
-        SELECT CAST(SUM(c * c * c - c) AS DOUBLE) AS tc
-        FROM (SELECT COUNT(*) AS c FROM x GROUP BY v) tg
+        SELECT CAST(SUM(c * c * c - c) AS DOUBLE) AS tc FROM h
       )
       SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
              ROUND(r1 - n1 * (n1 + 1) / 2, 1) AS u_stat,
@@ -328,8 +336,14 @@ object Statistics {
                CAST(SUM(n) AS BIGINT) AS nt,
                CAST(SUM(s) AS BIGINT) AS st,
                CAST(SUM(ss) AS DECIMAL(37,0)) AS sst,
-               CAST(SUM(CAST(q AS DECIMAL(12,0)) * CAST(q AS DECIMAL(12,0))
-                          * CAST(n AS DECIMAL(12,0))
+               -- q²n first factor DECIMAL(19): INT128 storage, real
+               -- width algebra (the class-10 INT64 clamp would cap
+               -- D(12)×D(12) at D(18) and overflow past sf100); the
+               -- product down-casts to D(36) BEFORE the add so the
+               -- addition stays ≤ 38 wide (class 8: a 39-wide add
+               -- silently goes DOUBLE in DuckDB)
+               CAST(SUM(CAST(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(12,0))
+                               * CAST(n AS DECIMAL(12,0)) AS DECIMAL(36,0))
                         + CAST(2 * q * r
                                + CAST(FLOOR(CAST(r AS DOUBLE) * r / n) AS BIGINT)
                                AS DECIMAL(36,0))) AS DECIMAL(37,0)) AS sq
@@ -394,44 +408,57 @@ object Statistics {
 
   /** Kruskal–Wallis rank-based one-way test across all five order
     * priorities (the nonparametric companion of stats_anova, built on
-    * the Mann–Whitney doubled-mid-rank discipline): H from exact
-    * integer rank sums with the tie correction, one global rank
-    * window + two aggregates. */
+    * the Mann–Whitney doubled-mid-rank discipline — and like it (r17)
+    * computed on the VALUE DOMAIN: per-(value, group) histogram counts
+    * join the value-level cumulative, s2 = Σ_v cg·(2·cb+c+1); the one
+    * unpartitioned window runs over the whole-dollar price grid,
+    * bounded by the price RANGE, never over rows): H from exact
+    * integer rank sums with the tie correction. */
   private val KruskalSql = """
       WITH x AS (
         SELECT o_orderpriority AS pri,
                CAST(ROUND(o_totalprice) AS BIGINT) AS v
         FROM orders
       ),
-      r AS (
-        SELECT pri, v,
-               CAST(2 * RANK() OVER (ORDER BY v)
-                    + COUNT(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS dr
-        FROM x
+      h AS (
+        SELECT v, pri, CAST(COUNT(*) AS BIGINT) AS cg
+        FROM x GROUP BY v, pri
+      ),
+      hv AS (
+        SELECT v, CAST(SUM(cg) AS BIGINT) AS c FROM h GROUP BY v
+      ),
+      w AS (
+        SELECT v, c,
+               SUM(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cb
+        FROM hv
       ),
       g AS (
-        SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(dr) AS BIGINT) AS s2
-        FROM r GROUP BY pri
+        SELECT h.pri, CAST(SUM(h.cg) AS BIGINT) AS n,
+               CAST(SUM(h.cg * (2 * w.cb + w.c + 1)) AS BIGINT) AS s2
+        FROM h JOIN w ON h.v = w.v
+        GROUP BY h.pri
       ),
       -- rank-sum square term Σ s2²/(4n), EXACT and order-free (the r13
       -- divergence class 2 a decade up: the old ROUND(rs*rs/n) BIGINT
       -- crossed Long.Max at sf10 — measured 1.7e20). Remainder-free
       -- decomposition with q = ⌊s2/(2n)⌋, r = s2 − q·2n:
       --   s2²/(4n) = q²·n + q·r + ⌊r²/(4n)⌋   (fraction dropped, both
-      -- engines identically). Every piece is BIGINT-exact except q²·n,
-      -- which runs DECIMAL(13,0)×DECIMAL(13,0)×DECIMAL(11,0) with BOTH
-      -- q factors cast BEFORE the multiply, so the square itself is
-      -- width-safe and any q ≥ 1e13 fails LOUDLY at the cast (q·q in
-      -- BIGINT was exact only while q² stayed under 2^63; past that
-      -- Spark non-ANSI wraps SILENTLY where DuckDB errors — the worst
-      -- divergence class). Widths: q²n ≤ 1e26·1e11 needs ≤ 37 digits,
-      -- legal in both engines with no implicit integer promotion (a
-      -- bare BIGINT factor lets DuckDB pick the width, and past 38 it
-      -- silently falls back to DOUBLE). FLOOR-of-double-division is
-      -- exact while s2 < 2^53·(1/1) margin: safe through sf100
-      -- (s2 ≤ ~9e15 there), the binding envelope — q < 1e13/n < 1e11
-      -- sit far outside it.
+      -- engines identically). Every piece is BIGINT-exact except q²·n.
+      -- WIDTH TRAP (divergence class 10, found LIVE at the r17 sf10
+      -- re-sweep): DuckDB 1.0.0 computes a product of two decimals
+      -- that BOTH fit INT64 storage (width ≤ 18) in INT64 and only
+      -- CLAMPS the result width at 18 — D(13)×D(13) is D(18,0), so
+      -- q²·n ≈ 1.7e20 overflowed LOUDLY at sf10 (never silently). The
+      -- first factor is cast DECIMAL(19,0) — INT128 storage — which
+      -- restores real width algebra: D(19)×D(13) = D(32), ×D(11)
+      -- clamps to D(38), exact at scale 0 while the product < 1e38
+      -- (q < 1e13 by construction, q²n < 1e37; Spark runs
+      -- D(33)→D(38)-capped, exact at scale 0 — both engines
+      -- overflow-check, neither silently doubles a MULTIPLY; the
+      -- silent-DOUBLE class 8 is add/sub only).
+      -- FLOOR-of-double-division is exact while s2 < 2^53 margin:
+      -- safe through sf100 (s2 ≤ ~9e15 there), the binding envelope.
       gq AS (
         SELECT n, s2,
                CAST(FLOOR(CAST(s2 AS DOUBLE) / (2 * n)) AS BIGINT) AS q
@@ -440,14 +467,13 @@ object Statistics {
       gd AS (SELECT n, q, s2 - q * 2 * n AS r FROM gq),
       t AS (
         SELECT CAST(SUM(n) AS BIGINT) AS nt,
-               SUM(CAST(q AS DECIMAL(13,0)) * CAST(q AS DECIMAL(13,0))
+               SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(13,0))
                    * CAST(n AS DECIMAL(11,0))) AS rq_hi,
                SUM(q * r + CAST(FLOOR(CAST(r AS DOUBLE) * r / (4 * n)) AS BIGINT)) AS rq_lo
         FROM gd
       ),
       ties AS (
-        SELECT CAST(SUM(c * c * c - c) AS DOUBLE) AS tc
-        FROM (SELECT COUNT(*) AS c FROM x GROUP BY v) tg
+        SELECT CAST(SUM(c * c * c - c) AS DOUBLE) AS tc FROM hv
       )
       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS k, nt,
              ROUND((12.0E0 * (CAST(rq_hi AS DOUBLE) + CAST(rq_lo AS DOUBLE))
