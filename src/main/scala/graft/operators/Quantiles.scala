@@ -85,8 +85,13 @@ object Quantiles {
                   num: Long, den: Long): Double = {
     require(num >= 0 && den > 0 && num <= den,
       s"quantile fraction must be in [0, 1]: $num/$den")
+    // NaN is excluded like NULL (r17 review finding): Spark's
+    // double→long cast sends FLOOR(NaN) to bucket 0, silently counting
+    // unscored rows below every real value and skewing n — and a
+    // DuckDB twin of a caller's gate would ERROR on the same cast, the
+    // worst cross-engine divergence class. Unscored rows don't vote.
     val v = values.select(col(valueCol).cast("double").as("v"))
-      .where(col("v").isNotNull)
+      .where(col("v").isNotNull && !isnan(col("v")))
     val hit = gridHitDf(v, num, den).collect()
     if (hit.isEmpty) Double.NegativeInfinity
     else {

@@ -635,6 +635,23 @@ object Similarity {
   private val IndexBuckets = 64
   private val indexLock = new Object
 
+  /** Metadata-only fingerprint of the embeddings source (file names,
+    * sizes, mtimes — an FS listing, no job): the index-staleness
+    * signal. A regenerated corpus changes it; the fixture rebuilds. */
+  private def embSourceFingerprint(spark: SparkSession,
+                                   sfDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$sfDir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+      else Array(fs.getFileStatus(p))
+    val sig = stats.map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}").mkString("|")
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
+  }
+
   /** Builds (once per warehouse, marker-gated) the persisted LSH index
     * for `sfDir`'s embeddings: rows (key, vec_id, embedding) where
     * key = tbl·2^planes + bucket, routed into `IndexBuckets` Hive
@@ -644,8 +661,15 @@ object Similarity {
     * ~tables× storage so the probe path never touches the base table).
     * Build = one map pass (bucketing kernel) + the one routing shuffle.
     * Returns (dir, tables, planes) — geometry is read back from the
-    * index's own meta file on reuse, so a probe batch never recounts
-    * the corpus. */
+    * index's own meta on reuse, REVALIDATED against the current
+    * session (r17 review finding: a knob change or a regenerated
+    * corpus must rebuild, or the probe path silently serves geometry
+    * the batch query and the oracle no longer compute): the meta
+    * carries (tables, planes, source fingerprint); reuse requires the
+    * fingerprint to match (metadata-only FS listing — still no corpus
+    * recount) and any SET knob to agree with the recorded geometry.
+    * With knobs unset a matching fingerprint proves the recorded
+    * adaptive pe is still the adaptive answer. */
   private[graft] def lshIndexFixture(spark: SparkSession,
                                      sfDir: String): (String, Int, Int) =
     indexLock.synchronized {
@@ -655,32 +679,52 @@ object Similarity {
         java.lang.Integer.toHexString(sfDir.hashCode)
       val meta = new Path(dir, "_LSH_META")
       val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new Path(dir, "_BUCKETS_OK")) && fs.exists(meta)) {
-        val in = fs.open(meta)
-        val line = scala.io.Source.fromInputStream(in).mkString.trim
-        in.close()
-        val Array(t, p) = line.split(",").map(_.toInt)
-        (dir, t, p)
-      } else {
-        Tables.register(spark, sfDir)
-        GraftFunctions.register(spark)
-        val emb = spark.table("embeddings")
-        val (tables, planes) = lshGeometry(spark, emb)
-        val rows = emb
-          .withColumn("bs",
-            GraftFunctions.lsh_buckets(col("embedding"), tables, planes))
-          .select(col("vec_id"), col("embedding"),
-            posexplode(col("bs")).as(Seq("tbl", "bucket")))
-          .select(
-            (col("tbl").cast("long") * (1L << planes) + col("bucket"))
-              .as("key"),
-            col("vec_id"), col("embedding"))
-        graft.sources.HiveBucketedIO.writeBucketed(
-          rows, dir, IndexBuckets, Seq(col("key")), col("key"))
-        val out = fs.create(meta, true)
-        out.write(s"$tables,$planes".getBytes("UTF-8"))
-        out.close()
-        (dir, tables, planes)
+      val fp = embSourceFingerprint(spark, sfDir)
+      // meta: tables,planes,fingerprint,knobbed — `knobbed` records
+      // whether the geometry was knob-forced at build time, so
+      // CLEARING the knob also invalidates (an adaptive session must
+      // never inherit a knob-built index, and vice versa)
+      val knobT = spark.conf.getOption("graft.ann.lshTables").map(_.toInt)
+      val knobP = spark.conf.getOption("graft.ann.lshPlanes").map(_.toInt)
+      val knobbedNow = knobT.isDefined || knobP.isDefined
+      val cached: Option[(Int, Int)] =
+        if (fs.exists(new Path(dir, "_BUCKETS_OK")) && fs.exists(meta)) {
+          val in = fs.open(meta)
+          val line = scala.io.Source.fromInputStream(in).mkString.trim
+          in.close()
+          line.split(",") match {
+            case Array(t, p, f, kb) if f == fp =>
+              val (tm, pm) = (t.toInt, p.toInt)
+              val sameKnobState = (kb == "1") == knobbedNow
+              if (sameKnobState && knobT.forall(_ == tm) && knobP.forall(_ == pm))
+                Some((tm, pm))
+              else None // knob state or values disagree with the build
+            case _ => None // stale fingerprint or older meta format
+          }
+        } else None
+      cached match {
+        case Some((t, p)) => (dir, t, p)
+        case None =>
+          Tables.register(spark, sfDir)
+          GraftFunctions.register(spark)
+          val emb = spark.table("embeddings")
+          val (tables, planes) = lshGeometry(spark, emb)
+          val rows = emb
+            .withColumn("bs",
+              GraftFunctions.lsh_buckets(col("embedding"), tables, planes))
+            .select(col("vec_id"), col("embedding"),
+              posexplode(col("bs")).as(Seq("tbl", "bucket")))
+            .select(
+              (col("tbl").cast("long") * (1L << planes) + col("bucket"))
+                .as("key"),
+              col("vec_id"), col("embedding"))
+          graft.sources.HiveBucketedIO.writeBucketed(
+            rows, dir, IndexBuckets, Seq(col("key")), col("key"))
+          val out = fs.create(meta, true)
+          val kb = if (knobbedNow) "1" else "0"
+          out.write(s"$tables,$planes,$fp,$kb".getBytes("UTF-8"))
+          out.close()
+          (dir, tables, planes)
       }
     }
 

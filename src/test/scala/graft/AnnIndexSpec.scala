@@ -87,4 +87,19 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(dir1 == dir2 && t1 == t2 && p1 == p2)
     assert(t1 == 16 && p1 >= 6 && p1 <= 18)
   }
+
+  test("a knob change invalidates the cached index instead of serving stale geometry") {
+    val (_, _, pAdaptive) = Similarity.lshIndexFixture(spark, LocalSpark.sf)
+    val knobP = pAdaptive + 1 // guaranteed to disagree with the meta
+    spark.conf.set("graft.ann.lshPlanes", knobP.toString)
+    try {
+      val (_, _, pKnob) = Similarity.lshIndexFixture(spark, LocalSpark.sf)
+      assert(pKnob == knobP,
+        s"fixture served stale planes=$pKnob under knob=$knobP")
+    } finally spark.conf.unset("graft.ann.lshPlanes")
+    // knob cleared: the next call must come back to the adaptive pe
+    // (rebuild — the meta now records the knob geometry)
+    val (_, _, pBack) = Similarity.lshIndexFixture(spark, LocalSpark.sf)
+    assert(pBack == pAdaptive)
+  }
 }

@@ -65,6 +65,14 @@ class QuantilesSpec extends AnyFunSuite {
     assert(Quantiles.exactCutoff(nulls, "x", 2, 3) == Double.NegativeInfinity)
   }
 
+  test("NaN rows are excluded like NULL, never counted into bucket 0") {
+    // without the isnan guard, Spark's double->long cast lands NaN in
+    // integer bucket 0 — below every real value — skewing n and t
+    val vals = Seq(Double.NaN, Double.NaN, Double.NaN, 5.0, 6.0, 7.0)
+    assert(cut(vals, 2, 3) == 6.0) // the 2/3 cut of {5, 6, 7} alone
+    assert(cut(Seq(Double.NaN), 2, 3) == Double.NegativeInfinity)
+  }
+
   // Both gates pin the ANALYZED plan: on LocalRelation test inputs the
   // optimizer constant-folds FLOOR away, and it can only ever push the
   // bucket filter further DOWN (never above a window), so the analyzed

@@ -31,6 +31,33 @@ ADJUDICATED_BENIGN = {
         "degrees at sf10; the corpus mass is in the n_nodes column",
     "events_asof_prior_view": "fixed user_id <= 30 probe set by design "
         "(point-lookup serving shape, not a corpus scan)",
+    # r17 full-sf1 sweep adjudications — each verified by measuring the
+    # query at sf0.1 and confirming the big-SF count EQUALS it exactly
+    # (ScaleGen replicas are key-disjoint and timestamp-identical, so
+    # fixed probe cohorts and fixed seeds see only the source decade;
+    # the sf0.01 -> sf0.1 drop is driver-fixture density, not scale)
+    "events_decay_feature": "fixed user_id <= 30 cohort; sf1 count 2045 "
+        "== sf0.1 count (replicas never touch the cohort)",
+    "events_gap_fill": "fixed user_id <= 30 cohort; sf1 count 4165 == "
+        "sf0.1 count",
+    "events_bursts": "burst criterion is a RATIO (hour >= 1.5x mean -- "
+        "scale-invariant by argument); the sf0.01 'bursts' are sparse-"
+        "Poisson noise, denser hourly counts concentrate (sigma/mu ~ "
+        "n^-0.5) and the synthetic fixture has no true bursts: 0 at "
+        "sf0.1 AND sf1 alike",
+    "graph_ppr": "fixed seed + key-disjoint replica components: sf1 "
+        "count 12 == sf0.1 count by construction",
+    "graph_reach_recursive": "fixed seed + key-disjoint replica "
+        "components: sf1 count 6 == sf0.1 count by construction",
+    "graph_sssp": "fixed source + key-disjoint replica components: sf1 "
+        "count 6 == sf0.1 count by construction",
+    "json_fns": "fixed probe slice of the events stream; sf1 count 740 "
+        "== sf0.1 count (replicas never touch the probe ids)",
+    "q11_important_stock": "TPC-H Q11's FRACTION is a per-SF workload "
+        "parameter BY SPEC (0.0001/SF); the pinned 0.0007 suits the "
+        "driver's correctness SF and legitimately empties at 10x+ "
+        "(0 rows at sf0.1 AND sf1 alike). Deployment parameterizes the "
+        "fraction; the share-threshold operator itself is a ratio",
 }
 
 def suspects(correctness_path, ledger_paths):
@@ -44,9 +71,13 @@ def suspects(correctness_path, ledger_paths):
             m = re.match(r'^(\d+) rows$', r.get('detail', ''))
             if r['status'] == 'pass' and m:
                 big[r['name']] = int(m.group(1))  # last status wins
+    # a query must produce rows at the SMALL scale to be a suspect —
+    # zero-at-both-scales is legitimate semantics (e.g.
+    # subquery_not_in_null's NOT IN over a NULL-bearing subquery is
+    # empty by definition), not degradation (r17 review finding)
     sus = [(n, small.get(n), r) for n, r in sorted(big.items())
            if small.get(n) is not None
-           and (r == 0 or (small[n] > 0 and r < small[n]))]
+           and small[n] > 0 and r < small[n]]
     return sus, len(big)
 
 def main():
