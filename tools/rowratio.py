@@ -58,6 +58,11 @@ ADJUDICATED_BENIGN = {
         "driver's correctness SF and legitimately empties at 10x+ "
         "(0 rows at sf0.1 AND sf1 alike). Deployment parameterizes the "
         "fraction; the share-threshold operator itself is a ratio",
+    "search_near_copies": "fixed probe doc + vocabulary-disjoint "
+        "replicas (affine alphabet permutation): near-copies cannot "
+        "span replicas, sf1 count 2 == sf0.1 count",
+    "window_lead_lag": "fixed probe slice; sf1 count 1363 == sf0.1 "
+        "count (replicas never touch the probe ids)",
 }
 
 def suspects(correctness_path, ledger_paths):
