@@ -35,22 +35,29 @@ object DiagAnnProbe {
       time(s"batch ann_lsh_bucketed $i") {
         noop(graft.SparkEntry.queries("ann_lsh_bucketed")(spark, sfDir))
       }
-    // 4. candidate volume the probes actually decoded
+    // 4. candidate volume and file pruning, per probe-batch size: the
+    // batch form hits all 64 files by pigeonhole; the SINGLE-probe
+    // serving case is where the driver-side file pruning binds
     graft.Tables.register(spark, sfDir)
     graft.functions.GraftFunctions.register(spark)
     val (dir, tables, planes) = graft.operators.Similarity.lshIndexFixture(spark, sfDir)
     import org.apache.spark.sql.functions._
-    val qkeys = spark.table("embeddings").where(col("vec_id") < 50)
-      .select(graft.functions.GraftFunctions
-        .lsh_buckets(col("embedding"), tables, planes).as("bs"))
-      .select(posexplode(col("bs")).as(Seq("tbl", "bucket")))
-      .select((col("tbl").cast("long") * (1L << planes) + col("bucket")).as("key"))
-      .collect().map(_.getLong(0)).toSeq.distinct
-    val (scan, hit) = graft.operators.Similarity.prunedIndexScan(spark, dir, qkeys)
     val n = spark.table("embeddings").count()
-    println(s"[diag-ann-probe] n=$n tables=$tables planes=$planes " +
-      s"probeKeys=${qkeys.length} filesHit=${hit.length}/64 " +
-      s"candidateRows=${scan.count()} indexRows=${n * tables}")
+    for (nq <- Seq(1, 50)) {
+      val qkeys = spark.table("embeddings").where(col("vec_id") < nq)
+        .select(graft.functions.GraftFunctions
+          .lsh_buckets(col("embedding"), tables, planes).as("bs"))
+        .select(posexplode(col("bs")).as(Seq("tbl", "bucket")))
+        .select((col("tbl").cast("long") * (1L << planes) + col("bucket")).as("key"))
+        .collect().map(_.getLong(0)).toSeq.distinct
+      val (scan, hit) = graft.operators.Similarity.prunedIndexScan(spark, dir, qkeys)
+      val t0 = System.nanoTime()
+      val cands = scan.count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[diag-ann-probe] n=$n tables=$tables planes=$planes nq=$nq " +
+        f"probeKeys=${qkeys.length} filesHit=${hit.length}/64 " +
+        f"candidateRows=$cands of ${n * tables} indexRows, scan $s%.2f s")
+    }
     spark.stop()
   }
 }
