@@ -729,12 +729,15 @@ object Similarity {
     }
 
   /** Driver-pruned index read for a probe key set: each key's Hive
-    * bucket file is decided with the driver-side hash (the
+    * bucket is decided with the driver-side hash (the
     * `source_hive_bucket_lookup` discipline — the scan never opens the
-    * other buckets), then the key equi-filter is pushed into the
-    * parquet scan where the within-file key sort turns it into
-    * row-group pruning. Returns the scan plus the chosen file ids so
-    * the plan gate can assert the pruning held. */
+    * other buckets' files), then the key equi-filter is pushed into
+    * the parquet scan where the within-file key sort turns it into
+    * row-group pruning. ALL file generations of a hit bucket are read
+    * (base + appended deltas — the maintenance path routes deltas with
+    * the same hash and sort, so pruning composes). Returns the scan
+    * plus the chosen bucket ids so the plan gate can assert the
+    * pruning held. */
   private[graft] def prunedIndexScan(spark: SparkSession, dir: String,
                                      keys: Seq[Long]): (DataFrame, Seq[Int]) = {
     val hit = keys
@@ -743,9 +746,112 @@ object Similarity {
     val scan =
       if (hit.isEmpty) // empty probe batch: schema-only, zero files
         graft.sources.HiveBucketedIO.readBucketFile(spark, dir, 0).limit(0)
-      else graft.sources.HiveBucketedIO.readBucketFiles(spark, dir, hit)
+      else spark.read.parquet(hit.flatMap(n =>
+        graft.sources.HiveBucketedIO.bucketGenFiles(spark, dir, n)): _*)
     (scan.where(col("key").isin(keys: _*)), hit)
   }
+
+  /** The shared serving-path top-3: probe keys from the batch's own
+    * vectors (|batch|·tables rows cross to the driver — bounded by the
+    * batch, not the corpus), driver-pruned index scan, candidates
+    * arrive WITH their embeddings (the index carries them), broadcast
+    * rerank. Used by both the built-once and the base+append index
+    * queries — the answers must be byte-identical to the batch form. */
+  private def probeIndexTopK(spark: SparkSession, dir: String,
+                             tables: Int, planes: Int): DataFrame = {
+    val emb = spark.table("embeddings")
+    val qemb = emb.where(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val qkeys = qemb
+      .withColumn("bs",
+        GraftFunctions.lsh_buckets(col("qemb"), tables, planes))
+      .select(col("qid"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
+      .select(col("qid"),
+        (col("tbl").cast("long") * (1L << planes) + col("bucket")).as("key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (pruned, _) = prunedIndexScan(spark, dir, qkeys.map(_._2).distinct)
+    import spark.implicits._
+    val qk = qkeys.toSeq.toDF("qid", "key")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    pruned.join(broadcast(qk), "key")
+      .where(col("qid") =!= col("vec_id"))
+      // same (qid, nid) from several tables carries an identical
+      // embedding copy — candidate set is batch-bounded, so the
+      // distinct may keep the vector (no corpus-scale wide shuffle)
+      .select(col("qid"), col("vec_id").as("nid"), col("embedding"))
+      .distinct()
+      .join(broadcast(qemb), "qid")
+      .withColumn("cos",
+        round(GraftFunctions.cosine_sim(col("qemb"), col("embedding")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Base+append variant of the index fixture (r17, the maintenance
+    * path): the corpus splits deterministically into a 3/4 base
+    * (vec_id % 4 != 0) built as generation 0 and a 1/4 delta
+    * (vec_id % 4 == 0) APPENDED as generation 1 — one shuffle of the
+    * delta only, base files untouched. Geometry is pinned to the FULL
+    * corpus (base ∪ delta bucketed at the same planes IS the full
+    * bucketing, which is what makes the batch oracle apply verbatim);
+    * a real deployment re-buckets when the adaptive pe steps — the
+    * append path covers everything between re-bucketing epochs. */
+  private[graft] def lshIndexIncrFixture(spark: SparkSession,
+                                         sfDir: String): (String, Int, Int) =
+    indexLock.synchronized {
+      import org.apache.hadoop.fs.Path
+      val base = spark.conf.get("spark.sql.warehouse.dir") + "/_graft_fixtures"
+      val dir = s"$base/lsh_index_incr_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      val meta = new Path(dir, "_LSH_META")
+      val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fp = embSourceFingerprint(spark, sfDir)
+      val cached: Option[(Int, Int)] =
+        if (fs.exists(new Path(dir, "_BUCKETS_OK")) && fs.exists(meta)) {
+          val in = fs.open(meta)
+          val line = scala.io.Source.fromInputStream(in).mkString.trim
+          in.close()
+          line.split(",") match {
+            case Array(t, p, f, "0") if f == fp &&
+                spark.conf.getOption("graft.ann.lshTables").isEmpty &&
+                spark.conf.getOption("graft.ann.lshPlanes").isEmpty =>
+              Some((t.toInt, p.toInt))
+            case _ => None
+          }
+        } else None
+      cached match {
+        case Some((t, p)) => (dir, t, p)
+        case None =>
+          Tables.register(spark, sfDir)
+          GraftFunctions.register(spark)
+          val emb = spark.table("embeddings")
+          val (tables, planes) = lshGeometry(spark, emb)
+          def indexRows(part: DataFrame) = part
+            .withColumn("bs",
+              GraftFunctions.lsh_buckets(col("embedding"), tables, planes))
+            .select(col("vec_id"), col("embedding"),
+              posexplode(col("bs")).as(Seq("tbl", "bucket")))
+            .select(
+              (col("tbl").cast("long") * (1L << planes) + col("bucket"))
+                .as("key"),
+              col("vec_id"), col("embedding"))
+          graft.sources.HiveBucketedIO.writeBucketed(
+            indexRows(emb.where(col("vec_id") % 4 =!= 0)),
+            dir, IndexBuckets, Seq(col("key")), col("key"))
+          graft.sources.HiveBucketedIO.appendBucketed(
+            indexRows(emb.where(col("vec_id") % 4 === 0)),
+            dir, IndexBuckets, Seq(col("key")), col("key"))
+          val out = fs.create(meta, true)
+          val kb = if (spark.conf.getOption("graft.ann.lshTables").isDefined ||
+              spark.conf.getOption("graft.ann.lshPlanes").isDefined) "1" else "0"
+          out.write(s"$tables,$planes,$fp,$kb".getBytes("UTF-8"))
+          out.close()
+          (dir, tables, planes)
+      }
+    }
 
   val queries: Map[String, Q] = Map(
     "link_blocking_metrics" -> gsql(blockingMetricsSql(spark = true)),
@@ -1035,36 +1141,23 @@ object Similarity {
       Tables.register(spark, sfDir)
       GraftFunctions.register(spark)
       val (dir, tables, planes) = lshIndexFixture(spark, sfDir)
-      val emb = spark.table("embeddings")
-      val qemb = emb.where(col("vec_id") < 50)
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      // probe key set crosses to the driver: |batch|×tables rows
-      val qkeys = qemb
-        .withColumn("bs",
-          GraftFunctions.lsh_buckets(col("qemb"), tables, planes))
-        .select(col("qid"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
-        .select(col("qid"),
-          (col("tbl").cast("long") * (1L << planes) + col("bucket")).as("key"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val (pruned, _) = prunedIndexScan(spark, dir, qkeys.map(_._2).distinct)
-      import spark.implicits._
-      val qk = qkeys.toSeq.toDF("qid", "key")
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("nid"))
-      pruned.join(broadcast(qk), "key")
-        .where(col("qid") =!= col("vec_id"))
-        // same (qid, nid) from several tables carries an identical
-        // embedding copy — candidate set is batch-bounded, so the
-        // distinct may keep the vector (no corpus-scale wide shuffle)
-        .select(col("qid"), col("vec_id").as("nid"), col("embedding"))
-        .distinct()
-        .join(broadcast(qemb), "qid")
-        .withColumn("cos",
-          round(GraftFunctions.cosine_sim(col("qemb"), col("embedding")), 6))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 3)
-        .select(col("qid"), col("nid"), col("cos"), col("rn"))
-        .orderBy(col("qid"), col("rn"))
+      probeIndexTopK(spark, dir, tables, planes)
+    }),
+
+    // The same serving answer from a MAINTAINED index: 3/4 of the
+    // corpus built as generation 0, the remaining 1/4 APPENDED as
+    // generation 1 (one delta-sized shuffle, base files untouched —
+    // see lshIndexIncrFixture). Because the delta routes with the same
+    // hash/sort/geometry, base⊕delta IS the full-corpus index, so the
+    // top-3 must equal the batch form byte-for-byte — the oracle is
+    // the identical replication. Pins that the serving path stays
+    // correct BETWEEN re-bucketing epochs, the property a 100 TB
+    // vector store actually relies on day to day.
+    "ann_lsh_probe_incremental" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      GraftFunctions.register(spark)
+      val (dir, tables, planes) = lshIndexIncrFixture(spark, sfDir)
+      probeIndexTopK(spark, dir, tables, planes)
     }),
 
     // Per-dimension winsorization audit — the outlier-clipping feature
@@ -1209,11 +1302,13 @@ object Similarity {
     // bits IS the pe-plane bucket — see dedup_embedding_lsh).
     "ann_lsh_bucketed" -> AnnLshTopkOracleSql,
 
-    // the serving path must return EXACTLY the batch form's top-k —
+    // the serving paths must return EXACTLY the batch form's top-k —
     // same candidate set by construction (the index stores the same
-    // (tbl, bucket) memberships it would recompute), same rerank —
-    // so the oracle is the identical replication
+    // (tbl, bucket) memberships it would recompute; base⊕appended
+    // delta is the full bucketing), same rerank — so the oracle is
+    // the identical replication for both
     "ann_lsh_probe_indexed" -> AnnLshTopkOracleSql,
+    "ann_lsh_probe_incremental" -> AnnLshTopkOracleSql,
 
     // independent IVF replication: same deterministic coarse quantizer
     // (pivots = vec_id < 32, nearest-pivot assignment with pid

@@ -71,13 +71,57 @@ object HiveBucketedIO {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = new Path(dir)
     if (fs.exists(out)) fs.delete(out, true)
-    // ONE shuffle at any scale: repartition on the bucket id so each
-    // bucket's rows land in a single task, then a dynamic-partition
-    // write emits exactly one file per __bucket=N directory (one task
-    // owns each directory). The driver then renames each directory's
-    // part file to Hive's flat %06d_0 layout — N cheap FS renames, no
-    // second data pass. (A task may own several buckets; it still
-    // writes one file per directory.)
+    fs.mkdirs(out)
+    routeAndRename(df, dir, numBuckets, sortWithin, keys, gen = 0,
+      emptyBucketFiles = true)
+    // marker written LAST: its presence certifies a complete layout
+    fs.create(new Path(out, "_BUCKETS_OK")).close()
+  }
+
+  /** Appends a delta batch to an EXISTING bucketed layout as the next
+    * file GENERATION per bucket (`%06d_1`, `%06d_2`, … — Hive's own
+    * multi-copy bucket-file naming): the base files are never
+    * rewritten, only buckets that actually receive delta rows gain a
+    * file, and the delta is routed/sorted by the SAME hash and sort
+    * contract, so per-bucket reads stay pruned and row-group stats
+    * stay selective. This is the index MAINTENANCE path (r17): one
+    * shuffle of the delta, O(delta) work at any corpus size — a full
+    * rebuild is only needed when the layout itself must change (more
+    * buckets, new geometry). Readers that must see appended data use
+    * `bucketGenFiles`/`readBucketGens`; the single-generation readers
+    * keep their one-file contract for gen-0-only tables. */
+  def appendBucketed(df: DataFrame, dir: String, numBuckets: Int,
+                     sortWithin: Seq[Column], keys: Column*): Unit = {
+    val spark = df.sparkSession
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(dir, "_BUCKETS_OK")),
+      s"append target $dir is not a complete bucketed layout")
+    // next generation = 1 + the highest suffix present anywhere
+    val gen = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .collect { case BucketFileRe(_, g) => g.toInt }.foldLeft(0)(_ max _) + 1
+    routeAndRename(df, dir, numBuckets, sortWithin, keys, gen,
+      emptyBucketFiles = false)
+  }
+
+  private val BucketFileRe = """(\d{6})_(\d+)""".r
+
+  /** One shuffle at any scale: repartition on the bucket id so each
+    * bucket's rows land in a single task, then a dynamic-partition
+    * write emits exactly one file per __bucket=N directory (one task
+    * owns each directory). The driver then renames each directory's
+    * part file to Hive's flat %06d_<gen> layout — ≤N cheap FS renames,
+    * no second data pass. (A task may own several buckets; it still
+    * writes one file per directory.) `emptyBucketFiles`: the full
+    * write lays down schema-only files for empty buckets (the read
+    * contract needs all N); an append skips them. */
+  private def routeAndRename(df: DataFrame, dir: String, numBuckets: Int,
+                             sortWithin: Seq[Column], keys: Seq[Column],
+                             gen: Int, emptyBucketFiles: Boolean): Unit = {
+    val spark = df.sparkSession
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new Path(dir)
     val staging = new Path(dir + "_staging")
     if (fs.exists(staging)) fs.delete(staging, true)
     val routed = df.withColumn("__bucket", bucketIdColumn(numBuckets, keys: _*))
@@ -86,11 +130,10 @@ object HiveBucketedIO {
       if (sortWithin.isEmpty) routed
       else routed.sortWithinPartitions(col("__bucket") +: sortWithin: _*)
     ordered.write.partitionBy("__bucket").parquet(staging.toString)
-    fs.mkdirs(out)
     try {
       for (n <- 0 until numBuckets) {
         val bucketDir = new Path(staging, s"__bucket=$n")
-        val target = new Path(out, bucketFileName(n))
+        val target = new Path(out, f"$n%06d_$gen")
         val parts =
           if (fs.exists(bucketDir))
             fs.listStatus(bucketDir).map(_.getPath)
@@ -98,19 +141,26 @@ object HiveBucketedIO {
           else Array.empty[Path]
         parts match {
           case Array(single) => fs.rename(single, target)
-          case Array() => // empty bucket: a schema-only parquet file
+          case Array() if emptyBucketFiles => // schema-only placeholder
             df.limit(0).write.parquet((target + "_tmp"))
             val p = fs.listStatus(new Path(target + "_tmp")).map(_.getPath)
               .find(_.getName.startsWith("part-")).get
             fs.rename(p, target)
             fs.delete(new Path(target + "_tmp"), true)
+          case Array() => () // append: bucket got no delta rows
           case many => sys.error(
             s"bucket $n produced ${many.length} files — repartition contract broken")
         }
       }
     } finally fs.delete(staging, true)
-    // marker written LAST: its presence certifies a complete layout
-    fs.create(new Path(out, "_BUCKETS_OK")).close()
+  }
+
+  /** All generations of bucket `n` (base + appended deltas), sorted. */
+  def bucketGenFiles(spark: SparkSession, dir: String, n: Int): Seq[String] = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.globStatus(new Path(dir, f"$n%06d_*")).toSeq
+      .map(_.getPath.toString).sorted
   }
 
   /** Unsorted-file form (the pre-r17 signature, kept for plain

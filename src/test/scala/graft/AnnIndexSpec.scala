@@ -88,6 +88,37 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(t1 == 16 && p1 >= 6 && p1 <= 18)
   }
 
+  test("incremental probe equals the batch answer; append touches only delta buckets") {
+    import org.apache.hadoop.fs.Path
+    val batch = SparkEntry.queries("ann_lsh_bucketed")(spark, LocalSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val (dir, tables, planes) = Similarity.lshIndexIncrFixture(spark, LocalSpark.sf)
+    val incr = SparkEntry.queries("ann_lsh_probe_incremental")(spark, LocalSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(incr.nonEmpty && incr == batch,
+      "base+appended-delta index must serve the batch form's exact top-3")
+    // layout: every bucket has its generation-0 base file; generation-1
+    // delta files exist only where delta keys actually landed, and the
+    // union of generations carries the FULL corpus exactly once per table
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+    assert((0 until 64).forall(n => names.contains(f"$n%06d_0")))
+    val gen1 = names.count(_.endsWith("_1"))
+    assert(gen1 > 0 && gen1 <= 64, s"expected some delta files, got $gen1")
+    graft.Tables.register(spark, LocalSpark.sf)
+    val nVec = spark.table("embeddings").count()
+    val idx = spark.read.parquet(
+      (0 until 64).flatMap(n => HiveBucketedIO.bucketGenFiles(spark, dir, n)): _*)
+    assert(idx.count() == nVec * tables)
+    assert(idx.select("vec_id").distinct().count() == nVec)
+    // delta generations keep the within-file key sort (row-group stats)
+    val aGen1 = names.filter(_.endsWith("_1")).min
+    val keys = spark.read.parquet(s"$dir/$aGen1")
+      .select("key").collect().map(_.getLong(0))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b },
+      s"delta file $aGen1 not key-sorted")
+  }
+
   test("a knob change invalidates the cached index instead of serving stale geometry") {
     val (_, _, pAdaptive) = Similarity.lshIndexFixture(spark, LocalSpark.sf)
     val knobP = pAdaptive + 1 // guaranteed to disagree with the meta

@@ -106,8 +106,8 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "agg_percentile", "agg_skew_kurtosis", "agg_stats",
     "agg_trimmed_mean", "agg_weighted_percentile", "agg_winsorized_mean",
     "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_bucketed",
-    "ann_lsh_probe_indexed", // same shared AnnLshTopkOracleSql text as
-                             // ann_lsh_bucketed (reviewed ROUND(cos,6))
+    "ann_lsh_probe_indexed",     // same shared AnnLshTopkOracleSql text
+    "ann_lsh_probe_incremental", // as ann_lsh_bucketed (ROUND(cos,6))
     "embed_hard_negatives", // ROUND(cos,6): ann_cosine_topk rule
     "eval_retrieval", // ROUND(cos,6) orders the retrieval leg only
                       // (ann_cosine_topk rule); all metrics are integer
