@@ -680,25 +680,28 @@ object Similarity {
       val meta = new Path(dir, "_LSH_META")
       val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val fp = embSourceFingerprint(spark, sfDir)
-      // meta: tables,planes,fingerprint,knobbed — `knobbed` records
-      // whether the geometry was knob-forced at build time, so
-      // CLEARING the knob also invalidates (an adaptive session must
-      // never inherit a knob-built index, and vice versa)
+      // meta: tables,planes,fingerprint,kbT,kbP — PER-KNOB flags (r17
+      // ADVICE: one combined bit let an index built with only
+      // lshPlanes set be reused by a session that set only lshTables —
+      // the unset planes knob agreed vacuously while the session's
+      // adaptive pe diverged from the recorded knob-forced one). Each
+      // parameter's knob-present state must match the build's
+      // individually, AND any set knob's value must equal the recorded
+      // geometry; clearing either knob still invalidates.
       val knobT = spark.conf.getOption("graft.ann.lshTables").map(_.toInt)
       val knobP = spark.conf.getOption("graft.ann.lshPlanes").map(_.toInt)
-      val knobbedNow = knobT.isDefined || knobP.isDefined
       val cached: Option[(Int, Int)] =
         if (fs.exists(new Path(dir, "_BUCKETS_OK")) && fs.exists(meta)) {
           val in = fs.open(meta)
           val line = scala.io.Source.fromInputStream(in).mkString.trim
           in.close()
           line.split(",") match {
-            case Array(t, p, f, kb) if f == fp =>
+            case Array(t, p, f, kbT, kbP) if f == fp =>
               val (tm, pm) = (t.toInt, p.toInt)
-              val sameKnobState = (kb == "1") == knobbedNow
-              if (sameKnobState && knobT.forall(_ == tm) && knobP.forall(_ == pm))
-                Some((tm, pm))
-              else None // knob state or values disagree with the build
+              val sameT = (kbT == "1") == knobT.isDefined && knobT.forall(_ == tm)
+              val sameP = (kbP == "1") == knobP.isDefined && knobP.forall(_ == pm)
+              if (sameT && sameP) Some((tm, pm))
+              else None // a knob's state or value disagrees with the build
             case _ => None // stale fingerprint or older meta format
           }
         } else None
@@ -721,8 +724,9 @@ object Similarity {
           graft.sources.HiveBucketedIO.writeBucketed(
             rows, dir, IndexBuckets, Seq(col("key")), col("key"))
           val out = fs.create(meta, true)
-          val kb = if (knobbedNow) "1" else "0"
-          out.write(s"$tables,$planes,$fp,$kb".getBytes("UTF-8"))
+          val kbT = if (knobT.isDefined) "1" else "0"
+          val kbP = if (knobP.isDefined) "1" else "0"
+          out.write(s"$tables,$planes,$fp,$kbT,$kbP".getBytes("UTF-8"))
           out.close()
           (dir, tables, planes)
       }
@@ -815,7 +819,7 @@ object Similarity {
           val line = scala.io.Source.fromInputStream(in).mkString.trim
           in.close()
           line.split(",") match {
-            case Array(t, p, f, "0") if f == fp &&
+            case Array(t, p, f, "0", "0") if f == fp &&
                 spark.conf.getOption("graft.ann.lshTables").isEmpty &&
                 spark.conf.getOption("graft.ann.lshPlanes").isEmpty =>
               Some((t.toInt, p.toInt))
@@ -845,9 +849,11 @@ object Similarity {
             indexRows(emb.where(col("vec_id") % 4 === 0)),
             dir, IndexBuckets, Seq(col("key")), col("key"))
           val out = fs.create(meta, true)
-          val kb = if (spark.conf.getOption("graft.ann.lshTables").isDefined ||
-              spark.conf.getOption("graft.ann.lshPlanes").isDefined) "1" else "0"
-          out.write(s"$tables,$planes,$fp,$kb".getBytes("UTF-8"))
+          val kbT = if (spark.conf.getOption("graft.ann.lshTables").isDefined)
+            "1" else "0"
+          val kbP = if (spark.conf.getOption("graft.ann.lshPlanes").isDefined)
+            "1" else "0"
+          out.write(s"$tables,$planes,$fp,$kbT,$kbP".getBytes("UTF-8"))
           out.close()
           (dir, tables, planes)
       }

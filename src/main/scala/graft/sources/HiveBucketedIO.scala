@@ -97,14 +97,32 @@ object HiveBucketedIO {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(dir, "_BUCKETS_OK")),
       s"append target $dir is not a complete bucketed layout")
-    // next generation = 1 + the highest suffix present anywhere
-    val gen = fs.listStatus(new Path(dir)).map(_.getPath.getName)
-      .collect { case BucketFileRe(_, g) => g.toInt }.foldLeft(0)(_ max _) + 1
+    // Committed-generation discipline (r18, mirrors _BUCKETS_OK): a
+    // generation exists for readers only once its _GEN_<g>_OK marker
+    // does, and the marker is written LAST. A crash mid-append leaves
+    // unmarked files that (a) readers ignore (`bucketGenFiles` serves
+    // the last committed state) and (b) the NEXT append deletes and
+    // re-numbers over — so a partial delta can never be served and the
+    // generation sequence has no committed gaps.
+    val names = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+    val committed = committedGens(names)
+    names.collect { case n @ BucketFileRe(_, g) if !committed(g.toInt) => n }
+      .foreach(n => fs.delete(new Path(dir, n), false))
+    val gen = committed.max + 1
     routeAndRename(df, dir, numBuckets, sortWithin, keys, gen,
       emptyBucketFiles = false)
+    // marker written LAST: its presence certifies a complete delta
+    fs.create(new Path(dir, genMarkerName(gen))).close()
   }
 
   private val BucketFileRe = """(\d{6})_(\d+)""".r
+  private val GenMarkerRe = """_GEN_(\d+)_OK""".r
+  private def genMarkerName(g: Int): String = s"_GEN_${g}_OK"
+
+  /** Generations certified complete: 0 via `_BUCKETS_OK` (the caller
+    * checks it), appended deltas via their `_GEN_<g>_OK` markers. */
+  private def committedGens(names: Seq[String]): Set[Int] =
+    names.collect { case GenMarkerRe(g) => g.toInt }.toSet + 0
 
   /** One shuffle at any scale: repartition on the bucket id so each
     * bucket's rows land in a single task, then a dynamic-partition
@@ -155,12 +173,23 @@ object HiveBucketedIO {
     } finally fs.delete(staging, true)
   }
 
-  /** All generations of bucket `n` (base + appended deltas), sorted. */
+  /** All COMMITTED generations of bucket `n` (base + appended deltas
+    * whose `_GEN_<g>_OK` marker exists), sorted. Unmarked generations
+    * are a crashed append's leftovers — serving them would expose a
+    * partial delta, so they are invisible here until the next append
+    * reclaims their numbers. */
   def bucketGenFiles(spark: SparkSession, dir: String, n: Int): Seq[String] = {
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = committedGens(
+      fs.listStatus(new Path(dir)).map(_.getPath.getName).toSeq)
     fs.globStatus(new Path(dir, f"$n%06d_*")).toSeq
-      .map(_.getPath.toString).sorted
+      .map(_.getPath)
+      .filter(p => p.getName match {
+        case BucketFileRe(_, g) => committed(g.toInt)
+        case _                  => false
+      })
+      .map(_.toString).sorted
   }
 
   /** Unsorted-file form (the pre-r17 signature, kept for plain
@@ -177,15 +206,6 @@ object HiveBucketedIO {
   def readAll(spark: SparkSession, dir: String, numBuckets: Int): DataFrame =
     spark.read.parquet(
       (0 until numBuckets).map(n => new Path(dir, bucketFileName(n)).toString): _*)
-
-  /** ONE scan over a chosen subset of bucket files — the multi-key
-    * pruned read (each probe key's file is decided on the driver via
-    * `bucketIdOf`; the scan never opens the other buckets). */
-  def readBucketFiles(spark: SparkSession, dir: String,
-                      ns: Seq[Int]): DataFrame = {
-    require(ns.nonEmpty, "empty bucket-file selection")
-    spark.read.parquet(ns.map(n => new Path(dir, bucketFileName(n)).toString): _*)
-  }
 
   /** Bucket-pruned point lookup: hashes the literal on the driver,
     * scans only that bucket's file, applies the key equality as the

@@ -119,6 +119,59 @@ class AnnIndexSpec extends AnyFunSuite {
       s"delta file $aGen1 not key-sorted")
   }
 
+  test("an index built under one knob is not reused by a session setting only the OTHER knob") {
+    // r17 ADVICE: the combined `knobbed` bit let a planes-knob-built
+    // index satisfy a tables-knob-only session (the unset planes knob
+    // agreed vacuously). Per-knob meta flags must force a rebuild.
+    val (_, tAdaptive, pAdaptive) = Similarity.lshIndexFixture(spark, LocalSpark.sf)
+    spark.conf.set("graft.ann.lshPlanes", (pAdaptive + 1).toString)
+    try Similarity.lshIndexFixture(spark, LocalSpark.sf) // planes-knob build
+    finally spark.conf.unset("graft.ann.lshPlanes")
+    spark.conf.set("graft.ann.lshTables", tAdaptive.toString) // matches meta tables
+    try {
+      val (_, t2, p2) = Similarity.lshIndexFixture(spark, LocalSpark.sf)
+      assert(t2 == tAdaptive && p2 == pAdaptive,
+        s"tables-knob session served knob-forced planes=$p2 from a " +
+          s"planes-knob build (expected adaptive $pAdaptive)")
+    } finally spark.conf.unset("graft.ann.lshTables")
+    // cleared: back to the fully-adaptive geometry
+    val (_, t3, p3) = Similarity.lshIndexFixture(spark, LocalSpark.sf)
+    assert(t3 == tAdaptive && p3 == pAdaptive)
+  }
+
+  test("a crashed (unmarked) append generation is invisible to readers and renumbered over") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.lit
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/_graft_fixtures/gen_marker_spec"
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (65L, "c")).toDF("key", "v")
+    HiveBucketedIO.writeBucketed(base, dir, 4, Seq(col("key")), col("key"))
+    // committed append: gen 1 with its marker
+    HiveBucketedIO.appendBucketed(
+      Seq((3L, "d")).toDF("key", "v"), dir, 4, Seq(col("key")), col("key"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(dir, "_GEN_1_OK")))
+    // simulate a crash mid-append: gen-2 files exist, marker does not
+    val bucketOf3 = HiveBucketedIO.bucketIdOf(4, 3L)
+    val partial = new Path(dir, f"$bucketOf3%06d_2")
+    fs.create(partial).close() // content irrelevant — readers must never open it
+    val visible = (0 until 4)
+      .flatMap(n => HiveBucketedIO.bucketGenFiles(spark, dir, n))
+    assert(!visible.exists(_.endsWith("_2")),
+      "unmarked generation served to a reader")
+    assert(spark.read.parquet(visible: _*).count() == 4) // base 3 + delta 1
+    // the next append deletes the leftovers and reclaims generation 2
+    HiveBucketedIO.appendBucketed(
+      Seq((4L, "e")).toDF("key", "v"), dir, 4, Seq(col("key")), col("key"))
+    assert(fs.exists(new Path(dir, "_GEN_2_OK")))
+    val after = (0 until 4)
+      .flatMap(n => HiveBucketedIO.bucketGenFiles(spark, dir, n))
+    assert(spark.read.parquet(after: _*).count() == 5)
+    assert(spark.read.parquet(after.filter(_.endsWith("_2")): _*)
+      .select("key").as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("a knob change invalidates the cached index instead of serving stale geometry") {
     val (_, _, pAdaptive) = Similarity.lshIndexFixture(spark, LocalSpark.sf)
     val knobP = pAdaptive + 1 // guaranteed to disagree with the meta
