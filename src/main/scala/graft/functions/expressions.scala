@@ -1109,6 +1109,60 @@ case class LshBuckets(child: Expression, numTables: Int, numPlanes: Int)
     copy(child = c)
 }
 
+/** lsh_plane_bit(Array[Float], tableIdx, planeIdx) → 0/1: the sign bit
+  * ONE plane of the LshBuckets family contributes for one table —
+  * plane signs come from the identical (table, plane, dim) seeded
+  * stream and the dot accumulates in the identical dimension order, so
+  * `LshBuckets(v, T, p+1)(t)` ≡ `LshBuckets(v, T, p)(t) |
+  * (lsh_plane_bit(v, t, p) << p)` bit-for-bit. This is the re-bucketing
+  * EPOCH kernel: stepping a persisted index from pe to pe+1 recomputes
+  * only this one plane per row instead of the full pe+1-plane bucketing
+  * (planes× less compute, and — with pe-invariant file routing — zero
+  * shuffle). */
+case class LshPlaneBit(left: Expression, right: Expression, plane: Int)
+    extends BinaryExpression with Bridge.GraftExpectsInputTypes {
+  require(plane >= 0 && plane <= 30)
+  override def dataType: DataType = IntegerType
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), IntegerType)
+
+  // per-(table, dim) sign vector cache, same derivation as LshBuckets
+  // (lazily built, deterministic — benign to race; tables are ≤ 64 in
+  // every caller so a small map suffices)
+  @transient private lazy val signsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  private def signs(t: Int, dim: Int): Array[Double] =
+    signsCache.computeIfAbsent((t, dim), { _ =>
+      val planeSeed = (t.toLong << 32) | (plane.toLong << 8)
+      Array.tabulate(dim) { d =>
+        if ((Hashing.fmix64(planeSeed ^ (d * 0x9e3779b97f4a7c15L)) & 1L) == 1L) 1.0
+        else -1.0
+      }
+    })
+
+  def kernel(v: ArrayData, t: Int): Int = {
+    val dim = v.numElements()
+    val plane = signs(t, dim)
+    var dot = 0.0
+    var d = 0
+    while (d < dim) {
+      dot += plane(d) * v.getFloat(d)
+      d += 1
+    }
+    if (dot > 0) 1 else 0
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshpb", this, classOf[LshPlaneBit].getName)
+    nullSafeCodeGen(ctx, ev, (v, t) => s"${ev.value} = $ref.kernel($v, $t);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshPlaneBit =
+    copy(left = newLeft, right = newRight)
+}
+
 /** field(needle, s1, s2, ...) → 1-based index of needle among the
   * following args, 0 if absent or needle null — Hive's UDFField
   * (one of the few registry names with no Spark builtin).
@@ -1399,6 +1453,9 @@ object GraftFunctions {
     Bridge.column(StopwordRatio(Bridge.expression(toks), Bridge.expression(stopwords)))
   def lsh_buckets(c: Column, numTables: Int, numPlanes: Int): Column =
     Bridge.column(LshBuckets(Bridge.expression(c), numTables, numPlanes))
+
+  def lsh_plane_bit(v: Column, tbl: Column, plane: Int): Column =
+    Bridge.column(LshPlaneBit(Bridge.expression(v), Bridge.expression(tbl), plane))
   def field(cols: Column*): Column =
     Bridge.column(FieldFn(cols.map(Bridge.expression)))
   def vec_sum(c: Column): Column =

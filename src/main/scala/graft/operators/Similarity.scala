@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -635,6 +635,24 @@ object Similarity {
   private val IndexBuckets = 64
   private val indexLock = new Object
 
+  /** pe-INVARIANT file-routing key of an index row: tbl·32 + the low 5
+    * BUCKET bits. The plane-prefix invariant (bucket at pe = low pe
+    * bits of any larger-pe bucket, because plane signs are seeded per
+    * (table, plane) independent of the plane count) makes this stable
+    * across re-bucketing epochs for every pe ≥ 5 — the adaptive domain
+    * is [6,18] and an epoch-0 index one step below it is ≥ 5 — so a
+    * pe → pe+1 step NEVER moves a row to a different file: the whole
+    * migration is a per-file local key rewrite (see
+    * `migrateLshIndexPeStep`). Routing on the raw key would bake pe
+    * into the file placement and turn every epoch step into a full
+    * re-shuffle of the index. 16 tables × 32 low-bucket values = 512
+    * distinct route keys spread over the 64 files, so per-probe file
+    * pruning is as selective as before. */
+  private def invRouteKey(key: Column, planes: Int): Column =
+    shiftright(key, planes) * lit(32L) + key.bitwiseAND(lit(31L))
+  private[graft] def invRouteKeyOf(k: Long, planes: Int): Long =
+    (k >> planes) * 32L + (k & 31L)
+
   /** Metadata-only fingerprint of the embeddings source (file names,
     * sizes, mtimes — an FS listing, no job): the index-staleness
     * signal. A regenerated corpus changes it; the fixture rebuilds. */
@@ -655,7 +673,9 @@ object Similarity {
   /** Builds (once per warehouse, marker-gated) the persisted LSH index
     * for `sfDir`'s embeddings: rows (key, vec_id, embedding) where
     * key = tbl·2^planes + bucket, routed into `IndexBuckets` Hive
-    * bucket files by HiveHash(key) and SORTED by key inside each file
+    * bucket files by HiveHash(invRouteKey) — the pe-invariant routing
+    * that keeps epoch steps file-local — and SORTED by key inside each
+    * file
     * (parquet row-group stats make per-key reads sub-file). The
     * embedding rides IN the index (the Faiss inverted-list discipline:
     * ~tables× storage so the probe path never touches the base table).
@@ -696,7 +716,7 @@ object Similarity {
           val line = scala.io.Source.fromInputStream(in).mkString.trim
           in.close()
           line.split(",") match {
-            case Array(t, p, f, kbT, kbP) if f == fp =>
+            case Array("r32", t, p, f, kbT, kbP) if f == fp =>
               val (tm, pm) = (t.toInt, p.toInt)
               val sameT = (kbT == "1") == knobT.isDefined && knobT.forall(_ == tm)
               val sameP = (kbP == "1") == knobP.isDefined && knobP.forall(_ == pm)
@@ -722,30 +742,33 @@ object Similarity {
                 .as("key"),
               col("vec_id"), col("embedding"))
           graft.sources.HiveBucketedIO.writeBucketed(
-            rows, dir, IndexBuckets, Seq(col("key")), col("key"))
+            rows, dir, IndexBuckets, Seq(col("key")),
+            invRouteKey(col("key"), planes))
           val out = fs.create(meta, true)
           val kbT = if (knobT.isDefined) "1" else "0"
           val kbP = if (knobP.isDefined) "1" else "0"
-          out.write(s"$tables,$planes,$fp,$kbT,$kbP".getBytes("UTF-8"))
+          out.write(s"r32,$tables,$planes,$fp,$kbT,$kbP".getBytes("UTF-8"))
           out.close()
           (dir, tables, planes)
       }
     }
 
   /** Driver-pruned index read for a probe key set: each key's Hive
-    * bucket is decided with the driver-side hash (the
-    * `source_hive_bucket_lookup` discipline — the scan never opens the
-    * other buckets' files), then the key equi-filter is pushed into
-    * the parquet scan where the within-file key sort turns it into
-    * row-group pruning. ALL file generations of a hit bucket are read
-    * (base + appended deltas — the maintenance path routes deltas with
-    * the same hash and sort, so pruning composes). Returns the scan
-    * plus the chosen bucket ids so the plan gate can assert the
-    * pruning held. */
+    * bucket is decided with the driver-side hash of its pe-INVARIANT
+    * route key (the `source_hive_bucket_lookup` discipline — the scan
+    * never opens the other buckets' files), then the key equi-filter
+    * is pushed into the parquet scan where the within-file key sort
+    * turns it into row-group pruning. ALL file generations of a hit
+    * bucket are read (base + appended deltas — the maintenance path
+    * routes deltas with the same hash and sort, so pruning composes).
+    * Returns the scan plus the chosen bucket ids so the plan gate can
+    * assert the pruning held. */
   private[graft] def prunedIndexScan(spark: SparkSession, dir: String,
-                                     keys: Seq[Long]): (DataFrame, Seq[Int]) = {
+                                     keys: Seq[Long],
+                                     planes: Int): (DataFrame, Seq[Int]) = {
     val hit = keys
-      .map(k => graft.sources.HiveBucketedIO.bucketIdOf(IndexBuckets, k))
+      .map(k => graft.sources.HiveBucketedIO.bucketIdOf(
+        IndexBuckets, invRouteKeyOf(k, planes)))
       .distinct.sorted
     val scan =
       if (hit.isEmpty) // empty probe batch: schema-only, zero files
@@ -773,7 +796,7 @@ object Similarity {
       .select(col("qid"),
         (col("tbl").cast("long") * (1L << planes) + col("bucket")).as("key"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val (pruned, _) = prunedIndexScan(spark, dir, qkeys.map(_._2).distinct)
+    val (pruned, _) = prunedIndexScan(spark, dir, qkeys.map(_._2).distinct, planes)
     import spark.implicits._
     val qk = qkeys.toSeq.toDF("qid", "key")
     val w = Window.partitionBy(col("qid"))
@@ -819,7 +842,7 @@ object Similarity {
           val line = scala.io.Source.fromInputStream(in).mkString.trim
           in.close()
           line.split(",") match {
-            case Array(t, p, f, "0", "0") if f == fp &&
+            case Array("r32", t, p, f, "0", "0") if f == fp &&
                 spark.conf.getOption("graft.ann.lshTables").isEmpty &&
                 spark.conf.getOption("graft.ann.lshPlanes").isEmpty =>
               Some((t.toInt, p.toInt))
@@ -844,16 +867,123 @@ object Similarity {
               col("vec_id"), col("embedding"))
           graft.sources.HiveBucketedIO.writeBucketed(
             indexRows(emb.where(col("vec_id") % 4 =!= 0)),
-            dir, IndexBuckets, Seq(col("key")), col("key"))
+            dir, IndexBuckets, Seq(col("key")),
+            invRouteKey(col("key"), planes))
           graft.sources.HiveBucketedIO.appendBucketed(
             indexRows(emb.where(col("vec_id") % 4 === 0)),
-            dir, IndexBuckets, Seq(col("key")), col("key"))
+            dir, IndexBuckets, Seq(col("key")),
+            invRouteKey(col("key"), planes))
           val out = fs.create(meta, true)
           val kbT = if (spark.conf.getOption("graft.ann.lshTables").isDefined)
             "1" else "0"
           val kbP = if (spark.conf.getOption("graft.ann.lshPlanes").isDefined)
             "1" else "0"
-          out.write(s"$tables,$planes,$fp,$kbT,$kbP".getBytes("UTF-8"))
+          out.write(s"r32,$tables,$planes,$fp,$kbT,$kbP".getBytes("UTF-8"))
+          out.close()
+          (dir, tables, planes)
+      }
+    }
+
+  /** The 64 per-bucket migration branches of a pe → pe+1 re-bucketing
+    * epoch, each a SINGLE partition that never leaves its file: read
+    * the bucket's committed generations (a migration also compacts
+    * deltas into the new generation 0), append the ONE new bucket bit
+    * — plane index `peOld` of the row's own table, recomputed locally
+    * from the embedding the index already carries (`lsh_plane_bit`;
+    * planes× less compute than full re-bucketing) — and re-sort by the
+    * new key inside the partition. The plane-prefix invariant
+    * guarantees low bits are unchanged, and `invRouteKey` routing
+    * guarantees the new key still belongs to this file, so the whole
+    * epoch step is shuffle-free (gated in `rewriteBucketedLocal` and
+    * AnnIndexSpec). */
+  private[graft] def migratedBuckets(spark: SparkSession, srcDir: String,
+                                     peOld: Int): Seq[DataFrame] = {
+    require(peOld >= 5,
+      s"epoch step from pe=$peOld would change the low-5-bit file routing")
+    val tbl = shiftright(col("key"), peOld).cast("int")
+    val bit = GraftFunctions.lsh_plane_bit(col("embedding"), tbl, peOld)
+    val newKey =
+      shiftleft(shiftright(col("key"), peOld), peOld + 1) +
+        col("key").bitwiseAND(lit((1L << peOld) - 1)) +
+        shiftleft(bit.cast("long"), peOld)
+    (0 until IndexBuckets).map { n =>
+      val files = graft.sources.HiveBucketedIO.bucketGenFiles(spark, srcDir, n)
+      spark.read.parquet(files: _*).coalesce(1)
+        .withColumn("key", newKey)
+        .select(col("key"), col("vec_id"), col("embedding"))
+        .sortWithinPartitions(col("key"))
+    }
+  }
+
+  /** Re-bucketing EPOCH: migrates a persisted index from peOld to
+    * peOld+1 as 64 independent per-file local splits — zero shuffle,
+    * zero re-hashing of the corpus, one plane dot product per index
+    * row (vs tables·planes for a rebuild, PLUS the rebuild's full
+    * index shuffle). This is what runs when n crosses 64·2^pe at
+    * deployment: an overnight re-ingest becomes a per-file pass.
+    * Hive analog: ALTER TABLE ... CONCATENATE-class per-file rewrites
+    * (SURVEY §2.1 #19) rather than re-ingest. */
+  private[graft] def migrateLshIndexPeStep(spark: SparkSession,
+                                           srcDir: String, destDir: String,
+                                           peOld: Int): Unit =
+    graft.sources.HiveBucketedIO.rewriteBucketedLocal(
+      migratedBuckets(spark, srcDir, peOld), destDir)
+
+  /** Fixture for the migrated-epoch serving query: epoch-0 index built
+    * at pe−1 (the geometry the index HAD before the corpus crossed the
+    * 64·2^(pe−1) threshold), stepped to the current adaptive pe by
+    * `migrateLshIndexPeStep`, then served exactly like the built-once
+    * index. Because the migrated content equals a direct pe build
+    * row-for-row (same buckets by the prefix invariant, same files by
+    * the invariant routing), the serving answer must byte-match the
+    * batch form — the oracle is the identical replication. */
+  private[graft] def lshIndexMigratedFixture(spark: SparkSession,
+                                             sfDir: String): (String, Int, Int) =
+    indexLock.synchronized {
+      import org.apache.hadoop.fs.Path
+      val base = spark.conf.get("spark.sql.warehouse.dir") + "/_graft_fixtures"
+      val dir = s"$base/lsh_index_mig_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      val meta = new Path(dir, "_LSH_META")
+      val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fp = embSourceFingerprint(spark, sfDir)
+      val cached: Option[(Int, Int)] =
+        if (fs.exists(new Path(dir, "_BUCKETS_OK")) && fs.exists(meta)) {
+          val in = fs.open(meta)
+          val line = scala.io.Source.fromInputStream(in).mkString.trim
+          in.close()
+          line.split(",") match {
+            case Array("r32", t, p, f, "0", "0") if f == fp &&
+                spark.conf.getOption("graft.ann.lshTables").isEmpty &&
+                spark.conf.getOption("graft.ann.lshPlanes").isEmpty =>
+              Some((t.toInt, p.toInt))
+            case _ => None
+          }
+        } else None
+      cached match {
+        case Some((t, p)) => (dir, t, p)
+        case None =>
+          Tables.register(spark, sfDir)
+          GraftFunctions.register(spark)
+          val emb = spark.table("embeddings")
+          val (tables, planes) = lshGeometry(spark, emb)
+          val peOld = planes - 1 // ≥ 5: the adaptive domain floor is 6
+          val epoch0 = dir + "_epoch0"
+          val rows = emb
+            .withColumn("bs",
+              GraftFunctions.lsh_buckets(col("embedding"), tables, peOld))
+            .select(col("vec_id"), col("embedding"),
+              posexplode(col("bs")).as(Seq("tbl", "bucket")))
+            .select(
+              (col("tbl").cast("long") * (1L << peOld) + col("bucket"))
+                .as("key"),
+              col("vec_id"), col("embedding"))
+          graft.sources.HiveBucketedIO.writeBucketed(
+            rows, epoch0, IndexBuckets, Seq(col("key")),
+            invRouteKey(col("key"), peOld))
+          migrateLshIndexPeStep(spark, epoch0, dir, peOld)
+          val out = fs.create(meta, true)
+          out.write(s"r32,$tables,$planes,$fp,0,0".getBytes("UTF-8"))
           out.close()
           (dir, tables, planes)
       }
@@ -1166,6 +1296,23 @@ object Similarity {
       probeIndexTopK(spark, dir, tables, planes)
     }),
 
+    // The same serving answer across a RE-BUCKETING EPOCH: the index
+    // is built at pe−1 (the geometry before the corpus crossed the
+    // adaptive threshold), migrated to pe as 64 per-file local splits
+    // — zero shuffle, one plane dot per row (lsh_plane_bit), files
+    // never change identity thanks to the pe-invariant routing — and
+    // then served. Migrated content equals a direct pe build
+    // row-for-row, so the top-3 must byte-match the batch form; the
+    // oracle is the identical replication. Completes the index
+    // lifecycle: build (indexed) → maintain (incremental) → re-epoch
+    // (this).
+    "ann_lsh_probe_migrated" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      GraftFunctions.register(spark)
+      val (dir, tables, planes) = lshIndexMigratedFixture(spark, sfDir)
+      probeIndexTopK(spark, dir, tables, planes)
+    }),
+
     // Per-dimension winsorization audit — the outlier-clipping feature
     // prep run before quantization or whitening: exact p05/p95 per
     // coordinate, how many values each side clips, and the post-clip
@@ -1315,6 +1462,7 @@ object Similarity {
     // the identical replication for both
     "ann_lsh_probe_indexed" -> AnnLshTopkOracleSql,
     "ann_lsh_probe_incremental" -> AnnLshTopkOracleSql,
+    "ann_lsh_probe_migrated" -> AnnLshTopkOracleSql,
 
     // independent IVF replication: same deterministic coarse quantizer
     // (pivots = vec_id < 32, nearest-pivot assignment with pid

@@ -124,6 +124,72 @@ object HiveBucketedIO {
   private def committedGens(names: Seq[String]): Set[Int] =
     names.collect { case GenMarkerRe(g) => g.toInt }.toSet + 0
 
+  /** ZERO-SHUFFLE bucket-layout write for data that is ALREADY routed:
+    * `parts(i)` must be a single-partition DataFrame holding exactly
+    * bucket i's rows in their final within-file order (the caller's
+    * per-bucket transform — e.g. the LSH re-bucketing epoch's local
+    * key split — keeps rows in their bucket, so no exchange is ever
+    * needed). The branches are unioned into one job whose partition i
+    * IS bucket i (union concatenates child partitions in order and
+    * every branch is one partition), written once, and each task's
+    * part-%05d file renamed to Hive's %06d_0 — Spark's task file
+    * numbering is the partition id, which is what makes the rename
+    * mapping exact. The union happens at the RDD level: the optimizer's
+    * CollapseRepartition pulls a DataFrame-level `coalesce(1)` THROUGH
+    * a union (collapsing all branches into one partition and one
+    * task), while `sparkContext.union` concatenates the branch
+    * partitions verbatim. Buckets whose partition emitted no file
+    * (empty) get schema-only placeholders; `_BUCKETS_OK` is written
+    * LAST. Every branch plan is asserted exchange-free — a regression
+    * that re-introduces a shuffle fails loudly here rather than
+    * silently costing a full re-route at deployment scale. */
+  def rewriteBucketedLocal(parts: Seq[DataFrame], dir: String): Unit = {
+    require(parts.nonEmpty, "no bucket partitions to write")
+    val spark = parts.head.sparkSession
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new Path(dir)
+    if (fs.exists(out)) fs.delete(out, true)
+    fs.mkdirs(out)
+    val rdds = parts.zipWithIndex.map { case (p, i) =>
+      val plan = p.queryExecution.executedPlan.toString()
+      require(!plan.contains("Exchange"),
+        s"local bucket rewrite branch $i contains a shuffle:\n$plan")
+      val rdd = p.queryExecution.toRdd
+      require(rdd.getNumPartitions == 1,
+        s"branch $i is ${rdd.getNumPartitions} partitions, not 1 — " +
+          "partition/bucket mapping broken")
+      rdd
+    }
+    val df = Bridge.internalCreateDataFrame(
+      spark, spark.sparkContext.union(rdds), parts.head.schema)
+    val staging = new Path(dir + "_staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    df.write.parquet(staging.toString)
+    val PartRe = """part-(\d{5})-.*""".r
+    try {
+      val written = fs.listStatus(staging)
+        .map(_.getPath)
+        .flatMap(p => p.getName match {
+          case PartRe(i) => Some(i.toInt -> p)
+          case _         => None
+        }).toMap
+      for (n <- parts.indices) {
+        val target = new Path(out, f"$n%06d_0")
+        written.get(n) match {
+          case Some(p) => fs.rename(p, target)
+          case None => // empty bucket: schema-only placeholder
+            parts.head.limit(0).write.parquet((target + "_tmp"))
+            val p = fs.listStatus(new Path(target + "_tmp")).map(_.getPath)
+              .find(_.getName.startsWith("part-")).get
+            fs.rename(p, target)
+            fs.delete(new Path(target + "_tmp"), true)
+        }
+      }
+    } finally fs.delete(staging, true)
+    fs.create(new Path(out, "_BUCKETS_OK")).close()
+  }
+
   /** One shuffle at any scale: repartition on the bucket id so each
     * bucket's rows land in a single task, then a dynamic-partition
     * write emits exactly one file per __bucket=N directory (one task

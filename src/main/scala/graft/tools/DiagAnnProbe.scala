@@ -50,7 +50,7 @@ object DiagAnnProbe {
         .select(posexplode(col("bs")).as(Seq("tbl", "bucket")))
         .select((col("tbl").cast("long") * (1L << planes) + col("bucket")).as("key"))
         .collect().map(_.getLong(0)).toSeq.distinct
-      val (scan, hit) = graft.operators.Similarity.prunedIndexScan(spark, dir, qkeys)
+      val (scan, hit) = graft.operators.Similarity.prunedIndexScan(spark, dir, qkeys, planes)
       val t0 = System.nanoTime()
       val cands = scan.count()
       val s = (System.nanoTime() - t0) / 1e9

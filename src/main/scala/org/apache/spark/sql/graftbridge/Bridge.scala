@@ -29,4 +29,18 @@ object Bridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Wraps an InternalRow RDD as a DataFrame without a row-format
+    * round-trip (`internalCreateDataFrame` is `private[sql]` in
+    * Spark 4). Used by the zero-shuffle bucket rewrite, where an
+    * RDD-level union is the only way to keep per-branch partition
+    * identity — the optimizer's CollapseRepartition pulls a
+    * DataFrame-level `coalesce(1)` THROUGH a union, collapsing all
+    * branches into one partition. */
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -38,12 +38,13 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(nonEmpty > 0, "all sampled bucket files empty — fixture broken?")
   }
 
-  test("every index row sits in the bucket file its key hashes to") {
-    val (dir, _, _) = fixture
+  test("every index row sits in the bucket file its pe-invariant route key hashes to") {
+    val (dir, _, planes) = fixture
     for (n <- Seq(0, 7, 31, 63)) {
       val keys = HiveBucketedIO.readBucketFile(spark, dir, n)
         .select("key").distinct().collect().map(_.getLong(0))
-      assert(keys.forall(k => HiveBucketedIO.bucketIdOf(64, k) == n),
+      assert(keys.forall(k => HiveBucketedIO.bucketIdOf(
+        64, Similarity.invRouteKeyOf(k, planes)) == n),
         s"misrouted key in bucket $n")
     }
   }
@@ -60,7 +61,7 @@ class AnnIndexSpec extends AnyFunSuite {
       .select((col("tbl").cast("long") * (1L << planes) + col("bucket")).as("key"))
       .collect().map(_.getLong(0)).toSeq
     assert(keys.length == tables)
-    val (scan, hit) = Similarity.prunedIndexScan(spark, dir, keys.distinct)
+    val (scan, hit) = Similarity.prunedIndexScan(spark, dir, keys.distinct, planes)
     assert(hit.length <= tables && hit.length < 64,
       s"pruning must cut below the 64-file index, got ${hit.length}")
     val indexFiles = scan.inputFiles.filter(_.contains("lsh_index_"))
@@ -76,9 +77,49 @@ class AnnIndexSpec extends AnyFunSuite {
   }
 
   test("empty probe batch yields an empty scan, not an error") {
-    val (dir, _, _) = fixture
-    val (scan, hit) = Similarity.prunedIndexScan(spark, dir, Seq.empty)
+    val (dir, _, planes) = fixture
+    val (scan, hit) = Similarity.prunedIndexScan(spark, dir, Seq.empty, planes)
     assert(hit.isEmpty && scan.count() == 0)
+  }
+
+  test("migrated-epoch index equals a direct pe build file-for-file and serves the batch answer") {
+    val batch = SparkEntry.queries("ann_lsh_bucketed")(spark, LocalSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val (migDir, tables, pe) = Similarity.lshIndexMigratedFixture(spark, LocalSpark.sf)
+    val probe = SparkEntry.queries("ann_lsh_probe_migrated")(spark, LocalSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(probe.nonEmpty && probe == batch,
+      "pe-step-migrated index must serve the batch form's exact top-3")
+    // content gate: each migrated bucket file carries EXACTLY the rows
+    // the direct-pe build routes there (prefix invariant + invariant
+    // routing make the equality per-file, not just per-index)
+    val (dirDirect, tD, pD) = Similarity.lshIndexFixture(spark, LocalSpark.sf)
+    assert(tD == tables && pD == pe)
+    for (n <- Seq(0, 7, 31, 63)) {
+      def rows(d: String) = HiveBucketedIO.readBucketFile(spark, d, n)
+        .select("key", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows(migDir) == rows(dirDirect),
+        s"migrated bucket $n diverges from the direct pe=$pe build")
+    }
+  }
+
+  test("the epoch migration plan is shuffle-free: zero Exchange in every per-file branch") {
+    val (migDir, _, pe) = Similarity.lshIndexMigratedFixture(spark, LocalSpark.sf)
+    val epoch0 = migDir + "_epoch0" // kept by the fixture as the migration source
+    val branches = Similarity.migratedBuckets(spark, epoch0, pe - 1)
+    for ((b, i) <- branches.zipWithIndex) {
+      val plan = b.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"migration branch $i introduced a shuffle:\n$plan")
+    }
+    // and each branch is one partition, concatenated verbatim by the
+    // RDD-level union — the partition→file identity the zero-shuffle
+    // writer relies on (a DataFrame-level union would NOT preserve it:
+    // CollapseRepartition pulls coalesce(1) through the union)
+    val union = spark.sparkContext.union(
+      branches.map(_.queryExecution.toRdd))
+    assert(union.getNumPartitions == 64)
   }
 
   test("geometry is reused from the index meta, not recounted") {
