@@ -775,7 +775,27 @@ object Similarity {
         graft.sources.HiveBucketedIO.readBucketFile(spark, dir, 0).limit(0)
       else spark.read.parquet(hit.flatMap(n =>
         graft.sources.HiveBucketedIO.bucketGenFiles(spark, dir, n)): _*)
-    (scan.where(col("key").isin(keys: _*)), hit)
+    val live = scan.where(col("key").isin(keys: _*))
+    // tombstone subtraction (the delete-maintenance path): ONLY the hit
+    // buckets' tombstone files are read — they were routed by the same
+    // hash as the rows they retire, so pruning covers them for free —
+    // and the key filter bounds them like the data side. The broadcast
+    // anti-join is probe-bounded, not corpus-bounded. Layouts with no
+    // tombstones (one FS listing to know) keep their original plan.
+    val subtracted =
+      if (hit.isEmpty ||
+          !graft.sources.HiveBucketedIO.hasTombstones(spark, dir)) live
+      else {
+        val tombFiles = hit.flatMap(n =>
+          graft.sources.HiveBucketedIO.bucketTombFiles(spark, dir, n))
+        if (tombFiles.isEmpty) live
+        else {
+          val tombs = spark.read.parquet(tombFiles: _*)
+            .where(col("key").isin(keys: _*))
+          live.join(broadcast(tombs), Seq("key", "vec_id"), "left_anti")
+        }
+      }
+    (subtracted, hit)
   }
 
   /** The shared serving-path top-3: probe keys from the batch's own
@@ -784,8 +804,8 @@ object Similarity {
     * arrive WITH their embeddings (the index carries them), broadcast
     * rerank. Used by both the built-once and the base+append index
     * queries — the answers must be byte-identical to the batch form. */
-  private def probeIndexTopK(spark: SparkSession, dir: String,
-                             tables: Int, planes: Int): DataFrame = {
+  private[graft] def probeIndexTopK(spark: SparkSession, dir: String,
+                                    tables: Int, planes: Int): DataFrame = {
     val emb = spark.table("embeddings")
     val qemb = emb.where(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
@@ -982,6 +1002,68 @@ object Similarity {
             rows, epoch0, IndexBuckets, Seq(col("key")),
             invRouteKey(col("key"), peOld))
           migrateLshIndexPeStep(spark, epoch0, dir, peOld)
+          val out = fs.create(meta, true)
+          out.write(s"r32,$tables,$planes,$fp,0,0".getBytes("UTF-8"))
+          out.close()
+          (dir, tables, planes)
+      }
+    }
+
+  /** Fixture for the tombstoned-index serving query: the full-corpus
+    * index with a delete batch (every 10th non-query vector) applied
+    * as tombstone files — base files byte-untouched, O(delta) work
+    * (`HiveBucketedIO.deleteBucketed`). The tombstone rows are the
+    * deleted vectors' own (key, vec_id) index entries, recomputed from
+    * their embeddings with the build geometry read back from the
+    * meta, so each tombstone lands in exactly the bucket file holding
+    * the row it retires and the probe path's pruning covers both
+    * sides. Meta written LAST (after the delete) so a crash between
+    * build and delete can never serve undeleted answers from cache. */
+  private[graft] def lshIndexDeletedFixture(spark: SparkSession,
+                                            sfDir: String): (String, Int, Int) =
+    indexLock.synchronized {
+      import org.apache.hadoop.fs.Path
+      val base = spark.conf.get("spark.sql.warehouse.dir") + "/_graft_fixtures"
+      val dir = s"$base/lsh_index_del_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      val meta = new Path(dir, "_LSH_META")
+      val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fp = embSourceFingerprint(spark, sfDir)
+      val cached: Option[(Int, Int)] =
+        if (fs.exists(new Path(dir, "_BUCKETS_OK")) && fs.exists(meta)) {
+          val in = fs.open(meta)
+          val line = scala.io.Source.fromInputStream(in).mkString.trim
+          in.close()
+          line.split(",") match {
+            case Array("r32", t, p, f, "0", "0") if f == fp &&
+                spark.conf.getOption("graft.ann.lshTables").isEmpty &&
+                spark.conf.getOption("graft.ann.lshPlanes").isEmpty =>
+              Some((t.toInt, p.toInt))
+            case _ => None
+          }
+        } else None
+      cached match {
+        case Some((t, p)) => (dir, t, p)
+        case None =>
+          Tables.register(spark, sfDir)
+          GraftFunctions.register(spark)
+          val emb = spark.table("embeddings")
+          val (tables, planes) = lshGeometry(spark, emb)
+          def indexRows(part: DataFrame) = part
+            .withColumn("bs",
+              GraftFunctions.lsh_buckets(col("embedding"), tables, planes))
+            .select(col("vec_id"), col("embedding"),
+              posexplode(col("bs")).as(Seq("tbl", "bucket")))
+            .select(
+              (col("tbl").cast("long") * (1L << planes) + col("bucket"))
+                .as("key"),
+              col("vec_id"), col("embedding"))
+          graft.sources.HiveBucketedIO.writeBucketed(
+            indexRows(emb), dir, IndexBuckets, Seq(col("key")),
+            invRouteKey(col("key"), planes))
+          graft.sources.HiveBucketedIO.deleteBucketed(
+            indexRows(emb.where(deletedVecs)).select(col("key"), col("vec_id")),
+            dir, IndexBuckets, invRouteKey(col("key"), planes))
           val out = fs.create(meta, true)
           out.write(s"r32,$tables,$planes,$fp,0,0".getBytes("UTF-8"))
           out.close()
@@ -1313,6 +1395,24 @@ object Similarity {
       probeIndexTopK(spark, dir, tables, planes)
     }),
 
+    // The serving answer from a TOMBSTONED index (delete maintenance —
+    // right-to-be-forgotten, re-embeddings): a delete batch lands as
+    // per-bucket tombstone files (Hive ACID delete-delta analog), the
+    // probe path anti-joins the HIT buckets' tombstones (pruned like
+    // the data, probe-bounded broadcast), and the answer must equal an
+    // index that never contained the deleted vectors — the oracle is
+    // the batch replication with the delete set excluded from
+    // candidacy. Physical reclamation is deferred to
+    // HiveBucketedIO.foldTombstones (threshold-gated major compaction,
+    // per-file local, zero shuffle), after which the same query serves
+    // the same bytes with no anti-join — CompactorSpec pins that.
+    "ann_lsh_probe_deleted" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      GraftFunctions.register(spark)
+      val (dir, tables, planes) = lshIndexDeletedFixture(spark, sfDir)
+      probeIndexTopK(spark, dir, tables, planes)
+    }),
+
     // Per-dimension winsorization audit — the outlier-clipping feature
     // prep run before quantization or whitening: exact p05/p95 per
     // coordinate, how many values each side clips, and the post-clip
@@ -1394,8 +1494,13 @@ object Similarity {
       )"""
 
   /** The LSH top-3 replication shared by the batch query and the
-    * indexed serving path (which must return the identical answer). */
-  private val AnnLshTopkOracleSql = s"""
+    * indexed serving paths (which must return the identical answer).
+    * `neighborPred` restricts the NEIGHBOR side only — the deleted-
+    * index oracle excludes tombstoned vectors from candidacy while the
+    * geometry (adaptive pe over the FULL corpus count) stays the
+    * build-time geometry the index meta recorded, exactly the serving
+    * semantics: logical deletes remove answers, not bucketing. */
+  private def annLshTopkOracleSql(neighborPred: String): String = s"""
       WITH ${lshBucketCtes(16, 18)}, pe AS (
         SELECT COALESCE(MIN(p), 18) AS p
         FROM range(6, 19) r(p)
@@ -1407,7 +1512,7 @@ object Similarity {
       ), cand AS (
         SELECT DISTINCT q.vec_id AS qid, n.vec_id AS nid
         FROM bkt q JOIN bkt n ON q.t = n.t AND q.bucket = n.bucket
-        WHERE q.vec_id < 50 AND q.vec_id <> n.vec_id
+        WHERE q.vec_id < 50 AND q.vec_id <> n.vec_id$neighborPred
       ), scored AS (
         SELECT c.qid, c.nid,
                ROUND(LIST_COSINE_SIMILARITY(eq.emb, en.emb), 6) AS cos
@@ -1418,6 +1523,17 @@ object Similarity {
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
         FROM scored)
       WHERE rn <= 3 ORDER BY qid, rn"""
+
+  private val AnnLshTopkOracleSql = annLshTopkOracleSql("")
+
+  /** The delete set of the tombstoned-index fixture/oracle: every 10th
+    * vector outside the query batch (queries stay live — the serving
+    * semantics under test are "deleted vectors never come back as
+    * NEIGHBORS"). */
+  private val DeletedPredSql =
+    " AND NOT (n.vec_id >= 50 AND n.vec_id % 10 = 3)"
+  private def deletedVecs: Column =
+    col("vec_id") >= 50 && col("vec_id") % 10 === 3
 
   val oracle: Map[String, String] = Map(
     "link_blocking_metrics" -> blockingMetricsSql(spark = false),
@@ -1463,6 +1579,9 @@ object Similarity {
     "ann_lsh_probe_indexed" -> AnnLshTopkOracleSql,
     "ann_lsh_probe_incremental" -> AnnLshTopkOracleSql,
     "ann_lsh_probe_migrated" -> AnnLshTopkOracleSql,
+    // deleted vectors excluded from candidacy; geometry stays the
+    // build-time (full-corpus) adaptive pe the meta recorded
+    "ann_lsh_probe_deleted" -> annLshTopkOracleSql(DeletedPredSql),
 
     // independent IVF replication: same deterministic coarse quantizer
     // (pivots = vec_id < 32, nearest-pivot assignment with pid

@@ -118,6 +118,155 @@ object HiveBucketedIO {
   private val BucketFileRe = """(\d{6})_(\d+)""".r
   private val GenMarkerRe = """_GEN_(\d+)_OK""".r
   private def genMarkerName(g: Int): String = s"_GEN_${g}_OK"
+  private val TombFileRe = """(\d{6})_d(\d+)""".r
+  private val TombMarkerRe = """_TOMBS_(\d+)_OK""".r
+  private def tombMarkerName(g: Int): String = s"_TOMBS_${g}_OK"
+
+  /** Writes a DELETE batch as a tombstone generation: rows routed by
+    * the SAME bucket hash as the data (a tombstone lands exactly where
+    * the row it retires lives, so a pruned read picks up its bucket's
+    * tombstones for free), one `%06d_d<g>` file per hit bucket, marker
+    * `_TOMBS_<g>_OK` written LAST (crash → unmarked files are invisible
+    * and the next delete renumbers over them — the appendBucketed
+    * discipline). `df`'s columns are the anti-join identity readers
+    * subtract on (for the LSH index: key, vec_id). O(delta) work at
+    * any corpus size; base files byte-untouched. This is Hive's ACID
+    * delete-delta file in bucket-layout form (QL/io/AcidInputFormat
+    * delete deltas, SURVEY §1.1): logical deletion now, physical
+    * reclamation deferred to `foldTombstones`. */
+  def deleteBucketed(df: DataFrame, dir: String, numBuckets: Int,
+                     keys: Column*): Unit = {
+    val spark = df.sparkSession
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(dir, "_BUCKETS_OK")),
+      s"delete target $dir is not a complete bucketed layout")
+    val names = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+    val committed = names.collect { case TombMarkerRe(g) => g.toInt }.toSet
+    names.collect { case n @ TombFileRe(_, g) if !committed(g.toInt) => n }
+      .foreach(n => fs.delete(new Path(dir, n), false))
+    val gen = (committed + 0).max + 1
+    val staging = new Path(dir + "_tomb_staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val routed = df.withColumn("__bucket", bucketIdColumn(numBuckets, keys: _*))
+      .repartition(numBuckets, col("__bucket"))
+      .sortWithinPartitions(col("__bucket"))
+    routed.write.partitionBy("__bucket").parquet(staging.toString)
+    try {
+      for (n <- 0 until numBuckets) {
+        val bucketDir = new Path(staging, s"__bucket=$n")
+        if (fs.exists(bucketDir)) {
+          val parts = fs.listStatus(bucketDir).map(_.getPath)
+            .filter(_.getName.startsWith("part-"))
+          parts match {
+            case Array(single) =>
+              fs.rename(single, new Path(dir, f"$n%06d_d$gen"))
+            case Array() => ()
+            case many => sys.error(
+              s"tombstone bucket $n produced ${many.length} files")
+          }
+        }
+      }
+    } finally fs.delete(staging, true)
+    fs.create(new Path(dir, tombMarkerName(gen))).close()
+  }
+
+  /** COMMITTED tombstone files of bucket `n`, sorted. */
+  def bucketTombFiles(spark: SparkSession, dir: String, n: Int): Seq[String] = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new Path(dir)).map(_.getPath.getName).toSeq
+    val committed = names.collect { case TombMarkerRe(g) => g.toInt }.toSet
+    names.collect {
+      case nm @ TombFileRe(b, g) if b.toInt == n && committed(g.toInt) => nm
+    }.sorted.map(nm => new Path(dir, nm).toString)
+  }
+
+  /** True if the layout has ANY committed tombstones (one FS listing —
+    * the serving path's cheap "do I need the anti-join at all" test). */
+  def hasTombstones(spark: SparkSession, dir: String): Boolean = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+    val committed = names.collect { case TombMarkerRe(g) => g.toInt }.toSet
+    names.exists { case TombFileRe(_, g) => committed(g.toInt); case _ => false }
+  }
+
+  /** MAJOR compaction of a tombstoned layout — the Compactor-tick
+    * analog for bucket-file indexes (Hive: delete-delta fold during
+    * major compaction). Metadata-only trigger first (the Initiator
+    * discipline): fold only when committed tombstone bytes reach
+    * `ratio` of data bytes — below it the logical deletes stay cheap
+    * and base files stay byte-untouched. The fold itself is 64
+    * independent per-file `zipPartitions` filters (data minus its own
+    * bucket's tombstones, matched on the tombstone columns by byte
+    * equality through UnsafeProjection) — ZERO shuffle, order
+    * preserved, written through the same local-rewrite path as the
+    * epoch migration. Crash story: the layout's `_BUCKETS_OK` is the
+    * commit point of the swapped-in fold; a crash mid-swap leaves the
+    * marker absent and the standard rebuild/rerun discipline applies
+    * (the index is derived data). Returns true if a fold ran. */
+  def foldTombstones(spark: SparkSession, dir: String, numBuckets: Int,
+                     ratio: Double = 0.2): Boolean = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = fs.listStatus(new Path(dir))
+    val committedT = stats.map(_.getPath.getName)
+      .collect { case TombMarkerRe(g) => g.toInt }.toSet
+    val tombBytes = stats.filter(s => s.getPath.getName match {
+      case TombFileRe(_, g) => committedT(g.toInt); case _ => false
+    }).map(_.getLen).sum
+    val dataBytes = stats.filter(s => s.getPath.getName match {
+      case BucketFileRe(_, _) => true; case _ => false
+    }).map(_.getLen).sum
+    if (tombBytes == 0 || tombBytes.toDouble < ratio * dataBytes) return false
+    val schema = readBucketFile(spark, dir, 0).schema
+    val tombSchema = spark.read
+      .parquet(bucketTombFiles(spark, dir,
+        (0 until numBuckets).find(bucketTombFiles(spark, dir, _).nonEmpty).get).head)
+      .schema
+    val antiIdx = tombSchema.fields.map(f => schema.fieldIndex(f.name))
+    val antiTypes = tombSchema.fields.map(_.dataType)
+    val branches = (0 until numBuckets).map { n =>
+      val data = spark.read
+        .parquet(bucketGenFiles(spark, dir, n): _*).coalesce(1)
+        .queryExecution.toRdd
+      bucketTombFiles(spark, dir, n) match {
+        case Nil => data
+        case tf =>
+          val tombs = spark.read.parquet(tf: _*).coalesce(1)
+            .queryExecution.toRdd
+          data.zipPartitions(tombs) { (dit, tit) =>
+            import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
+            val tProj = UnsafeProjection.create(antiTypes.zipWithIndex.map {
+              case (dt, i) => BoundReference(i, dt, nullable = true)
+            }.toIndexedSeq)
+            val dProj = UnsafeProjection.create(antiTypes.zip(antiIdx).map {
+              case (dt, i) => BoundReference(i, dt, nullable = true)
+            }.toIndexedSeq)
+            val dead = new scala.collection.mutable.HashSet[UnsafeRow]
+            tit.foreach(r => dead += tProj(r).copy())
+            dit.filter(r => !dead.contains(dProj(r)))
+          }
+      }
+    }
+    val foldDir = dir + "_fold"
+    writeBucketedLocalCore(spark, branches, schema, foldDir)
+    // swap: uncommit the live layout, move folded files in, recommit
+    fs.delete(new Path(dir, "_BUCKETS_OK"), false)
+    stats.map(_.getPath.getName).foreach {
+      case nm @ (BucketFileRe(_, _) | TombFileRe(_, _) | TombMarkerRe(_) |
+                 GenMarkerRe(_)) =>
+        fs.delete(new Path(dir, nm), true)
+      case _ => ()
+    }
+    fs.listStatus(new Path(foldDir)).map(_.getPath)
+      .filter(_.getName != "_BUCKETS_OK")
+      .foreach(p => fs.rename(p, new Path(dir, p.getName)))
+    fs.create(new Path(dir, "_BUCKETS_OK")).close()
+    fs.delete(new Path(foldDir), true)
+    true
+  }
 
   /** Generations certified complete: 0 via `_BUCKETS_OK` (the caller
     * checks it), appended deltas via their `_GEN_<g>_OK` markers. */
@@ -145,24 +294,35 @@ object HiveBucketedIO {
     * silently costing a full re-route at deployment scale. */
   def rewriteBucketedLocal(parts: Seq[DataFrame], dir: String): Unit = {
     require(parts.nonEmpty, "no bucket partitions to write")
-    val spark = parts.head.sparkSession
+    val rdds = parts.zipWithIndex.map { case (p, i) =>
+      val plan = p.queryExecution.executedPlan.toString()
+      require(!plan.contains("Exchange"),
+        s"local bucket rewrite branch $i contains a shuffle:\n$plan")
+      p.queryExecution.toRdd
+    }
+    writeBucketedLocalCore(parts.head.sparkSession, rdds, parts.head.schema, dir)
+  }
+
+  /** RDD-level core of the zero-shuffle layout write: `rdds(i)` is one
+    * partition holding bucket i's final rows in final order. Shared by
+    * `rewriteBucketedLocal` (DataFrame branches) and `foldTombstones`
+    * (zipPartitions branches, which have no SQL plan to check). */
+  private def writeBucketedLocalCore(
+      spark: SparkSession,
+      rdds: Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]],
+      schema: org.apache.spark.sql.types.StructType, dir: String): Unit = {
+    rdds.zipWithIndex.foreach { case (rdd, i) =>
+      require(rdd.getNumPartitions == 1,
+        s"branch $i is ${rdd.getNumPartitions} partitions, not 1 — " +
+          "partition/bucket mapping broken")
+    }
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = new Path(dir)
     if (fs.exists(out)) fs.delete(out, true)
     fs.mkdirs(out)
-    val rdds = parts.zipWithIndex.map { case (p, i) =>
-      val plan = p.queryExecution.executedPlan.toString()
-      require(!plan.contains("Exchange"),
-        s"local bucket rewrite branch $i contains a shuffle:\n$plan")
-      val rdd = p.queryExecution.toRdd
-      require(rdd.getNumPartitions == 1,
-        s"branch $i is ${rdd.getNumPartitions} partitions, not 1 — " +
-          "partition/bucket mapping broken")
-      rdd
-    }
     val df = Bridge.internalCreateDataFrame(
-      spark, spark.sparkContext.union(rdds), parts.head.schema)
+      spark, spark.sparkContext.union(rdds), schema)
     val staging = new Path(dir + "_staging")
     if (fs.exists(staging)) fs.delete(staging, true)
     df.write.parquet(staging.toString)
@@ -174,12 +334,12 @@ object HiveBucketedIO {
           case PartRe(i) => Some(i.toInt -> p)
           case _         => None
         }).toMap
-      for (n <- parts.indices) {
+      for (n <- rdds.indices) {
         val target = new Path(out, f"$n%06d_0")
         written.get(n) match {
           case Some(p) => fs.rename(p, target)
           case None => // empty bucket: schema-only placeholder
-            parts.head.limit(0).write.parquet((target + "_tmp"))
+            df.limit(0).write.parquet((target + "_tmp"))
             val p = fs.listStatus(new Path(target + "_tmp")).map(_.getPath)
               .find(_.getName.startsWith("part-")).get
             fs.rename(p, target)

@@ -117,4 +117,34 @@ class CompactorSpec extends AnyFunSuite {
       spark, LocalSpark.sf).collect()
     assert(rows.map(_.toSeq).toSeq == src.map(_.toSeq).toSeq)
   }
+
+  test("bucket-layout tombstone fold: delete-delta file discipline on a generic table") {
+    // the HiveBucketedIO delete-maintenance path on a NON-LSH layout
+    // with a string identity column — the fold's UnsafeProjection
+    // byte-equality must hold beyond the long/long index case
+    import org.apache.spark.sql.functions.col
+    import graft.sources.HiveBucketedIO
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/_graft_fixtures/compactor_tomb_fold"
+    import spark.implicits._
+    val base = (0 until 200).map(i => (i.toLong, s"name_$i", i % 7))
+      .toDF("id", "name", "grp")
+      .sortWithinPartitions("id")
+    HiveBucketedIO.writeBucketed(base, dir, 8, Seq(col("id")), col("id"))
+    // delete every row whose id % 9 == 0, identified by (id, name)
+    val dels = (0 until 200).filter(_ % 9 == 0)
+      .map(i => (i.toLong, s"name_$i")).toDF("id", "name")
+    HiveBucketedIO.deleteBucketed(dels, dir, 8, col("id"))
+    assert(HiveBucketedIO.hasTombstones(spark, dir))
+    // a reader that honors tombstones sees 200 - 23 live rows
+    assert(HiveBucketedIO.foldTombstones(spark, dir, 8, ratio = 1e-9))
+    assert(!HiveBucketedIO.hasTombstones(spark, dir))
+    val folded = HiveBucketedIO.readAll(spark, dir, 8)
+    assert(folded.count() == 200 - dels.count())
+    assert(folded.where(col("id") % 9 === 0).count() == 0,
+      "a tombstoned row survived the fold")
+    // untouched rows keep all their columns intact
+    assert(folded.where(col("id") === 1).collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "name_1", 1)))
+  }
 }

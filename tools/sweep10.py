@@ -30,7 +30,7 @@ HEAVY = [
     # fmix64 / seeded-hash chain replications (CPU-heavy, linear-ish)
     "text_decontaminate_fuzzy", "dedup_simhash", "dedup_minhash_lsh",
     "ann_lsh_bucketed", "ann_lsh_probe_indexed", "ann_lsh_probe_incremental",
-    "ann_lsh_probe_migrated", "dedup_embedding_lsh",
+    "ann_lsh_probe_migrated", "ann_lsh_probe_deleted", "dedup_embedding_lsh",
     # quadratic-pair oracles
     "multimodal_phash_pairs", "dedup_ngram_jaccard", "link_fuzzy_match",
     "search_near_copies", "dedup_embedding_cosine", "dedup_semantic_saltsplit",
