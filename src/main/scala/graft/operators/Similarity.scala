@@ -439,7 +439,11 @@ object Similarity {
     * broadcast; encode is a map-side equi-join on (s, d); the scan
     * touches 4-byte-ish codes, never raw vectors — exactly why PQ
     * exists at scale. */
-  private def pqAdcSql(spark: Boolean): String = {
+  /** The PQ train/encode chain (x → codebook → per-subspace encode →
+    * nearest-codeword codes), shared verbatim by the batch query, the
+    * oracle, and the PERSISTED-index build (`pqIndexFixture`) so all
+    * three learn the identical book and codes. */
+  private def pqBaseCtes(spark: Boolean): String = {
     val dv = if (spark) "DIV" else "//"
     val x =
       if (spark) """
@@ -452,8 +456,7 @@ object Similarity {
                CAST((u.i - 1) // 16 AS INT) AS s, CAST((u.i - 1) % 16 AS INT) AS d,
                CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1e6) AS BIGINT) AS qv
         FROM embeddings, UNNEST(RANGE(1, 65)) AS u(i)"""
-    s"""
-      WITH x AS ($x),
+    s"""x AS ($x),
       cb AS (
         SELECT s, label AS cw, d,
                CASE WHEN SUM(qv) >= 0 THEN SUM(qv) $dv COUNT(*)
@@ -473,7 +476,12 @@ object Similarity {
                        ORDER BY dist, cw) AS rn
               FROM enc) z
         WHERE rn = 1
-      ),
+      )"""
+  }
+
+  private def pqAdcSql(spark: Boolean): String = {
+    s"""
+      WITH ${pqBaseCtes(spark)},
       qd AS (
         SELECT e.s AS s, c.cw AS cw,
                CAST(SUM((e.qv - c.cv) * (e.qv - c.cv)) AS BIGINT) AS qdist
@@ -1071,6 +1079,72 @@ object Similarity {
       }
     }
 
+  /** Hive-bucket-file count of the persisted PQ code table (codes are
+    * ~3 small ints per row — a fraction of the raw vectors' bytes,
+    * which is the PQ deal; file grain scales with the corpus at
+    * deployment just like IndexBuckets). */
+  private val PqCodeBuckets = 16
+
+  /** Builds (once per warehouse, fingerprint-gated like the LSH index)
+    * the persisted PQ index: `codebook` (640 (s, cw, d, cv) rows — the
+    * 40-entry ADC lookup's source, always broadcast) and `codes` (4
+    * codes per vector) in Hive bucket layout KEYED BY COARSE CELL —
+    * each vector's nearest full codebook row (argmin over the summed
+    * per-subspace encode distances), the IVF-PQ inverted-list
+    * discipline (Jégou PAMI'11 §IV): cell-pruned probes become file-
+    * pruned reads. The exhaustive driver probe reads all cells (its
+    * oracle is the exhaustive ADC), but never re-trains, re-encodes,
+    * or touches raw corpus vectors — the build-time train/encode chain
+    * is the same CTE text the batch query runs, so the persisted codes
+    * are byte-identical to the recomputed ones. */
+  private[graft] def pqIndexFixture(spark: SparkSession,
+                                    sfDir: String): String =
+    indexLock.synchronized {
+      import org.apache.hadoop.fs.Path
+      val base = spark.conf.get("spark.sql.warehouse.dir") + "/_graft_fixtures"
+      val dir = s"$base/pq_index_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      val meta = new Path(dir, "_PQ_META")
+      val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fp = embSourceFingerprint(spark, sfDir)
+      val ok =
+        fs.exists(new Path(s"$dir/codes", "_BUCKETS_OK")) &&
+          fs.exists(meta) && {
+            val in = fs.open(meta)
+            val line = scala.io.Source.fromInputStream(in).mkString.trim
+            in.close()
+            line == s"pq1,$fp"
+          }
+      if (!ok) {
+        Tables.register(spark, sfDir)
+        spark.sql(s"WITH ${pqBaseCtes(spark = true)} SELECT s, cw, d, cv FROM cb")
+          .write.mode("overwrite").parquet(s"$dir/codebook")
+        val codes = spark.sql(s"""
+          WITH ${pqBaseCtes(spark = true)},
+          cellsum AS (
+            SELECT vec_id, cw, CAST(SUM(dist) AS BIGINT) AS tdist
+            FROM enc GROUP BY vec_id, cw
+          ),
+          cell AS (
+            SELECT vec_id, cw AS cell
+            FROM (SELECT vec_id, cw,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY tdist, cw) AS rn
+                  FROM cellsum) z
+            WHERE rn = 1
+          )
+          SELECT cell.cell, code.vec_id, code.s, code.code
+          FROM code JOIN cell ON code.vec_id = cell.vec_id""")
+        graft.sources.HiveBucketedIO.writeBucketed(
+          codes, s"$dir/codes", PqCodeBuckets,
+          Seq(col("vec_id"), col("s")), col("cell").cast("long"))
+        val out = fs.create(meta, true)
+        out.write(s"pq1,$fp".getBytes("UTF-8"))
+        out.close()
+      }
+      dir
+    }
+
   val queries: Map[String, Q] = Map(
     "link_blocking_metrics" -> gsql(blockingMetricsSql(spark = true)),
     "embed_hard_negatives" -> gsql(hardNegSql(spark = true)),
@@ -1413,6 +1487,47 @@ object Similarity {
       probeIndexTopK(spark, dir, tables, planes)
     }),
 
+    // The PQ-ADC serving path (build/probe split — see pqIndexFixture):
+    // the probe never re-trains the codebook or re-encodes the corpus.
+    // It reads the 640-row persisted codebook (broadcast), builds the
+    // query's 40-entry ADC table from the ONE query vector (the only
+    // raw-embedding touch, key-pruned at the scan), then scans the
+    // persisted CODES (3 small ints per row — never the 64-float
+    // vectors) with the ADC lookup broadcast. At fixed codebook size
+    // the per-batch cost is the code scan — a ~40x byte shrink vs raw
+    // vectors, recomputation-free, which is the PQ serving deal.
+    // Byte-identical to the batch form (persisted codes ARE the batch
+    // chain's codes); oracle = the exhaustive ADC replication.
+    "ann_pq_adc_indexed" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val dir = pqIndexFixture(spark, sfDir)
+      val cb = spark.read.parquet(s"$dir/codebook")
+      val qx = spark.table("embeddings").where(col("vec_id") === 0)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(expr("CAST(pos DIV 16 AS INT)").as("s"),
+          expr("CAST(pos % 16 AS INT)").as("d"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("qv"))
+      val qd = qx.join(broadcast(cb), Seq("s", "d"))
+        .groupBy(col("s"), col("cw"))
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
+          .cast("long").as("qdist"))
+      val codes = graft.sources.HiveBucketedIO.readAll(
+        spark, s"$dir/codes", PqCodeBuckets)
+      val adc = codes.where(col("vec_id") =!= 0)
+        .join(broadcast(qd),
+          codes("s") === qd("s") && col("code") === col("cw"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("qdist")).cast("long").as("adc_dist"))
+        .select(col("vec_id").as("nid"), col("adc_dist"))
+      // top-k cut BEFORE the rank window (TakeOrderedAndProject), the
+      // suite's standard guard — the window then sees 10 rows
+      val top = adc.orderBy(col("adc_dist"), col("nid")).limit(10)
+      top.withColumn("rank", row_number()
+          .over(Window.orderBy(col("adc_dist"), col("nid"))).cast("int"))
+        .select(col("rank"), col("nid"), col("adc_dist"))
+        .orderBy(col("rank"))
+    }),
+
     // Per-dimension winsorization audit — the outlier-clipping feature
     // prep run before quantization or whitening: exact p05/p95 per
     // coordinate, how many values each side clips, and the post-clip
@@ -1582,6 +1697,9 @@ object Similarity {
     // deleted vectors excluded from candidacy; geometry stays the
     // build-time (full-corpus) adaptive pe the meta recorded
     "ann_lsh_probe_deleted" -> annLshTopkOracleSql(DeletedPredSql),
+    // the persisted codes are the batch chain's codes, so the serving
+    // answer replicates against the same exhaustive ADC oracle
+    "ann_pq_adc_indexed" -> pqAdcSql(spark = false),
 
     // independent IVF replication: same deterministic coarse quantizer
     // (pivots = vec_id < 32, nearest-pivot assignment with pid

@@ -270,6 +270,31 @@ class AnnIndexSpec extends AnyFunSuite {
     fs.delete(new Path(dir, "_LSH_META"), false)
   }
 
+  test("pq probe serves from persisted codes: batch-identical answer, no corpus re-encode") {
+    val batch = SparkEntry.queries("ann_pq_adc")(spark, LocalSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val probe = SparkEntry.queries("ann_pq_adc_indexed")(spark, LocalSpark.sf)
+    val got = probe.collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == batch,
+      "served ADC answer diverges from the recompute form")
+    // plan gates: the only raw-embedding scan is the key-pruned query
+    // row; the corpus side is the persisted code files (no embedding
+    // column anywhere in their ReadSchema)
+    val plan = probe.queryExecution.executedPlan.toString()
+    val scans = plan.split("FileScan parquet").drop(1)
+    val embScans = scans.filter(_.contains("embeddings"))
+    assert(embScans.nonEmpty && embScans.forall(_.contains("EqualTo(vec_id,0")),
+      s"probe scanned raw embeddings without the query-row pushdown:\n$plan")
+    val codeScans = scans.filter(_.contains("pq_index_"))
+    assert(codeScans.nonEmpty, s"probe did not read the persisted index:\n$plan")
+    assert(!codeScans.exists(_.contains("embedding:array")),
+      "a persisted-index scan decodes raw vectors — codes only, that's the PQ deal")
+    // and the fixture is fingerprint-cached: a second call must not rebuild
+    val d1 = Similarity.pqIndexFixture(spark, LocalSpark.sf)
+    val d2 = Similarity.pqIndexFixture(spark, LocalSpark.sf)
+    assert(d1 == d2)
+  }
+
   test("a knob change invalidates the cached index instead of serving stale geometry") {
     val (_, _, pAdaptive) = Similarity.lshIndexFixture(spark, LocalSpark.sf)
     val knobP = pAdaptive + 1 // guaranteed to disagree with the meta
