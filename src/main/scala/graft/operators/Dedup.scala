@@ -677,7 +677,8 @@ object Dedup {
       // head+middle cut: t = min value covering ⌈2n/3⌉ docs, computed
       // by the two-level bounded-state quantile primitive (empty
       // corpus → -Infinity → empty funnel, not an NPE)
-      val t = Quantiles.exactCutoff(ppl, "ppl", 2L, 3L)
+      val t = Quantiles.exactCutoff(ppl, "ppl", 2L, 3L,
+        Quantiles.Domains.Perplexity6dp)
       base.join(reps, base("doc_id") === reps("keep_id"))
         .join(nonRep, base("doc_id") === nonRep("drop_id"), "left_anti")
         .join(ppl, "doc_id")

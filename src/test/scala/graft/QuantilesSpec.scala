@@ -27,8 +27,12 @@ class QuantilesSpec extends AnyFunSuite {
       .map(_._1).getOrElse(sorted.last)
   }
 
+  // capacity classification only — the generic grids here all sit far
+  // inside the perplexity domain's declared range
+  private val Dom = Quantiles.Domains.Perplexity6dp
+
   private def cut(vals: Seq[Double], num: Long, den: Long): Double =
-    Quantiles.exactCutoff(vals.toDF("x"), "x", num, den)
+    Quantiles.exactCutoff(vals.toDF("x"), "x", num, den, Dom)
 
   test("matches brute force on seeded grids with heavy ties") {
     val rnd = new scala.util.Random(41)
@@ -62,7 +66,7 @@ class QuantilesSpec extends AnyFunSuite {
   test("empty and all-null input returns -Infinity, not an NPE") {
     assert(cut(Seq.empty[Double], 2, 3) == Double.NegativeInfinity)
     val nulls = Seq[java.lang.Double](null, null).toDF("x")
-    assert(Quantiles.exactCutoff(nulls, "x", 2, 3) == Double.NegativeInfinity)
+    assert(Quantiles.exactCutoff(nulls, "x", 2, 3, Dom) == Double.NegativeInfinity)
   }
 
   test("NaN rows are excluded like NULL, never counted into bucket 0") {
@@ -100,6 +104,57 @@ class QuantilesSpec extends AnyFunSuite {
     val fIdx = p.indexOf("FLOOR", wIdx)
     assert(fIdx > wIdx,
       s"level-2 window must consume only the g* bucket (FLOOR filter below it):\n$p")
+  }
+
+  test("domain registry: reviewed classes pinned; unregistered domains rejected") {
+    // the registry IS the review surface — a new caller must land here
+    assert(Quantiles.Domains.reviewed.map(d =>
+      (d.name, d.maxAbs, d.gridStep, d.width)) ==
+      Set(("perplexity_6dp", 1e6, 1e-6, 1L)))
+    val rogue = Quantiles.ValueDomain("rogue", 10.0, 1e-2)
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.exactCutoff(Seq(1.0).toDF("x"), "x", 1, 2, rogue)
+    }
+    assert(e.getMessage.contains("not in Quantiles.Domains"))
+  }
+
+  test("a value outside the declared domain fails loudly, never re-grows the grid") {
+    val vals = Seq(1.0, 2.0, 3e6) // 3e6 > Perplexity6dp.maxAbs = 1e6
+    val e = intercept[IllegalStateException] { cut(vals, 2, 3) }
+    assert(e.getMessage.contains("perplexity_6dp") &&
+      e.getMessage.contains("re-grow"))
+  }
+
+  test("coarse-width grid (wide-range domain) stays exact") {
+    // a heavy-tailed statistic's domain gets width > 1; the two-level
+    // answer must still equal brute force — exercised on the internals
+    // (register a production domain before using this in a query)
+    val wide = Quantiles.ValueDomain("wide_test", 1e9, 1.0)
+    assert(wide.width == 500)
+    val rnd = new scala.util.Random(43)
+    val vals = Seq.fill(300)(math.floor(rnd.nextDouble() * 2e8 - 1e8))
+    val v = vals.toDF("x").select(col("x").cast("double").as("v"))
+    val hit = Quantiles.gridHitDf(v, 2, 3, wide.width).collect()(0)
+    val t = Quantiles.refineDf(v, hit.getLong(0), hit.getLong(1),
+      hit.getLong(2), 2, 3, wide.width)
+      .agg(min(col("v"))).collect()(0).getDouble(0)
+    assert(t == brute(vals, 2, 3))
+  }
+
+  test("source gate: every production domain construction lives in Quantiles.scala") {
+    // the WindowDomainSpec discipline applied to quantile domains: an
+    // ad-hoc ValueDomain in operator code bypasses the registry review
+    def scalaFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) scalaFiles(f)
+        else if (f.getName.endsWith(".scala")) Seq(f) else Nil)
+    val offenders = scalaFiles(new java.io.File("src/main/scala"))
+      .filterNot(_.getName == "Quantiles.scala")
+      .filter(f => java.nio.file.Files.readString(f.toPath)
+        .contains("ValueDomain("))
+      .map(_.getPath)
+    assert(offenders.isEmpty,
+      s"ValueDomain constructed outside the reviewed registry: $offenders")
   }
 
   test("pipeline_curate_ppl's gate equals the primitive's cutoff end-to-end") {
