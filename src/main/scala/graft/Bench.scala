@@ -40,6 +40,21 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Cumulative hypervisor-steal ticks across all vCPUs (/proc/stat
+    * "cpu" field 8, USER_HZ=100) — r17 pinned mid-run vCPU steal on the
+    * shared host as the mechanism behind every bench oscillation the
+    * cal sentinel missed (it only sees the run's endpoints). Sampling
+    * the counter at start and end machine-labels a steal-inflated
+    * window in the JSON itself, so a total uptick reads as environment
+    * vs regression without a re-measure round. None off-Linux. */
+  private def stealTicks(): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")).collect { case f if f.length > 8 => f(8).toLong }
+      finally src.close()
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's cores (the driver machine is local[32]);
@@ -61,6 +76,8 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    val wallStart = System.nanoTime()
+    val stealStart = stealTicks()
     val calStart = calibrate()
 
     // Warm shared machinery: parquet reader + view registration, the
@@ -123,6 +140,13 @@ object Bench {
     }
 
     val calEnd = calibrate()
+    // steal-seconds are CORE-seconds (the /proc/stat cpu line sums all
+    // vCPUs); wall_sec contextualizes them — e.g. 53 core-min of steal
+    // over a 230 s 32-core run is the r17 contended-window profile
+    val stealCoreSec: Option[Double] = for {
+      s0 <- stealStart; s1 <- stealTicks()
+    } yield (s1 - s0) / 100.0
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
 
     // Locale.ROOT: the default-locale f-interpolator would print a
     // decimal COMMA under e.g. de_DE, producing unparseable JSON
@@ -153,7 +177,8 @@ object Bench {
     def qmap(sel: Timing => Option[Double], ts: Seq[Timing]): String =
       ts.map(t => s"\"${t.name}\":${r3(sel(t).getOrElse(-1.0))}").mkString("{", ",", "}")
     def names(ns: Seq[String]): String = ns.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val meta = s""""unit":"sec","first_value":${r3(firstTotal)},"child_jvm_floor":$childFloor,"cal_start":${r3(calStart)},"cal_end":${r3(calEnd)},"nfail":${failed.length},"failed":${names(failed)},"flaky":${names(flaky)}"""
+    val stealStr = stealCoreSec.map(r3).getOrElse("null")
+    val meta = s""""unit":"sec","first_value":${r3(firstTotal)},"child_jvm_floor":$childFloor,"cal_start":${r3(calStart)},"cal_end":${r3(calEnd)},"steal_core_sec":$stealStr,"wall_sec":${r3(wallSec)},"nfail":${failed.length},"failed":${names(failed)},"flaky":${names(flaky)}"""
     // full detail first (may fall outside the driver's tail window)…
     println(s"""{"metric":"total","value":${r3(total)},$meta,"queries":${qmap(_.min, results)},"first":${qmap(_.first, results)},"sf":"$sfDir"}""")
     // …then the compact line the tail always captures: total + slowest 6
