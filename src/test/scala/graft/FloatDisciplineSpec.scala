@@ -108,6 +108,9 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "ann_cosine_topk", "ann_ivf_probe", "ann_lsh_bucketed",
     "ann_lsh_probe_indexed",     // same shared AnnLshTopkOracleSql text
     "ann_lsh_probe_incremental", // as ann_lsh_bucketed (ROUND(cos,6))
+    "ann_lsh_probe_migrated",    // same shared AnnLshTopkOracleSql text
+    "ann_lsh_probe_deleted",     // AnnLshTopkOracleSql + integer delete
+                                 // predicate only (no new float ops)
     "embed_hard_negatives", // ROUND(cos,6): ann_cosine_topk rule
     "eval_retrieval", // ROUND(cos,6) orders the retrieval leg only
                       // (ann_cosine_topk rule); all metrics are integer
