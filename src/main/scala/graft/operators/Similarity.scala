@@ -656,7 +656,7 @@ object Similarity {
     * re-shuffle of the index. 16 tables × 32 low-bucket values = 512
     * distinct route keys spread over the 64 files, so per-probe file
     * pruning is as selective as before. */
-  private def invRouteKey(key: Column, planes: Int): Column =
+  private[graft] def invRouteKey(key: Column, planes: Int): Column =
     shiftright(key, planes) * lit(32L) + key.bitwiseAND(lit(31L))
   private[graft] def invRouteKeyOf(k: Long, planes: Int): Long =
     (k >> planes) * 32L + (k & 31L)
@@ -934,9 +934,14 @@ object Similarity {
       shiftleft(shiftright(col("key"), peOld), peOld + 1) +
         col("key").bitwiseAND(lit((1L << peOld) - 1)) +
         shiftleft(bit.cast("long"), peOld)
+    // one footer read for the layout's schema — 64 per-branch schema
+    // inferences would otherwise dominate the migration's driver-side
+    // constant (measured ~seconds at any corpus size)
+    val schema = graft.sources.HiveBucketedIO.readBucketFile(spark, srcDir, 0)
+      .schema
     (0 until IndexBuckets).map { n =>
       val files = graft.sources.HiveBucketedIO.bucketGenFiles(spark, srcDir, n)
-      spark.read.parquet(files: _*).coalesce(1)
+      spark.read.schema(schema).parquet(files: _*).coalesce(1)
         .withColumn("key", newKey)
         .select(col("key"), col("vec_id"), col("embedding"))
         .sortWithinPartitions(col("key"))

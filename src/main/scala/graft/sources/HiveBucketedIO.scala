@@ -200,14 +200,22 @@ object HiveBucketedIO {
     * and base files stay byte-untouched. The fold itself is 64
     * independent per-file `zipPartitions` filters (data minus its own
     * bucket's tombstones, matched on the tombstone columns by byte
-    * equality through UnsafeProjection) — ZERO shuffle, order
-    * preserved, written through the same local-rewrite path as the
-    * epoch migration. Crash story: the layout's `_BUCKETS_OK` is the
-    * commit point of the swapped-in fold; a crash mid-swap leaves the
-    * marker absent and the standard rebuild/rerun discipline applies
-    * (the index is derived data). Returns true if a fold ran. */
+    * equality through UnsafeProjection) — ZERO shuffle, written
+    * through the same local-rewrite path as the epoch migration.
+    * `sortWithin` restores the layout's within-file sort contract: a
+    * base generation alone folds in file order, but base ⊕ appended
+    * deltas are separately-sorted runs whose concatenation is NOT
+    * key-sorted (and Spark's split packing orders multi-file scans by
+    * size, not name) — without the local re-sort a fold would silently
+    * demote every future probe's row-group pruning to full-file
+    * decodes. The sort is per-partition (no exchange), so the fold
+    * stays a per-file pass. Crash story: the layout's `_BUCKETS_OK` is
+    * the commit point of the swapped-in fold; a crash mid-swap leaves
+    * the marker absent and the standard rebuild/rerun discipline
+    * applies (the index is derived data). Returns true if a fold ran. */
   def foldTombstones(spark: SparkSession, dir: String, numBuckets: Int,
-                     ratio: Double = 0.2): Boolean = {
+                     ratio: Double = 0.2,
+                     sortWithin: Seq[Column] = Nil): Boolean = {
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stats = fs.listStatus(new Path(dir))
@@ -228,8 +236,10 @@ object HiveBucketedIO {
     val antiIdx = tombSchema.fields.map(f => schema.fieldIndex(f.name))
     val antiTypes = tombSchema.fields.map(_.dataType)
     val branches = (0 until numBuckets).map { n =>
-      val data = spark.read
+      val merged = spark.read
         .parquet(bucketGenFiles(spark, dir, n): _*).coalesce(1)
+      val data = (if (sortWithin.isEmpty) merged
+                  else merged.sortWithinPartitions(sortWithin: _*))
         .queryExecution.toRdd
       bucketTombFiles(spark, dir, n) match {
         case Nil => data

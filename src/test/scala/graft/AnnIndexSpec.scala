@@ -254,7 +254,8 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!HiveBucketedIO.foldTombstones(spark, dir, 64, ratio = 1e9))
     assert(HiveBucketedIO.hasTombstones(spark, dir))
     // real fold: tombstones folded into base files, layout recommitted
-    assert(HiveBucketedIO.foldTombstones(spark, dir, 64, ratio = 1e-9))
+    assert(HiveBucketedIO.foldTombstones(spark, dir, 64, ratio = 1e-9,
+      sortWithin = Seq(col("key"))))
     assert(!HiveBucketedIO.hasTombstones(spark, dir))
     val after = Similarity.probeIndexTopK(spark, dir, tables, pe)
       .collect().map(_.toSeq).toSeq

@@ -131,20 +131,37 @@ class CompactorSpec extends AnyFunSuite {
       .toDF("id", "name", "grp")
       .sortWithinPartitions("id")
     HiveBucketedIO.writeBucketed(base, dir, 8, Seq(col("id")), col("id"))
+    // an appended generation makes the fold's scan a CONCATENATION of
+    // separately-sorted runs — exactly the case where `sortWithin`
+    // must restore the layout's within-file sort contract
+    val delta = (200 until 240).map(i => (i.toLong, s"name_$i", i % 7))
+      .toDF("id", "name", "grp")
+    HiveBucketedIO.appendBucketed(delta, dir, 8, Seq(col("id")), col("id"))
     // delete every row whose id % 9 == 0, identified by (id, name)
-    val dels = (0 until 200).filter(_ % 9 == 0)
+    val dels = (0 until 240).filter(_ % 9 == 0)
       .map(i => (i.toLong, s"name_$i")).toDF("id", "name")
     HiveBucketedIO.deleteBucketed(dels, dir, 8, col("id"))
     assert(HiveBucketedIO.hasTombstones(spark, dir))
-    // a reader that honors tombstones sees 200 - 23 live rows
-    assert(HiveBucketedIO.foldTombstones(spark, dir, 8, ratio = 1e-9))
+    // a reader that honors tombstones sees 240 - 27 live rows
+    assert(HiveBucketedIO.foldTombstones(spark, dir, 8, ratio = 1e-9,
+      sortWithin = Seq(col("id"))))
     assert(!HiveBucketedIO.hasTombstones(spark, dir))
     val folded = HiveBucketedIO.readAll(spark, dir, 8)
-    assert(folded.count() == 200 - dels.count())
+    assert(folded.count() == 240 - dels.count())
     assert(folded.where(col("id") % 9 === 0).count() == 0,
       "a tombstoned row survived the fold")
     // untouched rows keep all their columns intact
     assert(folded.where(col("id") === 1).collect().map(_.toSeq).toSeq ==
       Seq(Seq(1L, "name_1", 1)))
+    // the fold folded the delta generation in AND restored the sort:
+    // each bucket file is one generation, internally id-sorted
+    for (n <- 0 until 8) {
+      val names = HiveBucketedIO.bucketGenFiles(spark, dir, n)
+      assert(names.length == 1, s"bucket $n kept ${names.length} generations")
+      val ids = spark.read.parquet(names.head)
+        .select("id").collect().map(_.getLong(0))
+      assert(ids.zip(ids.tail).forall { case (a, b) => a <= b },
+        s"bucket $n lost its within-file sort across the fold")
+    }
   }
 }
