@@ -479,6 +479,68 @@ object Similarity {
       )"""
   }
 
+  /** The coarse-cell assignment CTEs (nearest full codebook row by
+    * summed per-subspace encode distance — the IVF-PQ inverted-list
+    * key, Jégou PAMI'11 §IV), shared VERBATIM by the persisted-index
+    * build and the cell-pruned probe oracle so both assign identical
+    * cells. Assumes `enc` from `pqBaseCtes` is in scope. */
+  private def pqCellCtes: String = """
+      cellsum AS (
+        SELECT vec_id, cw, CAST(SUM(dist) AS BIGINT) AS tdist
+        FROM enc GROUP BY vec_id, cw
+      ),
+      cell AS (
+        SELECT vec_id, cw AS cell
+        FROM (SELECT vec_id, cw,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY tdist, cw) AS rn
+              FROM cellsum) z
+        WHERE rn = 1
+      )"""
+
+  /** Cells probed by `ann_pq_ivf_probe`: the query's nprobe nearest
+    * coarse cells by its own ADC table. 3 of the 10 codebook cells —
+    * the recall/scan trade a deployment tunes; candidacy (and the
+    * oracle) restrict to exactly these cells. */
+  private val PqNProbe = 3
+
+  /** The cell-pruned IVF-PQ probe replication: same approximation as
+    * the serving path — cells from the shared assignment CTEs, probe
+    * set = the query's PqNProbe nearest cells (ties by cell id), ADC
+    * restricted to their members — so the compare stays byte-exact. */
+  private def pqIvfProbeSql: String = {
+    s"""
+      WITH ${pqBaseCtes(spark = false)},
+      ${pqCellCtes},
+      qd AS (
+        SELECT e.s AS s, c.cw AS cw,
+               CAST(SUM((e.qv - c.cv) * (e.qv - c.cv)) AS BIGINT) AS qdist
+        FROM x e JOIN cb c ON e.s = c.s AND e.d = c.d
+        WHERE e.vec_id = 0
+        GROUP BY e.s, c.cw
+      ),
+      probe AS (
+        SELECT cw AS cell
+        FROM qd GROUP BY cw
+        ORDER BY CAST(SUM(qdist) AS BIGINT), cw LIMIT $PqNProbe
+      ),
+      adc AS (
+        SELECT co.vec_id AS nid, CAST(SUM(q.qdist) AS BIGINT) AS adc_dist
+        FROM code co
+        JOIN cell ce ON co.vec_id = ce.vec_id
+        JOIN probe p ON ce.cell = p.cell
+        JOIN qd q ON co.s = q.s AND co.code = q.cw
+        WHERE co.vec_id <> 0
+        GROUP BY co.vec_id
+      ),
+      top AS (
+        SELECT nid, adc_dist FROM adc ORDER BY adc_dist, nid LIMIT 10
+      )
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY adc_dist, nid) AS INT) AS rank,
+             nid, adc_dist
+      FROM top ORDER BY rank"""
+  }
+
   private def pqAdcSql(spark: Boolean): String = {
     s"""
       WITH ${pqBaseCtes(spark)},
@@ -1126,18 +1188,7 @@ object Similarity {
           .write.mode("overwrite").parquet(s"$dir/codebook")
         val codes = spark.sql(s"""
           WITH ${pqBaseCtes(spark = true)},
-          cellsum AS (
-            SELECT vec_id, cw, CAST(SUM(dist) AS BIGINT) AS tdist
-            FROM enc GROUP BY vec_id, cw
-          ),
-          cell AS (
-            SELECT vec_id, cw AS cell
-            FROM (SELECT vec_id, cw,
-                         ROW_NUMBER() OVER (PARTITION BY vec_id
-                           ORDER BY tdist, cw) AS rn
-                  FROM cellsum) z
-            WHERE rn = 1
-          )
+          ${pqCellCtes}
           SELECT cell.cell, code.vec_id, code.s, code.code
           FROM code JOIN cell ON code.vec_id = cell.vec_id""")
         graft.sources.HiveBucketedIO.writeBucketed(
@@ -1149,6 +1200,42 @@ object Similarity {
       }
       dir
     }
+
+  /** The probe-side ADC lookup table (s, cw, qdist — 40 rows at this
+    * codebook size) from the ONE key-pruned query row and the
+    * PERSISTED codebook: the only raw-embedding touch on any PQ
+    * serving path. */
+  private def pqQueryAdc(spark: SparkSession, dir: String): DataFrame = {
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val qx = spark.table("embeddings").where(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(expr("CAST(pos DIV 16 AS INT)").as("s"),
+        expr("CAST(pos % 16 AS INT)").as("d"),
+        floor(col("v").cast("double") * 1e6).cast("long").as("qv"))
+    qx.join(broadcast(cb), Seq("s", "d"))
+      .groupBy(col("s"), col("cw"))
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
+        .cast("long").as("qdist"))
+  }
+
+  /** Shared ADC scoring tail of the PQ serving paths: broadcast-join
+    * the ADC table onto the (possibly cell-pruned) persisted codes,
+    * sum to distances, top-k cut BEFORE the rank window
+    * (TakeOrderedAndProject — the suite's standard guard, so the
+    * unpartitioned window only ever sees 10 rows). */
+  private def pqAdcTopK(codes: DataFrame, qd: DataFrame): DataFrame = {
+    val adc = codes.where(col("vec_id") =!= 0)
+      .join(broadcast(qd),
+        codes("s") === qd("s") && col("code") === col("cw"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qdist")).cast("long").as("adc_dist"))
+      .select(col("vec_id").as("nid"), col("adc_dist"))
+    val top = adc.orderBy(col("adc_dist"), col("nid")).limit(10)
+    top.withColumn("rank", row_number()
+        .over(Window.orderBy(col("adc_dist"), col("nid"))).cast("int"))
+      .select(col("rank"), col("nid"), col("adc_dist"))
+      .orderBy(col("rank"))
+  }
 
   val queries: Map[String, Q] = Map(
     "link_blocking_metrics" -> gsql(blockingMetricsSql(spark = true)),
@@ -1506,31 +1593,42 @@ object Similarity {
     "ann_pq_adc_indexed" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       val dir = pqIndexFixture(spark, sfDir)
-      val cb = spark.read.parquet(s"$dir/codebook")
-      val qx = spark.table("embeddings").where(col("vec_id") === 0)
-        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(expr("CAST(pos DIV 16 AS INT)").as("s"),
-          expr("CAST(pos % 16 AS INT)").as("d"),
-          floor(col("v").cast("double") * 1e6).cast("long").as("qv"))
-      val qd = qx.join(broadcast(cb), Seq("s", "d"))
-        .groupBy(col("s"), col("cw"))
-        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
-          .cast("long").as("qdist"))
+      val qd = pqQueryAdc(spark, dir)
       val codes = graft.sources.HiveBucketedIO.readAll(
         spark, s"$dir/codes", PqCodeBuckets)
-      val adc = codes.where(col("vec_id") =!= 0)
-        .join(broadcast(qd),
-          codes("s") === qd("s") && col("code") === col("cw"))
-        .groupBy(col("vec_id"))
-        .agg(sum(col("qdist")).cast("long").as("adc_dist"))
-        .select(col("vec_id").as("nid"), col("adc_dist"))
-      // top-k cut BEFORE the rank window (TakeOrderedAndProject), the
-      // suite's standard guard — the window then sees 10 rows
-      val top = adc.orderBy(col("adc_dist"), col("nid")).limit(10)
-      top.withColumn("rank", row_number()
-          .over(Window.orderBy(col("adc_dist"), col("nid"))).cast("int"))
-        .select(col("rank"), col("nid"), col("adc_dist"))
-        .orderBy(col("rank"))
+      pqAdcTopK(codes, qd)
+    }),
+
+    // The cell-PRUNED IVF-PQ probe (Jégou PAMI'11 §IV — the production
+    // serving shape the cell-keyed code layout exists for): score the
+    // coarse cells with the query's own ADC table (cell distance =
+    // Σ_s qdist(s, cell) — zero extra reads beyond the broadcast
+    // codebook), probe only the nprobe nearest cells' bucket FILES
+    // (driver-side hash, the bucket-lookup discipline), ADC-scan just
+    // those cells' codes. The deliberate approximation is the
+    // candidacy restriction; the oracle replicates it exactly (same
+    // cells, same probe set, same tie order), so the compare stays
+    // byte-exact. Deployment sizing: cells grow ~√n and nprobe with
+    // the recall target — here cells are the codebook's 10 rows (fixed
+    // by the shared train chain), so the probe scans ≤ 3/10 of the
+    // corpus codes and opens ≤ 3 of the 16 code files at any n.
+    "ann_pq_ivf_probe" -> ((spark, sfDir) => {
+      Tables.register(spark, sfDir)
+      val dir = pqIndexFixture(spark, sfDir)
+      val qd = pqQueryAdc(spark, dir)
+      // ≤ codebook-cells rows of driver state (10 here): the cell
+      // scores come off the broadcast-sized ADC table, never the corpus
+      val probeCells = qd.groupBy(col("cw"))
+        .agg(sum(col("qdist")).cast("long").as("cdist"))
+        .orderBy(col("cdist"), col("cw")).limit(PqNProbe)
+        .collect().map(_.getInt(0)).toSeq
+      val hit = probeCells
+        .map(c => graft.sources.HiveBucketedIO.bucketIdOf(PqCodeBuckets, c.toLong))
+        .distinct.sorted
+      val codes = spark.read.parquet(hit.flatMap(n =>
+          graft.sources.HiveBucketedIO.bucketGenFiles(spark, s"$dir/codes", n)): _*)
+        .where(col("cell").isin(probeCells: _*))
+      pqAdcTopK(codes, qd)
     }),
 
     // Per-dimension winsorization audit — the outlier-clipping feature
@@ -1705,6 +1803,9 @@ object Similarity {
     // the persisted codes are the batch chain's codes, so the serving
     // answer replicates against the same exhaustive ADC oracle
     "ann_pq_adc_indexed" -> pqAdcSql(spark = false),
+    // cell-pruned probe: the oracle replicates the candidacy
+    // restriction itself (shared cell CTEs + the same nprobe cut)
+    "ann_pq_ivf_probe" -> pqIvfProbeSql,
 
     // independent IVF replication: same deterministic coarse quantizer
     // (pivots = vec_id < 32, nearest-pivot assignment with pid

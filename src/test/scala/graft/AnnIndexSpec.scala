@@ -296,6 +296,35 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(d1 == d2)
   }
 
+  test("ivf probe opens only the probed cells' code files and stays candidacy-consistent") {
+    val probe = SparkEntry.queries("ann_pq_ivf_probe")(spark, LocalSpark.sf)
+    val got = probe.collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    // file pruning: nprobe=3 cells hash to at most 3 of the 16 code
+    // files, decided on the driver — the scan never lists the rest
+    val codeFiles = probe.inputFiles
+      .filter(f => f.contains("pq_index_") && f.contains("/codes/")).distinct
+    assert(codeFiles.nonEmpty && codeFiles.length <= 3,
+      s"cell pruning opened ${codeFiles.length} of 16 code files")
+    // same raw-vector discipline as the exhaustive probe: only the
+    // key-pruned query row, never an embedding column off the index
+    val plan = probe.queryExecution.executedPlan.toString()
+    val scans = plan.split("FileScan parquet").drop(1)
+    val embScans = scans.filter(_.contains("embeddings"))
+    assert(embScans.nonEmpty && embScans.forall(_.contains("EqualTo(vec_id,0")),
+      s"probe scanned raw embeddings without the query-row pushdown:\n$plan")
+    assert(!scans.filter(_.contains("pq_index_")).exists(_.contains("embedding:array")),
+      "a persisted-index scan decodes raw vectors")
+    // candidacy consistency: every served neighbor is a member of a
+    // probed cell, and its ADC distance equals the exhaustive probe's
+    val exhaustive = SparkEntry.queries("ann_pq_adc_indexed")(spark, LocalSpark.sf)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val servedDists = got.map(r => (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+    assert(servedDists.forall { case (nid, d) =>
+      exhaustive.get(nid).forall(_ == d) },
+      "a probed neighbor's ADC distance diverges from the exhaustive scan")
+  }
+
   test("a knob change invalidates the cached index instead of serving stale geometry") {
     val (_, _, pAdaptive) = Similarity.lshIndexFixture(spark, LocalSpark.sf)
     val knobP = pAdaptive + 1 // guaranteed to disagree with the meta

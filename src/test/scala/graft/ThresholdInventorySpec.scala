@@ -214,8 +214,9 @@ class ThresholdInventorySpec extends AnyFunSuite {
     ("Similarity.scala", "topk-limit", ".limit(0)") ->
       (1, "invariant: structural empty-DF idiom (empty probe batch)"),
     ("Similarity.scala", "topk-limit", ".limit(10)") ->
-      (1, "invariant: ann_pq_adc_indexed's k=10 answer size (the " +
-          "query's contract, same k as the batch form's oracle)"),
+      (1, "invariant: the PQ serving paths' k=10 answer size (pqAdcTopK, " +
+          "shared by the exhaustive and cell-pruned probes; the " +
+          "queries' contract, same k as the batch form's oracle)"),
     ("TextAnalysis.scala", "support-floor", "HAVING COUNT(*) >= 5") ->
       (1, "invariant: collocation evidence floor (absolute count); " +
           "relaxes with scale, no zero-output direction"),

@@ -38,6 +38,7 @@ class WindowDomainSpec extends AnyFunSuite {
   private val inventory: Map[String, (Int, String)] = Map(
     "ann_pq_adc"            -> (1, "topk: rerank over the probe batch's candidates"),
     "ann_pq_adc_indexed"    -> (1, "topk: rank window above the LIMIT 10 ADC cut (TakeOrderedAndProject feeds it 10 rows)"),
+    "ann_pq_ivf_probe"      -> (1, "topk: rank window above the LIMIT 10 ADC cut over the probed cells' candidates"),
     "curation_curriculum"   -> (1, "topk: global position assigned after LIMIT 50"),
     "curation_quota_fill"   -> (1, "dim: largest-remainder apportionment over the source dimension"),
     "events_bursts"         -> (1, "grid: island grouping over the hourly aggregate"),
