@@ -21,15 +21,18 @@ while true; do
   else
     COMPLETED=$(ls "$OUTDIR" | grep -v oracle_sql)
   fi
-  DONE=$(python3 - "$LEDGER" <<'EOF'
+  # while the dump runs, also defer names that already failed/erred in
+  # it (e.g. a spill racing the dump for disk) — the post-dump pass
+  # retries them with the machine to itself (resume skips only "pass")
+  DONE=$(python3 - "$LEDGER" "$RUNNING" <<'EOF'
 import json, sys, os
-p = sys.argv[1]
+p, running = sys.argv[1], sys.argv[2] == "1"
 seen = {}
 if os.path.exists(p):
     for line in open(p):
         r = json.loads(line)
         seen[r["name"]] = r["status"]
-print("\n".join(n for n, s in seen.items() if s == "pass"))
+print("\n".join(n for n, s in seen.items() if s == "pass" or running))
 EOF
 )
   TODO=$(comm -23 <(echo "$COMPLETED" | sort) <(printf '%s\n%s\n' "$DONE" "$HEAVY" | sort -u))
