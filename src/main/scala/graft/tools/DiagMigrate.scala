@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * rebuild it replaces (tables·(pe+1) plane dots per corpus row PLUS
   * the index routing shuffle), and the two produce identical bucket
   * content. Numbers land in BASELINE.md's r18 section.
-  * Usage: runMain graft.tools.DiagMigrate <sfDir> */
+  * Usage: runMain graft.tools.DiagMigrate <sfDir> [cores] */
 object DiagMigrate {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val spark = ToolSession.local()
+    // default to the machine: the migration is 64 independent per-file
+    // tasks — measuring it on 4 cores serializes them into 16 waves and
+    // understates exactly the property under test
+    val spark = ToolSession.local(args.lift(1).map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors))
     graft.Tables.register(spark, sfDir)
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.Similarity

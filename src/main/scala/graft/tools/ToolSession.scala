@@ -6,10 +6,15 @@ import org.apache.spark.sql.SparkSession
   * so the config block can't drift between copies. Bench/Verify keep
   * their own builders: their configs are part of the driver contract. */
 object ToolSession {
-  def local(): SparkSession = {
+  /** `cores` sizes both the local master and shuffle partitions —
+    * measurement tools whose subject is PARALLELISM itself (DiagMigrate:
+    * 64 independent per-file tasks) must run at the driver's core count
+    * or they serialize the very property they measure; the quick
+    * plan-audit tools keep the 4-core default. */
+  def local(cores: Int = 4): SparkSession = {
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
