@@ -82,15 +82,21 @@ object Dedup {
     spark.sql(q)
   }
 
-  /** The minhash+LSH near-duplicate pair pipeline ABOVE the persisted
-    * shingle stage (view `mh_sh`), WITHOUT the final global sort —
-    * shared by dedup_minhash_lsh (which adds ORDER BY for the oracle
-    * compare) and dedup_clusters (whose symmetric-edge union would
-    * immediately discard a sort, so it must not pay the range
-    * exchange). `mh_sh` is registered by minhashPairs() below. */
-  private val MinhashPairsFromShSql = """
-      WITH sigs AS (
-        SELECT doc_id, MINHASH_SIG(grams, 64) AS sig FROM mh_sh
+  /** The minhash+LSH near-duplicate pair SQL WITHOUT the final global
+    * sort — shared by dedup_minhash_lsh (which adds ORDER BY for the
+    * oracle compare) and dedup_clusters (whose symmetric-edge union
+    * would immediately discard a sort, so it must not pay the range
+    * exchange). */
+  private val MinhashPairsSql = """
+      WITH sh AS (
+        -- repartition BEFORE the heavy shingle/minhash projection: the
+        -- documents file scans as one partition at test scale, which
+        -- would serialize the per-row work
+        SELECT doc_id, SHINGLE_SET(text, 3) AS grams
+        FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents)
+        WHERE SIZE(SHINGLE_SET(text, 3)) > 0
+      ), sigs AS (
+        SELECT doc_id, MINHASH_SIG(grams, 64) AS sig FROM sh
       ), bands AS (
         -- ids + band hash only: the wide gram arrays must NOT ride
         -- through the candidate join/DISTINCT shuffle
@@ -116,46 +122,10 @@ object Dedup {
         SELECT /*+ SHUFFLE_MERGE(sa, sb) */
                doc_a, doc_b, JACCARD_SIM(sa.grams, sb.grams) AS j
         FROM cand
-        JOIN mh_sh sa ON doc_a = sa.doc_id
-        JOIN mh_sh sb ON doc_b = sb.doc_id
+        JOIN sh sa ON doc_a = sa.doc_id
+        JOIN sh sb ON doc_b = sb.doc_id
       )
       WHERE j >= 0.8"""
-
-  /** Shingle-stage cache slot — one live entry per JVM, released on the
-    * NEXT minhashPairs() invocation (the curatePplCacheSlot pattern:
-    * the consumer materializes lazily AFTER the builder returns, so the
-    * earliest safe unpersist is the next call; the harness clearCache()
-    * between bench passes composes fine — unpersist is then a no-op). */
-  private val minhashShSlot =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
-  /** Near-duplicate pairs (doc_a < doc_b, exact jaccard ≥ 0.8) with the
-    * shingle projection evaluated ONCE. The former single-statement
-    * spelling referenced CTE `sh` three times (the minhash signature
-    * input and BOTH exact-verify join sides) plus once more under the
-    * pushed size() filter; Catalyst inlines CTEs, so the plan carried
-    * FOUR documents scans each paying the SHINGLE_SET kernel (plan
-    * audit r18: 4 `shingleset(text#…, 3)` expression ids, 4 parquet
-    * scans). Persisting the grams projection (guide §2.4 — two
-    * operations keyed the same way share one evaluation; §5 — reuse ×
-    * recompute-cost justifies the cache) collapses that to one kernel
-    * pass; the size() filter runs ABOVE the cache barrier so it cannot
-    * be rewritten back into a second SHINGLE_SET evaluation. At
-    * production scale the same intermediate would be a written
-    * fingerprint table (guide §8 step 1); MEMORY_AND_DISK persist is
-    * the single-JVM analog. Values are unchanged — PipelineSpec's full
-    * pair-set equality vs brute force pins that. */
-  private[operators] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.register(spark, sfDir)
-    GraftFunctions.register(spark)
-    val grams = spark.sql("""
-        SELECT doc_id, SHINGLE_SET(text, 3) AS grams
-        FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents)""")
-      .persist()
-    Option(minhashShSlot.getAndSet(grams)).foreach(_.unpersist())
-    grams.where(size(col("grams")) > 0).createOrReplaceTempView("mh_sh")
-    spark.sql(MinhashPairsFromShSql)
-  }
 
   /** Prefix-filtered n-gram candidate chain + exact-jaccard scoring at
     * τ=0.5, ending in CTE `jpairs(doc_a, doc_b, jaccard)` — ONE
@@ -301,8 +271,7 @@ object Dedup {
     // pair-set equality (recall exactly 1.0) against brute force at both
     // sf0.001 and sf0.01, so a testdata change that breaks the oracle
     // assumption fails with a clear message.
-    "dedup_minhash_lsh" -> ((spark, sfDir) =>
-      minhashPairs(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_minhash_lsh" -> gsql(MinhashPairsSql + "\n      ORDER BY doc_a, doc_b"),
 
     // SimHash: 64-bit fingerprint; candidates share one of SEVEN bands
     // (six 9-bit + one 10-bit). Pigeonhole: a pair at hamming ≤ 6 flips
@@ -496,7 +465,7 @@ object Dedup {
     // 2-row result is not a row-scale collect). Oracle chains the
     // independent DuckDB formulations end to end.
     "pipeline_dedup_report" -> ((spark, sfDir) => {
-      val pairsAll = minhashPairs(spark, sfDir)
+      val pairsAll = gsql(MinhashPairsSql)(spark, sfDir)
       val d = spark.sql(
         """SELECT doc_id, MD5(CAST(text AS BINARY)) AS h,
                   CAST(SIZE(TOKENIZE(text)) AS BIGINT) AS ntok
@@ -540,7 +509,7 @@ object Dedup {
     // keep rule u·csize < 2^32 — pure integer compare, exact in both
     // engines. Per-csize keep counts report the realized thinning.
     "curation_dedup_aware_sample" -> ((spark, sfDir) => {
-      val pairs = minhashPairs(spark, sfDir)
+      val pairs = gsql(MinhashPairsSql)(spark, sfDir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val (labels, _) = connectedComponents(spark, pairs)
       val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
@@ -565,7 +534,7 @@ object Dedup {
     // all = corpus minus CC nodes — pair-graph components are always
     // size ≥ 2). Same CC machinery, one extra aggregate.
     "dedup_cluster_stats" -> ((spark, sfDir) => {
-      val pairs = minhashPairs(spark, sfDir)
+      val pairs = gsql(MinhashPairsSql)(spark, sfDir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val (labels, _) = connectedComponents(spark, pairs)
       val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
@@ -585,7 +554,7 @@ object Dedup {
     "dedup_clusters" -> ((spark, sfDir) => {
       // the UNSORTED pair set — the symmetric-edge canonicalization would
       // discard dedup_minhash_lsh's final ORDER BY range exchange unused
-      val pairs = minhashPairs(spark, sfDir)
+      val pairs = gsql(MinhashPairsSql)(spark, sfDir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val (labels, _) = connectedComponents(spark, pairs)
       val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csize"))
@@ -603,7 +572,7 @@ object Dedup {
     // One window over cluster-partitioned rows — no new shuffle class.
     "dedup_keep_best" -> ((spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
-      val pairs = minhashPairs(spark, sfDir)
+      val pairs = gsql(MinhashPairsSql)(spark, sfDir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val (labels, _) = connectedComponents(spark, pairs)
       val q = spark.sql("""
@@ -635,7 +604,7 @@ object Dedup {
       // components directly over the pair graph — dedup_clusters' final
       // cluster-size join and ORDER BY serve its own output contract and
       // would be dead weight under this anti-join consumer
-      val pairs = minhashPairs(spark, sfDir)
+      val pairs = gsql(MinhashPairsSql)(spark, sfDir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val nonRep = connectedComponents(spark, pairs)._1
         .where(col("node") =!= col("comp"))
@@ -680,7 +649,7 @@ object Dedup {
     "pipeline_curate_ppl" -> ((spark, sfDir) => {
       Tables.register(spark, sfDir)
       GraftFunctions.register(spark)
-      val pairs = minhashPairs(spark, sfDir)
+      val pairs = gsql(MinhashPairsSql)(spark, sfDir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val nonRep = connectedComponents(spark, pairs)._1
         .where(col("node") =!= col("comp"))
