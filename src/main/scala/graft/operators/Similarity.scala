@@ -69,12 +69,22 @@ object Similarity {
   /** The linkage fixture's dirty side — ONE spelling shared by
     * link_fuzzy_match and link_blocking_metrics so the corruption and
     * blocking key cannot drift between the matcher and its evaluator. */
+  // REPARTITION before the scorer join (the MinhashPairsSql
+  // discipline): part scans as ONE split at test scale and the
+  // blocked join streams THIS side, so every damerau_levenshtein /
+  // jaro_winkler call — 3.16M candidate pairs at sf0.1 — ran on a
+  // single core (r18 plan audit: BroadcastHashJoin, BuildRight, probe
+  // = the one-partition dirty scan; measured 6.7 s idle → the kernel
+  // grind serialized). The hint is a Spark comment-hint; DuckDB parses
+  // it as a plain block comment, so the shared oracle text is
+  // unaffected.
   private val DirtyCte = """dirty AS (
         SELECT p_partkey AS did,
                CONCAT(SUBSTR(p_name, 1, 3), SUBSTR(p_name, 5, 1),
                       SUBSTR(p_name, 4, 1), SUBSTR(p_name, 6)) AS dname,
                SUBSTR(p_name, 1, 3) AS blk, LENGTH(p_name) AS len
-        FROM part WHERE p_partkey % 5 = 0
+        FROM (SELECT /*+ REPARTITION(32) */ p_partkey, p_name
+              FROM part WHERE p_partkey % 5 = 0) src
       )"""
 
   /** Blocking-scheme evaluation (Christen, TKDE'12 survey metrics):
@@ -134,7 +144,8 @@ object Similarity {
         SELECT p_partkey AS did,
                CONCAT(SUBSTR(p_name, 1, 4), SUBSTR(p_name, 6)) AS dname,
                SUBSTR(p_name, 1, 4) AS blk, LENGTH(p_name) - 1 AS len
-        FROM part WHERE p_partkey % 7 = 0
+        FROM (SELECT /*+ REPARTITION(32) */ p_partkey, p_name
+              FROM part WHERE p_partkey % 7 = 0) src
       ), cand AS (
         SELECT d.did, p.p_partkey AS pid,
                ROUND($jwFn(d.dname, p.p_name), 6) AS jw
