@@ -913,9 +913,16 @@ object Statistics {
   // the deterministic quarter slice keeps the 32× explode (and the
   // median's 32 value-grid sorts) at bench-friendly volume — the
   // statistic's machinery is identical at any slice
+  // REPARTITION before the 32× replica explode (the linkage-scorer
+  // lesson, r18): lineitem scans as ONE split at test scale and the
+  // explode + MIX64 draw chain sits below the first exchange, so the
+  // 4.8M-row multiplied stream ran on a single core — three times
+  // over, since the inlined CTE chain is re-derived per reference.
+  // Spark comment-hint only; DuckDB parses it as a block comment.
   private val BootstrapLi = """
       li AS (
-        SELECT l_orderkey * 8 + l_linenumber AS k,
+        SELECT /*+ REPARTITION(32) */
+               l_orderkey * 8 + l_linenumber AS k,
                CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
         FROM lineitem
         WHERE l_orderkey % 4 = 0
