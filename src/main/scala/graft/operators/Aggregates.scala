@@ -167,7 +167,8 @@ object Aggregates {
       else ("QUANTILE_CONT(l_extendedprice, [0.25, 0.5, 0.75])", 1, 2, 3)
     s"""
       WITH ps AS (
-        SELECT $pcts AS p FROM lineitem
+        SELECT $pcts AS p
+        FROM (SELECT /*+ REPARTITION(32) */ l_extendedprice FROM lineitem) li
       ), b AS (
         SELECT ROUND(p[$i1], 6) AS p1, ROUND(p[$i2], 6) AS p2, ROUND(p[$i3], 6) AS p3
         FROM ps
@@ -302,7 +303,7 @@ object Aggregates {
     * at a trim boundary. */
   private val TrimmedMeanSql = """
       WITH c AS (
-        SELECT l_returnflag AS rf,
+        SELECT /*+ REPARTITION(32) */ l_returnflag AS rf,
                CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
         FROM lineitem
       ),
@@ -394,7 +395,7 @@ object Aggregates {
     * division. */
   private val WinsorizedMeanSql = """
       WITH c AS (
-        SELECT l_returnflag AS rf,
+        SELECT /*+ REPARTITION(32) */ l_returnflag AS rf,
                CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
         FROM lineitem
       ),
