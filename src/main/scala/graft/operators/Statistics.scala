@@ -621,17 +621,26 @@ object Statistics {
     val pairs = vars.combinations(2).toSeq.map { case Seq((a, _), (b, _)) => (a, b) }
     val crosses = pairs.map { case (a, b) =>
       s"CAST(SUM(CAST($a * $b AS DECIMAL(38, 0))) AS DOUBLE) AS s_${a}_$b" }
-    val rows = pairs.map { case (a, b) =>
-      s"""
-      SELECT '$a' AS var_a, '$b' AS var_b,
-             ROUND((n * s_${a}_$b - s_$a * s_$b)
+    // ONE m row cross-joined with a constant pair relation, not six
+    // UNION ALL selects FROM m — under CTE inlining each branch
+    // re-ran the whole moments aggregate (6 lineitem scans, r18 plan
+    // audit; DuckDB materializes the CTE so its values are unchanged
+    // either way). Per-pair arithmetic is the identical IEEE chain,
+    // now selected by CASE.
+    val corrCase = "CASE " + pairs.map { case (a, b) =>
+      s"""WHEN var_a = '$a' AND var_b = '$b' THEN
+             (n * s_${a}_$b - s_$a * s_$b)
                    / (SQRT(n * s_${a}_$a - s_$a * s_$a)
-                      * SQRT(n * s_${b}_$b - s_$b * s_$b)), 6) AS corr
-      FROM m"""
-    }.mkString("      UNION ALL")
+                      * SQRT(n * s_${b}_$b - s_$b * s_$b))"""
+    }.mkString("\n           ") + " END"
+    val pairRows = pairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+    val rows = s"""
+      SELECT var_a, var_b, ROUND($corrCase, 6) AS corr
+      FROM m CROSS JOIN (VALUES $pairRows) AS p(var_a, var_b)"""
     s"""
       WITH x AS (
-        SELECT ${vars.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
+        SELECT /*+ REPARTITION(32) */
+               ${vars.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
         FROM lineitem
       ),
       m AS (
